@@ -1,13 +1,245 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Pairing, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a declarative DataFrame plan over the
+  * driver's parquet testdata; entries in [[oracleSql]] are the equivalent
+  * ANSI SQL the driver runs in DuckDB for the hash-compare. Column names,
+  * types, row order, and floating-point arithmetic are aligned between the
+  * two (see graft.operators.Det for the decimal-sum determinism scheme).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the whole
+    * reference pipeline (pair → window → final emission) as one plan. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pairing.facilityInfoByMinute(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2.3. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Reference pipeline (SURVEY.md §2.1 operators O1-O18)
+    "q_rekey_project" -> (Pairing.rekeyProject _),
+    "q_filter_notnull" -> (Pairing.filterNotNull _),
+    "q_pair_match" -> (Pairing.pairMatch _),
+    "q_pair_match_join" -> (Pairing.pairMatchJoin _),
+    "q_pair_ttl" -> (Pairing.pairTtl _),
+    "q_facility_info_by_minute" -> (Pairing.facilityInfoByMinute _),
+    "q_tumbling_agg" -> (Pairing.tumblingAgg _),
+    "q_json_get" -> (Pairing.jsonGet _),
+    "q_json_emit" -> (Pairing.jsonEmit _),
+    // Generalized relational surface (SURVEY.md §2.3)
+    "q_scan_project" -> (Relational.scanProject _),
+    "q_filter_pred" -> (Relational.filterPred _),
+    "q_hash_join" -> (Relational.hashJoin _),
+    "q_multi_join" -> (Relational.multiJoin _),
+    "q_broadcast_join" -> (Relational.broadcastJoin _),
+    "q_semi_join" -> (Relational.semiJoin _),
+    "q_anti_join" -> (Relational.antiJoin _),
+    "q_outer_join" -> (Relational.outerJoin _),
+    "q_agg_q1" -> (Relational.aggQ1 _),
+    "q_agg_distinct" -> (Relational.aggDistinct _),
+    "q_rollup" -> (Relational.rollup _),
+    "q_cube" -> (Relational.cube _),
+    "q_grouping_sets" -> (Relational.groupingSets _),
+    "q_window_rank" -> (Relational.windowRank _),
+    "q_window_running" -> (Relational.windowRunning _),
+    "q_sort_limit" -> (Relational.sortLimit _),
+    "q_union" -> (Relational.union _),
+    "q_intersect" -> (Relational.intersect _),
+    "q_except" -> (Relational.except _),
+    "q_scalar_funcs" -> (Relational.scalarFuncs _),
+    "q_array_ops" -> (Relational.arrayOps _),
+    "q_approx_distinct" -> (Relational.approxDistinct _),
+  )
+
+  /** Shared oracle CTE: placed/fulfilled pairing on the events table
+    * (user_id ≙ order.id, signup ≙ order.placed, purchase ≙
+    * order.fulfilled — SURVEY.md §2.3). */
+  private val pairsCte: String =
+    """WITH pairs AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type='signup' THEN ts END) AS placed_ts,
+      |         min(CASE WHEN event_type='purchase' THEN ts END) AS fulfilled_ts
+      |  FROM events GROUP BY user_id),
+      |complete AS (
+      |  SELECT user_id, placed_ts, fulfilled_ts,
+      |         epoch_ms(fulfilled_ts) - epoch_ms(placed_ts) AS processing_ms
+      |  FROM pairs
+      |  WHERE placed_ts IS NOT NULL AND fulfilled_ts IS NOT NULL)
+      |""".stripMargin
+
+  /** DuckDB equivalents for the hash-compare (driver-run). Omitted keys
+    * (approximate / non-SQL-expressible ops) get a rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q_rekey_project" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key, event_id, event_type,
+        |       epoch_ms(ts) AS ts_ms, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_filter_notnull" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE props IS NOT NULL AND value > 100.0 ORDER BY event_id""".stripMargin,
+    "q_pair_match" -> (pairsCte +
+      """SELECT user_id, epoch_ms(placed_ts) AS placed_ms,
+        |       epoch_ms(fulfilled_ts) AS fulfilled_ms, processing_ms
+        |FROM complete ORDER BY user_id""".stripMargin),
+    "q_pair_match_join" ->
+      """SELECT p.user_id AS user_id, p.event_id AS placed_event_id,
+        |       f.event_id AS fulfilled_event_id,
+        |       epoch_ms(f.ts) - epoch_ms(p.ts) AS gap_ms
+        |FROM events p JOIN events f ON p.user_id = f.user_id
+        |WHERE p.event_type='signup' AND f.event_type='purchase' AND f.ts >= p.ts
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_pair_ttl" -> (pairsCte +
+      """SELECT user_id, epoch_ms(placed_ts) AS placed_ms,
+        |       epoch_ms(fulfilled_ts) AS fulfilled_ms, processing_ms
+        |FROM complete WHERE abs(processing_ms) <= 86400000
+        |ORDER BY user_id""".stripMargin),
+    "q_facility_info_by_minute" -> (pairsCte +
+      """SELECT user_id % 10 AS facility_id,
+        |       epoch_ms(time_bucket(INTERVAL 1 minute, fulfilled_ts) + INTERVAL 1 minute) AS event_timestamp,
+        |       CAST(count(*) AS BIGINT) AS processing_count,
+        |       CAST(sum(processing_ms) AS BIGINT) AS processing_ms
+        |FROM complete GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "q_tumbling_agg" ->
+      """SELECT event_type,
+        |       epoch_ms(time_bucket(INTERVAL 1 minute, ts)) AS window_start_ms,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_json_get" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_json_emit" ->
+      """SELECT event_id,
+        |       to_json(struct_pack(event_id := event_id, event_type := event_type,
+        |                           user_id := user_id)) AS js
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY 1, 2, 3, 4""".stripMargin,
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |       epoch_ms(l_shipdate) AS shipdate_ms
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_quantity < 25.0 AND l_returnflag IN ('A', 'R')
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+    "q_hash_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY 1""".stripMargin,
+    "q_multi_join" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_broadcast_join" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY 1""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY 1""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY 1""".stripMargin,
+    "q_outer_join" ->
+      """SELECT o_orderkey, CAST(count(l_orderkey) AS BIGINT) AS n_lines,
+        |       COALESCE(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS revenue
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4)) * CAST(1.0 + l_tax AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+        |       CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_custs,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS orderdate_ms,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY 1, 3, 2""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 10""".stripMargin,
+    "q_union" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |UNION ALL
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 0.0
+        |ORDER BY c_custkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 0.0
+        |ORDER BY c_custkey""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 0.0
+        |ORDER BY c_custkey""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |       upper(o_orderpriority) AS prio_upper,
+        |       substring(o_orderpriority, 1, 1) AS prio_code,
+        |       o_orderstatus || '/' || o_orderpriority AS status_prio,
+        |       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        |       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_epoch_start,
+        |       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |       abs(o_totalprice - 150000.0) AS price_dev
+        |FROM orders ORDER BY 1""".stripMargin,
+    "q_array_ops" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+        |       CAST(embedding[1] AS DOUBLE) AS first_val,
+        |       ((((0.0 + CAST(embedding[1] AS DOUBLE)) + CAST(embedding[2] AS DOUBLE))
+        |         + CAST(embedding[3] AS DOUBLE)) + CAST(embedding[4] AS DOUBLE)) AS head4_sum
+        |FROM embeddings ORDER BY 1""".stripMargin,
+    // q_approx_distinct: omitted — approximate sketch, rows-only check.
+  )
 }

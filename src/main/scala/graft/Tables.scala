@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table catalog over the driver-generated parquet testdata
+  * (TESTDATA.md): TPC-H-ish star schema + `events` stream table +
+  * `documents`/`embeddings` for the LLM-pipeline operators.
+  *
+  * Parquet carries its own schema, so no inference pass is needed;
+  * loaders are thin. At cluster scale the same API would point at a
+  * partitioned table root — everything downstream is partition-count
+  * agnostic (no `collect`, no driver-side loops).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Read naive parquet timestamps as TimestampType (session TZ = UTC),
+    // not TIMESTAMP_NTZ — keeps unix_millis/window() applicable and
+    // matches DuckDB's epoch_ms on the same files.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
+    * type for — read it as a long (legacy conf) and truncate to micros.
+    * Integer `div` (not `/`) keeps full precision: nanos ≈ 1.7e18 exceeds
+    * double's 2^53 mantissa. DuckDB truncates ns→ms the same way, so
+    * epoch-ms parity holds. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

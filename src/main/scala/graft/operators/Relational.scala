@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import Det._
+
+/** The generalized relational operator library (SURVEY.md §2.3): the
+  * reference's map/filter/aggregate surface widened to the full
+  * scan/join/agg/window/setop/scalar catalog, all as declarative
+  * DataFrame plans so Catalyst gets pushdown, pruning, join selection
+  * and AQE for free (SURVEY.md §4).
+  *
+  * Scale notes embedded per query; the common rules: dimension joins are
+  * broadcast, fact-fact joins hash-shuffle on their keys, aggregations are
+  * partial (map-side combine) by construction, every query's sort is the
+  * LAST operator so it never constrains the upstream exchange.
+  */
+object Relational {
+
+  /** q_scan_project — parquet scan with column pruning: ReadSchema in the
+    * explain output carries only the four projected columns. */
+  def scanProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // sort on every output column so ties are full-row duplicates and
+      // the output multiset is order-stable for the hash compare.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  /** q_filter_pred — range + IN-list predicates, all pushed to the parquet
+    * reader (PushedFilters). */
+  def filterPred(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_quantity") < 25.0 &&
+        col("l_returnflag").isin("A", "R"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"), millis(col("l_shipdate")).as("shipdate_ms"))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "shipdate_ms")
+
+  /** q_hash_join — orders ⋈ customer on custkey. customer is small at any
+    * SF relative to orders → Catalyst/AQE picks broadcast-hash; at true
+    * fact-fact scale it degrades gracefully to shuffle-hash on the key. */
+  def hashJoin(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("c_mktsegment"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  /** q_multi_join — the star-schema chain lineitem⋈orders⋈customer⋈nation
+    * ⋈region rolled up per region/nation. Dims broadcast; the single real
+    * shuffle is lineitem⋈orders (AQE coalesced). */
+  def multiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        dsumExact(dprod(col("l_extendedprice"), lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("r_name", "n_name")
+
+  /** q_broadcast_join — explicit broadcast hint on the 5-row dim
+    * (Main.java has no joins; this is the §2.3 generalization). */
+  def broadcastJoin(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey")
+
+  /** q_semi_join — customers with ≥1 order; left-semi never widens rows. */
+  def semiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** q_anti_join — customers with no orders. */
+  def antiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** q_outer_join — orders left-outer lineitem, folded to one row per
+    * order (count/revenue; orders with no lines keep 0). */
+  def outerJoin(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .groupBy(col("o_orderkey"))
+      .agg(
+        count(col("l_orderkey")).as("n_lines"),
+        coalesce(dsum(col("l_extendedprice")), lit(0.0)).as("revenue"))
+      .orderBy("o_orderkey")
+
+  /** q_agg_q1 — TPC-H Q1-style wide aggregate: partial (map-side) combine
+    * then one exchange on the 6-value grouping key. */
+  def aggQ1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumExact(dprod(col("l_extendedprice"), lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsumExact(dprod(col("l_extendedprice"), lit(1.0) - col("l_discount"), lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q_agg_distinct — distinct aggregate (expands to a two-stage plan;
+    * Spark de-dups per group before the final count). */
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  private def customerGeo(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+
+  /** q_rollup — hierarchical subtotals region→nation→grand total. */
+  def rollup(s: SparkSession, d: String): DataFrame =
+    customerGeo(s, d)
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_custs"), dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  /** q_cube — full cross-dimensional subtotals. */
+  def cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** q_grouping_sets — explicit sets via the SQL surface (the DataFrame
+    * API spells rollup/cube; arbitrary sets are SQL-only by design). */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+             count(1) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """)
+  }
+
+  /** q_window_rank — top-3 orders per customer by totalprice (ranking
+    * window; tie-broken on the unique key for determinism). */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** q_window_running — running revenue per customer (analytic frame).
+    * Decimal accumulator: DuckDB computes window sums via segment trees
+    * (different addition order), so double accumulation would diverge. */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        millis(col("o_orderdate")).as("orderdate_ms"), col("running_spend"))
+      .orderBy("o_custkey", "orderdate_ms", "o_orderkey")
+  }
+
+  /** q_sort_limit — global top-10 (Spark plans TakeOrderedAndProject:
+    * per-partition heap + driver merge, no full sort at scale). */
+  def sortLimit(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .limit(10)
+
+  private def segA(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_custkey"))
+  private def segB(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_acctbal") > 0.0)
+      .select(col("c_custkey"))
+
+  /** q_union — UNION ALL of two customer splits (bag semantics). */
+  def union(s: SparkSession, d: String): DataFrame =
+    segA(s, d).union(segB(s, d)).orderBy("c_custkey")
+
+  /** q_intersect — INTERSECT (distinct) of the splits. */
+  def intersect(s: SparkSession, d: String): DataFrame =
+    segA(s, d).intersect(segB(s, d)).orderBy("c_custkey")
+
+  /** q_except — EXCEPT (distinct) of the splits. */
+  def except(s: SparkSession, d: String): DataFrame =
+    segA(s, d).except(segB(s, d)).orderBy("c_custkey")
+
+  /** q_scalar_funcs — string/date/math scalar catalog over orders, all
+    * codegen'd builtins (no UDFs; SURVEY.md §2.2 "scalar functions"). */
+  def scalarFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      upper(col("o_orderpriority")).as("prio_upper"),
+      substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+      concat(col("o_orderstatus"), lit("/"), col("o_orderpriority")).as("status_prio"),
+      year(col("o_orderdate")).as("order_year"),
+      month(col("o_orderdate")).as("order_month"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since_epoch_start"),
+      floor(col("o_totalprice")).as("price_floor"),
+      abs(col("o_totalprice") - lit(150000.0)).as("price_dev"))
+      .orderBy("o_orderkey")
+
+  /** q_array_ops — array functions over the embedding column. The head-4
+    * sum is a sequential left fold in both engines → deterministic. */
+  def arrayOps(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      element_at(col("embedding"), 1).cast("double").as("first_val"),
+      aggregate(slice(col("embedding"), 1, 4), lit(0.0),
+        (acc, x) => acc + x.cast("double")).as("head4_sum"))
+      .orderBy("vec_id")
+
+  /** q_approx_distinct — HLL++ sketch (no-oracle: approximate by design;
+    * the sketch merges associatively so it scales to any partition count). */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+}
