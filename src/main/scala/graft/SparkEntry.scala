@@ -73,6 +73,10 @@ object SparkEntry {
     "q_media_meta" -> (Multimodal.mediaMeta _),
     "q_media_frames" -> (Multimodal.mediaFrames _),
     "q_media_features" -> (Multimodal.mediaFeatures _),
+    // streaming variants — real Structured Streaming queries over a
+    // MemoryStream source, executed synchronously (SURVEY.md §2.3 s_*)
+    "s_pair_match" -> (graft.streaming.EventPairing.sPairMatch _),
+    "s_tumbling_agg" -> (graft.streaming.WindowedAgg.sTumblingAgg _),
   )
 
   /** DuckDB VALUES list kept in sync with TextAnalysis.lexicon. */
@@ -375,5 +379,17 @@ object SparkEntry {
       """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
         |       md5(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
         |FROM documents, range(0, 4) r(i) ORDER BY 1, 2""".stripMargin,
+    // streaming variants: one input batch ⇒ same results as the batch
+    // analogs, so they share those oracles.
+    "s_pair_match" -> (pairsCte +
+      """SELECT user_id, epoch_ms(placed_ts) AS placed_ms,
+        |       epoch_ms(fulfilled_ts) AS fulfilled_ms, processing_ms
+        |FROM complete ORDER BY user_id""".stripMargin),
+    "s_tumbling_agg" ->
+      """SELECT event_type,
+        |       epoch_ms(time_bucket(INTERVAL 1 minute, ts)) AS window_start_ms,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

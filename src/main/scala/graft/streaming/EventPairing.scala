@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Tables
+
+/** One placed/fulfilled half-pair event on the stream. */
+case class PairEvent(user_id: Long, event_type: String, ts_ms: Long)
+
+/** Buffered half-pair state (≙ the reference's per-order partial
+  * aggregate in `order-state-store`, OrderProcessor.java:56,104-152). */
+case class PairState(placedMs: Option[Long], fulfilledMs: Option[Long])
+
+/** Completed pair (≙ the `order.info` record, OrderProcessor.java:139-143;
+  * processing_ms may be negative — the reference takes no abs, :136). */
+case class PairResult(user_id: Long, placed_ms: Long, fulfilled_ms: Long,
+    processing_ms: Long)
+
+/** The reference's custom stateful processor (O7/O8/O12,
+  * OrderProcessor.java:99-257) re-expressed as
+  * `flatMapGroupsWithState` — Spark's keyed-state surface:
+  *
+  *  - the RocksDB KeyValueStore get/put/delete (O8) becomes
+  *    `GroupState.getOption/update/remove`;
+  *  - the wall-clock punctuator full-store sweep (O12) becomes a per-key
+  *    `ProcessingTimeTimeout` — Spark delivers the timeout as an extra
+  *    function invocation with `state.hasTimedOut`, so expiry is O(expired
+  *    keys), not O(store);
+  *  - emission (O11) is the returned iterator.
+  *
+  * Two merge policies for duplicate halves:
+  *  - [[MinWins]] — deterministic (matches the batch analog / SQL oracle);
+  *  - [[LastWins]] — reference parity (`JsonObject.add` overwrites,
+  *    OrderProcessor.java:114-118).
+  */
+object EventPairing {
+  val PlacedType = "signup"
+  val FulfilledType = "purchase"
+
+  sealed trait MergePolicy
+  case object MinWins extends MergePolicy
+  case object LastWins extends MergePolicy
+
+  /** The keyed pairing function. Pure — unit-testable with
+    * TestGroupState, shared by the streaming query and the specs. */
+  def pairFn(policy: MergePolicy, ttl: Option[java.time.Duration])(
+      key: Long, events: Iterator[PairEvent],
+      state: GroupState[PairState]): Iterator[PairResult] = {
+    if (state.hasTimedOut) {
+      // O12: expired half-pair is dropped (dead-letter topic is a
+      // declared TODO in the reference too, OrderProcessor.java:184,200).
+      state.remove()
+      Iterator.empty
+    } else {
+      val prior = state.getOption.getOrElse(PairState(None, None))
+      var placed = prior.placedMs
+      var fulfilled = prior.fulfilledMs
+      def merge(old: Option[Long], ts: Long): Option[Long] = policy match {
+        case MinWins => Some(old.fold(ts)(math.min(_, ts)))
+        case LastWins => Some(ts)
+      }
+      events.foreach { e =>
+        if (e.event_type == PlacedType) placed = merge(placed, e.ts_ms)
+        else if (e.event_type == FulfilledType) fulfilled = merge(fulfilled, e.ts_ms)
+        // unknown event.type: ignored (OrderProcessor.java:121-124)
+      }
+      (placed, fulfilled) match {
+        case (Some(p), Some(f)) =>
+          state.remove() // completion deletes state (OrderProcessor.java:149)
+          Iterator.single(PairResult(key, p, f, f - p))
+        case _ =>
+          state.update(PairState(placed, fulfilled))
+          ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
+          Iterator.empty
+      }
+    }
+  }
+
+  private val nameCounter = new java.util.concurrent.atomic.AtomicInteger
+
+  /** s_pair_match — the pairing operator run as a REAL streaming query:
+    * MemoryStream source → flatMapGroupsWithState (append mode) → memory
+    * sink, executed synchronously. Feeding all events as one batch makes
+    * MinWins equal to the batch analog, so the same SQL oracle applies.
+    * (The driver-side collect only feeds the in-memory test source; a
+    * production run swaps MemoryStream for the Kafka source wrapper.) */
+  def sPairMatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, d)
+      .filter(col("event_type").isin(PlacedType, FulfilledType))
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .as[PairEvent]
+      .collect()
+
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[PairEvent]
+    input.addData(events.toSeq)
+
+    val paired = input.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        pairFn(MinWins, None))
+
+    val name = s"s_pair_match_${nameCounter.incrementAndGet()}"
+    val q = paired.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("user_id")
+  }
+}

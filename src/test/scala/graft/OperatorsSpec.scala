@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Crafted-fixture specs for the LLM-pipeline operators: known
+  * duplicates, known nearest neighbors, known token statistics. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val repeatedA = Array.fill(40)("alpha beta gamma delta").mkString(" ")
+  // one appended token: shares 4 of its 5 distinct shingles with A → 0.8
+  private val repeatedB = repeatedA + " omega"
+
+  private lazy val docsDir = fixtureDir(
+    "documents" -> Seq(
+      (0L, repeatedA, "en", "src0", repeatedA.length.toLong),
+      (1L, repeatedA, "en", "src1", repeatedA.length.toLong), // exact dup of 0
+      (2L, repeatedB, "de", "src2", repeatedB.length.toLong), // near dup of 0
+      (3L, "the quick brown fox jumps over the lazy dog", "fr", "src0", 43L),
+      (4L, "zz", "es", "src1", 2L), // < 3 tokens → no shingles
+      (5L, "Hello, World! DELTA-PRIME 42", "en", "src2", 28L), // case+punct
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+  private lazy val embDir = fixtureDir(
+    "embeddings" -> Seq(
+      (0L, vec(1, 0, 0, 0), 0),
+      (1L, vec(1, 0, 0, 0), 0),     // identical to the query → cos 1.0
+      (2L, vec(0.9, 0.1, 0, 0), 0), // close
+      (3L, vec(0, 1, 0, 0), 1),     // orthogonal
+      (4L, vec(-1, 0, 0, 0), 1),    // opposite
+    ).toDF("vec_id", "embedding", "label"))
+
+  test("exact dedup groups identical texts") {
+    val rows = Dedup.exact(spark, docsDir).collect()
+    assert(rows.length == 5) // 6 docs, one pair collapsed
+    val dup = rows.find(_.getLong(1) == 2L).get
+    assert(dup.getLong(2) == 0L) // first_doc_id = min
+  }
+
+  test("ngram jaccard finds exact and near duplicates, skips short docs") {
+    val pairs = Dedup.ngramJaccard(spark, docsDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0) // exact dup
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.5) // near dup
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L)) // no shingles
+  }
+
+  test("minhash LSH candidates cover every true near-duplicate pair (no false negatives here)") {
+    val truth = Dedup.ngramJaccard(spark, docsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashLsh(spark, docsDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(cand))
+  }
+
+  test("simhash pairs identical docs at hamming 0") {
+    val rows = Dedup.simhash(spark, docsDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(rows((0L, 1L)) == 0)
+  }
+
+  test("embedding near-dup finds the identical pair, not the orthogonal one") {
+    val pairs = Dedup.embeddingCosine(spark, embDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((0L, 4L)))
+  }
+
+  test("knn ranks identical > close > orthogonal > opposite") {
+    val got = Similarity.knn(spark, embDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toList == List(1L, 2L, 3L, 4L))
+    assert(got.head._2 == 1.0 && got.last._2 == -1.0)
+  }
+
+  test("language id picks the lexicon argmax, und on no hits") {
+    val rows = TextAnalysis.langId(spark, docsDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows(3L) == "en") // 'the' ×2, 'a' appears? 'the' dominates
+    assert(rows(4L) == "und") // 'zz' hits nothing
+  }
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    val r = TextAnalysis.tokenCount(spark, docsDir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(r(3L)._1 == 9) // 9 whitespace tokens
+    assert(r(4L) == ((1, 1)))
+    // doc 5: case + punctuation splinter into more BPE pieces than ws tokens
+    assert(r(5L)._2 > r(5L)._1)
+  }
+
+  test("fingerprint is content-sensitive and stable") {
+    val fp = TextAnalysis.docFingerprint(spark, docsDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L)) // identical text → identical fingerprint
+    assert(fp(0L) != fp(2L))
+    assert(fp.values.forall(v => v >= 0 && v < 1000000007L))
+  }
+
+  test("media pipeline: meta, frame sampling, and the stubbed decode agree on sizes") {
+    val meta = Multimodal.mediaMeta(spark, docsDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(meta(0L)._1 == "image" && meta(1L)._1 == "audio" && meta(2L)._1 == "video")
+    assert(meta(3L)._2 == 43)
+
+    val frames = Multimodal.mediaFrames(spark, docsDir).collect()
+    assert(frames.length == 6 * 4) // 4 frames per doc
+    // frames beyond the payload end hash the empty slice
+    val empty = frames.filter(r => r.getLong(0) == 4L && r.getInt(1) > 0)
+    assert(empty.forall(_.getString(2) == "d41d8cd98f00b204e9800998ecf8427e"))
+
+    val feats = Multimodal.mediaFeatures(spark, docsDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(feats == meta.view.mapValues(_._2).toMap) // n_bytes agree
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, TestGroupState}
+
+import graft.streaming._
+import graft.streaming.EventPairing.{pairFn, LastWins, MinWins}
+
+/** Streaming semantics (SURVEY.md §5.3 + §7.3): state transitions of the
+  * pairing function (via TestGroupState — no cluster needed), multi-batch
+  * incremental pairing, duplicate re-open parity, and append-mode window
+  * finals with late data inside/outside the grace. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  import org.apache.spark.api.java.Optional
+
+  private def state(s: Option[PairState]): TestGroupState[PairState] =
+    TestGroupState.create[PairState](
+      s.fold(Optional.empty[PairState]())(Optional.of),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty(), false)
+
+  test("pairFn buffers a half, emits on completion, deletes state") {
+    val s1 = state(None)
+    val out1 = pairFn(MinWins, None)(7L,
+      Iterator(PairEvent(7, "signup", 100L)), s1).toList
+    assert(out1.isEmpty && s1.get == PairState(Some(100L), None))
+
+    val s2 = state(Some(PairState(Some(100L), None)))
+    val out2 = pairFn(MinWins, None)(7L,
+      Iterator(PairEvent(7, "purchase", 250L)), s2).toList
+    assert(out2 == List(PairResult(7, 100L, 250L, 150L)))
+    assert(s2.isRemoved) // completion deletes state (OrderProcessor.java:149)
+  }
+
+  test("LastWins reproduces the reference's duplicate overwrite (JsonObject.add)") {
+    val s = state(Some(PairState(Some(100L), None)))
+    val out = pairFn(LastWins, None)(7L,
+      Iterator(PairEvent(7, "signup", 500L), PairEvent(7, "purchase", 900L)), s).toList
+    assert(out == List(PairResult(7, 500L, 900L, 400L))) // 500 overwrote 100
+  }
+
+  test("MinWins keeps the earliest duplicate (batch-analog parity)") {
+    val s = state(Some(PairState(Some(100L), None)))
+    val out = pairFn(MinWins, None)(7L,
+      Iterator(PairEvent(7, "signup", 500L), PairEvent(7, "purchase", 900L)), s).toList
+    assert(out == List(PairResult(7, 100L, 900L, 800L)))
+  }
+
+  test("timeout branch drops the expired half-pair (O12 TTL)") {
+    val s = TestGroupState.create[PairState](
+      Optional.of(PairState(Some(100L), None)),
+      GroupStateTimeout.ProcessingTimeTimeout, 0L,
+      Optional.empty(), true) // hasTimedOut = true
+    val out = pairFn(MinWins, Some(java.time.Duration.ofHours(24)))(
+      7L, Iterator.empty, s).toList
+    assert(out.isEmpty && s.isRemoved)
+  }
+
+  test("unknown event.type is ignored (OrderProcessor.java:121-124)") {
+    val s = state(None)
+    val out = pairFn(MinWins, None)(7L,
+      Iterator(PairEvent(7, "view", 100L)), s).toList
+    assert(out.isEmpty && s.get == PairState(None, None))
+  }
+
+  test("a duplicate arriving after completion re-opens a half-pair (§7.3.5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PairEvent]
+    val q = input.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        pairFn(LastWins, None))
+      .writeStream.format("memory").queryName("reopen").outputMode("append").start()
+    try {
+      input.addData(PairEvent(1, "signup", 10L), PairEvent(1, "purchase", 20L))
+      q.processAllAvailable()
+      input.addData(PairEvent(1, "purchase", 30L)) // after completion
+      q.processAllAvailable()
+      input.addData(PairEvent(1, "signup", 40L)) // its twin re-arrives
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("reopen").orderBy("placed_ms").collect()
+    assert(out.length == 2) // first pair + the re-opened pair (40,30) → -10
+    assert(out.last.getLong(3) == -10L)
+  }
+
+  test("append-mode window agg emits a closed window once; late-beyond-grace is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val agg = input.toDF()
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "60 seconds")
+      .groupBy(window(col("ts"), "60 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), unix_millis(col("window.start")).as("w"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("winlate")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamEvent("a", 10000L, 1.0), StreamEvent("a", 20000L, 1.0))
+      q.processAllAvailable() // watermark after batch: 20000-60000 < 0
+      input.addData(StreamEvent("a", 15000L, 1.0)) // late, inside grace → merged
+      q.processAllAvailable()
+      input.addData(StreamEvent("b", 200000L, 1.0)) // advances watermark to 140s
+      q.processAllAvailable()
+      input.addData(StreamEvent("a", 30000L, 1.0)) // late, BEYOND grace → dropped
+      input.addData(StreamEvent("b", 400000L, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("winlate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // window [0,60s) of 'a' emitted exactly once with the merged late row
+    assert(out.contains(("a", 0L, 3L)))
+    assert(!out.exists(t => t._1 == "a" && t._2 == 0L && t._3 != 3L))
+  }
+
+  test("KafkaWire round-trips the dotted-name wire format with log-and-continue") {
+    val wire = Seq(
+      ("k1", """{"event.type":"order.placed","event.timestamp":100,"facility.id":"f1","order.id":"o1"}"""),
+      ("k2", "not json at all"))
+      .toDF("key", "value")
+      .select(col("key").cast("binary"), col("value").cast("binary"))
+    val parsed = KafkaWire.parse(wire)
+    val rows = parsed.collect()
+    assert(rows.length == 1) // garbage dropped, query alive (C2)
+    assert(rows.head.getString(1) == "order.placed" && rows.head.getLong(2) == 100L)
+    val back = KafkaWire.emit(parsed).collect().head
+    assert(back.getString(0) == "o1")
+    assert(back.getString(1).contains("\"event.type\":\"order.placed\""))
+  }
+}
