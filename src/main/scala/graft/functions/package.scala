@@ -14,4 +14,12 @@ package object functions {
   /** 64-bit SimHash of a token-array column (see [[SimHash64]]). */
   def simhash64(tokens: Column): Column =
     toColumn(SimHash64(toExpr(tokens)))
+
+  /** Codegen'd dot product of two numeric-array columns ([[FloatDot]]). */
+  def vec_dot(a: Column, b: Column): Column =
+    toColumn(FloatDot(toExpr(a), toExpr(b)))
+
+  /** Codegen'd squared L2 norm of a numeric-array column ([[FloatNorm2]]). */
+  def vec_norm2(a: Column): Column =
+    toColumn(FloatNorm2(toExpr(a)))
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{simhash64, vec_dot, vec_norm2, SimHash64}
+
+/** Native expression semantics: interpreted vs codegen'd paths agree,
+  * SQL registration via GraftExtensions works, hash basics hold. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vec_dot and vec_norm2 match the lambda formulation bit-for-bit") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.5f, -0.25f, 8.0f), Array(-1.5f, 2.0f, 0.125f)))
+      .toDF("a", "b")
+    val lambdaDot = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(
+      vec_dot(col("a"), col("b")).as("fast"),
+      lambdaDot.as("slow"),
+      vec_norm2(col("a")).as("n2")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // identical fold order
+    }
+    assert(rows.head.getDouble(2) == 14.0)
+  }
+
+  test("expressions are SQL-callable through GraftExtensions") {
+    Seq((Array(1.0f, 0.0f), Array(1.0f, 1.0f), Array("a", "b", "a")))
+      .toDF("x", "y", "toks").createOrReplaceTempView("vecs")
+    val r = spark.sql(
+      "SELECT vec_dot(x, y) d, vec_norm2(y) n, simhash64(toks) h FROM vecs")
+      .collect().head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 2.0)
+    assert(r.getLong(2) != 0L) // deterministic, nonzero for nonempty input
+  }
+
+  test("simhash: identical token multisets hash identically; signature is order-insensitive") {
+    val df = Seq(
+      (1L, Array("x", "y", "z")),
+      (2L, Array("z", "y", "x")),
+      (3L, Array("completely", "different", "words"))
+    ).toDF("id", "toks")
+    val m = df.select(col("id"), simhash64(col("toks")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L)) // bag semantics: vote sums ignore order
+    assert(m(1L) != m(3L))
+  }
+}

@@ -13,6 +13,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // all suites share one JVM-wide session via getOrCreate, so the
+    // extensions must ride on the shared builder
+    .withExtensions(new GraftExtensions)
     .getOrCreate()
 
   /** Writes crafted per-table DataFrames as `<tmp>/<name>.parquet` so the
