@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Pairing, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Pairing, Relational, Similarity, Sources, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -73,6 +73,13 @@ object SparkEntry {
     "q_media_meta" -> (Multimodal.mediaMeta _),
     "q_media_frames" -> (Multimodal.mediaFrames _),
     "q_media_features" -> (Multimodal.mediaFeatures _),
+    // temporal: as-of join + the full window family
+    "q_asof_join" -> (Temporal.asofJoin _),
+    "q_window_sliding" -> (Temporal.slidingWindow _),
+    "q_window_session" -> (Temporal.sessionWindow _),
+    // file source/sink round trips
+    "q_source_json" -> (Sources.jsonRoundtrip _),
+    "q_source_csv" -> (Sources.csvRoundtrip _),
     // streaming variants — real Structured Streaming queries over a
     // MemoryStream source, executed synchronously (SURVEY.md §2.3 s_*)
     "s_pair_match" -> (graft.streaming.EventPairing.sPairMatch _),
@@ -379,6 +386,42 @@ object SparkEntry {
       """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
         |       md5(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
         |FROM documents, range(0, 4) r(i) ORDER BY 1, 2""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p.user_id AS user_id, p.event_id AS purchase_event_id,
+        |       epoch_ms(p.ts) AS purchase_ms, epoch_ms(s.ts) AS last_signup_ms,
+        |       epoch_ms(p.ts) - epoch_ms(s.ts) AS since_signup_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY 1, 2""".stripMargin,
+    "q_window_sliding" ->
+      """SELECT event_type,
+        |       epoch_ms(time_bucket(INTERVAL 1 minute, ts) - k * INTERVAL 1 minute) AS window_start_ms,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events, range(0, 2) r(k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_window_session" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 minute
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM e)
+        |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+        |       CAST(count(*) AS BIGINT) AS n_events, epoch_ms(max(ts)) AS last_ms
+        |FROM g GROUP BY user_id, grp ORDER BY 1, 2""".stripMargin,
+    "q_source_json" ->
+      """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_source_csv" ->
+      """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
+        |FROM events ORDER BY event_id""".stripMargin,
     // streaming variants: one input batch ⇒ same results as the batch
     // analogs, so they share those oracles.
     "s_pair_match" -> (pairsCte +

@@ -1,0 +1,52 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import Det._
+
+/** Source/sink format coverage beyond parquet (SURVEY.md §2.2
+  * "scans/sources/sinks" — the reference speaks only Kafka; a drop-in
+  * engine needs the file-format surface too): JSON and CSV write→read
+  * round trips with explicit schemas.
+  *
+  * Timestamps cross text formats as epoch-ms longs (format-independent);
+  * doubles survive because both writers emit shortest-round-trip
+  * representations that parse back to the identical IEEE value.
+  */
+object Sources {
+
+  private val wireSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("ts_ms", LongType),
+    StructField("value", DoubleType)))
+
+  private def wireEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      millis(col("ts")).as("ts_ms"), col("value"))
+
+  private def roundtrip(s: SparkSession, d: String, format: String): DataFrame = {
+    val dir = Files.createTempDirectory(s"graft_$format").toString
+    wireEvents(s, d).write.mode("overwrite").format(format)
+      .option("header", "true").save(dir)
+    s.read.format(format).schema(wireSchema)
+      .option("header", "true").load(dir)
+      .orderBy("event_id")
+  }
+
+  /** q_source_json — JSON lines sink → source round trip. */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame =
+    roundtrip(s, d, "json")
+
+  /** q_source_csv — CSV sink → source round trip (explicit schema: no
+    * inference pass, which at 100 TB would be a full extra scan). */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame =
+    roundtrip(s, d, "csv")
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Det._
+
+/** Temporal operators beyond the reference's single tumbling window:
+  * as-of join, sliding windows, session windows (the full streaming
+  * window family, SURVEY.md §2.2 "streaming: windows").
+  */
+object Temporal {
+
+  /** q_asof_join — each purchase paired with the LATEST signup at-or-
+    * before it per user. Implemented as the union+running-last trick:
+    * one sort-within-partition over the unioned stream instead of a
+    * range join — a single hash exchange on user_id, no join explosion,
+    * O(n log n) per partition. (A custom LogicalPlan/Strategy could do a
+    * merge-pass; the built-in composition already yields that plan shape,
+    * so per the extension policy no custom node is warranted.)
+    * Oracle: DuckDB's native ASOF JOIN. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin(Pairing.PlacedType, Pairing.FulfilledType))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        millis(col("ts")).as("ts_ms"))
+    // within one timestamp, signups sort first so an equal-ts signup is
+    // visible to the purchase (ASOF's >= semantics)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").asc,
+        when(col("event_type") === Pairing.PlacedType, 0).otherwise(1).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_signup_ms",
+        last(when(col("event_type") === Pairing.PlacedType, col("ts_ms")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === Pairing.FulfilledType &&
+        col("last_signup_ms").isNotNull)
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        col("ts_ms").as("purchase_ms"), col("last_signup_ms"),
+        (col("ts_ms") - col("last_signup_ms")).as("since_signup_ms"))
+      .orderBy("user_id", "purchase_event_id")
+  }
+
+  /** q_window_sliding — 2-minute windows sliding by 1 minute: every event
+    * lands in exactly 2 windows. Spark plans this as a generate+agg (no
+    * self-union); partial aggregation still applies. */
+  def slidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "120 seconds", "60 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("event_type"), millis(col("window.start")).as("window_start_ms"),
+        col("n"), col("sum_value"))
+      .orderBy("event_type", "window_start_ms")
+
+  /** q_window_session — 5-minute-gap session windows per user
+    * (`session_window`: merges events whose gap is < 5 min; an event at
+    * exactly the gap starts a new session). Oracle: gaps-and-islands SQL.
+    * Session end in Spark is last-event + gap, so the last-event time is
+    * recovered by subtracting the gap at the edge. */
+  def sessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        millis(col("session_window.start")).as("session_start_ms"),
+        col("n_events"),
+        (millis(col("session_window.end")) - lit(300000L)).as("last_ms"))
+      .orderBy("user_id", "session_start_ms")
+}
