@@ -405,7 +405,7 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT user_id, ts,
         |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 minute
+        |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 5 minute
         |              THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |g AS (

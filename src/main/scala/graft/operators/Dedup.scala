@@ -36,10 +36,15 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc_id"))
       .orderBy("text_hash")
 
-  /** Distinct (doc_id, shingle) pairs. */
+  /** Distinct (doc_id, shingle) pairs — shingles carried as xxhash64
+    * longs, not strings: the distinct + self-join shuffle 8-byte keys
+    * instead of ~20-byte text (≈2× shuffle bytes saved; collision odds
+    * at 64 bits are ~1e-8 even at 1e5× this scale, and any collision
+    * only perturbs one Jaccard count). */
   private def shingleSet(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles).as("shingle"))
+      .select(col("doc_id"), explode(shingles).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shingle"))
       .distinct()
 
   /** q_dedup_ngram — n-gram Jaccard near-dup pairs (≥ 0.5): distinct

@@ -54,9 +54,11 @@ object Temporal {
         col("n"), col("sum_value"))
       .orderBy("event_type", "window_start_ms")
 
-  /** q_window_session — 5-minute-gap session windows per user
-    * (`session_window`: merges events whose gap is < 5 min; an event at
-    * exactly the gap starts a new session). Oracle: gaps-and-islands SQL.
+  /** q_window_session — 5-minute-gap session windows per user.
+    * Boundary semantics (pinned by TemporalSpec): an event at EXACTLY
+    * the gap distance still merges — Spark unions sessions whose ranges
+    * touch (start ≤ prevEnd), so the islands oracle breaks on gap >
+    * 5 min, not ≥. Oracle: gaps-and-islands SQL.
     * Session end in Spark is last-event + gap, so the last-event time is
     * recovered by subtracting the gap at the edge. */
   def sessionWindow(s: SparkSession, d: String): DataFrame =

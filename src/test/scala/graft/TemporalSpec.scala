@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Temporal
+
+/** Boundary semantics of the temporal operators: as-of tie handling,
+  * session-window gap edges, sliding-window membership. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, tsMs: Long, user: Long, typ: String) =
+    (id, new java.sql.Timestamp(tsMs), user, typ, 1.0, "{}")
+
+  private lazy val dir = fixtureDir(
+    "events" -> Seq(
+      // user 1: signup at 1000, purchases at 1000 (tie), 5000; later signup 4000
+      ev(0, 1000L, 1, "signup"),
+      ev(1, 1000L, 1, "purchase"),
+      ev(2, 5000L, 1, "purchase"),
+      ev(3, 4000L, 1, "signup"),
+      // user 2: purchase before ANY signup → excluded from asof
+      ev(4, 100L, 2, "purchase"),
+      ev(5, 200L, 2, "signup"),
+      // user 3: session gaps — 0, +299999 (merge), +300000 exactly
+      // (still merges: ranges touch), then +300001 (new session)
+      ev(6, 0L, 3, "click"),
+      ev(7, 299999L, 3, "click"),
+      ev(8, 599999L, 3, "click"),
+      ev(9, 900000L, 3, "click"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+
+  test("asof picks the latest signup ≤ purchase; equal-ts signup counts; no-prior excluded") {
+    val rows = Temporal.asofJoin(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(rows(1L) == 1000L) // tie: signup at the same ms is eligible (>= semantics)
+    assert(rows(2L) == 4000L) // latest signup before 5000, not the first one
+    assert(!rows.contains(4L)) // purchase with no prior signup drops
+  }
+
+  test("session window merges at exactly the gap (touching ranges), splits past it") {
+    val rows = Temporal.sessionWindow(spark, dir).collect()
+      .filter(_.getLong(0) == 3L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSet == Set(
+      (0L, 3L, 599999L),     // 0, 299999, and exactly-gap 599999 all merge
+      (900000L, 1L, 900000L) // 300001ms after → new session
+    ))
+  }
+
+  test("sliding 2m/1m windows: every event appears in exactly 2 windows") {
+    val total = Temporal.slidingWindow(spark, dir).collect().map(_.getLong(2)).sum
+    assert(total == 2L * 10) // 10 events, each in 2 windows
+  }
+}
