@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectFunction((
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),

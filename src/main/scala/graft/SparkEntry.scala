@@ -46,6 +46,7 @@ object SparkEntry {
     "q_cube" -> (Relational.cube _),
     "q_grouping_sets" -> (Relational.groupingSets _),
     "q_window_rank" -> (Relational.windowRank _),
+    "q_topk_custom" -> (Relational.topKCustom _),
     "q_window_running" -> (Relational.windowRunning _),
     "q_sort_limit" -> (Relational.sortLimit _),
     "q_union" -> (Relational.union _),
@@ -227,6 +228,13 @@ object SparkEntry {
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_topk_custom" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |         row_number() OVER (PARTITION BY o_custkey

@@ -175,6 +175,19 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  /** q_topk_custom — q_window_rank's semantics through the engine's own
+    * TopKPerKey operator (custom LogicalPlan + Strategy + SparkPlan,
+    * graft.plans): bounded per-key heaps after one planner-inserted hash
+    * exchange — O(n log k) and no partition sort, vs the window
+    * formulation's full O(n log n) sort (and its spill at scale).
+    * Same oracle as q_window_rank: the two plans must agree exactly. */
+  def topKCustom(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopK.topKPerKey(Tables.orders(s, d),
+      keys = Seq("o_custkey"),
+      orderBy = Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+
   /** q_window_running — running revenue per customer (analytic frame).
     * Decimal accumulator: DuckDB computes window sums via segment trees
     * (different addition order), so double accumulation would diverge. */

@@ -28,12 +28,13 @@ object WindowedAgg {
   private val Sentinel = "__sentinel__"
 
   /** s_tumbling_agg — per event_type per 1-minute window count+sum as a
-    * REAL append-mode streaming query over a MemoryStream. Three batches:
-    * the data, then two far-future sentinels — each batch advances the
-    * watermark computed at the previous batch's end, so after batch 3
-    * every real window has closed and been emitted exactly once.
-    * Sentinel rows are filtered from the result; same SQL oracle as the
-    * batch q_tumbling_agg. */
+    * REAL append-mode streaming query over a MemoryStream. Two batches:
+    * the data plus a far-future sentinel ride together (the sentinel
+    * pushes the watermark computed at batch 1's end past every real
+    * window), then one trivial sentinel batch triggers the emission —
+    * each closed window exactly once, with only two passes over the
+    * window state instead of three. Sentinel rows are filtered from the
+    * result; same SQL oracle as the batch q_tumbling_agg. */
   def sTumblingAgg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val events = Tables.events(s, d)
@@ -58,12 +59,11 @@ object WindowedAgg {
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
-      input.addData(events.toSeq)
+      // sentinel 1 rides with the data: the watermark computed at this
+      // batch's end already clears every real window
+      input.addData(events.toSeq :+ StreamEvent(Sentinel, maxTs + 86400000L, 0.0))
       q.processAllAvailable()
-      // sentinel 1: advances the watermark past every real window
-      input.addData(StreamEvent(Sentinel, maxTs + 86400000L, 0.0))
-      q.processAllAvailable()
-      // sentinel 2: triggers the batch that emits the last real windows
+      // sentinel 2: triggers the batch that emits all real windows
       input.addData(StreamEvent(Sentinel, maxTs + 90000000L, 0.0))
       q.processAllAvailable()
     } finally q.stop()
