@@ -74,6 +74,10 @@ object SparkEntry {
     "q_media_meta" -> (Multimodal.mediaMeta _),
     "q_media_frames" -> (Multimodal.mediaFrames _),
     "q_media_features" -> (Multimodal.mediaFeatures _),
+    // scale techniques with correctness oracles
+    "q_salted_join" -> (graft.operators.Scale.saltedJoin _),
+    "q_partition_pruning" -> (graft.operators.Scale.partitionPruning _),
+    "q_bucketed_join" -> (graft.operators.Scale.bucketedJoin _),
     // temporal: as-of join + the full window family
     "q_asof_join" -> (Temporal.asofJoin _),
     "q_window_sliding" -> (Temporal.slidingWindow _),
@@ -85,6 +89,7 @@ object SparkEntry {
     // MemoryStream source, executed synchronously (SURVEY.md §2.3 s_*)
     "s_pair_match" -> (graft.streaming.EventPairing.sPairMatch _),
     "s_tumbling_agg" -> (graft.streaming.WindowedAgg.sTumblingAgg _),
+    "s_pipeline" -> (graft.streaming.JoinedPipeline.sPipeline _),
   )
 
   /** DuckDB VALUES list kept in sync with TextAnalysis.lexicon. */
@@ -394,6 +399,19 @@ object SparkEntry {
       """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
         |       md5(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
         |FROM documents, range(0, 4) r(i) ORDER BY 1, 2""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_partition_pruning" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_asof_join" ->
       """SELECT p.user_id AS user_id, p.event_id AS purchase_event_id,
         |       epoch_ms(p.ts) AS purchase_ms, epoch_ms(s.ts) AS last_signup_ms,
@@ -442,5 +460,18 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s_pipeline" ->
+      """WITH j AS (
+        |  SELECT f.user_id % 10 AS facility_id, f.ts AS f_ts,
+        |         epoch_ms(f.ts) - epoch_ms(p.ts) AS gap_ms
+        |  FROM events p JOIN events f
+        |    ON p.user_id = f.user_id
+        |   AND p.event_type = 'signup' AND f.event_type = 'purchase'
+        |   AND f.ts >= p.ts AND f.ts <= p.ts + INTERVAL 24 hours)
+        |SELECT facility_id,
+        |       epoch_ms(time_bucket(INTERVAL 1 minute, f_ts) + INTERVAL 1 minute) AS event_timestamp,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(gap_ms) AS BIGINT) AS total_gap_ms
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

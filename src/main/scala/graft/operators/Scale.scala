@@ -1,0 +1,93 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Det._
+
+/** Scale-technique demonstrations with correctness oracles: each query
+  * produces the SAME answer as its naive formulation (so the plain SQL
+  * oracle still applies) while exercising the technique a 100 TB run
+  * depends on — skew salting, partition pruning, bucketed co-location.
+  */
+object Scale {
+
+  /** q_salted_join — the skew recipe: the probe side gets a
+    * deterministic salt in [0,16), the build side is exploded ×16, and
+    * the join key becomes (key, salt) — a hot key's rows now spread
+    * over 16 reducers instead of one. Results are identical to the
+    * unsalted join (oracle: plain SQL join); AQE's skew handling does
+    * this adaptively, this is the explicit form for engines/pipelines
+    * that pre-partition. */
+  def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    val salts = 16
+    val fact = Tables.lineitem(s, d)
+      .withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+          lit(salts.toLong)))
+    val dim = Tables.orders(s, d)
+      .withColumn("salt", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    fact.join(dim, col("l_orderkey") === col("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q_partition_pruning — hive-style partitioned layout: the events
+    * table re-written `partitionBy(event_type)`, then filtered on the
+    * partition column. The scan's PartitionFilters prune to 1/5 of the
+    * files without reading them (at 100 TB this is the difference
+    * between touching 20 TB and 100 TB). Oracle: plain filtered SQL. */
+  def partitionPruning(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft_partitioned_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!Files.exists(Paths.get(dir, "_SUCCESS"))) {
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("value"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    }
+    s.read.parquet(dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("value"))
+      .orderBy("event_id")
+  }
+
+  /** q_bucketed_join — co-located join: both sides pre-bucketed by the
+    * join key into the same bucket count, so the join plans with ZERO
+    * exchanges (SortMergeJoin reads bucket i against bucket i). At scale
+    * this turns every repeated join on the key into a scan-side no-op;
+    * the write cost is paid once. Oracle: plain SQL join. */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val ordersTbl = s"orders_bkt_$tag"
+    val liTbl = s"lineitem_bkt_$tag"
+    if (!s.catalog.tableExists(ordersTbl)) {
+      // a fresh (in-memory) catalog can coexist with a stale warehouse
+      // dir from a previous JVM — clear the locations first
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      Seq(ordersTbl, liTbl).foreach { t =>
+        val p = Paths.get(wh, t)
+        if (Files.exists(p)) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+        }
+      }
+      Tables.orders(s, d).write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordersTbl)
+      Tables.lineitem(s, d).write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liTbl)
+    }
+    // hint(merge): SortMergeJoin so the bucket co-location is what
+    // eliminates the exchanges (broadcast would win at toy scale and
+    // hide the point; at real scale both sides are too big to broadcast)
+    s.table(liTbl).hint("merge")
+      .join(s.table(ordersTbl).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Det._
+
+/** The reference pipeline as ONE fully-streaming query with CHAINED
+  * stateful operators — the shape SURVEY.md §2.2 identifies O7 as
+  * ("semantically a stream-stream inner equi-join of two event subtypes
+  * with a ±24 h validity window"), then the O15/O16 windowed rollup:
+  *
+  *   placed stream ⋈ fulfilled stream          (watermarked interval join:
+  *     ON user AND placed ≤ fulfilled ≤ placed+24h — the time bound is
+  *     what lets Spark expire join state)
+  *   → tumbling 1-min window per facility      (chained stateful agg)
+  *   → append mode                             (emit-once on close)
+  *
+  * Join state is bounded by the interval condition + watermark (the
+  * reference's store grows with all in-flight orders and needs the
+  * punctuator sweep; here expiry falls out of the watermark math).
+  * Spark ≥3.4 supports this stateful-operator chain in append mode.
+  */
+object JoinedPipeline {
+
+  private val nameCounter = new java.util.concurrent.atomic.AtomicInteger
+
+  case class RawEvent(user_id: Long, event_type: String, ts_ms: Long)
+
+  /** s_pipeline — per facility per 1-min window: count + total gap of
+    * (placed, fulfilled) pairs joined within 24 h, emitted once per
+    * closed window. All-pairs join semantics (each qualifying
+    * combination counts), so the SQL oracle is a plain join + window. */
+  def sPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, d)
+      .filter(col("event_type").isin(EventPairing.PlacedType, EventPairing.FulfilledType))
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+      .as[RawEvent]
+      .collect()
+    val maxTs = if (events.isEmpty) 0L else events.map(_.ts_ms).max
+
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[RawEvent]
+
+    val placed = input.toDF()
+      .filter(col("event_type") === EventPairing.PlacedType)
+      .select(col("user_id").as("p_user"), timestamp_millis(col("ts_ms")).as("p_ts"))
+      .withWatermark("p_ts", "60 seconds")
+    val fulfilled = input.toDF()
+      .filter(col("event_type") === EventPairing.FulfilledType)
+      .select(col("user_id").as("f_user"), timestamp_millis(col("ts_ms")).as("f_ts"))
+      .withWatermark("f_ts", "60 seconds")
+
+    val joined = placed.join(fulfilled,
+      col("p_user") === col("f_user") &&
+        col("f_ts") >= col("p_ts") &&
+        col("f_ts") <= col("p_ts") + expr("INTERVAL 24 HOURS"))
+
+    val agg = joined
+      .withColumn("facility_id", col("f_user") % 10)
+      .groupBy(window(col("f_ts"), "60 seconds"), col("facility_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(unix_millis(col("f_ts")) - unix_millis(col("p_ts"))).as("total_gap_ms"))
+      .select(col("facility_id"), millis(col("window.end")).as("event_timestamp"),
+        col("n_pairs"), col("total_gap_ms"))
+
+    val name = s"s_pipeline_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // sentinels use distinct negative users so they never join; each
+      // advances one side's watermark past every real window
+      input.addData(events.toSeq ++ Seq(
+        RawEvent(-1L, EventPairing.PlacedType, maxTs + 86400000L),
+        RawEvent(-2L, EventPairing.FulfilledType, maxTs + 86400000L)))
+      q.processAllAvailable()
+      input.addData(
+        RawEvent(-1L, EventPairing.PlacedType, maxTs + 90000000L),
+        RawEvent(-2L, EventPairing.FulfilledType, maxTs + 90000000L))
+      q.processAllAvailable()
+      input.addData(
+        RawEvent(-1L, EventPairing.PlacedType, maxTs + 95000000L),
+        RawEvent(-2L, EventPairing.FulfilledType, maxTs + 95000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+      .filter(col("facility_id") >= 0)
+      .orderBy("facility_id", "event_timestamp")
+  }
+}
