@@ -65,21 +65,36 @@ object Scale {
     val ordersTbl = s"orders_bkt_$tag"
     val liTbl = s"lineitem_bkt_$tag"
     if (!s.catalog.tableExists(ordersTbl)) {
-      // a fresh (in-memory) catalog can coexist with a stale warehouse
-      // dir from a previous JVM — clear the locations first
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:")
-      Seq(ordersTbl, liTbl).foreach { t =>
-        val p = Paths.get(wh, t)
-        if (Files.exists(p)) {
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.deleteIfExists(f))
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def register(tbl: String, schema: String, key: String): Unit = {
+        val p = Paths.get(wh, tbl)
+        if (Files.exists(p.resolve("_SUCCESS"))) {
+          // data survives from a previous JVM; only the (in-memory)
+          // catalog entry is missing — re-register as an external
+          // bucketed table instead of rewriting
+          s.sql(s"""CREATE TABLE $tbl ($schema) USING parquet
+                   |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+                   |LOCATION '$p'""".stripMargin)
         }
       }
-      Tables.orders(s, d).write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordersTbl)
-      Tables.lineitem(s, d).write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liTbl)
+      register(ordersTbl,
+        """o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          |o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING""".stripMargin,
+        "o_orderkey")
+      register(liTbl,
+        """l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,
+          |l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE,
+          |l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING,
+          |l_linestatus STRING, l_shipdate TIMESTAMP""".stripMargin,
+        "l_orderkey")
+      if (!s.catalog.tableExists(ordersTbl)) {
+        Tables.orders(s, d).write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordersTbl)
+      }
+      if (!s.catalog.tableExists(liTbl)) {
+        Tables.lineitem(s, d).write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liTbl)
+      }
     }
     // hint(merge): SortMergeJoin so the bucket co-location is what
     // eliminates the exchanges (broadcast would win at toy scale and

@@ -81,6 +81,16 @@ object EventPairing {
 
   private val nameCounter = new java.util.concurrent.atomic.AtomicInteger
 
+  /** Runs `body` with a reduced shuffle-partition count: streaming state
+    * store commits scale with partitions × stateful-ops × batches, and
+    * these synchronous demo queries carry little data per partition —
+    * 8 partitions cuts the fixed commit cost ~4× vs 32. Restored after. */
+  private[streaming] def withStreamingPartitions[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** s_pair_match — the pairing operator run as a REAL streaming query:
     * MemoryStream source → flatMapGroupsWithState (append mode) → memory
     * sink, executed synchronously. Feeding all events as one batch makes
@@ -97,18 +107,20 @@ object EventPairing {
       .collect()
 
     implicit val sqlCtx = s.sqlContext
-    val input = MemoryStream[PairEvent]
-    input.addData(events.toSeq)
+    withStreamingPartitions(s) {
+      val input = MemoryStream[PairEvent]
+      input.addData(events.toSeq)
 
-    val paired = input.toDS()
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        pairFn(MinWins, None))
+      val paired = input.toDS()
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          pairFn(MinWins, None))
 
-    val name = s"s_pair_match_${nameCounter.incrementAndGet()}"
-    val q = paired.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(name).orderBy("user_id")
+      val name = s"s_pair_match_${nameCounter.incrementAndGet()}"
+      val q = paired.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).orderBy("user_id")
+    }
   }
 }

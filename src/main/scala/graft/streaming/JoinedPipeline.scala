@@ -43,6 +43,7 @@ object JoinedPipeline {
     val maxTs = if (events.isEmpty) 0L else events.map(_.ts_ms).max
 
     implicit val sqlCtx = s.sqlContext
+    EventPairing.withStreamingPartitions(s) {
     val input = MemoryStream[RawEvent]
 
     val placed = input.toDF()
@@ -89,5 +90,6 @@ object JoinedPipeline {
     s.table(name)
       .filter(col("facility_id") >= 0)
       .orderBy("facility_id", "event_timestamp")
+    }
   }
 }

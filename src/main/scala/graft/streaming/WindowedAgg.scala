@@ -45,6 +45,7 @@ object WindowedAgg {
     val maxTs = events.map(_.ts_ms).max
 
     implicit val sqlCtx = s.sqlContext
+    EventPairing.withStreamingPartitions(s) {
     val input = MemoryStream[StreamEvent]
 
     val agg = input.toDF()
@@ -70,5 +71,6 @@ object WindowedAgg {
     s.table(name)
       .filter(col("event_type") =!= Sentinel)
       .orderBy("event_type", "window_start_ms")
+    }
   }
 }
