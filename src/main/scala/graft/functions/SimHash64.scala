@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -16,23 +16,36 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * banded self-join).
   *
   * A native expression (not a UDF) keeps the per-row loop in the
-  * operator's tight path with no serialization boundary; the token
-  * loop itself is interpreted (CodegenFallback) but everything around
-  * it stays in whole-stage codegen.
+  * operator's tight path with no serialization boundary; `doGenCode`
+  * emits a direct static call, so the enclosing whole-stage-codegen
+  * function stays intact (no CodegenFallback row materialization).
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.evalArray(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHash64$$.MODULE$$.evalArray($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** The signature loop, shared by the interpreted and generated paths
+    * (the generated code calls this directly — it is the hot loop, not
+    * the dispatch around it). */
+  def evalArray(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = SimHash64.hash64(arr.getUTF8String(i).getBytes)
+        val h = hash64(arr.getUTF8String(i).getBytes)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -47,14 +60,9 @@ case class SimHash64(child: Expression)
       if (votes(b) > 0) sig |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
   }
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
-}
-
-object SimHash64 {
   /** FNV-1a over the bytes, then a splitmix64 finalizer for avalanche. */
   def hash64(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L

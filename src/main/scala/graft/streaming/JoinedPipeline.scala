@@ -43,7 +43,15 @@ object JoinedPipeline {
     val maxTs = if (events.isEmpty) 0L else events.map(_.ts_ms).max
 
     implicit val sqlCtx = s.sqlContext
-    EventPairing.withStreamingPartitions(s) {
+    // RocksDB state store: the 100 TB backend (bounded heap, native
+    // memtables, changelog checkpointing on a real cluster) — exercised
+    // here on the engine's heaviest stateful query, then restored so
+    // the lighter demos keep the default provider
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try EventPairing.withStreamingPartitions(s) {
     val input = MemoryStream[RawEvent]
 
     val placed = input.toDF()
@@ -90,6 +98,9 @@ object JoinedPipeline {
     s.table(name)
       .filter(col("facility_id") >= 0)
       .orderBy("facility_id", "event_timestamp")
+    } finally prevProvider match {
+      case Some(p) => s.conf.set(providerKey, p)
+      case None => s.conf.unset(providerKey)
     }
   }
 }
