@@ -27,6 +27,7 @@ object SparkEntry {
     "q_pair_match" -> (Pairing.pairMatch _),
     "q_pair_match_join" -> (Pairing.pairMatchJoin _),
     "q_pair_ttl" -> (Pairing.pairTtl _),
+    "q_pair_typed" -> (graft.operators.TypedPairing.pairTyped _),
     "q_facility_info_by_minute" -> (Pairing.facilityInfoByMinute _),
     "q_tumbling_agg" -> (Pairing.tumblingAgg _),
     "q_json_get" -> (Pairing.jsonGet _),
@@ -134,6 +135,10 @@ object SparkEntry {
         |FROM events p JOIN events f ON p.user_id = f.user_id
         |WHERE p.event_type='signup' AND f.event_type='purchase' AND f.ts >= p.ts
         |ORDER BY 1, 2, 3""".stripMargin,
+    "q_pair_typed" -> (pairsCte +
+      """SELECT user_id, epoch_ms(placed_ts) AS placed_ms,
+        |       epoch_ms(fulfilled_ts) AS fulfilled_ms, processing_ms
+        |FROM complete ORDER BY user_id""".stripMargin),
     "q_pair_ttl" -> (pairsCte +
       """SELECT user_id, epoch_ms(placed_ts) AS placed_ms,
         |       epoch_ms(fulfilled_ts) AS fulfilled_ms, processing_ms
