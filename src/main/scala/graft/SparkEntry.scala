@@ -75,6 +75,12 @@ object SparkEntry {
     "q_media_meta" -> (Multimodal.mediaMeta _),
     "q_media_frames" -> (Multimodal.mediaFrames _),
     "q_media_features" -> (Multimodal.mediaFeatures _),
+    // reshaping + subqueries + extended scalar catalogs
+    "q_pivot" -> (graft.operators.Reshape.pivot _),
+    "q_unpivot" -> (graft.operators.Reshape.unpivot _),
+    "q_scalar_subquery" -> (graft.operators.Reshape.scalarSubquery _),
+    "q_null_funcs" -> (graft.operators.Reshape.nullFuncs _),
+    "q_string_funcs" -> (graft.operators.Reshape.stringFuncs _),
     // scale techniques with correctness oracles
     "q_salted_join" -> (graft.operators.Scale.saltedJoin _),
     "q_partition_pruning" -> (graft.operators.Scale.partitionPruning _),
@@ -238,14 +244,14 @@ object SparkEntry {
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_window_rank" ->
-      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      """SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |         row_number() OVER (PARTITION BY o_custkey
         |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "q_topk_custom" ->
-      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      """SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |         row_number() OVER (PARTITION BY o_custkey
         |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -404,6 +410,50 @@ object SparkEntry {
       """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
         |       md5(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
         |FROM documents, range(0, 4) r(i) ORDER BY 1, 2""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
+        |       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
+        |       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_unpivot" ->
+      """WITH p AS (
+        |  SELECT o_orderpriority,
+        |         CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+        |         CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+        |         CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, o_orderstatus, n_orders FROM (
+        |  SELECT o_orderpriority, 'O' AS o_orderstatus, n_o AS n_orders FROM p
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'F', n_f FROM p
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'P', n_p FROM p)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       o_totalprice - (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |                              / count(o_totalprice) FROM orders) AS above_avg
+        |FROM orders
+        |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |                             / count(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_null_funcs" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(nullif(o_orderstatus, 'O')) AS BIGINT) AS n_nonnull,
+        |       CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(count(CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN 1 END) AS BIGINT) AS n_null,
+        |       COALESCE(max(nullif(o_orderstatus, 'O')), '-') AS max_or_dash
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |       replace(c_name, 'Customer', 'Cust') AS short_name,
+        |       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+        |       reverse(c_mktsegment) AS seg_rev,
+        |       CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+        |       CAST(levenshtein(c_mktsegment, 'MACHINERY') AS INTEGER) AS seg_dist,
+        |       CAST(length(c_name) AS INTEGER) AS name_len
+        |FROM customer ORDER BY 1""".stripMargin,
     "q_salted_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -32,6 +32,9 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
         fail += 1
         continue
+    for c in got.columns:
+        if str(got[c].dtype) != str(want[c].dtype):
+            print(f"  warn {name}.{c}: dtype {got[c].dtype} vs {want[c].dtype}")
     if got.shape != want.shape:
         print(f"FAIL {name}: shape {got.shape} != {want.shape}")
         fail += 1
