@@ -71,6 +71,7 @@ object SparkEntry {
     // similarity search
     "q_similarity_knn" -> (Similarity.knn _),
     "q_similarity_lsh" -> (Similarity.lsh _),
+    "q_similarity_ivf" -> (Similarity.ivf _),
     // multimodal columns
     "q_media_meta" -> (Multimodal.mediaMeta _),
     "q_media_frames" -> (Multimodal.mediaFrames _),

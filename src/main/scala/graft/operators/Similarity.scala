@@ -72,6 +72,49 @@ object Similarity {
       when(dot(vec, p) >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** q_similarity_ivf — IVF-style ANN: deterministic stride-sampled
+    * centroids (every 50th vector — a real build would k-means them; the
+    * index structure, not the training, is the point), each vector
+    * assigned to its max-cosine centroid via a broadcast of the centroid
+    * set, probe = the query's top-2 centroids, exact rerank inside the
+    * probed cells. At 100 TB the cell id is the partition key and a probe
+    * touches nprobe/nlist of the corpus; assignment is one broadcast map
+    * pass, no shuffle until the tiny rerank. No oracle (index-specific);
+    * deterministic for the rows-only check. */
+  def ivf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val centroids = broadcast(
+      e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")))
+    // cell assignment: argmax cosine over the broadcast centroid set
+    // (max of (cos, id) struct is deterministic incl. ties)
+    def assign(df: DataFrame, idCol: String): DataFrame =
+      df.crossJoin(centroids)
+        .groupBy(col(idCol))
+        .agg(max(struct(
+          cosine(col("embedding"), col("cvec")).as("cos"),
+          col("centroid_id"))).as("best"))
+        .select(col(idCol), col("best.centroid_id").as("cell"))
+    val cells = assign(e, "vec_id")
+    val corpus = e.join(cells, "vec_id")
+    val q = e.filter(col("vec_id") === 0)
+    // probe: the query's 2 nearest cells
+    val probed = q.crossJoin(centroids)
+      .select(col("centroid_id"),
+        cosine(col("embedding"), col("cvec")).as("cos"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+      .limit(2)
+      .select(col("centroid_id").as("cell"))
+    corpus
+      .join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q.select(col("embedding").as("query_vec"))))
+      .select(col("vec_id"), col("cell"),
+        cosine(col("embedding"), col("query_vec")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** q_similarity_lsh — ANN via hyperplane LSH: bucket the corpus (4
     * planes → 16 buckets), keep only the query's bucket, exact-rerank
     * inside it. No oracle (bucketing is engine-specific); deterministic
