@@ -72,6 +72,7 @@ object SparkEntry {
     "q_similarity_knn" -> (Similarity.knn _),
     "q_similarity_lsh" -> (Similarity.lsh _),
     "q_similarity_ivf" -> (Similarity.ivf _),
+    "q_crossmodal_join" -> (Similarity.crossmodalJoin _),
     // multimodal columns
     "q_media_meta" -> (Multimodal.mediaMeta _),
     "q_media_frames" -> (Multimodal.mediaFrames _),
@@ -399,6 +400,15 @@ object SparkEntry {
         |  GROUP BY e.vec_id)
         |SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nq2)), 6) AS cos_sim
         |FROM dots ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+    "q_crossmodal_join" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+        |         sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS n2
+        |  FROM embeddings, range(1, 65) r(i) GROUP BY 1, 2)
+        |SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars,
+        |       n.dim AS dim, round(sqrt(n.n2), 6) AS l2_norm
+        |FROM documents d JOIN n ON d.doc_id = n.vec_id
+        |ORDER BY 1""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id,
         |       CASE WHEN source = 'src0' THEN 'image'

@@ -50,6 +50,20 @@ object Similarity {
       .limit(20)
   }
 
+  /** q_crossmodal_join — join the text table to its embedding row
+    * (doc_id = vec_id): per-document text stats next to vector stats in
+    * one result, the shape every retrieval/training pipeline needs. The
+    * embedding side is the smaller at scale → broadcast or co-bucketed
+    * by id; norms via the codegen'd fold. */
+  def crossmodalJoin(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .join(Tables.embeddings(s, d),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("embedding")).as("dim"),
+        round(sqrt(norm2(col("embedding"))), 6).as("l2_norm"))
+      .orderBy("doc_id")
+
   /** Deterministic pseudo-random hyperplanes: splitmix64 of (plane, dim)
     * mapped to [-1, 1). Same planes on every executor, no RNG state. */
   private def splitmix64(seed: Long): Long = {
