@@ -19,6 +19,13 @@ case class PairState(placedMs: Option[Long], fulfilledMs: Option[Long])
 case class PairResult(user_id: Long, placed_ms: Long, fulfilled_ms: Long,
     processing_ms: Long)
 
+/** Pair outcome including the dead-letter channel the reference leaves
+  * as a TODO (OrderProcessor.java:184,200): `expired = true` rows are
+  * TTL'd half-pairs (one side -1), routed downstream instead of
+  * silently dropped. */
+case class PairOutcome(user_id: Long, placed_ms: Long, fulfilled_ms: Long,
+    processing_ms: Long, expired: Boolean)
+
 /** The reference's custom stateful processor (O7/O8/O12,
   * OrderProcessor.java:99-257) re-expressed as
   * `flatMapGroupsWithState` — Spark's keyed-state surface:
@@ -76,6 +83,27 @@ object EventPairing {
           ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
           Iterator.empty
       }
+    }
+  }
+
+  /** pairFn variant that CLOSES the reference's dead-letter TODO: on
+    * timeout the expired half-pair is emitted with `expired = true`
+    * (missing side = -1) instead of vanishing — in production this
+    * output splits into the results sink and a dead-letter topic via
+    * two filtered writers on the same query. */
+  def pairFnDeadLetter(policy: MergePolicy, ttl: java.time.Duration)(
+      key: Long, events: Iterator[PairEvent],
+      state: GroupState[PairState]): Iterator[PairOutcome] = {
+    if (state.hasTimedOut) {
+      val prior = state.getOption.getOrElse(PairState(None, None))
+      state.remove()
+      Iterator.single(PairOutcome(key,
+        prior.placedMs.getOrElse(-1L), prior.fulfilledMs.getOrElse(-1L),
+        -1L, expired = true))
+    } else {
+      pairFn(policy, Some(ttl))(key, events, state).map(r =>
+        PairOutcome(r.user_id, r.placed_ms, r.fulfilled_ms,
+          r.processing_ms, expired = false))
     }
   }
 

@@ -60,6 +60,22 @@ class StreamingSpec extends SparkSpec {
     assert(out.isEmpty && s.isRemoved)
   }
 
+  test("dead-letter variant emits the expired half-pair instead of dropping it") {
+    val s = TestGroupState.create[PairState](
+      Optional.of(PairState(Some(100L), None)),
+      GroupStateTimeout.ProcessingTimeTimeout, 0L,
+      Optional.empty(), true)
+    val out = EventPairing.pairFnDeadLetter(MinWins, java.time.Duration.ofHours(24))(
+      7L, Iterator.empty, s).toList
+    assert(out == List(PairOutcome(7L, 100L, -1L, -1L, expired = true)))
+    assert(s.isRemoved)
+    // the happy path still pairs normally through the same function
+    val s2 = state(None)
+    val out2 = EventPairing.pairFnDeadLetter(MinWins, java.time.Duration.ofHours(24))(
+      7L, Iterator(PairEvent(7, "signup", 10L), PairEvent(7, "purchase", 30L)), s2).toList
+    assert(out2 == List(PairOutcome(7L, 10L, 30L, 20L, expired = false)))
+  }
+
   test("unknown event.type is ignored (OrderProcessor.java:121-124)") {
     val s = state(None)
     val out = pairFn(MinWins, None)(7L,
