@@ -162,7 +162,7 @@ object SparkEntry {
       """SELECT event_type,
         |       epoch_ms(time_bucket(INTERVAL 1 minute, ts)) AS window_start_ms,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_json_get" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
@@ -207,17 +207,17 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin,
     "q_outer_join" ->
       """SELECT o_orderkey, CAST(count(l_orderkey) AS BIGINT) AS n_lines,
-        |       COALESCE(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS revenue
+        |       COALESCE(CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0, 0.0) AS revenue
         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_q1" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_qty,
+        |       CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_base_price,
         |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
         |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4)) * CAST(1.0 + l_tax AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+        |       CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 / count(l_quantity) AS avg_qty,
+        |       CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 / count(l_extendedprice) AS avg_price,
         |       CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_agg_distinct" ->
@@ -227,7 +227,7 @@ object SparkEntry {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rollup" ->
       """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_custs,
-        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+        |       CAST(sum(CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -236,13 +236,13 @@ object SparkEntry {
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(count(*) AS BIGINT) AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |       CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(count(*) AS BIGINT) AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |       CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_price
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_window_rank" ->
@@ -443,10 +443,10 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice,
-        |       o_totalprice - (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |       o_totalprice - (SELECT CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
         |                              / count(o_totalprice) FROM orders) AS above_avg
         |FROM orders
-        |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |WHERE o_totalprice > (SELECT CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
         |                             / count(o_totalprice) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
     "q_null_funcs" ->
@@ -467,7 +467,7 @@ object SparkEntry {
         |FROM customer ORDER BY 1""".stripMargin,
     "q_salted_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |       CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_partition_pruning" ->
@@ -475,7 +475,7 @@ object SparkEntry {
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |       CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_asof_join" ->
@@ -490,7 +490,7 @@ object SparkEntry {
       """SELECT event_type,
         |       epoch_ms(time_bucket(INTERVAL 1 minute, ts) - k * INTERVAL 1 minute) AS window_start_ms,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
         |FROM events, range(0, 2) r(k)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_window_session" ->
@@ -524,7 +524,7 @@ object SparkEntry {
       """SELECT event_type,
         |       epoch_ms(time_bucket(INTERVAL 1 minute, ts)) AS window_start_ms,
         |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s_pipeline" ->
       """WITH j AS (

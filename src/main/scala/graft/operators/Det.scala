@@ -21,12 +21,20 @@ import org.apache.spark.sql.types.DecimalType
   * identical inputs are deterministic everywhere.
   */
 object Det {
-  /** Order-independent exact sum of a double expression (see object doc).
-    * SQL-oracle equivalent: `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`. */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+  /** Order-independent exact sum of a double expression — FIXED-POINT
+    * form: each row scales to a 1e-4-granular long (`floor(x·1e4 + 0.5)`
+    * is pure IEEE arithmetic, identical in both engines), longs sum
+    * exactly, one division converts back. Same determinism as the
+    * decimal form but at raw-long aggregation speed — the decimal sum
+    * measured 3.5× slower (graft.tools.MicroBench). Headroom: int64
+    * carries ~1e14 rows/group at 1e5 magnitudes; beyond that use the
+    * decimal form ([[dsumExact]]).
+    * SQL: `CAST(SUM(CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0`. */
+  def dsum(c: Column): Column =
+    sum(floor(c * 10000 + 0.5)).cast("double") / 10000.0
 
-  /** Order-independent avg: exact decimal sum, then one double division.
-    * SQL: `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(x)`. */
+  /** Order-independent avg: exact fixed-point sum, then double division.
+    * SQL: `CAST(SUM(CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(x)`. */
   def davg(c: Column): Column = dsum(c) / count(c)
 
   /** Millis-since-epoch (truncating, matches DuckDB `epoch_ms(ts)`). */

@@ -156,7 +156,7 @@ object Relational {
     s.sql("""
       SELECT o_orderstatus, o_orderpriority,
              count(1) AS n_orders,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+             CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_price
       FROM orders_gs
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST

@@ -42,10 +42,10 @@ object Reshape {
     Tables.orders(s, d).createOrReplaceTempView("orders_sq")
     s.sql("""
       SELECT o_orderkey, o_totalprice,
-             o_totalprice - (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             o_totalprice - (SELECT CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
                                     / count(o_totalprice) FROM orders_sq) AS above_avg
       FROM orders_sq
-      WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      WHERE o_totalprice > (SELECT CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
                                    / count(o_totalprice) FROM orders_sq)
       ORDER BY o_orderkey
     """)
