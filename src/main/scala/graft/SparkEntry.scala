@@ -56,6 +56,9 @@ object SparkEntry {
     "q_scalar_funcs" -> (Relational.scalarFuncs _),
     "q_array_ops" -> (Relational.arrayOps _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
+    "q_percentiles" -> (Relational.percentiles _),
+    "q_stats_agg" -> (Relational.statsAgg _),
+    "q_lateral_explode" -> (Relational.lateralExplode _),
     // LLM-pipeline extensions (SURVEY.md §7.1.5): text analysis
     "q_text_stats" -> (TextAnalysis.textStats _),
     "q_token_count" -> (TextAnalysis.tokenCount _),
@@ -302,6 +305,23 @@ object SparkEntry {
         |         + CAST(embedding[3] AS DOUBLE)) + CAST(embedding[4] AS DOUBLE)) AS head4_sum
         |FROM embeddings ORDER BY 1""".stripMargin,
     // q_approx_distinct: omitted — approximate sketch, rows-only check.
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT o_orderpriority,
+        |       round(stddev_samp(o_totalprice), 4) AS sd,
+        |       round(var_samp(o_totalprice), 2) AS vr,
+        |       round(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS cr
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_lateral_explode" ->
+      """SELECT slot, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT CAST(unnest(range(0, o_orderkey % 3 + 1)) AS INTEGER) AS slot
+        |  FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, term, cnt FROM (
         |  SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt,

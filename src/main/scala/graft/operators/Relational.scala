@@ -259,6 +259,42 @@ object Relational {
         (acc, x) => acc + x.cast("double")).as("head4_sum"))
       .orderBy("vec_id")
 
+  /** q_percentiles — exact interpolated percentiles (Spark `percentile`
+    * ≡ DuckDB `quantile_cont`: both linear-interpolate between order
+    * statistics; rounded at the edge for the last-ulp interpolation
+    * arithmetic). The exact form needs a per-group sort — at 100 TB use
+    * [[approxDistinct]]-style sketches (`approx_percentile`) instead. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** q_stats_agg — second-moment aggregates (stddev/variance/corr).
+    * Both engines accumulate moments in different orders, so the drift
+    * is ~1e-12 relative; round-6/round-2 grids are far coarser. */
+  def statsAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(stddev_samp(col("o_totalprice")), 4).as("sd"),
+        round(var_samp(col("o_totalprice")), 2).as("vr"),
+        round(corr(col("o_totalprice"), col("o_custkey").cast("double")), 6).as("cr"))
+      .orderBy("o_orderpriority")
+
+  /** q_lateral_explode — the lateral-view/unnest surface: one row per
+    * (order, week-of-duration) via sequence + explode, counted back. */
+  def lateralExplode(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        explode(sequence(lit(0), (col("o_orderkey") % 3).cast("int"))).as("slot"))
+      .groupBy(col("slot"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("slot")
+
   /** q_approx_distinct — HLL++ sketch (no-oracle: approximate by design;
     * the sketch merges associatively so it scales to any partition count). */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
