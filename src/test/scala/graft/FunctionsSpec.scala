@@ -37,6 +37,17 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getLong(2) != 0L) // deterministic, nonzero for nonempty input
   }
 
+  test("optimizer rule rewrites vec_dot(x, x) into vec_norm2(x)") {
+    // parquet-backed input: a literal LocalRelation would constant-fold
+    // away before the plan could be inspected
+    val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(vec_dot(col("embedding"), col("embedding")).as("d"),
+        vec_norm2(col("embedding")).as("n"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("floatnorm2") && !optimized.contains("floatdot"))
+    assert(df.collect().forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("simhash: identical token multisets hash identically; signature is order-insensitive") {
     val df = Seq(
       (1L, Array("x", "y", "z")),
