@@ -53,6 +53,8 @@ object SparkEntry {
     "q_union" -> (Relational.union _),
     "q_intersect" -> (Relational.intersect _),
     "q_except" -> (Relational.except _),
+    "q_intersect_all" -> (Relational.intersectAll _),
+    "q_except_all" -> (Relational.exceptAll _),
     "q_scalar_funcs" -> (Relational.scalarFuncs _),
     "q_array_ops" -> (Relational.arrayOps _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
@@ -287,6 +289,16 @@ object SparkEntry {
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_acctbal > 0.0
         |ORDER BY c_custkey""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+        |INTERSECT ALL
+        |SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_orderkey""".stripMargin,
+    "q_except_all" ->
+      """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+        |EXCEPT ALL
+        |SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_orderkey""".stripMargin,
     "q_scalar_funcs" ->
       """SELECT o_orderkey,
         |       upper(o_orderpriority) AS prio_upper,

@@ -233,6 +233,21 @@ object Relational {
   def except(s: SparkSession, d: String): DataFrame =
     segA(s, d).except(segB(s, d)).orderBy("c_custkey")
 
+  private def flagKeys(s: SparkSession, d: String, flag: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === flag)
+      .select(col("l_orderkey")) // multiset: orders repeat per line
+
+  /** q_intersect_all — bag-semantics INTERSECT ALL on a genuinely
+    * repeating key (order keys per returnflag): keeps min-multiplicity
+    * copies, unlike the distinct form. */
+  def intersectAll(s: SparkSession, d: String): DataFrame =
+    flagKeys(s, d, "A").intersectAll(flagKeys(s, d, "R")).orderBy("l_orderkey")
+
+  /** q_except_all — bag-semantics EXCEPT ALL (multiplicity subtraction). */
+  def exceptAll(s: SparkSession, d: String): DataFrame =
+    flagKeys(s, d, "A").exceptAll(flagKeys(s, d, "R")).orderBy("l_orderkey")
+
   /** q_scalar_funcs — string/date/math scalar catalog over orders, all
     * codegen'd builtins (no UDFs; SURVEY.md §2.2 "scalar functions"). */
   def scalarFuncs(s: SparkSession, d: String): DataFrame =
