@@ -75,10 +75,18 @@ object ReferencePipeline {
     val topicShaped = spark.read.text(dir)
       .select(lit(null).cast("binary").as("key"),
         col("value").cast("binary").as("value"))
-    val parsed = KafkaWire.parse(topicShaped)
+    // O5 (peek) parity: the reference logs every record pass-through
+    // (Main.java:138,140,...); the Spark idiom is an Observation — the
+    // metrics ride the job instead of a per-record side effect.
+    val obs = new org.apache.spark.sql.Observation("parsed")
+    val parsed = KafkaWire.parse(topicShaped).observe(obs,
+      count(lit(1)).as("records"),
+      count(when(col("event_type") === "order.placed", 1)).as("placed"))
     val out = pipeline(parsed)
 
     val rows = out.collect()
+    println(s"[reference-pipeline] parsed=${obs.get("records")} " +
+      s"placed=${obs.get("placed")} (peek ≙ observe)")
     println(s"[reference-pipeline] emitted ${rows.length} facility.info windows, e.g.:")
     rows.take(3).foreach(r => println("  " + r.getString(0)))
     spark.stop()
