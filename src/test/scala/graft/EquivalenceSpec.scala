@@ -59,6 +59,28 @@ class EquivalenceSpec extends SparkSpec {
     assert(melted == expect)
   }
 
+  test("TopKPerKey edges: k beyond group size ranks every row; empty input yields empty") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tiny = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "v")
+    val dir = fixtureDir("orders" -> tiny.select(
+      col("k").as("o_custkey"), col("v").as("o_totalprice"),
+      col("k").as("o_orderkey"), lit("O").as("o_orderstatus"),
+      lit("1-URGENT").as("o_orderpriority"),
+      lit(new java.sql.Timestamp(0)).as("o_orderdate")))
+    val all = graft.plans.TopK.topKPerKey(
+      Tables.orders(spark, dir), Seq("o_custkey"),
+      Seq(("o_totalprice", true)), k = 10).collect()
+    assert(all.length == 3) // k=10 > any group: every row survives, ranked
+    assert(all.map(r => (r.getLong(r.fieldIndex("o_custkey")),
+      r.getInt(r.fieldIndex("rn")))).toSet == Set((1L, 1), (1L, 2), (2L, 1)))
+
+    val none = graft.plans.TopK.topKPerKey(
+      Tables.orders(spark, dir).filter(col("o_custkey") < 0),
+      Seq("o_custkey"), Seq(("o_totalprice", true)), k = 3).collect()
+    assert(none.isEmpty)
+  }
+
   test("IVF results are a subset of brute-force cosine ranking (probing loses, never invents)") {
     val brute = graft.operators.Similarity.knn(spark, d).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
