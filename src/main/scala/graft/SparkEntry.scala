@@ -10,7 +10,8 @@ import graft.operators.{Dedup, Multimodal, Pairing, Relational, Similarity, Sour
   * driver's parquet testdata; entries in [[oracleSql]] are the equivalent
   * ANSI SQL the driver runs in DuckDB for the hash-compare. Column names,
   * types, row order, and floating-point arithmetic are aligned between the
-  * two (see graft.operators.Det for the decimal-sum determinism scheme).
+  * two (see graft.operators.Det for the fixed-point/decimal determinism
+  * schemes).
   */
 object SparkEntry {
 
