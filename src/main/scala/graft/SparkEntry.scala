@@ -50,6 +50,8 @@ object SparkEntry {
     "q_window_rank" -> (Relational.windowRank _),
     "q_topk_custom" -> (Relational.topKCustom _),
     "q_window_running" -> (Relational.windowRunning _),
+    "q_window_leadlag" -> (Relational.windowLeadLag _),
+    "q_monthly_rollup" -> (Relational.monthlyRollup _),
     "q_sort_limit" -> (Relational.sortLimit _),
     "q_union" -> (Relational.union _),
     "q_intersect" -> (Relational.intersect _),
@@ -100,6 +102,7 @@ object SparkEntry {
     // file source/sink round trips
     "q_source_json" -> (Sources.jsonRoundtrip _),
     "q_source_csv" -> (Sources.csvRoundtrip _),
+    "q_source_orc" -> (Sources.orcRoundtrip _),
     // streaming variants — real Structured Streaming queries over a
     // MemoryStream source, executed synchronously (SURVEY.md §2.3 s_*)
     "s_pair_match" -> (graft.streaming.EventPairing.sPairMatch _),
@@ -271,6 +274,23 @@ object SparkEntry {
         |         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         |FROM orders ORDER BY 1, 3, 2""".stripMargin,
+    "q_window_leadlag" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_totalprice) OVER w AS prev_price,
+        |       lead(o_totalprice) OVER w AS next_price,
+        |       first_value(o_totalprice) OVER w AS first_price,
+        |       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_monthly_rollup" ->
+      """SELECT epoch_ms(date_trunc('month', o_orderdate)) AS month_ms,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_source_orc" ->
+      """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC

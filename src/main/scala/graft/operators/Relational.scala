@@ -203,6 +203,30 @@ object Relational {
       .orderBy("o_custkey", "orderdate_ms", "o_orderkey")
   }
 
+  /** q_window_leadlag — the offset/position analytic family: lag/lead
+    * (NULL at partition edges), first_value over the default running
+    * frame, ntile quartiles — one window definition, one sort pass. */
+  def windowLeadLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      first(col("o_totalprice")).over(w).as("first_price"),
+      ntile(4).over(w).as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q_monthly_rollup — calendar bucketing via date_trunc (vs the
+    * epoch-aligned window() buckets elsewhere): monthly order volume. */
+  def monthlyRollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month_ts"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .select(millis(col("month_ts")).as("month_ms"), col("n_orders"), col("revenue"))
+      .orderBy("month_ms")
+
   /** q_sort_limit — global top-10 (Spark plans TakeOrderedAndProject:
     * per-partition heap + driver merge, no full sort at scale). */
   def sortLimit(s: SparkSession, d: String): DataFrame =

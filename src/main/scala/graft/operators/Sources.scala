@@ -49,4 +49,9 @@ object Sources {
     * inference pass, which at 100 TB would be a full extra scan). */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame =
     roundtrip(s, d, "csv")
+
+  /** q_source_orc — ORC sink → source round trip (the other columnar
+    * format; same pushdown/pruning machinery as parquet). */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame =
+    roundtrip(s, d, "orc")
 }
