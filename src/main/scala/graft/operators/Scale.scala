@@ -16,19 +16,26 @@ import Det._
 object Scale {
 
   /** q_salted_join — the skew recipe: the probe side gets a
-    * deterministic salt in [0,16), the build side is exploded ×16, and
+    * deterministic salt in [0,8), the build side is exploded ×8, and
     * the join key becomes (key, salt) — a hot key's rows now spread
-    * over 16 reducers instead of one. Results are identical to the
-    * unsalted join (oracle: plain SQL join); AQE's skew handling does
-    * this adaptively, this is the explicit form for engines/pipelines
-    * that pre-partition. */
+    * over 8 reducers instead of one (size the salt count to the skew
+    * factor: ×8 caps any key at ~12% of one reducer's load while only
+    * multiplying build-side shuffle bytes ×8). Both sides are projected
+    * to the join/agg columns BEFORE the explode so the replicated
+    * shuffle moves 2 columns, not the whole table. Results are identical
+    * to the unsalted join (oracle: plain SQL join); AQE's skew handling
+    * does this adaptively, this is the explicit form for
+    * engines/pipelines that pre-partition. */
   def saltedJoin(s: SparkSession, d: String): DataFrame = {
-    val salts = 16
+    val salts = 8
     val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
       .withColumn("salt",
         pmod(xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
           lit(salts.toLong)))
     val dim = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("salt", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     fact.join(dim, col("l_orderkey") === col("o_orderkey") && fact("salt") === dim("salt"))
       .groupBy(col("o_orderpriority"))
