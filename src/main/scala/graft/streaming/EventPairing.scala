@@ -112,10 +112,12 @@ object EventPairing {
   /** Runs `body` with a reduced shuffle-partition count: streaming state
     * store commits scale with partitions × stateful-ops × batches, and
     * these synchronous demo queries carry little data per partition —
-    * 8 partitions cuts the fixed commit cost ~4× vs 32. Restored after. */
+    * 4 partitions cuts the fixed commit cost ~8× vs 32 (a production
+    * deployment sizes this to state volume, not CPU count). Restored
+    * after. */
   private[streaming] def withStreamingPartitions[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 

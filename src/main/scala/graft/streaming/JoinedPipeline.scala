@@ -49,8 +49,13 @@ object JoinedPipeline {
     // the lighter demos keep the default provider
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = s.conf.getOption(providerKey)
+    val trackKey = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+    val prevTrack = s.conf.getOption(trackKey)
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // write-heavy state: skip per-commit row counting (the standard
+    // RocksDB tuning for ingest-dominated stores)
+    s.conf.set(trackKey, "false")
     try EventPairing.withStreamingPartitions(s) {
     val input = MemoryStream[RawEvent]
 
@@ -90,17 +95,19 @@ object JoinedPipeline {
         RawEvent(-1L, EventPairing.PlacedType, maxTs + 90000000L),
         RawEvent(-2L, EventPairing.FulfilledType, maxTs + 90000000L))
       q.processAllAvailable()
-      input.addData(
-        RawEvent(-1L, EventPairing.PlacedType, maxTs + 95000000L),
-        RawEvent(-2L, EventPairing.FulfilledType, maxTs + 95000000L))
-      q.processAllAvailable()
     } finally q.stop()
     s.table(name)
       .filter(col("facility_id") >= 0)
       .orderBy("facility_id", "event_timestamp")
-    } finally prevProvider match {
-      case Some(p) => s.conf.set(providerKey, p)
-      case None => s.conf.unset(providerKey)
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+      prevTrack match {
+        case Some(p) => s.conf.set(trackKey, p)
+        case None => s.conf.unset(trackKey)
+      }
     }
   }
 }
