@@ -33,6 +33,7 @@ object SparkEntry {
     "q_tumbling_agg" -> (Pairing.tumblingAgg _),
     "q_json_get" -> (Pairing.jsonGet _),
     "q_json_emit" -> (Pairing.jsonEmit _),
+    "q_pair_groups" -> (Pairing.pairGroups _),
     // Generalized relational surface (SURVEY.md §2.3)
     "q_scan_project" -> (Relational.scanProject _),
     "q_filter_pred" -> (Relational.filterPred _),
@@ -64,6 +65,27 @@ object SparkEntry {
     "q_percentiles" -> (Relational.percentiles _),
     "q_stats_agg" -> (Relational.statsAgg _),
     "q_lateral_explode" -> (Relational.lateralExplode _),
+    // scalar-function catalogs (operators.Catalog)
+    "q_case_when" -> (graft.operators.Catalog.caseWhen _),
+    "q_regex_funcs" -> (graft.operators.Catalog.regexFuncs _),
+    "q_date_funcs" -> (graft.operators.Catalog.dateFuncs _),
+    "q_bitwise" -> (graft.operators.Catalog.bitwise _),
+    // aggregation / window / join surface (operators.Analytics)
+    "q_minmax_by" -> (graft.operators.Analytics.minmaxBy _),
+    "q_count_if" -> (graft.operators.Analytics.countIf _),
+    "q_string_agg" -> (graft.operators.Analytics.stringAgg _),
+    "q_union_by_name" -> (graft.operators.Analytics.unionByName _),
+    "q_histogram" -> (graft.operators.Analytics.histogram _),
+    "q_having" -> (graft.operators.Analytics.having _),
+    "q_global_agg" -> (graft.operators.Analytics.globalAgg _),
+    "q_in_subquery" -> (graft.operators.Analytics.inSubquery _),
+    "q_exists_subquery" -> (graft.operators.Analytics.existsSubquery _),
+    "q_window_percent" -> (graft.operators.Analytics.windowPercent _),
+    "q_window_range" -> (graft.operators.Analytics.windowRange _),
+    "q_dedup_keepfirst" -> (graft.operators.Analytics.dedupKeepFirst _),
+    "q_gaps_islands" -> (graft.operators.Analytics.gapsIslands _),
+    "q_hash_sample" -> (graft.operators.Analytics.hashSample _),
+    "q_range_join" -> (graft.operators.Analytics.rangeJoin _),
     // LLM-pipeline extensions (SURVEY.md §7.1.5): text analysis
     "q_text_stats" -> (TextAnalysis.textStats _),
     "q_token_count" -> (TextAnalysis.tokenCount _),
@@ -181,6 +203,148 @@ object SparkEntry {
         |       to_json(struct_pack(event_id := event_id, event_type := event_type,
         |                           user_id := user_id)) AS js
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_pair_groups" -> (pairsCte +
+      """SELECT user_id, epoch_ms(placed_ts) AS placed_ms,
+        |       epoch_ms(fulfilled_ts) AS fulfilled_ms, processing_ms
+        |FROM complete ORDER BY user_id""".stripMargin),
+    "q_case_when" ->
+      """SELECT CASE WHEN o_totalprice < 50000.0 THEN 'small'
+        |            WHEN o_totalprice < 150000.0 THEN 'medium'
+        |            ELSE 'large' END AS tier,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+        |       CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_regex_funcs" ->
+      """SELECT c_custkey,
+        |       CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS INTEGER) AS cust_num,
+        |       regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+        |       regexp_matches(c_name, '^Customer#') AS is_canonical,
+        |       CAST(len(regexp_extract_all(c_mktsegment, '[AEIOU]')) AS INTEGER) AS seg_vowels
+        |FROM customer ORDER BY 1""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |       CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+        |       CAST(week(o_orderdate) AS INTEGER) AS order_week,
+        |       CAST(isodow(o_orderdate) - 1 AS INTEGER) AS order_wd,
+        |       epoch_ms(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)) AS month_end_ms,
+        |       epoch_ms(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP)) AS plus3m_ms,
+        |       epoch_ms(CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP)) AS plus30d_ms
+        |FROM orders ORDER BY 1""".stripMargin,
+    "q_bitwise" ->
+      """SELECT o_orderkey,
+        |       o_orderkey & 255 AS low_byte,
+        |       o_orderkey | 4096 AS with_flag,
+        |       xor(o_orderkey, 255) AS flipped,
+        |       o_orderkey << 3 AS shl3,
+        |       o_orderkey >> 2 AS shr2,
+        |       CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+        |FROM orders ORDER BY 1""".stripMargin,
+    "q_minmax_by" ->
+      """SELECT o_orderpriority,
+        |       arg_max(o_orderkey, CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) * 1000000 + o_orderkey) AS best_order,
+        |       max(o_totalprice) AS best_price,
+        |       arg_min(o_orderkey, CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) * 1000000 + o_orderkey) AS worst_order,
+        |       min(o_totalprice) AS worst_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_count_if" ->
+      """SELECT c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n_custs,
+        |       CAST(count(*) FILTER (WHERE c_acctbal < 0.0) AS BIGINT) AS n_delinquent,
+        |       CAST(count(*) FILTER (WHERE c_acctbal > 5000.0) AS BIGINT) AS n_affluent,
+        |       CAST(count(*) FILTER (WHERE c_acctbal < 0.0) AS DOUBLE) / count(*) AS delinquent_share
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_string_agg" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_union_by_name" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, value FROM events WHERE event_type = 'signup'
+        |  UNION ALL BY NAME
+        |  SELECT value, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(user_id) AS BIGINT) AS n_with_user,
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+        |FROM u""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 60000.0), 9) AS INTEGER) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS spend
+        |FROM orders GROUP BY 1 HAVING count(*) >= 15 ORDER BY 1""".stripMargin,
+    "q_global_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_qty,
+        |       epoch_ms(min(l_shipdate)) AS first_ship_ms,
+        |       epoch_ms(max(l_shipdate)) AS last_ship_ms
+        |FROM lineitem""".stripMargin,
+    "q_in_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |  AND o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                        WHERE c_acctbal < 0.0)
+        |ORDER BY 1""".stripMargin,
+    "q_exists_subquery" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+        |ORDER BY 1""".stripMargin,
+    "q_window_percent" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd,
+        |       nth_value(c_custkey, 2) OVER (
+        |         PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_poorest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |         PARTITION BY o_custkey
+        |         ORDER BY CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+        |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_spend
+        |FROM orders ORDER BY 1, 3, 2""".stripMargin,
+    "q_dedup_keepfirst" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, group_size FROM h WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q_gaps_islands" ->
+      """WITH g AS (
+        |  SELECT o_orderkey,
+        |         o_orderkey - row_number() OVER (ORDER BY o_orderkey) AS grp
+        |  FROM orders WHERE o_orderstatus = 'O')
+        |SELECT min(o_orderkey) AS island_start, max(o_orderkey) AS island_end,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM g GROUP BY grp ORDER BY 1""".stripMargin,
+    "q_hash_sample" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_sampled,
+        |       CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sampled_value
+        |FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('p00_small', 0.0, 100.0), ('p01_mid', 100.0, 250.0),
+        |  ('p02_large', 250.0, 500.0), ('p03_huge', 500.0, 1e9))
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem ORDER BY 1, 2, 3, 4""".stripMargin,

@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import Det._
+
+/** Aggregation / window / join surface beyond the round-1 inventory:
+  * argmin-argmax aggregates, filtered aggregates, ordered string
+  * aggregation, schema-aligning union, binning, HAVING, grand totals,
+  * IN/EXISTS subqueries, percent/cume/nth window functions, RANGE
+  * frames, keep-first dedup, gaps-and-islands, deterministic hash
+  * sampling, and a broadcast range (theta) join.
+  */
+object Analytics {
+
+  /** Injective ordering measure over (price, key): prices carry 4
+    * decimals, so `floor(p·1e4 + 0.5)` is an exact long ≤ ~6e9; ×1e6 +
+    * key stays < 2^63. min_by/max_by on a column with ties is
+    * nondeterministic in BOTH engines — this measure makes the arg
+    * unique per row, deterministically, in identical arithmetic. */
+  private def priceKeyMeasure: org.apache.spark.sql.Column =
+    floor(col("o_totalprice") * 10000 + 0.5).cast("long") * 1000000L +
+      col("o_orderkey")
+
+  /** q_minmax_by — argmin/argmax aggregates: the order that realized the
+    * extreme price per priority (min_by/max_by ≙ DuckDB arg_min/arg_max),
+    * tie-broken injectively via [[priceKeyMeasure]]. */
+  def minmaxBy(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max_by(col("o_orderkey"), priceKeyMeasure).as("best_order"),
+        max(col("o_totalprice")).as("best_price"),
+        min_by(col("o_orderkey"), priceKeyMeasure).as("worst_order"),
+        min(col("o_totalprice")).as("worst_price"))
+      .orderBy("o_orderpriority")
+
+  /** q_count_if — filtered aggregates (count_if ≙ FILTER clause): share
+    * of delinquent / affluent accounts per market segment. */
+  def countIf(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_custs"),
+        count_if(col("c_acctbal") < 0.0).as("n_delinquent"),
+        count_if(col("c_acctbal") > 5000.0).as("n_affluent"))
+      .withColumn("delinquent_share",
+        col("n_delinquent").cast("double") / col("n_custs"))
+      .orderBy("c_mktsegment")
+
+  /** q_string_agg — ordered string aggregation: nation roster per region
+    * (sorted collect_list + concat_ws ≙ string_agg ... ORDER BY). The
+    * sort inside the aggregate is what makes it deterministic. */
+  def stringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+      .orderBy("r_name")
+
+  /** q_union_by_name — schema-aligning union: two projections with
+    * different column order/subset combine by NAME (missing columns →
+    * null), then a null-aware rollup proves which side carried what. */
+  def unionByName(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("value"), col("event_id")) // no user_id, different order
+    signups.unionByName(purchases, allowMissingColumns = true)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("user_id")).as("n_with_user"),
+        dsum(col("value")).as("sum_value"))
+  }
+
+  /** q_histogram — equi-width binning (no width_bucket in the oracle
+    * engine, so the portable floor-divide form): 60k-wide price buckets
+    * capped at bucket 9. */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(least(floor(col("o_totalprice") / 60000.0), lit(9L))
+        .cast("int").as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy("bucket")
+
+  /** q_having — post-aggregation predicate: customers with ≥ 15 orders
+    * (`filter` after `agg` plans exactly like SQL HAVING). */
+  def having(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+      .filter(col("n_orders") >= 15)
+      .orderBy("o_custkey")
+
+  /** q_global_agg — grand-total aggregation (no grouping key): one
+    * partial per partition, one 1-row final — the cheapest possible
+    * full-scan summary at any scale. */
+  def globalAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        dsum(col("l_quantity")).as("total_qty"),
+        unix_millis(min(col("l_shipdate"))).as("first_ship_ms"),
+        unix_millis(max(col("l_shipdate"))).as("last_ship_ms"))
+
+  /** q_in_subquery — uncorrelated IN / NOT IN subqueries (planned as
+    * left-semi + null-aware anti joins) through the SQL surface. */
+  def inSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM graft_orders
+      WHERE o_custkey IN (SELECT c_custkey FROM graft_customer
+                          WHERE c_mktsegment = 'BUILDING')
+        AND o_custkey NOT IN (SELECT c_custkey FROM graft_customer
+                              WHERE c_acctbal < 0.0)
+      ORDER BY o_orderkey""")
+  }
+
+  /** q_exists_subquery — correlated EXISTS with an extra predicate
+    * (decorrelates to a filtered semi-join): orders containing at least
+    * one near-max-quantity line. */
+  def existsSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql("""
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM graft_orders
+      WHERE EXISTS (SELECT 1 FROM graft_lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+      ORDER BY o_orderkey""")
+  }
+
+  /** q_window_percent — distribution window functions: percent_rank /
+    * cume_dist / nth_value per market segment, over the injectively
+    * ordered (acctbal, custkey) so peer groups are single rows. */
+  def windowPercent(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value(col("c_custkey"), 2)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("second_poorest"))
+      .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+  }
+
+  /** q_window_range — RANGE frame over a day index: per customer, spend
+    * within the trailing 31-day window of each order (RANGE includes
+    * value-peers — same-day orders — identically in both engines; the
+    * sum runs in exact decimal). */
+  def windowRange(s: SparkSession, d: String): DataFrame = {
+    val day = datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), day.as("day"),
+        col("o_totalprice"))
+      .withColumn("trailing_spend",
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"), col("trailing_spend"))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
+  /** q_dedup_keepfirst — canonical-representative dedup: one survivor
+    * per exact-content group (min doc_id via a ranking window), the
+    * keep-side counterpart of q_dedup_exact's group census. */
+  def dedupKeepFirst(s: SparkSession, d: String): DataFrame = {
+    val byHash = Window.partitionBy(col("text_hash"))
+    Tables.documents(s, d)
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+      .withColumn("rn", row_number().over(byHash.orderBy(col("doc_id"))))
+      .withColumn("group_size", count(lit(1)).over(byHash))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("group_size"))
+      .orderBy("doc_id")
+  }
+
+  /** q_gaps_islands — maximal runs of consecutive order keys among open
+    * orders (key − row_number is constant within a run). The global
+    * window sorts on one task — fine here; at 100 TB islands are found
+    * per range-partition and boundary-adjacent islands merge in a second
+    * tiny pass over first/last rows only. */
+  def gapsIslands(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"))
+      .withColumn("grp", col("o_orderkey") - row_number().over(w))
+      .groupBy(col("grp"))
+      .agg(min(col("o_orderkey")).as("island_start"),
+        max(col("o_orderkey")).as("island_end"),
+        count(lit(1)).as("n_orders"))
+      .select(col("island_start"), col("island_end"), col("n_orders"))
+      .orderBy("island_start")
+  }
+
+  /** q_hash_sample — deterministic content-hash sampling: md5 of the key
+    * is engine-independent, so `md5(key) starts with hex digit 0` is the
+    * same ~1/16 sample everywhere — reproducible across engines, runs,
+    * and cluster sizes, unlike TABLESAMPLE/rand(). Rolled up so the
+    * sample is also checked in aggregate. */
+  def hashSample(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 1) === "0")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_sampled"), dsum(col("o_totalprice")).as("sampled_value"))
+      .orderBy("o_orderpriority")
+
+  /** q_range_join — theta (range-predicate) join: events against a tiny
+    * value-band dimension with `lo ≤ value < hi`. A non-equi join can
+    * only plan as nested-loop — broadcasting the 4-row band table keeps
+    * it a map-side pass (the alternative at scale: bin both sides to an
+    * equi-key first). */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("p00_small", 0.0, 100.0),
+      ("p01_mid", 100.0, 250.0),
+      ("p02_large", 250.0, 500.0),
+      ("p03_huge", 500.0, 1e9)).toDF("band", "lo", "hi")
+    Tables.events(s, d)
+      .join(broadcast(bands),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("band")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Det._
+
+/** Scalar-function catalogs beyond the q_scalar_funcs basics: conditional
+  * expressions, regular expressions, calendar arithmetic, and bitwise
+  * ops. All pure per-row projections — embarrassingly parallel,
+  * whole-stage-codegen'd, nothing here ever shuffles except the final
+  * demo aggregation/sort.
+  *
+  * Cross-engine notes (the oracle is DuckDB): Spark `regexp_replace`
+  * replaces ALL matches ≙ DuckDB needs the `'g'` flag; Spark
+  * `weekday` (Monday=0) ≙ DuckDB `isodow - 1`; DuckDB `quarter`/`week`/
+  * `bit_count` return wider ints than Spark — the oracle casts to
+  * Spark's type.
+  */
+object Catalog {
+
+  /** q_case_when — conditional expression catalog: multi-arm CASE WHEN
+    * tiering + a boolean-to-long flag, rolled up per tier. */
+  def caseWhen(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        when(col("o_totalprice") < 50000.0, "small")
+          .when(col("o_totalprice") < 150000.0, "medium")
+          .otherwise("large").as("tier"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("is_final"),
+        col("o_totalprice"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("is_final")).as("n_final"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("tier")
+
+  /** q_regex_funcs — regexp catalog on customer names: capture-group
+    * extraction, global replacement, boolean match, match counting. */
+  def regexFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)$", 1).cast("int").as("cust_num"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked_name"),
+        col("c_name").rlike("^Customer#").as("is_canonical"),
+        regexp_count(col("c_mktsegment"), lit("[AEIOU]")).as("seg_vowels"))
+      .orderBy("c_custkey")
+
+  /** q_date_funcs — calendar arithmetic catalog: quarter / ISO week /
+    * weekday extraction, month-end snapping, month and day offsets
+    * (add_months clamps to the target month's last day in both
+    * engines). */
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).as("order_quarter"),
+        weekofyear(col("o_orderdate")).as("order_week"),
+        expr("weekday(o_orderdate)").as("order_wd"),
+        unix_millis(last_day(col("o_orderdate")).cast("timestamp")).as("month_end_ms"),
+        unix_millis(add_months(col("o_orderdate"), 3).cast("timestamp")).as("plus3m_ms"),
+        unix_millis(date_add(col("o_orderdate"), 30).cast("timestamp")).as("plus30d_ms"))
+      .orderBy("o_orderkey")
+
+  /** q_bitwise — bitwise catalog on the order key: and/or/xor masks,
+    * shifts, popcount. */
+  def bitwise(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("low_byte"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("with_flag"),
+        col("o_orderkey").bitwiseXOR(lit(255L)).as("flipped"),
+        shiftleft(col("o_orderkey"), 3).as("shl3"),
+        shiftright(col("o_orderkey"), 2).as("shr2"),
+        bit_count(col("o_orderkey")).as("popcount"))
+      .orderBy("o_orderkey")
+}

@@ -148,4 +148,34 @@ object Pairing {
       col("event_id"),
       to_json(struct(col("event_id"), col("event_type"), col("user_id"))).as("js"))
       .orderBy("event_id")
+
+  /** q_pair_groups — O7 through the typed per-group iterator surface
+    * (`groupByKey.flatMapGroups`): arbitrary Scala over each key's
+    * events, the batch sibling of the streaming flatMapGroupsWithState
+    * (same shuffle-by-key plan, no state store). Agrees row-for-row
+    * with the declarative [[pairs]] formulation and shares its oracle.
+    * Use this surface only when the logic genuinely can't be expressed
+    * as aggregates — it opts the group out of whole-stage codegen. */
+  def pairGroups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter(col("event_type").isin(PlacedType, FulfilledType))
+      .select(col("user_id"), col("event_type"), millis(col("ts")).as("ts_ms"))
+      .as[graft.streaming.PairEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid: Long, it: Iterator[graft.streaming.PairEvent]) =>
+        var placed = Long.MaxValue
+        var fulfilled = Long.MaxValue
+        it.foreach { e =>
+          if (e.event_type == PlacedType) placed = math.min(placed, e.ts_ms)
+          else fulfilled = math.min(fulfilled, e.ts_ms)
+        }
+        if (placed != Long.MaxValue && fulfilled != Long.MaxValue)
+          Iterator.single(graft.streaming.PairResult(
+            uid, placed, fulfilled, fulfilled - placed))
+        else Iterator.empty
+      }
+      .toDF()
+      .orderBy("user_id")
+  }
 }

@@ -1,0 +1,160 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, Catalog, Pairing}
+
+/** Crafted-fixture specs for the round-2 analytics surface — boundary
+  * semantics the organic testdata can't be trusted to exercise (exact
+  * threshold hits, ties, RANGE-frame peers, island adjacency). */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ordersDir(rows: (Long, Long, String, Double, String, String)*): String =
+    fixtureDir("orders" -> rows.toSeq
+      .map { case (k, c, st, p, dt, pr) => (k, c, st, p, ts(dt), pr) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+
+  test("minmax_by: exact price tie breaks to the higher/lower key injectively") {
+    val d = ordersDir(
+      (1L, 1L, "O", 500.0, "1995-01-01 00:00:00", "1-URGENT"),
+      (2L, 1L, "O", 500.0, "1995-01-02 00:00:00", "1-URGENT"), // tie with 1
+      (3L, 1L, "O", 100.0, "1995-01-03 00:00:00", "1-URGENT"),
+      (4L, 1L, "O", 100.0, "1995-01-04 00:00:00", "1-URGENT")) // tie with 3
+    val r = Analytics.minmaxBy(spark, d).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 2L) // best_order: tie at 500 → max key
+    assert(r(0).getDouble(2) == 500.0)
+    assert(r(0).getLong(3) == 3L) // worst_order: tie at 100 → min key
+    assert(r(0).getDouble(4) == 100.0)
+  }
+
+  test("case_when: threshold values fall into the next tier (strict <)") {
+    val d = ordersDir(
+      (1L, 1L, "F", 49999.9999, "1995-01-01 00:00:00", "x"),
+      (2L, 1L, "O", 50000.0, "1995-01-01 00:00:00", "x"),   // exactly 50k → medium
+      (3L, 1L, "F", 150000.0, "1995-01-01 00:00:00", "x"))  // exactly 150k → large
+    val r = Catalog.caseWhen(spark, d).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("small") == ((1L, 1L)))
+    assert(r("medium") == ((1L, 0L)))
+    assert(r("large") == ((1L, 1L)))
+  }
+
+  test("window_range: RANGE frame includes same-day peers, 30-day edge is inclusive") {
+    val d = ordersDir(
+      (1L, 7L, "O", 10.0, "1995-01-01 00:00:00", "x"), // day 0
+      (2L, 7L, "O", 20.0, "1995-01-01 00:00:00", "x"), // day 0 peer
+      (3L, 7L, "O", 40.0, "1995-01-31 00:00:00", "x"), // day 30: 0 in range
+      (4L, 7L, "O", 80.0, "1995-02-01 00:00:00", "x")) // day 31: 0 out of range
+    val r = Analytics.windowRange(spark, d).collect()
+      .map(x => x.getLong(1) -> x.getDouble(3)).toMap
+    assert(r(1L) == 30.0) // both day-0 rows are peers of each other
+    assert(r(2L) == 30.0)
+    assert(r(3L) == 70.0) // day 30 still sees day 0 (30-30=0 ≥ frame start)
+    assert(r(4L) == 120.0) // day 31 drops day 0, keeps day 30
+  }
+
+  test("gaps_islands: adjacency splits on gaps and on non-open orders") {
+    val d = ordersDir(
+      (1L, 1L, "O", 1.0, "1995-01-01 00:00:00", "x"),
+      (2L, 1L, "O", 1.0, "1995-01-01 00:00:00", "x"),
+      (3L, 1L, "O", 1.0, "1995-01-01 00:00:00", "x"),
+      (4L, 1L, "F", 1.0, "1995-01-01 00:00:00", "x"), // gap: not status O
+      (5L, 1L, "O", 1.0, "1995-01-01 00:00:00", "x"), // singleton island
+      (7L, 1L, "O", 1.0, "1995-01-01 00:00:00", "x"),
+      (8L, 1L, "O", 1.0, "1995-01-01 00:00:00", "x"))
+    val r = Analytics.gapsIslands(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 3L, 3L), (5L, 5L, 1L), (7L, 8L, 2L)))
+  }
+
+  test("histogram: bucket edges are left-inclusive and the top bucket caps") {
+    val d = ordersDir(
+      (1L, 1L, "O", 0.0, "1995-01-01 00:00:00", "x"),       // bucket 0
+      (2L, 1L, "O", 59999.9999, "1995-01-01 00:00:00", "x"), // bucket 0
+      (3L, 1L, "O", 60000.0, "1995-01-01 00:00:00", "x"),    // bucket 1 (edge)
+      (4L, 1L, "O", 540000.0, "1995-01-01 00:00:00", "x"),   // bucket 9
+      (5L, 1L, "O", 5000000.0, "1995-01-01 00:00:00", "x"))  // capped at 9
+    val r = Analytics.histogram(spark, d).collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r == Map(0 -> 2L, 1 -> 1L, 9 -> 2L))
+  }
+
+  test("union_by_name: missing column becomes null, counted null-aware") {
+    val d = fixtureDir("events" -> Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "signup", 1.5, "{}"),
+      (2L, ts("2024-01-01 00:00:01"), 11L, "purchase", 2.5, "{}"),
+      (3L, ts("2024-01-01 00:00:02"), 12L, "purchase", 4.0, "{}"),
+      (4L, ts("2024-01-01 00:00:03"), 13L, "error", 99.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = Analytics.unionByName(spark, d).collect()(0)
+    assert(r.getLong(0) == 3L)       // error row excluded
+    assert(r.getLong(1) == 1L)       // only the signup side carries user_id
+    assert(r.getDouble(2) == 8.0)    // 1.5 + 2.5 + 4.0
+  }
+
+  test("range_join: band edges are lo-inclusive, hi-exclusive") {
+    val d = fixtureDir("events" -> Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a", 99.9999, "{}"),
+      (2L, ts("2024-01-01 00:00:01"), 1L, "a", 100.0, "{}"),  // exactly lo of mid
+      (3L, ts("2024-01-01 00:00:02"), 1L, "a", 249.9999, "{}"),
+      (4L, ts("2024-01-01 00:00:03"), 1L, "a", 250.0, "{}"),  // exactly lo of large
+      (5L, ts("2024-01-01 00:00:04"), 1L, "a", -5.0, "{}")    // below every band
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = Analytics.rangeJoin(spark, d).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("p00_small" -> 1L, "p01_mid" -> 2L, "p02_large" -> 1L))
+  }
+
+  test("dedup_keepfirst: min doc_id survives with the full group size") {
+    val txt = "alpha beta gamma"
+    val d = fixtureDir("documents" -> Seq(
+      (5L, txt, "en", "s", 16L),
+      (2L, txt, "en", "s", 16L),
+      (9L, txt, "de", "s", 16L),  // same text, different lang: still one group
+      (1L, "other", "fr", "s", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = Analytics.dedupKeepFirst(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(3))).toSeq
+    assert(r == Seq((1L, 1L), (2L, 3L)))
+  }
+
+  test("hash_sample is deterministic and equals the manual md5 predicate") {
+    val d = sf("sf0.001")
+    val a = Analytics.hashSample(spark, d).collect().toSeq
+    val b = Analytics.hashSample(spark, d).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    val expectKeys = Tables.orders(spark, d).select("o_orderkey").collect()
+      .map(_.getLong(0))
+      .count { k =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(k.toString.getBytes("UTF-8"))
+        "%02x".format(md(0)).startsWith("0")
+      }
+    assert(a.map(_.getLong(1)).sum == expectKeys)
+  }
+
+  test("pair_groups (flatMapGroups) ≡ declarative conditional-agg pairing") {
+    val d = sf("sf0.001")
+    val a = Pairing.pairGroups(spark, d).collect().toSeq.map(_.toSeq)
+    val b = Pairing.pairMatch(spark, d).collect().toSeq.map(_.toSeq)
+    assert(a == b)
+  }
+
+  test("date_funcs: add_months clamps to month end; weekday is Monday=0") {
+    val d = ordersDir(
+      (1L, 1L, "O", 1.0, "1997-01-31 00:00:00", "x"),  // +3m → Apr 30
+      (2L, 1L, "O", 1.0, "1997-06-02 00:00:00", "x"))  // a Monday
+    val r = Catalog.dateFuncs(spark, d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val aprilEnd = ts("1997-04-30 00:00:00").getTime
+    assert(r(1L).getLong(5) == aprilEnd)   // plus3m_ms clamped
+    assert(r(2L).getInt(3) == 0)           // Monday → 0
+  }
+}
