@@ -96,6 +96,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_ngram" -> (Dedup.ngramJaccard _),
     "q_dedup_minhash" -> (Dedup.minhashLsh _),
+    "q_dedup_minhash_md5" -> (Dedup.minhashLshMd5 _),
     "q_dedup_simhash" -> (Dedup.simhash _),
     "q_dedup_embedding" -> (Dedup.embeddingCosine _),
     // similarity search
@@ -590,9 +591,69 @@ object SparkEntry {
         |           JOIN cnt cb ON cb.doc_id = doc_b
         |WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
-    // q_dedup_minhash / q_dedup_simhash / q_similarity_lsh /
-    // q_media_features: omitted — engine-specific hashing or stubbed
-    // decode; deterministic output covered by the rows-only check + specs.
+    // q_dedup_minhash / q_dedup_simhash: omitted — engine-specific
+    // (xxhash64 / SimHash64) hashing; deterministic for the rows-only
+    // check, pinned by specs, and the md5 MinHash variant below carries
+    // the full oracle for the same pipeline shape.
+    "q_dedup_minhash_md5" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |              unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |                      FOR i IN range(1, len(ts) - 1)]) AS s
+        |       FROM toks),
+        |mins AS (
+        |  SELECT doc_id, j,
+        |         min(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           [CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1
+        |            FOR c IN regexp_extract_all(substring(md5(s || '#' || CAST(j AS VARCHAR)), 1, 15), '.')]),
+        |           (acc, x) -> acc * 16 + x)) AS m
+        |  FROM sh, range(0, 16) r(j) GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, j // 4 AS band,
+        |         string_agg(CAST(m AS VARCHAR), ':' ORDER BY j) AS band_key
+        |  FROM mins GROUP BY 1, 2)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_similarity_lsh" ->
+      """WITH planes AS (
+        |  SELECT j, [((i * 31 + j * 17) % 101) / 50.5 - 1.0 FOR i IN range(0, 64)] AS p
+        |  FROM range(0, 4) r(j)),
+        |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |b AS (SELECT vec_id, v,
+        |             CAST(sum(CASE WHEN list_dot_product(v, p) >= 0.0
+        |                           THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+        |      FROM e, planes GROUP BY vec_id, v),
+        |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+        |SELECT b.vec_id AS vec_id, b.bucket AS bucket,
+        |       round(list_dot_product(v, qv)
+        |             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+        |FROM b, q WHERE b.bucket = q.qb AND b.vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_similarity_ivf" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |cen AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |asn AS (SELECT e.vec_id, centroid_id,
+        |               round(list_dot_product(v, cv)
+        |                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+        |        FROM e, cen),
+        |cells AS (SELECT vec_id, centroid_id AS cell FROM (
+        |            SELECT vec_id, centroid_id,
+        |                   row_number() OVER (PARTITION BY vec_id
+        |                                      ORDER BY cos DESC, centroid_id DESC) AS rn
+        |            FROM asn) WHERE rn = 1),
+        |probed AS (SELECT centroid_id AS cell FROM asn WHERE vec_id = 0
+        |           ORDER BY cos DESC, centroid_id ASC LIMIT 2),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id AS vec_id, cells.cell AS cell,
+        |       round(list_dot_product(v, qv)
+        |             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+        |FROM e JOIN cells ON e.vec_id = cells.vec_id
+        |       JOIN probed ON cells.cell = probed.cell
+        |       CROSS JOIN q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q_dedup_embedding" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

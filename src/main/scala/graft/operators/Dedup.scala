@@ -130,6 +130,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q_dedup_minhash_md5 — the same MinHash+LSH pipeline over a
+    * PORTABLE hash: 60 bits of md5(shingle + '#' + seed) parsed from
+    * hex. md5 is identical in every engine, so — unlike the xxhash64
+    * fast path — the full signature → band → candidate pipeline is
+    * reproducible outside Spark and carries a complete DuckDB oracle
+    * (the hex parse there is a list_reduce fold). Band buckets compare
+    * as the joined "m0:m1:m2:m3" string, so no second-level hash is
+    * needed. ~3× the hash cost of the xxhash64 variant — use that one
+    * when the sketch never leaves the engine. */
+  def minhashLshMd5(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(shinglesOf(col("tk"))).as("sh"))
+    def phash(j: Int): Column =
+      conv(substring(md5(concat(col("sh"), lit("#" + j)).cast("binary")), 1, 15),
+        16, 10).cast("long")
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(min(phash(0)).as("m0"),
+        (1 until k).map(j => min(phash(j)).as(s"m$j")): _*)
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        concat_ws(":", (b * 4 until (b + 1) * 4).map(j => col(s"m$j")): _*)): _*))
+        .as(Seq("band", "band_key")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q_dedup_simhash — 64-bit SimHash near-dup pairs: per-doc signature
     * via the native [[graft.functions.SimHash64]] expression, then a
     * banded self-join on 16-bit chunks + Hamming ≤ 3 verification

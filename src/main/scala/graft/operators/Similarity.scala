@@ -64,19 +64,14 @@ object Similarity {
         round(sqrt(norm2(col("embedding"))), 6).as("l2_norm"))
       .orderBy("doc_id")
 
-  /** Deterministic pseudo-random hyperplanes: splitmix64 of (plane, dim)
-    * mapped to [-1, 1). Same planes on every executor, no RNG state. */
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
+  /** Deterministic hyperplanes from pure rational arithmetic:
+    * `((i·31 + j·17) mod 101) / 50.5 − 1` ∈ [−1, 0.98]. 101 is coprime
+    * to the 31/17 strides, so each plane cycles through all residues —
+    * scattered enough for sign-LSH, and (unlike a splitmix-style bit
+    * mixer, which needs wrapping u64 arithmetic) computable in ANY
+    * engine, which is what makes the LSH query oracle-checkable. */
   private[operators] def plane(j: Int, dims: Int): Seq[Double] =
-    (0 until dims).map { i =>
-      (splitmix64(j.toLong * 1000003L + i).toDouble / Long.MaxValue.toDouble)
-    }
+    (0 until dims).map(i => ((i * 31 + j * 17) % 101) / 50.5 - 1.0)
 
   /** Sign-bit LSH bucket id from `nPlanes` hyperplanes (bit j = sign of
     * dot with plane j). */
@@ -93,8 +88,9 @@ object Similarity {
     * set, probe = the query's top-2 centroids, exact rerank inside the
     * probed cells. At 100 TB the cell id is the partition key and a probe
     * touches nprobe/nlist of the corpus; assignment is one broadcast map
-    * pass, no shuffle until the tiny rerank. No oracle (index-specific);
-    * deterministic for the rows-only check. */
+    * pass, no shuffle until the tiny rerank. Oracle: the same index math
+    * in DuckDB (argmax via a ranking window over the rounded cosine —
+    * rounding to 1e-6 is what makes tie-breaks engine-independent). */
   def ivf(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val centroids = broadcast(
@@ -131,8 +127,8 @@ object Similarity {
 
   /** q_similarity_lsh — ANN via hyperplane LSH: bucket the corpus (4
     * planes → 16 buckets), keep only the query's bucket, exact-rerank
-    * inside it. No oracle (bucketing is engine-specific); deterministic
-    * output for the rows-only check. At scale the bucket id is the
+    * inside it. The rational [[plane]]s make the whole index
+    * oracle-checkable in DuckDB. At scale the bucket id is the
     * shuffle/partition key, so a probe reads ~1/2^planes of the corpus. */
   def lsh(s: SparkSession, d: String): DataFrame = {
     val dims = 64
