@@ -98,6 +98,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (Dedup.minhashLsh _),
     "q_dedup_minhash_md5" -> (Dedup.minhashLshMd5 _),
     "q_dedup_simhash" -> (Dedup.simhash _),
+    "q_dedup_simhash_md5" -> (Dedup.simhashMd5 _),
     "q_dedup_embedding" -> (Dedup.embeddingCosine _),
     // similarity search
     "q_similarity_knn" -> (Similarity.knn _),
@@ -593,8 +594,8 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     // q_dedup_minhash / q_dedup_simhash: omitted — engine-specific
     // (xxhash64 / SimHash64) hashing; deterministic for the rows-only
-    // check, pinned by specs, and the md5 MinHash variant below carries
-    // the full oracle for the same pipeline shape.
+    // check, pinned by specs, and the *_md5 portable variants below
+    // carry full oracles for the same pipeline shapes.
     "q_dedup_minhash_md5" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |sh AS (SELECT doc_id,
@@ -616,6 +617,40 @@ object SparkEntry {
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_dedup_simhash_md5" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |h AS (SELECT doc_id,
+        |             list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |               [CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1
+        |                FOR c IN regexp_extract_all(substring(md5(t), 1, 15), '.')]),
+        |               (acc, x) -> acc * 16 + x) AS hv
+        |      FROM toks),
+        |bits AS (SELECT doc_id, j,
+        |                CASE WHEN sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+        |                     THEN CAST(1 AS BIGINT) << j ELSE 0 END AS bit
+        |         FROM h, range(0, 60) r(j) GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sig FROM bits GROUP BY doc_id),
+        |chunks AS (SELECT doc_id, sig, c,
+        |                  (sig >> (c * 15)) & 32767 AS chunk_val
+        |           FROM sig, range(0, 4) r(c)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                 CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |          FROM chunks a JOIN chunks b
+        |            ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY 1, 2""".stripMargin,
+    "q_media_features" ->
+      """SELECT doc_id,
+        |       CASE WHEN source = 'src0' THEN 'image'
+        |            WHEN source = 'src1' THEN 'audio'
+        |            ELSE 'video' END AS media_type,
+        |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |       CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+        |            ELSE CAST(list_sum([CAST(ascii(c) AS BIGINT)
+        |                                FOR c IN regexp_extract_all(text, '.')]) AS DOUBLE)
+        |                 / octet_length(encode(text)) END AS mean_byte,
+        |       CAST(len(list_distinct([ascii(c) FOR c IN regexp_extract_all(text, '.')])) AS INTEGER) AS n_distinct_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_similarity_lsh" ->
       """WITH planes AS (
         |  SELECT j, [((i * 31 + j * 17) % 101) / 50.5 - 1.0 FOR i IN range(0, 64)] AS p

@@ -190,6 +190,46 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q_dedup_simhash_md5 — the SimHash pipeline over a PORTABLE 60-bit
+    * hash (15 hex chars of md5): per-token hashes vote ±1 on each bit
+    * (frequency-weighted — duplicates count), bit j sets on vote ≥ 0;
+    * then the same 15-bit-chunk band join + Hamming ≤ 3 verification as
+    * the native variant. Carries a full DuckDB oracle — the native
+    * [[graft.functions.SimHash64]] variant stays the fast path (one
+    * expression eval/doc vs a 60-way aggregation). */
+  def simhashMd5(s: SparkSession, d: String): DataFrame = {
+    val bitsN = 60
+    val h = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+    def vote(j: Int): Column =
+      sum(when(shiftright(col("hv"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"w$j")
+    val votes = h.groupBy(col("doc_id"))
+      .agg(vote(0), (1 until bitsN).map(vote): _*)
+    val sig = votes.select(col("doc_id"),
+      (0 until bitsN).map(j =>
+        when(col(s"w$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sig"))
+    val chunks = sig.select(
+      col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sig"), c * 15).bitwiseAND(lit(0x7FFFL))): _*))
+        .as(Seq("chunk", "chunk_val")))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Spark's round(x, 6) semantics exactly (HALF_UP via BigDecimal) —
     * bit-identical to the declarative formulation and the SQL oracle. */
   private def round6(x: Double): Double =
