@@ -132,6 +132,10 @@ object SparkEntry {
     "s_pair_match" -> (graft.streaming.EventPairing.sPairMatch _),
     "s_tumbling_agg" -> (graft.streaming.WindowedAgg.sTumblingAgg _),
     "s_pipeline" -> (graft.streaming.JoinedPipeline.sPipeline _),
+    "s_sliding_agg" -> (graft.streaming.MoreStreaming.sSlidingAgg _),
+    "s_session" -> (graft.streaming.MoreStreaming.sSession _),
+    "s_dedup" -> (graft.streaming.MoreStreaming.sDedup _),
+    "s_stream_static" -> (graft.streaming.MoreStreaming.sStreamStatic _),
   )
 
   /** DuckDB VALUES list kept in sync with TextAnalysis.lexicon. */
@@ -839,6 +843,38 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s_sliding_agg" ->
+      """SELECT event_type,
+        |       epoch_ms(time_bucket(INTERVAL 1 minute, ts) - k * INTERVAL 1 minute) AS window_start_ms,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+        |FROM events, range(0, 2) r(k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s_session" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 5 minute
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM e)
+        |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+        |       CAST(count(*) AS BIGINT) AS n_events, epoch_ms(max(ts)) AS last_ms
+        |FROM g GROUP BY user_id, grp ORDER BY 1, 2""".stripMargin,
+    "s_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY 1, 2""".stripMargin,
+    "s_stream_static" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('p00_small', 0.0, 100.0), ('p01_mid', 100.0, 250.0),
+        |  ('p02_large', 250.0, 500.0), ('p03_huge', 500.0, 1e9))
+        |SELECT event_id, band, value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |ORDER BY event_id""".stripMargin,
     "s_pipeline" ->
       """WITH j AS (
         |  SELECT f.user_id % 10 AS facility_id, f.ts AS f_ts,

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Det._
+
+/** Round-2 streaming variants: the rest of the window family plus
+  * streaming dedup and the stream-static join — each a REAL Structured
+  * Streaming query over a MemoryStream, run synchronously with the
+  * sentinel-watermark pattern (see [[WindowedAgg]]) and sharing its
+  * batch twin's DuckDB oracle. */
+object MoreStreaming {
+
+  private val nameCounter = new java.util.concurrent.atomic.AtomicInteger
+  private val Sentinel = "__sentinel__"
+
+  /** One keyed event for the session/dedup variants. */
+  case class KeyedEvent(user_id: Long, event_type: String, ts_ms: Long)
+
+  /** One valued event for the stream-static join variant. */
+  case class ValuedEvent(event_id: Long, value: Double)
+
+  /** Builds + runs an append-mode memory-sink query over a KeyedEvent
+    * MemoryStream; `feed` gets the stream and a drain thunk so it can
+    * interleave addData / processAllAvailable rounds (the sentinel
+    * watermark pattern needs at least two). */
+  private def run(s: SparkSession, prefix: String)(
+      build: DataFrame => DataFrame,
+      feed: (MemoryStream[KeyedEvent], () => Unit) => Unit): DataFrame = {
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    EventPairing.withStreamingPartitions(s) {
+      val input = MemoryStream[KeyedEvent]
+      val out = build(input.toDF())
+      val name = s"${prefix}_${nameCounter.incrementAndGet()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try feed(input, () => q.processAllAvailable()) finally q.stop()
+      s.table(name)
+    }
+  }
+
+  private def keyedEvents(s: SparkSession, d: String): (Seq[KeyedEvent], Long) = {
+    import s.implicits._
+    val events = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+      .as[KeyedEvent]
+      .collect()
+    (events.toSeq, if (events.isEmpty) 0L else events.map(_.ts_ms).max)
+  }
+
+  /** s_sliding_agg — 2-min/1-min sliding windows as an append-mode
+    * streaming aggregation (each event lands in two window states);
+    * same oracle as the batch q_window_sliding. */
+  def sSlidingAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val events = Tables.events(s, d)
+      .select(col("event_type"), unix_millis(col("ts")).as("ts_ms"), col("value"))
+      .as[StreamEvent].collect()
+    val maxTs = events.map(_.ts_ms).max
+    EventPairing.withStreamingPartitions(s) {
+      val input = MemoryStream[StreamEvent]
+      val agg = input.toDF()
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .withWatermark("ts", "60 seconds")
+        .groupBy(window(col("ts"), "120 seconds", "60 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("event_type"), millis(col("window.start")).as("window_start_ms"),
+          col("n"), col("sum_value"))
+      val name = s"s_sliding_agg_${nameCounter.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(events.toSeq :+ StreamEvent(Sentinel, maxTs + 86400000L, 0.0))
+        q.processAllAvailable()
+        input.addData(StreamEvent(Sentinel, maxTs + 90000000L, 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .filter(col("event_type") =!= Sentinel)
+        .orderBy("event_type", "window_start_ms")
+    }
+  }
+
+  /** s_session — 5-minute-gap session windows per user as an append-mode
+    * streaming aggregation (sessions merge in state as events arrive;
+    * a closed session emits once the watermark passes its end). Same
+    * session_window expression → same oracle as q_window_session. */
+  def sSession(s: SparkSession, d: String): DataFrame = {
+    val (events, maxTs) = keyedEvents(s, d)
+    run(s, "s_session")(
+      df => df
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .withWatermark("ts", "60 seconds")
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          millis(col("session_window.start")).as("session_start_ms"),
+          col("n_events"),
+          (millis(col("session_window.end")) - lit(300000L)).as("last_ms")),
+      (input, drain) => {
+        input.addData(events :+ KeyedEvent(-1L, Sentinel, maxTs + 86400000L))
+        drain()
+        input.addData(KeyedEvent(-1L, Sentinel, maxTs + 90000000L))
+        drain()
+      })
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_start_ms")
+  }
+
+  /** s_dedup — streaming exact dedup: dropDuplicatesWithinWatermark
+    * keeps one state entry per (user, type) key and expires it with the
+    * watermark — the unbounded-stream form of `SELECT DISTINCT`. Only
+    * the key columns are emitted, so the result is order-independent. */
+  def sDedup(s: SparkSession, d: String): DataFrame = {
+    val (events, maxTs) = keyedEvents(s, d)
+    run(s, "s_dedup")(
+      df => df
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type")),
+      (input, drain) => { input.addData(events :+ KeyedEvent(-1L, Sentinel, maxTs)); drain() })
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "event_type")
+  }
+
+  /** s_stream_static — stateless stream-static join: the streaming side
+    * probes a broadcast static band dimension with a range predicate
+    * (the streaming twin of q_range_join's theta join). No state, no
+    * watermark — rows emit in the arriving micro-batch. */
+  def sStreamStatic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val events = Tables.events(s, d)
+      .select(col("event_id"), col("value"))
+      .as[ValuedEvent].collect()
+    val bands = Seq(
+      ("p00_small", 0.0, 100.0),
+      ("p01_mid", 100.0, 250.0),
+      ("p02_large", 250.0, 500.0),
+      ("p03_huge", 500.0, 1e9)).toDF("band", "lo", "hi")
+    EventPairing.withStreamingPartitions(s) {
+      val input = MemoryStream[ValuedEvent]
+      val joined = input.toDF()
+        .join(broadcast(bands),
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .select(col("event_id"), col("band"), col("value"))
+      val name = s"s_stream_static_${nameCounter.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try { input.addData(events.toSeq); q.processAllAvailable() } finally q.stop()
+      s.table(name).orderBy("event_id")
+    }
+  }
+}
