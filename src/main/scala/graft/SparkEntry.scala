@@ -606,13 +606,20 @@ object SparkEntry {
         |              unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
         |                      FOR i IN range(1, len(ts) - 1)]) AS s
         |       FROM toks),
-        |mins AS (
-        |  SELECT doc_id, j,
-        |         min(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |hh AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
         |           [CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1
-        |            FOR c IN regexp_extract_all(substring(md5(s || '#' || CAST(j AS VARCHAR)), 1, 15), '.')]),
-        |           (acc, x) -> acc * 16 + x)) AS m
-        |  FROM sh, range(0, 16) r(j) GROUP BY 1, 2),
+        |            FOR c IN regexp_extract_all(substring(md5(s || '#a'), 1, 15), '.')]),
+        |           (acc, x) -> acc * 16 + x) AS h1,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           [CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1
+        |            FOR c IN regexp_extract_all(substring(md5(s || '#b'), 1, 15), '.')]),
+        |           (acc, x) -> acc * 16 + x) AS h2
+        |  FROM sh),
+        |mins AS (
+        |  SELECT doc_id, j, min(h1 + j * (h2 >> 4)) AS m
+        |  FROM hh, range(0, 16) r(j) GROUP BY 1, 2),
         |bands AS (
         |  SELECT doc_id, j // 4 AS band,
         |         string_agg(CAST(m AS VARCHAR), ':' ORDER BY j) AS band_key

