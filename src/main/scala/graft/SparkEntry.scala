@@ -71,6 +71,11 @@ object SparkEntry {
     "q_date_funcs" -> (graft.operators.Catalog.dateFuncs _),
     "q_bitwise" -> (graft.operators.Catalog.bitwise _),
     // aggregation / window / join surface (operators.Analytics)
+    "q_map_funcs" -> (graft.operators.Catalog.mapFuncs _),
+    "q_array_lambda" -> (graft.operators.Catalog.arrayLambda _),
+    "q_explode_outer" -> (graft.operators.Catalog.explodeOuter _),
+    "q_sequence_fill" -> (graft.operators.Analytics.sequenceFill _),
+    "q_stats_pop" -> (graft.operators.Analytics.statsPop _),
     "q_minmax_by" -> (graft.operators.Analytics.minmaxBy _),
     "q_count_if" -> (graft.operators.Analytics.countIf _),
     "q_string_agg" -> (graft.operators.Analytics.stringAgg _),
@@ -246,6 +251,46 @@ object SparkEntry {
         |       o_orderkey >> 2 AS shr2,
         |       CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
         |FROM orders ORDER BY 1""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT event_id,
+        |       map_extract(MAP {'t': event_type, 'u': CAST(user_id AS VARCHAR)}, 't')[1] AS t_val,
+        |       map_extract(MAP {'t': event_type, 'u': CAST(user_id AS VARCHAR)}, 'u')[1] AS u_val,
+        |       CAST(cardinality(MAP {'t': event_type, 'u': CAST(user_id AS VARCHAR)}) AS INTEGER) AS n_keys
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_array_lambda" ->
+      """SELECT vec_id,
+        |       CAST(len(list_filter(embedding, x -> x > 0.0)) AS INTEGER) AS n_pos,
+        |       list_max(list_transform(embedding, x -> abs(x))) AS max_abs,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         [CAST(x AS DOUBLE) FOR x IN embedding]), (acc, x) -> acc + x) AS sum_all
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_explode_outer" ->
+      """SELECT event_id, CAST(unnest(range(1, event_id % 3 + 1)) AS INTEGER) AS slot
+        |FROM events WHERE event_id % 3 <> 0
+        |UNION ALL
+        |SELECT event_id, NULL FROM events WHERE event_id % 3 = 0
+        |ORDER BY event_id, slot NULLS FIRST""".stripMargin,
+    "q_sequence_fill" ->
+      """WITH bounds AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |                       date_trunc('month', max(o_orderdate)) AS hi
+        |                FROM orders),
+        |spine AS (SELECT unnest(range(lo, hi + INTERVAL 1 MONTH, INTERVAL 1 MONTH)) AS m
+        |          FROM bounds),
+        |monthly AS (SELECT date_trunc('month', o_orderdate) AS m,
+        |                   CAST(count(*) AS BIGINT) AS n
+        |            FROM orders GROUP BY 1)
+        |SELECT epoch_ms(spine.m) AS month_ms, COALESCE(monthly.n, 0) AS n_orders
+        |FROM spine LEFT JOIN monthly ON spine.m = monthly.m
+        |ORDER BY 1""".stripMargin,
+    "q_stats_pop" ->
+      """SELECT o_orderpriority,
+        |       round(var_pop(o_totalprice), 2) AS vp,
+        |       round(stddev_pop(o_totalprice), 4) AS sp,
+        |       round(covar_pop(o_totalprice, CAST(o_custkey AS DOUBLE)), 2) AS cvp,
+        |       round(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)), 2) AS cvs,
+        |       round(regr_slope(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS slope,
+        |       round(regr_r2(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS r2
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_minmax_by" ->
       """SELECT o_orderpriority,
         |       arg_max(o_orderkey, CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) * 1000000 + o_orderkey) AS best_order,

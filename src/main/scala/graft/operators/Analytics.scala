@@ -223,6 +223,42 @@ object Analytics {
       .agg(count(lit(1)).as("n_sampled"), dsum(col("o_totalprice")).as("sampled_value"))
       .orderBy("o_orderpriority")
 
+  /** q_sequence_fill — calendar zero-fill: a generated month spine
+    * (sequence + explode) left-joined to the monthly rollup so empty
+    * months appear as explicit zeros — the standard densification step
+    * before time-series modeling. The spine derives from the data's own
+    * min/max, so the query stays self-contained at any scale. */
+  def sequenceFill(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val bounds = o.agg(
+      date_trunc("month", min(col("o_orderdate"))).as("lo"),
+      date_trunc("month", max(col("o_orderdate"))).as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 MONTH"))).as("m"))
+    val monthly = o.groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(monthly, Seq("m"), "left_outer")
+      .select(unix_millis(col("m")).as("month_ms"),
+        coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy("month_ms")
+  }
+
+  /** q_stats_pop — population-variant statistics + simple linear
+    * regression aggregates per priority (the samp variants live in
+    * q_stats_agg). All are ratios of order-dependent double sums, so
+    * they round at the edge like the other moment aggregates. */
+  def statsPop(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(var_pop(col("o_totalprice")), 2).as("vp"),
+        round(stddev_pop(col("o_totalprice")), 4).as("sp"),
+        round(covar_pop(col("o_totalprice"), col("o_custkey").cast("double")), 2).as("cvp"),
+        round(covar_samp(col("o_totalprice"), col("o_custkey").cast("double")), 2).as("cvs"),
+        round(regr_slope(col("o_totalprice"), col("o_custkey").cast("double")), 6).as("slope"),
+        round(regr_r2(col("o_totalprice"), col("o_custkey").cast("double")), 6).as("r2"))
+      .orderBy("o_orderpriority")
+
   /** q_range_join — theta (range-predicate) join: events against a tiny
     * value-band dimension with `lo ≤ value < hi`. A non-equi join can
     * only plan as nested-loop — broadcasting the 4-row band table keeps

@@ -77,4 +77,46 @@ object Catalog {
         shiftright(col("o_orderkey"), 2).as("shr2"),
         bit_count(col("o_orderkey")).as("popcount"))
       .orderBy("o_orderkey")
+
+  /** q_map_funcs — MapType catalog: build a map from columns, extract by
+    * key, count entries. (The oracle engine returns a LIST from map
+    * extraction, so its side unwraps with `[1]` — the values compare
+    * equal.) */
+  def mapFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        map(lit("t"), col("event_type"),
+          lit("u"), col("user_id").cast("string")).as("m"))
+      .select(
+        col("event_id"),
+        element_at(col("m"), "t").as("t_val"),
+        element_at(col("m"), "u").as("u_val"),
+        size(col("m")).as("n_keys"))
+      .orderBy("event_id")
+
+  /** q_array_lambda — higher-order array functions over the embedding
+    * column: filter (positive components), transform+max (max |x|), and
+    * a sequential aggregate fold (sum). The fold order is identical in
+    * both engines, so the double sum needs no edge rounding. */
+  def arrayLambda(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(filter(col("embedding"), x => x > 0.0f)).as("n_pos"),
+        array_max(transform(col("embedding"), x => abs(x))).as("max_abs"),
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")).as("sum_all"))
+      .orderBy("vec_id")
+
+  /** q_explode_outer — null-preserving lateral explode: rows whose array
+    * is empty survive with a NULL slot (plain explode would drop them),
+    * the outer-join flavor of the lateral view. */
+  def explodeOuter(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        when(col("event_id") % 3 === 0, array().cast("array<bigint>"))
+          .otherwise(sequence(lit(1L), col("event_id") % 3)).as("slots"))
+      .select(col("event_id"), explode_outer(col("slots")).as("slot0"))
+      .select(col("event_id"), col("slot0").cast("int").as("slot"))
+      .orderBy(col("event_id"), col("slot").asc_nulls_first)
 }
