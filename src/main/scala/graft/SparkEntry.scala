@@ -141,6 +141,8 @@ object SparkEntry {
     "s_session" -> (graft.streaming.MoreStreaming.sSession _),
     "s_dedup" -> (graft.streaming.MoreStreaming.sDedup _),
     "s_stream_static" -> (graft.streaming.MoreStreaming.sStreamStatic _),
+    "s_complete_agg" -> (graft.streaming.MoreStreaming.sCompleteAgg _),
+    "s_foreach_sink" -> (graft.streaming.MoreStreaming.sForeachSink _),
   )
 
   /** DuckDB VALUES list kept in sync with TextAnalysis.lexicon. */
@@ -920,6 +922,13 @@ object SparkEntry {
     "s_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY 1, 2""".stripMargin,
+    "s_complete_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s_foreach_sink" ->
+      """SELECT event_id, value FROM events WHERE value > 100.0
+        |ORDER BY event_id""".stripMargin,
     "s_stream_static" ->
       """WITH bands(band, lo, hi) AS (VALUES
         |  ('p00_small', 0.0, 100.0), ('p01_mid', 100.0, 250.0),

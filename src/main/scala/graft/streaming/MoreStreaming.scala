@@ -129,6 +129,55 @@ object MoreStreaming {
       .orderBy("user_id", "event_type")
   }
 
+  /** s_complete_agg — COMPLETE output mode: a non-windowed running
+    * aggregation whose full result re-emits every batch (the reference's
+    * cache-disabled KTable behavior, Main.java:64, is the UPDATE-mode
+    * sibling). No watermark needed — state is one row per group key. */
+  def sCompleteAgg(s: SparkSession, d: String): DataFrame = {
+    val (events, _) = keyedEvents(s, d)
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    EventPairing.withStreamingPartitions(s) {
+      val input = MemoryStream[KeyedEvent]
+      val agg = input.toDF()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ts_ms")).as("first_ms"), max(col("ts_ms")).as("last_ms"))
+      val name = s"s_complete_agg_${nameCounter.incrementAndGet()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try { input.addData(events); q.processAllAvailable() } finally q.stop()
+      s.table(name).orderBy("event_type")
+    }
+  }
+
+  /** s_foreach_sink — the production sink pattern: foreachBatch hands
+    * each micro-batch DataFrame to arbitrary batch-writer code (here an
+    * append-mode parquet write — in production: JDBC upserts, multi-sink
+    * fan-out, MERGE INTO). The result is read back from the files the
+    * sink produced, proving the loop end-to-end. */
+  def sForeachSink(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val events = Tables.events(s, d)
+      .select(col("event_id"), col("value"))
+      .as[ValuedEvent].collect()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_foreach_sink").toString
+    EventPairing.withStreamingPartitions(s) {
+      val input = MemoryStream[ValuedEvent]
+      val filtered = input.toDF().filter(col("value") > 100.0)
+      val q = filtered.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(dir)
+        }
+        .outputMode("append").start()
+      try { input.addData(events.toSeq); q.processAllAvailable() } finally q.stop()
+      s.read.parquet(dir).select(col("event_id"), col("value"))
+        .orderBy("event_id")
+    }
+  }
+
   /** s_stream_static — stateless stream-static join: the streaming side
     * probes a broadcast static band dimension with a range predicate
     * (the streaming twin of q_range_join's theta join). No state, no
