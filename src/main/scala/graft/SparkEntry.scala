@@ -76,6 +76,8 @@ object SparkEntry {
     "q_explode_outer" -> (graft.operators.Catalog.explodeOuter _),
     "q_sequence_fill" -> (graft.operators.Analytics.sequenceFill _),
     "q_stats_pop" -> (graft.operators.Analytics.statsPop _),
+    "q_quantile_disc" -> (graft.operators.Analytics.quantileDisc _),
+    "q_collect_set" -> (graft.operators.Analytics.collectSet _),
     "q_minmax_by" -> (graft.operators.Analytics.minmaxBy _),
     "q_count_if" -> (graft.operators.Analytics.countIf _),
     "q_string_agg" -> (graft.operators.Analytics.stringAgg _),
@@ -292,6 +294,17 @@ object SparkEntry {
         |       round(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)), 2) AS cvs,
         |       round(regr_slope(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS slope,
         |       round(regr_r2(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS r2
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_quantile_disc" ->
+      """SELECT o_orderpriority,
+        |       quantile_disc(o_totalprice, 0.5) AS p50_disc,
+        |       quantile_disc(o_totalprice, 0.9) AS p90_disc,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_collect_set" ->
+      """SELECT o_orderpriority,
+        |       array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+        |       CAST(len(list_distinct(list(o_orderstatus))) AS INTEGER) AS n_statuses
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_minmax_by" ->
       """SELECT o_orderpriority,

@@ -223,6 +223,30 @@ object Analytics {
       .agg(count(lit(1)).as("n_sampled"), dsum(col("o_totalprice")).as("sampled_value"))
       .orderBy("o_orderpriority")
 
+  /** q_quantile_disc — discrete percentiles (PERCENTILE_DISC ≙ DuckDB
+    * quantile_disc): returns an actual member of the group (first value
+    * with cume_dist ≥ p), so unlike the interpolated q_percentiles no
+    * edge rounding is needed — the value is exact in both engines. */
+  def quantileDisc(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50_disc"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** q_collect_set — distinct-set aggregation rendered deterministic:
+    * collect_set is unordered in both engines, so the set sorts before
+    * serializing (the same discipline as q_string_agg). */
+  def collectSet(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses"),
+        size(collect_set(col("o_orderstatus"))).as("n_statuses"))
+      .orderBy("o_orderpriority")
+
   /** q_sequence_fill — calendar zero-fill: a generated month spine
     * (sequence + explode) left-joined to the monthly rollup so empty
     * months appear as explicit zeros — the standard densification step
