@@ -78,6 +78,10 @@ object SparkEntry {
     "q_stats_pop" -> (graft.operators.Analytics.statsPop _),
     "q_quantile_disc" -> (graft.operators.Analytics.quantileDisc _),
     "q_collect_set" -> (graft.operators.Analytics.collectSet _),
+    "q_window_ignorenulls" -> (graft.operators.Analytics.windowIgnoreNulls _),
+    "q_try_funcs" -> (graft.operators.Analytics.tryFuncs _),
+    "q_udf_demo" -> (graft.operators.UdfSurface.udfDemo _),
+    "q_udaf_demo" -> (graft.operators.UdfSurface.udafDemo _),
     "q_minmax_by" -> (graft.operators.Analytics.minmaxBy _),
     "q_count_if" -> (graft.operators.Analytics.countIf _),
     "q_string_agg" -> (graft.operators.Analytics.stringAgg _),
@@ -295,6 +299,29 @@ object SparkEntry {
         |       round(regr_slope(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS slope,
         |       round(regr_r2(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS r2
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_ignorenulls" ->
+      """SELECT c_mktsegment, c_custkey,
+        |       CASE WHEN c_acctbal >= 0.0 THEN c_acctbal END AS v,
+        |       last_value(CASE WHEN c_acctbal >= 0.0 THEN c_acctbal END IGNORE NULLS)
+        |         OVER (PARTITION BY c_mktsegment ORDER BY c_custkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_known
+        |FROM customer ORDER BY 1, 2""".stripMargin,
+    "q_try_funcs" ->
+      """SELECT event_id,
+        |       value / NULLIF(CAST(user_id % 3 AS DOUBLE), 0.0) AS safe_div,
+        |       TRY_CAST(event_type AS INTEGER) AS parsed_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_udf_demo" ->
+      """SELECT o_orderkey,
+        |       CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_rank,
+        |       o_orderstatus || '-' || CAST(o_orderkey % 1000 AS VARCHAR) AS order_tag
+        |FROM orders ORDER BY 1""".stripMargin,
+    "q_udaf_demo" ->
+      """SELECT l_returnflag,
+        |       (CAST(sum(CAST(floor(l_extendedprice * l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0)
+        |         / (CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0) AS weighted_avg_price,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_quantile_disc" ->
       """SELECT o_orderpriority,
         |       quantile_disc(o_totalprice, 0.5) AS p50_disc,

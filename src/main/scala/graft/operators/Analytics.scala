@@ -223,6 +223,31 @@ object Analytics {
       .agg(count(lit(1)).as("n_sampled"), dsum(col("o_totalprice")).as("sampled_value"))
       .orderBy("o_orderpriority")
 
+  /** q_window_ignorenulls — null-skipping window navigation: the running
+    * "last known non-null value" per segment (last + ignoreNulls ≙
+    * LAST_VALUE ... IGNORE NULLS) — the gap-fill primitive for sparse
+    * time series. Nulls are synthesized from negative balances. */
+  def windowIgnoreNulls(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.customer(s, d)
+      .withColumn("v", when(col("c_acctbal") >= 0.0, col("c_acctbal")))
+      .select(col("c_mktsegment"), col("c_custkey"), col("v"),
+        last(col("v"), ignoreNulls = true).over(w).as("last_known"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** q_try_funcs — error-tolerant expression forms: try_divide (null on
+    * zero divisor, where raw double division would give ±Inf) and
+    * try_cast (null on unparseable input) — the per-expression
+    * counterpart of the source-level PERMISSIVE JSON handling (C2). */
+  def tryFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        try_divide(col("value"), (col("user_id") % 3).cast("double")).as("safe_div"),
+        expr("try_cast(event_type AS INT)").as("parsed_type"))
+      .orderBy("event_id")
+
   /** q_quantile_disc — discrete percentiles (PERCENTILE_DISC ≙ DuckDB
     * quantile_disc): returns an actual member of the group (first value
     * with cume_dist ≥ p), so unlike the interpolated q_percentiles no
