@@ -90,4 +90,26 @@ class EquivalenceSpec extends SparkSpec {
       brute.get(r.getLong(0)).foreach(c => assert(c == r.getDouble(2)))
     }
   }
+
+  test("streaming variants ≡ their batch twins on one ingest") {
+    import org.apache.spark.sql.functions._
+    val ms = graft.streaming.MoreStreaming
+
+    assert(rows(ms.sSlidingAgg(spark, d)) ==
+      rows(graft.operators.Temporal.slidingWindow(spark, d)))
+    assert(rows(ms.sSession(spark, d)) ==
+      rows(graft.operators.Temporal.sessionWindow(spark, d)))
+    assert(rows(ms.sDedup(spark, d)) ==
+      rows(Tables.events(spark, d).select(col("user_id"), col("event_type"))
+        .distinct().orderBy("user_id", "event_type")))
+    assert(rows(ms.sCompleteAgg(spark, d)) ==
+      rows(Tables.events(spark, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          unix_millis(min(col("ts"))).as("first_ms"),
+          unix_millis(max(col("ts"))).as("last_ms"))
+        .orderBy("event_type")))
+    assert(rows(ms.sForeachSink(spark, d)) ==
+      rows(Tables.events(spark, d).filter(col("value") > 100.0)
+        .select(col("event_id"), col("value")).orderBy("event_id")))
+  }
 }
