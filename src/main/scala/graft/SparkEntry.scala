@@ -43,6 +43,10 @@ object SparkEntry {
     "q_semi_join" -> (Relational.semiJoin _),
     "q_anti_join" -> (Relational.antiJoin _),
     "q_outer_join" -> (Relational.outerJoin _),
+    "q_full_outer" -> (Relational.fullOuter _),
+    "q_shuffle_hash_join" -> (Relational.shuffleHashJoin _),
+    "q_tpch_q6" -> (Relational.tpchQ6 _),
+    "q_tpch_q3" -> (Relational.tpchQ3 _),
     "q_agg_q1" -> (Relational.aggQ1 _),
     "q_agg_distinct" -> (Relational.aggDistinct _),
     "q_rollup" -> (Relational.rollup _),
@@ -103,8 +107,10 @@ object SparkEntry {
     "q_lang_id" -> (TextAnalysis.langId _),
     "q_quality_score" -> (TextAnalysis.qualityScore _),
     "q_doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    "q_tfidf" -> (TextAnalysis.tfidf _),
     // deduplication
     "q_dedup_exact" -> (Dedup.exact _),
+    "q_dedup_cluster" -> (Dedup.dedupCluster _),
     "q_dedup_ngram" -> (Dedup.ngramJaccard _),
     "q_dedup_minhash" -> (Dedup.minhashLsh _),
     "q_dedup_minhash_md5" -> (Dedup.minhashLshMd5 _),
@@ -476,6 +482,33 @@ object SparkEntry {
         |       COALESCE(CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0, 0.0) AS revenue
         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_full_outer" ->
+      """WITH rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000.0),
+        |cnt AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_acctbal, n_orders
+        |FROM rich FULL JOIN cnt ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q_shuffle_hash_join" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+        |       epoch_ms(o_orderdate) AS orderdate_ms
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q_agg_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_qty,
@@ -654,6 +687,22 @@ object SparkEntry {
         |       (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) * 0.1
         |         + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, score,
+        |                  CAST(row_number() OVER (PARTITION BY doc_id
+        |                                          ORDER BY score DESC, term) AS INTEGER) AS rn
+        |           FROM scored)
+        |SELECT doc_id, term, score, rn FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
     "q_doc_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(
@@ -665,6 +714,31 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
         |       min(doc_id) AS first_doc_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE toksc AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |              unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |                      FOR i IN range(1, len(ts) - 1)]) AS shingle
+        |       FROM toksc),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                 CAST(count(*) AS BIGINT) AS n_common
+        |          FROM sh a JOIN sh b
+        |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a
+        |             JOIN cnt cb ON cb.doc_id = doc_b
+        |  WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(doc, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.doc = e.b)
+        |SELECT doc AS doc_id, min(lbl) AS cluster_rep FROM reach GROUP BY doc
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |sh AS (SELECT DISTINCT doc_id,

@@ -235,6 +235,40 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q_dedup_cluster — near-duplicate CLUSTERING: connected components
+    * over the Jaccard-pair graph (doc → min doc_id in its component),
+    * the step every dedup pipeline needs after pair generation — keep
+    * one representative per cluster, not per pair. Iterative min-label
+    * propagation: each round joins labels across edges and keeps the
+    * min; converges in ≤ diameter rounds (near-dup clusters are
+    * shallow). The driver loop only checks a convergence COUNT per
+    * round — the data never leaves the cluster; localCheckpoint caps
+    * lineage growth (a real deployment points checkpoint at durable
+    * storage). Oracle: the same components via a recursive CTE. */
+  def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("doc_a").as("doc")).distinct()
+      .withColumn("lbl", col("doc"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNbr = edges
+        .join(labels, edges("doc_b") === labels("doc"))
+        .select(col("doc_a").as("doc"), col("lbl"))
+      val next = labels.select(col("doc"), col("lbl")).union(viaNbr)
+        .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
+        .filter(col("lbl") < col("old")).count()
+      labels = next
+    }
+    labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
   /** Spark's round(x, 6) semantics exactly (HALF_UP via BigDecimal) —
     * bit-identical to the declarative formulation and the SQL oracle. */
   private def round6(x: Double): Double =

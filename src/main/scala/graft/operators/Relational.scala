@@ -342,4 +342,69 @@ object Relational {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
+
+  /** q_full_outer — FULL OUTER join: high-balance customers against
+    * per-customer order counts, both unmatched sides preserved (orders
+    * of non-rich customers → null acctbal; rich customers with no
+    * orders → null n_orders). */
+  def fullOuter(s: SparkSession, d: String): DataFrame = {
+    val rich = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 9000.0)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val cnt = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    rich.join(cnt, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_acctbal"), col("n_orders"))
+      .orderBy("custkey")
+  }
+
+  /** q_shuffle_hash_join — the SHUFFLE_HASH hint: both sides hash-
+    * partition and the smaller builds an in-memory hash table per
+    * partition — no sort of either side (vs SortMergeJoin), the right
+    * choice when one side fits per-partition memory but is too big to
+    * broadcast. Results identical to the plain join (oracle: plain SQL). */
+  def shuffleHashJoin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("total_qty"))
+      .orderBy("o_orderstatus")
+
+  /** q_tpch_q6 — TPC-H Q6 (forecast revenue change): the pushdown
+    * showcase — every predicate reaches the parquet reader
+    * (PushedFilters on shipdate range, discount band, quantity), the
+    * scan reads 4 of 11 columns, and the whole query is one partial+
+    * final aggregate with zero joins. */
+  def tpchQ6(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24.0)
+      .agg(dsumExact(dprod(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** q_tpch_q3 — TPC-H Q3 shape (shipping priority): segment-filtered
+    * customer ⋈ orders ⋈ lineitem with date bounds on both sides of the
+    * pipeline, per-order revenue rollup, top-10 by revenue. Customer is
+    * the broadcast dim; revenue is exact decimal so the ranking is
+    * engine-independent. */
+  def tpchQ3(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsumExact(dprod(col("l_extendedprice"),
+        lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        millis(col("o_orderdate")).as("orderdate_ms"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
 }

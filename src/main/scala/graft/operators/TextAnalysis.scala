@@ -103,6 +103,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q_tfidf — classic TF-IDF: term frequency per doc × ln(N/df), top-3
+    * terms per doc. One shuffle builds (doc, term) counts; document
+    * frequency is a second keyed agg broadcast back onto the terms; N is
+    * a scalar literal resolved by a 1-row subplan. ln() is transcendental
+    * (libm results may differ in the last ulp across engines), so the
+    * score rounds to 1e-6 BEFORE ranking — both engines rank the same
+    * rounded value, term as tie-break. */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.distinct().groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("score"), col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
   /** q_doc_fingerprint — polynomial rolling hash over the characters
     * (h = h*31 + ascii, mod 1e9+7): a deterministic content fingerprint
     * computable as a sequential fold in both engines. Collision-resistant
