@@ -44,6 +44,7 @@ object SparkEntry {
     "q_anti_join" -> (Relational.antiJoin _),
     "q_outer_join" -> (Relational.outerJoin _),
     "q_full_outer" -> (Relational.fullOuter _),
+    "q_cross_join" -> (Relational.crossJoin _),
     "q_shuffle_hash_join" -> (Relational.shuffleHashJoin _),
     "q_tpch_q6" -> (Relational.tpchQ6 _),
     "q_tpch_q3" -> (Relational.tpchQ3 _),
@@ -155,6 +156,7 @@ object SparkEntry {
     "s_stream_static" -> (graft.streaming.MoreStreaming.sStreamStatic _),
     "s_complete_agg" -> (graft.streaming.MoreStreaming.sCompleteAgg _),
     "s_foreach_sink" -> (graft.streaming.MoreStreaming.sForeachSink _),
+    "s_file_source" -> (graft.streaming.MoreStreaming.sFileSource _),
   )
 
   /** DuckDB VALUES list kept in sync with TextAnalysis.lexicon. */
@@ -482,6 +484,9 @@ object SparkEntry {
         |       COALESCE(CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0, 0.0) AS revenue
         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cross_join" ->
+      """SELECT n_name, r_name FROM nation CROSS JOIN region
+        |ORDER BY 1, 2""".stripMargin,
     "q_full_outer" ->
       """WITH rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000.0),
         |cnt AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1)
@@ -1043,6 +1048,12 @@ object SparkEntry {
     "s_foreach_sink" ->
       """SELECT event_id, value FROM events WHERE value > 100.0
         |ORDER BY event_id""".stripMargin,
+    "s_file_source" ->
+      """SELECT event_type,
+        |       epoch_ms(time_bucket(INTERVAL 1 minute, ts)) AS window_start_ms,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s_stream_static" ->
       """WITH bands(band, lo, hi) AS (VALUES
         |  ('p00_small', 0.0, 100.0), ('p01_mid', 100.0, 250.0),

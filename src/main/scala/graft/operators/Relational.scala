@@ -343,6 +343,14 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** q_cross_join — explicit Cartesian product of two tiny dims (every
+    * nation × every region). Fine when one side is broadcast-small;
+    * anything else should be an equi or banded join. */
+  def crossJoin(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d).select(col("n_name"))
+      .crossJoin(broadcast(Tables.region(s, d).select(col("r_name"))))
+      .orderBy("n_name", "r_name")
+
   /** q_full_outer — FULL OUTER join: high-balance customers against
     * per-customer order counts, both unmatched sides preserved (orders
     * of non-rich customers → null acctbal; rich customers with no

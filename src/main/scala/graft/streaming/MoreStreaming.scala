@@ -178,6 +178,41 @@ object MoreStreaming {
     }
   }
 
+  /** s_file_source — a REAL file-based streaming source: the events
+    * table is staged as json files, `readStream` tails the directory
+    * with an explicit schema (file sources never infer), and a
+    * watermarked tumbling aggregation drains with Trigger.AvailableNow.
+    * This is the no-broker twin of the Kafka source (same wire shape,
+    * see KafkaWire): at scale the directory is the landing zone and
+    * maxFilesPerTrigger paces ingestion. */
+  def sFileSource(s: SparkSession, d: String): DataFrame = {
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_file_source").toString
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+      .write.mode("overwrite").json(stage)
+    EventPairing.withStreamingPartitions(s) {
+      val schema = "event_id BIGINT, event_type STRING, ts_ms BIGINT, value DOUBLE"
+      val stream = s.readStream.schema(schema).json(stage)
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .withWatermark("ts", "60 seconds")
+        .groupBy(window(col("ts"), "60 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("event_type"), millis(col("window.start")).as("window_start_ms"),
+          col("n"), col("sum_value"))
+      val name = s"s_file_source_${nameCounter.incrementAndGet()}"
+      // AvailableNow + COMPLETE mode: drain all staged files in one run
+      // and emit every window (no sentinel needed to push the watermark)
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name).orderBy("event_type", "window_start_ms")
+    }
+  }
+
   /** s_stream_static — stateless stream-static join: the streaming side
     * probes a broadcast static band dimension with a range predicate
     * (the streaming twin of q_range_join's theta join). No state, no
