@@ -255,15 +255,20 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
+      // one join + one agg per round: the convergence check rides the
+      // same aggregation (own-label vs min-over-neighborhood) instead
+      // of a separate join against the previous labels
+      val self = labels.select(col("doc"), col("lbl"), lit(true).as("own"))
       val viaNbr = edges
         .join(labels, edges("doc_b") === labels("doc"))
-        .select(col("doc_a").as("doc"), col("lbl"))
-      val next = labels.select(col("doc"), col("lbl")).union(viaNbr)
-        .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
+        .select(col("doc_a").as("doc"), col("lbl"), lit(false).as("own"))
+      val agg = self.union(viaNbr)
+        .groupBy(col("doc"))
+        .agg(min(col("lbl")).as("lbl"),
+          min(when(col("own"), col("lbl"))).as("old"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
-        .filter(col("lbl") < col("old")).count()
-      labels = next
+      changed = agg.filter(col("lbl") < col("old")).count()
+      labels = agg.select(col("doc"), col("lbl"))
     }
     labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_rep"))
       .orderBy("doc_id")
