@@ -81,6 +81,7 @@ object SparkEntry {
     "q_explode_outer" -> (graft.operators.Catalog.explodeOuter _),
     "q_sequence_fill" -> (graft.operators.Analytics.sequenceFill _),
     "q_stats_pop" -> (graft.operators.Analytics.statsPop _),
+    "q_grouping_id" -> (graft.operators.Analytics.groupingId _),
     "q_quantile_disc" -> (graft.operators.Analytics.quantileDisc _),
     "q_collect_set" -> (graft.operators.Analytics.collectSet _),
     "q_window_ignorenulls" -> (graft.operators.Analytics.windowIgnoreNulls _),
@@ -330,6 +331,14 @@ object SparkEntry {
         |         / (CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0) AS weighted_avg_price,
         |       CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+        |       CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+        |       CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_quantile_disc" ->
       """SELECT o_orderpriority,
         |       quantile_disc(o_totalprice, 0.5) AS p50_disc,

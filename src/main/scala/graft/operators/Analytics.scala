@@ -253,6 +253,20 @@ object Analytics {
           expr("try_cast(event_type AS INT)")).as("parsed_type"))
       .orderBy("event_id")
 
+  /** q_grouping_id — GROUPING flags on a cube: distinguishes a real
+    * NULL group value from a subtotal row (the thing a plain cube
+    * result can't express), plus the packed grouping_id bitmask. */
+  def groupingId(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** q_quantile_disc — discrete percentiles (PERCENTILE_DISC ≙ DuckDB
     * quantile_disc): returns an actual member of the group (first value
     * with cume_dist ≥ p), so unlike the interpolated q_percentiles no

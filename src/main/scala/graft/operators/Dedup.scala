@@ -245,8 +245,14 @@ object Dedup {
     * round — the data never leaves the cluster; localCheckpoint caps
     * lineage growth (a real deployment points checkpoint at durable
     * storage). Oracle: the same components via a recursive CTE. */
-  def dedupCluster(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramJaccard(s, d).select(col("doc_a"), col("doc_b"))
+  def dedupCluster(s: SparkSession, d: String): DataFrame =
+    connectedComponents(ngramJaccard(s, d).select(col("doc_a"), col("doc_b")))
+      .orderBy("doc_id")
+
+  /** Connected components over an undirected pair list (doc_a, doc_b):
+    * (doc_id, cluster_rep = min doc in its component) for every doc
+    * appearing in a pair. Min-label propagation; see [[dedupCluster]]. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
@@ -271,7 +277,6 @@ object Dedup {
       labels = agg.select(col("doc"), col("lbl"))
     }
     labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_rep"))
-      .orderBy("doc_id")
   }
 
   /** Spark's round(x, 6) semantics exactly (HALF_UP via BigDecimal) —
