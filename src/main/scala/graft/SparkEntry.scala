@@ -158,6 +158,7 @@ object SparkEntry {
     "s_complete_agg" -> (graft.streaming.MoreStreaming.sCompleteAgg _),
     "s_foreach_sink" -> (graft.streaming.MoreStreaming.sForeachSink _),
     "s_file_source" -> (graft.streaming.MoreStreaming.sFileSource _),
+    "s_update_mode" -> (graft.streaming.MoreStreaming.sUpdateMode _),
   )
 
   /** DuckDB VALUES list kept in sync with TextAnalysis.lexicon. */
@@ -1051,6 +1052,10 @@ object SparkEntry {
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY 1, 2""".stripMargin,
     "s_complete_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s_update_mode" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

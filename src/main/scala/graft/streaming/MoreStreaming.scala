@@ -29,7 +29,8 @@ object MoreStreaming {
     * watermark pattern needs at least two). */
   private def run(s: SparkSession, prefix: String)(
       build: DataFrame => DataFrame,
-      feed: (MemoryStream[KeyedEvent], () => Unit) => Unit): DataFrame = {
+      feed: (MemoryStream[KeyedEvent], () => Unit) => Unit,
+      mode: String = "append"): DataFrame = {
     implicit val sqlCtx = s.sqlContext
     import s.implicits._
     EventPairing.withStreamingPartitions(s) {
@@ -37,7 +38,7 @@ object MoreStreaming {
       val out = build(input.toDF())
       val name = s"${prefix}_${nameCounter.incrementAndGet()}"
       val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+        .outputMode(mode).start()
       try feed(input, () => q.processAllAvailable()) finally q.stop()
       s.table(name)
     }
@@ -149,6 +150,23 @@ object MoreStreaming {
       try { input.addData(events); q.processAllAvailable() } finally q.stop()
       s.table(name).orderBy("event_type")
     }
+  }
+
+  /** s_update_mode — UPDATE output mode: only keys whose aggregate
+    * changed in the batch re-emit (the reference's
+    * `cache.max.bytes.buffering=0` forward-every-update behavior,
+    * Main.java:64,85 — C4). One ingest batch ⇒ each key emits exactly
+    * once, so the batch oracle applies. */
+  def sUpdateMode(s: SparkSession, d: String): DataFrame = {
+    val (events, _) = keyedEvents(s, d)
+    run(s, "s_update_mode")(
+      df => df
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("ts_ms")).as("first_ms"),
+          max(col("ts_ms")).as("last_ms")),
+      (input, drain) => { input.addData(events); drain() },
+      mode = "update")
+      .orderBy("event_type")
   }
 
   /** s_foreach_sink — the production sink pattern: foreachBatch hands
