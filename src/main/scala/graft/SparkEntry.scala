@@ -33,6 +33,7 @@ object SparkEntry {
     "q_tumbling_agg" -> (Pairing.tumblingAgg _),
     "q_json_get" -> (Pairing.jsonGet _),
     "q_json_emit" -> (Pairing.jsonEmit _),
+    "q_from_json" -> (Pairing.fromJson _),
     "q_pair_groups" -> (Pairing.pairGroups _),
     // Generalized relational surface (SURVEY.md §2.3)
     "q_scan_project" -> (Relational.scanProject _),
@@ -182,6 +183,44 @@ object SparkEntry {
       |  WHERE placed_ts IS NOT NULL AND fulfilled_ts IS NOT NULL)
       |""".stripMargin
 
+  /** Shared oracle texts — streaming variants check the SAME SQL as
+    * their batch twins (one place to fix a boundary semantic). */
+  private val tumblingAggSql: String =
+    """SELECT event_type,
+      |       epoch_ms(time_bucket(INTERVAL 1 minute, ts)) AS window_start_ms,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val slidingAggSql: String =
+    """SELECT event_type,
+      |       epoch_ms(time_bucket(INTERVAL 1 minute, ts) - k * INTERVAL 1 minute) AS window_start_ms,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+      |FROM events, range(0, 2) r(k)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val sessionWindowSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 5 minute
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, ts,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                        ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM e)
+      |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+      |       CAST(count(*) AS BIGINT) AS n_events, epoch_ms(max(ts)) AS last_ms
+      |FROM g GROUP BY user_id, grp ORDER BY 1, 2""".stripMargin
+
+  private val runningAggSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** DuckDB equivalents for the hash-compare (driver-run). Omitted keys
     * (approximate / non-SQL-expressible ops) get a rows-only check. */
   def oracleSql: Map[String, String] = Map(
@@ -218,12 +257,7 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS processing_count,
         |       CAST(sum(processing_ms) AS BIGINT) AS processing_ms
         |FROM complete GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-    "q_tumbling_agg" ->
-      """SELECT event_type,
-        |       epoch_ms(time_bucket(INTERVAL 1 minute, ts)) AS window_start_ms,
-        |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_tumbling_agg" -> tumblingAggSql,
     "q_json_get" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
@@ -231,6 +265,10 @@ object SparkEntry {
       """SELECT event_id,
         |       to_json(struct_pack(event_id := event_id, event_type := event_type,
         |                           user_id := user_id)) AS js
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_from_json" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+        |       props IS NULL AS props_missing
         |FROM events ORDER BY event_id""".stripMargin,
     "q_pair_groups" -> (pairsCte +
       """SELECT user_id, epoch_ms(placed_ts) AS placed_ms,
@@ -319,7 +357,8 @@ object SparkEntry {
     "q_try_funcs" ->
       """SELECT event_id,
         |       value / NULLIF(CAST(user_id % 3 AS DOUBLE), 0.0) AS safe_div,
-        |       TRY_CAST(event_type AS INTEGER) AS parsed_type
+        |       CASE WHEN regexp_matches(event_type, '^[0-9]+$')
+        |            THEN TRY_CAST(event_type AS INTEGER) END AS parsed_type
         |FROM events ORDER BY event_id""".stripMargin,
     "q_udf_demo" ->
       """SELECT o_orderkey,
@@ -352,12 +391,19 @@ object SparkEntry {
         |       CAST(len(list_distinct(list(o_orderstatus))) AS INTEGER) AS n_statuses
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_minmax_by" ->
-      """SELECT o_orderpriority,
-        |       arg_max(o_orderkey, CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) * 1000000 + o_orderkey) AS best_order,
-        |       max(o_totalprice) AS best_price,
-        |       arg_min(o_orderkey, CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) * 1000000 + o_orderkey) AS worst_order,
-        |       min(o_totalprice) AS worst_price
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rb,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rw
+        |  FROM orders)
+        |SELECT b.o_orderpriority,
+        |       b.o_orderkey AS best_order, b.o_totalprice AS best_price,
+        |       w.o_orderkey AS worst_order, w.o_totalprice AS worst_price
+        |FROM (SELECT * FROM r WHERE rb = 1) b
+        |JOIN (SELECT * FROM r WHERE rw = 1) w USING (o_orderpriority)
+        |ORDER BY 1""".stripMargin,
     "q_count_if" ->
       """SELECT c_mktsegment,
         |       CAST(count(*) AS BIGINT) AS n_custs,
@@ -826,18 +872,26 @@ object SparkEntry {
         |            ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
         |ORDER BY 1, 2""".stripMargin,
+    // byte-TRUE stats via hex(encode(text)) — a per-codepoint ascii()
+    // formulation would silently agree only on pure-ASCII corpora
     "q_media_features" ->
-      """SELECT doc_id,
+      """WITH b AS (
+        |  SELECT doc_id, source, octet_length(encode(text)) AS nb,
+        |         [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            [CAST(strpos('0123456789ABCDEF', c) AS BIGINT) - 1
+        |             FOR c IN regexp_extract_all(hex(encode(text))[i*2+1:i*2+2], '.')]),
+        |            (acc, x) -> acc * 16 + x)
+        |          FOR i IN range(0, octet_length(encode(text)))] AS bytes
+        |  FROM documents)
+        |SELECT doc_id,
         |       CASE WHEN source = 'src0' THEN 'image'
         |            WHEN source = 'src1' THEN 'audio'
         |            ELSE 'video' END AS media_type,
-        |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-        |       CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
-        |            ELSE CAST(list_sum([CAST(ascii(c) AS BIGINT)
-        |                                FOR c IN regexp_extract_all(text, '.')]) AS DOUBLE)
-        |                 / octet_length(encode(text)) END AS mean_byte,
-        |       CAST(len(list_distinct([ascii(c) FOR c IN regexp_extract_all(text, '.')])) AS INTEGER) AS n_distinct_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |       CAST(nb AS INTEGER) AS n_bytes,
+        |       CASE WHEN nb = 0 THEN 0.0
+        |            ELSE CAST(list_sum(bytes) AS DOUBLE) / nb END AS mean_byte,
+        |       CAST(len(list_distinct(bytes)) AS INTEGER) AS n_distinct_bytes
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q_similarity_lsh" ->
       """WITH planes AS (
         |  SELECT j, [((i * 31 + j * 17) % 101) / 50.5 - 1.0 FOR i IN range(0, 64)] AS p
@@ -986,28 +1040,8 @@ object SparkEntry {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY 1, 2""".stripMargin,
-    "q_window_sliding" ->
-      """SELECT event_type,
-        |       epoch_ms(time_bucket(INTERVAL 1 minute, ts) - k * INTERVAL 1 minute) AS window_start_ms,
-        |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
-        |FROM events, range(0, 2) r(k)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q_window_session" ->
-      """WITH e AS (
-        |  SELECT user_id, ts,
-        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 5 minute
-        |              THEN 1 ELSE 0 END AS brk
-        |  FROM events),
-        |g AS (
-        |  SELECT user_id, ts,
-        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |                        ROWS UNBOUNDED PRECEDING) AS grp
-        |  FROM e)
-        |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
-        |       CAST(count(*) AS BIGINT) AS n_events, epoch_ms(max(ts)) AS last_ms
-        |FROM g GROUP BY user_id, grp ORDER BY 1, 2""".stripMargin,
+    "q_window_sliding" -> slidingAggSql,
+    "q_window_session" -> sessionWindowSql,
     "q_source_json" ->
       """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
         |FROM events ORDER BY event_id""".stripMargin,
@@ -1020,54 +1054,18 @@ object SparkEntry {
       """SELECT user_id, epoch_ms(placed_ts) AS placed_ms,
         |       epoch_ms(fulfilled_ts) AS fulfilled_ms, processing_ms
         |FROM complete ORDER BY user_id""".stripMargin),
-    "s_tumbling_agg" ->
-      """SELECT event_type,
-        |       epoch_ms(time_bucket(INTERVAL 1 minute, ts)) AS window_start_ms,
-        |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "s_sliding_agg" ->
-      """SELECT event_type,
-        |       epoch_ms(time_bucket(INTERVAL 1 minute, ts) - k * INTERVAL 1 minute) AS window_start_ms,
-        |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
-        |FROM events, range(0, 2) r(k)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "s_session" ->
-      """WITH e AS (
-        |  SELECT user_id, ts,
-        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 5 minute
-        |              THEN 1 ELSE 0 END AS brk
-        |  FROM events),
-        |g AS (
-        |  SELECT user_id, ts,
-        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |                        ROWS UNBOUNDED PRECEDING) AS grp
-        |  FROM e)
-        |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
-        |       CAST(count(*) AS BIGINT) AS n_events, epoch_ms(max(ts)) AS last_ms
-        |FROM g GROUP BY user_id, grp ORDER BY 1, 2""".stripMargin,
+    "s_tumbling_agg" -> tumblingAggSql,
+    "s_sliding_agg" -> slidingAggSql,
+    "s_session" -> sessionWindowSql,
     "s_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY 1, 2""".stripMargin,
-    "s_complete_agg" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |       epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    "s_update_mode" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |       epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s_complete_agg" -> runningAggSql,
+    "s_update_mode" -> runningAggSql,
     "s_foreach_sink" ->
       """SELECT event_id, value FROM events WHERE value > 100.0
         |ORDER BY event_id""".stripMargin,
-    "s_file_source" ->
-      """SELECT event_type,
-        |       epoch_ms(time_bucket(INTERVAL 1 minute, ts)) AS window_start_ms,
-        |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s_file_source" -> tumblingAggSql,
     "s_stream_static" ->
       """WITH bands(band, lo, hi) AS (VALUES
         |  ('p00_small', 0.0, 100.0), ('p01_mid', 100.0, 250.0),

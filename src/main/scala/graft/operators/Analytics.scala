@@ -17,27 +17,25 @@ import Det._
   */
 object Analytics {
 
-  /** Injective ordering measure over (price, key): prices carry 4
-    * decimals, so `floor(p·1e4 + 0.5)` is an exact long ≤ ~6e9; ×1e6 +
-    * key stays < 2^63. min_by/max_by on a column with ties is
-    * nondeterministic in BOTH engines — this measure makes the arg
-    * unique per row, deterministically, in identical arithmetic. */
-  private def priceKeyMeasure: org.apache.spark.sql.Column =
-    floor(col("o_totalprice") * 10000 + 0.5).cast("long") * 1000000L +
-      col("o_orderkey")
-
   /** q_minmax_by — argmin/argmax aggregates: the order that realized the
-    * extreme price per priority (min_by/max_by ≙ DuckDB arg_min/arg_max),
-    * tie-broken injectively via [[priceKeyMeasure]]. */
-  def minmaxBy(s: SparkSession, d: String): DataFrame =
+    * extreme price per priority. min_by/max_by on a column with ties is
+    * nondeterministic in BOTH engines, so the ordering argument is the
+    * STRUCT (price, key) — lexicographic, injective for any key/price
+    * magnitude (a scaled-arithmetic combination would collide once keys
+    * outgrow the scale factor). DuckDB's arg_max can't take a composite
+    * ordering, so the oracle states the same semantics as ranking
+    * windows over (price, key). */
+  def minmaxBy(s: SparkSession, d: String): DataFrame = {
+    val ord = struct(col("o_totalprice"), col("o_orderkey"))
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority"))
       .agg(
-        max_by(col("o_orderkey"), priceKeyMeasure).as("best_order"),
+        max_by(col("o_orderkey"), ord).as("best_order"),
         max(col("o_totalprice")).as("best_price"),
-        min_by(col("o_orderkey"), priceKeyMeasure).as("worst_order"),
+        min_by(col("o_orderkey"), ord).as("worst_order"),
         min(col("o_totalprice")).as("worst_price"))
       .orderBy("o_orderpriority")
+  }
 
   /** q_count_if — filtered aggregates (count_if ≙ FILTER clause): share
     * of delinquent / affluent accounts per market segment. */
@@ -244,7 +242,9 @@ object Analytics {
     * exception-throw per row (~25 µs here — it tripled this query's
     * runtime on a mostly-failing column), so the cast sits behind a
     * cheap regexp guard: rows that can't parse never enter the
-    * throwing path, same null-on-error contract. */
+    * throwing path. The guard (unsigned digits only) is part of the
+    * query's contract and the oracle states the SAME guard — a bare
+    * TRY_CAST would additionally accept signed/padded/decimal forms. */
   def tryFuncs(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_id"),

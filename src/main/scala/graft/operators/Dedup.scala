@@ -313,13 +313,21 @@ object Dedup {
     * 100 TB the same shape tiles corpus × corpus in broadcast-sized
     * blocks (the LSH/IVF variants in [[Similarity]] are the
     * sub-quadratic paths). */
+  /** Per-directory memo of the broadcast build side: constructing this
+    * query materializes the block eagerly (a broadcast-join build is
+    * inherently eager), so repeated plan construction over the same
+    * data — Explain, profilers, Verify+Bench in one JVM — must not
+    * re-collect or pile up broadcasts. Testdata dirs are immutable. */
+  private val blockCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float], Double)]]]
+
   def embeddingCosine(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val block = s.sparkContext.broadcast(
-      e.collect().sortBy(_._1).map { case (id, v) => (id, v, normD(v)) })
+    val block = blockCache.getOrElseUpdate(d, s.sparkContext.broadcast(
+      e.collect().sortBy(_._1).map { case (id, v) => (id, v, normD(v)) }))
     e.mapPartitions { iter =>
       val all = block.value
       iter.flatMap { case (ida, va) =>

@@ -149,6 +149,22 @@ object Pairing {
       to_json(struct(col("event_id"), col("event_type"), col("user_id"))).as("js"))
       .orderBy("event_id")
 
+  /** q_from_json — O3 as a FULL schema parse (vs q_json_get's scalar
+    * path extraction): `from_json` with an explicit struct schema in
+    * PERMISSIVE mode. Malformed input yields an ALL-NULL STRUCT (not a
+    * null struct, and never a query failure — C2 log-and-continue;
+    * pinned by the crafted-garbage fixture in AnalyticsSpec). The
+    * `props_missing` flag reports SQL-NULL input, the only
+    * distinguishable degradation at this schema. */
+  def fromJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("parsed", from_json(col("props"), org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))))
+      .select(col("event_id"), col("parsed.k").as("k"),
+        col("props").isNull.as("props_missing"))
+      .orderBy("event_id")
+
   /** q_pair_groups — O7 through the typed per-group iterator surface
     * (`groupByKey.flatMapGroups`): arbitrary Scala over each key's
     * events, the batch sibling of the streaming flatMapGroupsWithState

@@ -62,7 +62,7 @@ object MoreStreaming {
     val events = Tables.events(s, d)
       .select(col("event_type"), unix_millis(col("ts")).as("ts_ms"), col("value"))
       .as[StreamEvent].collect()
-    val maxTs = events.map(_.ts_ms).max
+    val maxTs = if (events.isEmpty) 0L else events.map(_.ts_ms).max
     EventPairing.withStreamingPartitions(s) {
       val input = MemoryStream[StreamEvent]
       val agg = input.toDF()
@@ -136,20 +136,14 @@ object MoreStreaming {
     * sibling). No watermark needed — state is one row per group key. */
   def sCompleteAgg(s: SparkSession, d: String): DataFrame = {
     val (events, _) = keyedEvents(s, d)
-    implicit val sqlCtx = s.sqlContext
-    import s.implicits._
-    EventPairing.withStreamingPartitions(s) {
-      val input = MemoryStream[KeyedEvent]
-      val agg = input.toDF()
+    run(s, "s_complete_agg")(
+      df => df
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          min(col("ts_ms")).as("first_ms"), max(col("ts_ms")).as("last_ms"))
-      val name = s"s_complete_agg_${nameCounter.incrementAndGet()}"
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      try { input.addData(events); q.processAllAvailable() } finally q.stop()
-      s.table(name).orderBy("event_type")
-    }
+          min(col("ts_ms")).as("first_ms"), max(col("ts_ms")).as("last_ms")),
+      (input, drain) => { input.addData(events); drain() },
+      mode = "complete")
+      .orderBy("event_type")
   }
 
   /** s_update_mode — UPDATE output mode: only keys whose aggregate
@@ -191,8 +185,19 @@ object MoreStreaming {
         }
         .outputMode("append").start()
       try { input.addData(events.toSeq); q.processAllAvailable() } finally q.stop()
-      s.read.parquet(dir).select(col("event_id"), col("value"))
-        .orderBy("event_id")
+      // empty-result guard: with zero qualifying rows the sink never
+      // wrote a file and a bare parquet read of the dir cannot infer a
+      // schema. (The dir itself outlives the call — the returned frame
+      // reads it lazily.)
+      val parts = Option(new java.io.File(dir)
+        .listFiles((_, n) => n.endsWith(".parquet"))).fold(0)(_.length)
+      if (parts == 0) {
+        import s.implicits._
+        Seq.empty[(Long, Double)].toDF("event_id", "value")
+      } else {
+        s.read.parquet(dir).select(col("event_id"), col("value"))
+          .orderBy("event_id")
+      }
     }
   }
 

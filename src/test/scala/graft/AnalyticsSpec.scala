@@ -147,6 +147,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("from_json PERMISSIVE: garbage → all-null struct (not null, not a failure)") {
+    val d = fixtureDir("events" -> Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a", 1.0, """{"k": 7}"""),
+      (2L, ts("2024-01-01 00:00:01"), 1L, "a", 1.0, "{definitely not json"),
+      (3L, ts("2024-01-01 00:00:02"), 1L, "a", 1.0, null)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = Pairing.fromJson(spark, d).collect()
+      .map(x => x.getLong(0) -> (Option(x.get(1)), x.getBoolean(2))).toMap
+    assert(r(1L) == ((Some(7), false)))   // parsed
+    assert(r(2L) == ((None, false)))      // garbage: all-null struct, query alive
+    assert(r(3L) == ((None, true)))       // SQL-NULL input is the flagged case
+  }
+
+  test("minmax_by: tie-break stays injective beyond the 1e6 key range") {
+    // keys above 1e6 would collide under a scaled-arithmetic measure;
+    // the struct (price, key) ordering cannot
+    val d = ordersDir(
+      (1000000005L, 1L, "O", 500.0, "1995-01-01 00:00:00", "1-URGENT"),
+      (1000000002L, 1L, "O", 500.0, "1995-01-02 00:00:00", "1-URGENT"),
+      (999999999L, 1L, "O", 499.9999, "1995-01-03 00:00:00", "1-URGENT"))
+    val r = Analytics.minmaxBy(spark, d).collect()(0)
+    assert(r.getLong(1) == 1000000005L) // max (price, key)
+    assert(r.getLong(3) == 999999999L)  // min (price, key)
+  }
+
   test("date_funcs: add_months clamps to month end; weekday is Monday=0") {
     val d = ordersDir(
       (1L, 1L, "O", 1.0, "1997-01-31 00:00:00", "x"),  // +3m → Apr 30
