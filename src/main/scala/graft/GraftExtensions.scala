@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDot, FloatNorm2, SimHash64}
+import graft.functions.{FloatDot, FloatNorm2, Md5Hash60, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so `spark.sql("SELECT
@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_norm2"),
       info("vec_norm2", "vec_norm2(a) - squared L2 norm of a numeric array"),
       (args: Seq[Expression]) => FloatNorm2(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("md5hash60"),
+      info("md5hash60", "md5hash60(s) - first 60 bits of md5(s) as a long"),
+      (args: Seq[Expression]) => Md5Hash60(args.head)))
   }
 }

@@ -22,4 +22,9 @@ package object functions {
   /** Codegen'd squared L2 norm of a numeric-array column ([[FloatNorm2]]). */
   def vec_norm2(a: Column): Column =
     toColumn(FloatNorm2(toExpr(a)))
+
+  /** First 60 bits of md5 of a string column ([[Md5Hash60]]) — the
+    * engine-portable hash primitive (≡ conv(substring(md5(s),1,15),16,10)). */
+  def md5hash60(s: Column): Column =
+    toColumn(Md5Hash60(toExpr(s)))
 }

@@ -144,9 +144,10 @@ object Dedup {
     * joined "m0:m1:m2:m3" string, so no second-level hash is needed. */
   def minhashLshMd5(s: SparkSession, d: String): DataFrame = {
     val k = 16
+    // native 60-bit md5 expression — value-identical to
+    // conv(substring(md5(s),1,15),16,10) but no hex-string round trip
     def hex60(suffix: String): Column =
-      conv(substring(md5(concat(col("sh"), lit(suffix)).cast("binary")), 1, 15),
-        16, 10).cast("long")
+      graft.functions.md5hash60(concat(col("sh"), lit(suffix)))
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), explode(shinglesOf(col("tk"))).as("sh"))
@@ -207,8 +208,7 @@ object Dedup {
     val h = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"),
-        conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("hv"))
+        graft.functions.md5hash60(col("t")).as("hv"))
     def vote(j: Int): Column =
       sum(when(shiftright(col("hv"), j).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"w$j")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{simhash64, vec_dot, vec_norm2, SimHash64}
+import graft.functions.{md5hash60, simhash64, vec_dot, vec_norm2, SimHash64}
 
 /** Native expression semantics: interpreted vs codegen'd paths agree,
   * SQL registration via GraftExtensions works, hash basics hold. */
@@ -46,6 +46,17 @@ class FunctionsSpec extends SparkSpec {
     val optimized = df.queryExecution.optimizedPlan.toString
     assert(optimized.contains("floatnorm2") && !optimized.contains("floatdot"))
     assert(df.collect().forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("md5hash60 ≡ the declarative conv(substring(md5)) formulation") {
+    val df = Seq("", "a", "hello#3", "αβγ utf8 content", "x" * 500).toDF("s")
+    val both = df.select(
+      md5hash60(col("s")).as("native"),
+      expr("CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 15), 16, 10) AS BIGINT)").as("declarative"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // 60-bit range: seed arithmetic h1 + 15·(h2>>4) can never overflow
+    both.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 60)))
   }
 
   test("simhash: identical token multisets hash identically; signature is order-insensitive") {
