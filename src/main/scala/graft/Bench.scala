@@ -8,11 +8,18 @@ import org.apache.spark.sql.SparkSession
   * Each query is fully executed through the `noop` sink — unlike
   * `count()`, which lets Spark prune projected columns and answer
   * row-level scans from parquet metadata, noop materializes every output
-  * row, so the timings measure the real operator work. */
+  * row, so the timings measure the real operator work.
+  *
+  * Every query runs `SPARK_GRAFT_REPS` times (default 2) and the MINIMUM
+  * is reported: a single sample is hostage to one GC or JIT pause (round
+  * 2 recorded a phantom 8 s on a 1.8 s query that way), and the min of k
+  * reps is the standard estimator for the noise-free cost of a
+  * deterministic computation. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,12 +34,15 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Pairing, Relational, Similarity, Sources, Temporal, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Observe, Pairing, Relational, Similarity, Sources, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -149,7 +149,10 @@ object SparkEntry {
     "q_source_orc" -> (Sources.orcRoundtrip _),
     // streaming variants — real Structured Streaming queries over a
     // MemoryStream source, executed synchronously (SURVEY.md §2.3 s_*)
+    "q_observe_metrics" -> (Observe.observeMetrics _),
     "s_pair_match" -> (graft.streaming.EventPairing.sPairMatch _),
+    "s_pair_match_tws" -> (graft.streaming.PairingTws.sPairMatchTws _),
+    "s_ingest_time" -> (graft.streaming.IngestTime.sIngestTime _),
     "s_tumbling_agg" -> (graft.streaming.WindowedAgg.sTumblingAgg _),
     "s_pipeline" -> (graft.streaming.JoinedPipeline.sPipeline _),
     "s_sliding_agg" -> (graft.streaming.MoreStreaming.sSlidingAgg _),
@@ -1054,6 +1057,25 @@ object SparkEntry {
       """SELECT user_id, epoch_ms(placed_ts) AS placed_ms,
         |       epoch_ms(fulfilled_ts) AS fulfilled_ms, processing_ms
         |FROM complete ORDER BY user_id""".stripMargin),
+    "s_pair_match_tws" -> (pairsCte +
+      """SELECT user_id, epoch_ms(placed_ts) AS placed_ms,
+        |       epoch_ms(fulfilled_ts) AS fulfilled_ms, processing_ms
+        |FROM complete ORDER BY user_id""".stripMargin),
+    // C1 arrival-time windows: the oracle reproduces the rig's
+    // deterministic arrival waves (wave = event_id mod 3) — the event
+    // timestamp column is deliberately absent from the grouping.
+    "s_ingest_time" ->
+      """SELECT event_type,
+        |       1767225600000 + ((event_id % 3) + 1) * 60000 AS window_end_ms,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_observe_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS records,
+        |       CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+        |       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+        |FROM events""".stripMargin,
     "s_tumbling_agg" -> tumblingAggSql,
     "s_sliding_agg" -> slidingAggSql,
     "s_session" -> sessionWindowSql,

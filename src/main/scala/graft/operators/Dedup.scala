@@ -300,57 +300,80 @@ object Dedup {
     math.sqrt(acc)
   }
 
+  /** Rows per tile side — bounds each cogroup task's in-memory block to
+    * ~tileRows vectors regardless of corpus size (8192 × 64-dim float ≈
+    * a few MB per task). */
+  private val tileRows = 8192L
+
   /** q_dedup_embedding — embedding-cosine near-dup pairs (≥ 0.9,
     * vec_id_a < vec_id_b). Exact all-pairs baseline, executed as a
-    * broadcast block nested-loop: one side of the corpus rides a
-    * broadcast as primitive (id, float[], norm) rows and each partition
-    * of the scan side loops it in place — no 2M-row join
-    * materialization, no per-pair UnsafeRow copies of the arrays. Norms
-    * are precomputed once per vector (not per pair), and the exact
-    * BigDecimal rounding runs only on pairs already within 1e-6 of the
-    * threshold (raw ≥ 0.8999994 ⊇ round6 ≥ 0.9, since HALF_UP rounds
-    * 0.8999995 up) — the hot loop is pure primitive arithmetic. At
-    * 100 TB the same shape tiles corpus × corpus in broadcast-sized
-    * blocks (the LSH/IVF variants in [[Similarity]] are the
-    * sub-quadratic paths). */
-  /** Per-directory memo of the broadcast build side: constructing this
-    * query materializes the block eagerly (a broadcast-join build is
-    * inherently eager), so repeated plan construction over the same
-    * data — Explain, profilers, Verify+Bench in one JVM — must not
-    * re-collect or pile up broadcasts. Testdata dirs are immutable. */
-  private val blockCache = scala.collection.concurrent.TrieMap
-    .empty[String, org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float], Double)]]]
-
+    * fully distributed corpus × corpus block nested-loop: every vector
+    * is hashed into one of `nb` blocks, each unordered block pair
+    * (i ≤ j) is a tile, and rows are replicated to their tiles' shuffle
+    * keys (probe side to tiles (b, j ≥ b), build side to tiles
+    * (i ≤ b, b)). A cogroup per tile materializes ONLY the build block
+    * (≤ [[tileRows]] rows, norms precomputed once) and streams the
+    * probe iterator against it in a primitive loop — nothing is ever
+    * collected to the driver and task memory is O(tileRows), so the
+    * shape survives a corpus that no single machine can hold. Tiles are
+    * uniform (hash blocks, not id ranges), so there is no triangle
+    * skew; replication factor is nb per row, i.e. shuffle volume is
+    * n·nb vectors — negligible next to the inherent O(n²) compare cost
+    * this exact baseline pays (the LSH/IVF variants in [[Similarity]]
+    * are the sub-quadratic paths). The exact BigDecimal rounding runs
+    * only on pairs already within 1e-6 of the threshold (raw ≥
+    * 0.8999994 ⊇ round6 ≥ 0.9, since HALF_UP rounds 0.8999995 up) — the
+    * hot loop is pure primitive arithmetic. */
   def embeddingCosine(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val block = blockCache.getOrElseUpdate(d, s.sparkContext.broadcast(
-      e.collect().sortBy(_._1).map { case (id, v) => (id, v, normD(v)) }))
-    e.mapPartitions { iter =>
-      val all = block.value
-      iter.flatMap { case (ida, va) =>
-        val na = normD(va)
-        // binary search for the first id > ida keeps the loop j>i only
-        var lo = 0; var hi = all.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (all(mid)._1 <= ida) lo = mid + 1 else hi = mid
-        }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var j = lo
-        while (j < all.length) {
-          val (idb, vb, nb) = all(j)
-          val raw = dotD(va, vb) / (na * nb)
-          if (raw >= 0.8999994) {
-            val c = round6(raw)
-            if (c >= 0.9) out += ((ida, idb, c))
+    // Block count: enough tiles to feed every core even on a tiny
+    // corpus (nb(nb+1)/2 ≥ parallelism), and enough that no block
+    // exceeds tileRows on a big one. Only these two longs reach the
+    // driver.
+    val n = Tables.embeddings(s, d).count()
+    val par = s.sparkContext.defaultParallelism
+    val nbL = math.max(math.ceil(math.sqrt(2.0 * par)).toLong,
+      (n + tileRows - 1) / tileRows)
+    val nb = math.max(1L, math.min(nbL, math.max(1L, n))).toInt
+    val tagged = e.map { case (id, v) =>
+      (Math.floorMod(java.lang.Long.hashCode(id), nb), id, v)
+    }
+    val probe = tagged.flatMap { case (b, id, v) =>
+      Iterator.range(b, nb).map(j => ((b, j), id, v))
+    }
+    val build = tagged.flatMap { case (b, id, v) =>
+      Iterator.range(0, b + 1).map(i => ((i, b), id, v))
+    }
+    probe.groupByKey(_._1).cogroup(build.groupByKey(_._1)) {
+      case ((bi, bj), ps, bs) =>
+        val block = bs.map { case (_, id, v) => (id, v, normD(v)) }.toArray
+        val diag = bi == bj
+        ps.flatMap { case (_, ida, va) =>
+          val na = normD(va)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var j = 0
+          while (j < block.length) {
+            val (idb, vb, nrm) = block(j)
+            // diagonal tile: both sides are the same block, compare each
+            // pair once (idb > ida); off-diagonal: blocks are disjoint,
+            // compare all and emit in id order.
+            if (if (diag) idb > ida else idb != ida) {
+              val raw = dotD(va, vb) / (na * nrm)
+              if (raw >= 0.8999994) {
+                val c = round6(raw)
+                if (c >= 0.9) {
+                  if (ida < idb) out += ((ida, idb, c))
+                  else out += ((idb, ida, c))
+                }
+              }
+            }
+            j += 1
           }
-          j += 1
+          out
         }
-        out
-      }
     }.toDF("vec_a", "vec_b", "cos_sim")
       .orderBy("vec_a", "vec_b")
   }

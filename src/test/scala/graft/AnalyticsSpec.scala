@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Catalog, Pairing}
+import graft.operators.{Analytics, Catalog, Pairing, Relational}
 
 /** Crafted-fixture specs for the round-2 analytics surface — boundary
   * semantics the organic testdata can't be trusted to exercise (exact
@@ -181,5 +181,25 @@ class AnalyticsSpec extends SparkSpec {
     val aprilEnd = ts("1997-04-30 00:00:00").getTime
     assert(r(1L).getLong(5) == aprilEnd)   // plus3m_ms clamped
     assert(r(2L).getInt(3) == 0)           // Monday → 0
+  }
+
+  test("q_approx_distinct: HLL estimate within its error bound of the exact count") {
+    // the one declared query with no SQL oracle gets a hard property
+    // check instead: approx_count_distinct's default rsd is 5 %, and the
+    // sketch is deterministic for fixed input — 4·rsd is a firm bound
+    // (observed error here is well under 1·rsd).
+    val dir = sf("sf0.01")
+    val approx = Relational.approxDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty && exact.keySet == approx.keySet)
+    exact.foreach { case (k, ex) =>
+      val err = math.abs(approx(k).toDouble - ex)
+      assert(err <= math.max(4 * 0.05 * ex, 2.0),
+        s"$k: approx=${approx(k)} exact=$ex err=$err")
+    }
   }
 }

@@ -169,6 +169,67 @@ class StreamingSpec extends SparkSpec {
     assert(sunk() == Seq(2L, 3L, 4L))
   }
 
+  test("PairProcessor (transformWithState): pairs complete, cancel timers; expired timers dead-letter") {
+    // Direct unit drive of the StatefulProcessor against a fake handle —
+    // the TWS analog of the TestGroupState specs above. (Wall-clock timer
+    // DELIVERY belongs to the runtime; what's ours is the state/timer
+    // protocol: arm on half-pair, re-arm on update, cancel on completion,
+    // dead-letter on expiry.)
+    val h = new FakeTwsHandle
+    val p = new PairProcessor(MinWins, Some(1000L), deadLetter = true)
+    p.setHandle(h)
+    p.init(OutputMode.Append(), org.apache.spark.sql.streaming.TimeMode.ProcessingTime())
+    def tv(now: Long) = new org.apache.spark.sql.streaming.TimerValues {
+      def getCurrentProcessingTimeInMs: Long = now
+      def getCurrentWatermarkInMs: Long = 0L
+    }
+    // half-pair arrives → state buffered, timer armed at now+ttl
+    assert(p.handleInputRows(2L, Iterator(PairEvent(2, "signup", 100L)), tv(5000L)).isEmpty)
+    assert(h.state.get() == PairState(Some(100L), None) && h.timers.toList == List(6000L))
+    // duplicate half re-arms the timer (sliding TTL, one live timer)
+    assert(p.handleInputRows(2L, Iterator(PairEvent(2, "signup", 70L)), tv(5500L)).isEmpty)
+    assert(h.timers.toList == List(6500L)) // old timer deleted, new armed
+    // completion emits, deletes state, CANCELS the timer (punctuator skip)
+    val done = p.handleInputRows(2L, Iterator(PairEvent(2, "purchase", 90L)), tv(5600L)).toList
+    assert(done == List(PairOutcome(2L, 70L, 90L, 20L, expired = false)))
+    assert(!h.state.exists() && h.timers.isEmpty)
+    // a fresh half-pair whose timer expires → dead-letter row (O12 TTL,
+    // the reference's TODO'd dead-letter topic, closed)
+    assert(p.handleInputRows(3L, Iterator(PairEvent(3, "signup", 200L)), tv(7000L)).isEmpty)
+    val expiredOut = p.handleExpiredTimer(3L, tv(9000L),
+      new org.apache.spark.sql.streaming.ExpiredTimerInfo {
+        def getExpiryTimeInMs: Long = 8000L
+      }).toList
+    assert(expiredOut == List(PairOutcome(3L, 200L, -1L, -1L, expired = true)))
+    assert(!h.state.exists())
+    // an already-fired timer for a completed key emits nothing
+    assert(p.handleExpiredTimer(3L, tv(9500L),
+      new org.apache.spark.sql.streaming.ExpiredTimerInfo {
+        def getExpiryTimeInMs: Long = 9000L
+      }).isEmpty)
+  }
+
+  test("s_ingest_time windows by ARRIVAL time, not event time (C1 wall-clock semantics)") {
+    import IngestTime.IngestEpochMs
+    // event 1 carries an event timestamp a full DAY before its arrival
+    // wave; under the reference's WallclockTimestampExtractor it must be
+    // counted in the window it ARRIVES in (wave 1), and no window may
+    // exist anywhere near its event time.
+    val dayOld = IngestEpochMs - 86400000L
+    val dir = fixtureDir("events" -> Seq(
+      (1L, new Timestamp(dayOld), 10L, "signup", 1.0, ""), // wave 1 (1 % 3)
+      (3L, new Timestamp(IngestEpochMs), 11L, "signup", 2.0, ""), // wave 0
+      (4L, new Timestamp(IngestEpochMs), 12L, "signup", 4.0, "")) // wave 1
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = IngestTime.sIngestTime(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    assert(rows == List(
+      (IngestEpochMs + 60000L, 1L, 2.0), // wave 0: event 3
+      (IngestEpochMs + 120000L, 2L, 5.0))) // wave 1: the stale event 1 + event 4
+    // nothing landed near the day-old event timestamp
+    assert(rows.forall(_._1 >= IngestEpochMs + 60000L))
+  }
+
   test("KafkaWire round-trips the dotted-name wire format with log-and-continue") {
     val wire = Seq(
       ("k1", """{"event.type":"order.placed","event.timestamp":100,"facility.id":"f1","order.id":"o1"}"""),
