@@ -1,0 +1,98 @@
+// Scale-stress harness (tools/, not part of the library surface): bounds
+// the dedup family's growth beyond the largest staged testdata.
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Replicates the sf0.1 corpus K× (default 10 ≈ "sf1") with DECORRELATED
+  * copies, runs the dedup/similarity family on both scales in one JVM,
+  * and prints per-row cost ratios — the signal that catches a
+  * super-linear operator before it meets 100 TB.
+  *
+  * Decorrelation matters: naive replication would make every copy a
+  * near-duplicate of its siblings, inflating the true pair count K²× and
+  * measuring output explosion, not operator scaling. Instead:
+  *  - documents: copy c suffixes every TOKEN with `~c` — all shingles
+  *    differ across copies (no cross-copy candidates), while each copy
+  *    preserves the original corpus's internal near-dup structure;
+  *  - embeddings: copy c ROTATES the vector by c dimensions — cosine
+  *    between rotated copies of typical vectors is near 0, while
+  *    within-copy geometry (and thus true near-dup pairs) is preserved
+  *    exactly (rotation is an isometry).
+  * So the TRUE result set scales exactly K× and any super-linear runtime
+  * is the operator's own doing.
+  */
+object StressDedup {
+  private val Fam = Seq("q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash",
+    "q_dedup_minhash_md5", "q_dedup_simhash", "q_dedup_simhash_md5",
+    "q_dedup_cluster", "q_dedup_embedding", "q_similarity_knn",
+    "q_similarity_lsh", "q_similarity_ivf")
+
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 10
+    val base = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val out = s"/tmp/graft_stress_x$k"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val copies = spark.range(k).select(col("id").cast("int").as("copy"))
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    docs.crossJoin(copies)
+      .select(
+        (col("doc_id") + col("copy").cast("long") * 100000000L).as("doc_id"),
+        when(col("copy") === 0, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              t => concat(t, lit("~"), col("copy"))), " ")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    emb.crossJoin(copies)
+      .select(
+        (col("vec_id") + col("copy").cast("long") * 100000000L).as("vec_id"),
+        when(col("copy") === 0, col("embedding"))
+          .otherwise(concat(
+            slice(col("embedding"), col("copy") + 1, size(col("embedding")) - col("copy")),
+            slice(col("embedding"), lit(1), col("copy")))).as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val nBase = spark.read.parquet(s"$base/documents.parquet").count().toDouble
+
+    def time(name: String, dir: String): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    // warmup both paths
+    time("q_dedup_exact", base)
+
+    val rows = Fam.map { q =>
+      val tb = time(q, base)
+      val ts = time(q, out)
+      // per-row cost ratio: >1 = super-linear in corpus size
+      val ratio = (ts / (nBase * k)) / (tb / nBase)
+      println(f"[stress] $q%-22s base=$tb%6.2fs  x$k=$ts%7.2fs  perRowRatio=$ratio%5.2f")
+      q -> (tb, ts, ratio)
+    }
+    val json = rows.map { case (q, (tb, ts, r)) =>
+      s""""$q":{"base_sec":$tb,"x${k}_sec":$ts,"per_row_ratio":$r}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"stress_x$k","k":$k,"base":"$base","queries":$json}""")
+    spark.stop()
+  }
+}
