@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Observe, Pairing, Relational, Similarity, Sources, Temporal, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Multimodal, Observe, Pairing, Relational, Similarity, Sources, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -111,6 +111,11 @@ object SparkEntry {
     "q_quality_score" -> (TextAnalysis.qualityScore _),
     "q_doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "q_tfidf" -> (TextAnalysis.tfidf _),
+    // training-corpus prep (chunking, scrubbing, pooling, funnel)
+    "q_doc_chunks" -> (Corpus.docChunks _),
+    "q_pii_scrub" -> (Corpus.piiScrub _),
+    "q_vec_centroid" -> (Corpus.vecCentroid _),
+    "q_corpus_funnel" -> (Corpus.corpusFunnel _),
     // deduplication
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_cluster" -> (Dedup.dedupCluster _),
@@ -778,6 +783,38 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
         |       min(doc_id) AS first_doc_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |             unnest([s FOR s IN range(0, greatest(len(tk), 1), 24)]) AS start
+        |      FROM t)
+        |SELECT doc_id, CAST(start // 24 AS INT) AS chunk_id,
+        |       array_to_string(tk[CAST(start + 1 AS INT):CAST(start + 32 AS INT)], ' ') AS chunk_text,
+        |       CAST(least(32, len(tk) - start) AS INT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_pii_scrub" ->
+      """SELECT event_id,
+        |       regexp_replace(regexp_replace(props,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '[0-9]+', '<NUM>', 'g') AS scrubbed,
+        |       CAST(len(regexp_extract_all(props,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_nums
+        |FROM events WHERE props IS NOT NULL ORDER BY event_id""".stripMargin,
+    "q_vec_centroid" ->
+      """SELECT label, CAST(i - 1 AS INT) AS dim,
+        |       CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS centroid,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM embeddings, range(1, 65) r(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_corpus_funnel" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(count(CASE WHEN n_chars >= 100 THEN 1 END) AS BIGINT) AS n_minlen,
+        |       CAST(count(CASE WHEN n_chars >= 100
+        |                       AND len(string_split(text, ' ')) >= 20 THEN 1 END) AS BIGINT) AS n_tokenized,
+        |       CAST(count(DISTINCT CASE WHEN n_chars >= 100
+        |                       AND len(string_split(text, ' ')) >= 20 THEN md5(text) END) AS BIGINT) AS n_deduped
+        |FROM documents""".stripMargin,
     "q_dedup_cluster" ->
       """WITH RECURSIVE toksc AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |sh AS (SELECT DISTINCT doc_id,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Crafted-fixture specs for the LLM-pipeline operators: known
   * duplicates, known nearest neighbors, known token statistics. */
@@ -115,5 +115,66 @@ class OperatorsSpec extends SparkSpec {
     val feats = Multimodal.mediaFeatures(spark, docsDir).collect()
       .map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(feats == meta.view.mapValues(_._2).toMap) // n_bytes agree
+  }
+
+  test("doc chunking: window/stride edges (exact-fit, short tail, sub-window doc)") {
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val dir = fixtureDir("documents" -> Seq(
+      (1L, words(32), "en", "s", 1L), // exact window + 8-token tail (stride 24 < 32)
+      (2L, words(24), "en", "s", 1L), // exactly one stride → ONE chunk
+      (3L, words(25), "en", "s", 1L), // one past the stride → 1-token tail chunk
+      (4L, words(3), "en", "s", 1L)   // sub-window doc → one short chunk
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Corpus.docChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3))).toMap
+    assert(rows.keySet == Set((1L, 0), (1L, 1), (2L, 0), (3L, 0), (3L, 1), (4L, 0)))
+    assert(rows((1L, 0))._2 == 32 && rows((1L, 1))._2 == 8)
+    assert(rows((1L, 1))._1.startsWith("w25 ")) // overlap starts at stride+1
+    assert(rows((2L, 0))._2 == 24)
+    assert(rows((3L, 1)) == ("w25", 1))
+    assert(rows((4L, 0)) == ("w1 w2 w3", 3))
+  }
+
+  test("pii scrub masks emails before digit runs and counts both") {
+    val dir = fixtureDir("events" -> Seq(
+      (1L, new java.sql.Timestamp(0L), 1L, "x", 0.0,
+        """{"email": "jane.doe+spam@corp-mail.example.org", "phone": 5551234567}"""),
+      (2L, new java.sql.Timestamp(0L), 2L, "x", 0.0, "no pii here"),
+      (3L, new java.sql.Timestamp(0L), 3L, "x", 0.0, null)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = Corpus.piiScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    // email masked as a unit (its digits must NOT leak into n_nums)
+    assert(rows(1L) == ("""{"email": "<EMAIL>", "phone": <NUM>}""", 1, 1))
+    assert(rows(2L) == ("no pii here", 0, 0))
+    assert(!rows.contains(3L)) // null props filtered, not scrubbed to null
+  }
+
+  test("tiled embeddingCosine ≡ local brute force on a random multi-tile corpus") {
+    // 40 random vectors at local[4] → nb = 3 blocks, 6 tiles: diagonal
+    // AND off-diagonal tile paths both execute and must reproduce the
+    // driver-side O(n²) reference exactly (same round6-at-threshold).
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 40L).map { i =>
+      val base = Array.fill(8)(rnd.nextGaussian().toFloat)
+      (i, base)
+    } ++ Seq((100L, vec(1, 2, 3, 4, 5, 6, 7, 8).map(_.toFloat)),
+      (101L, vec(1, 2, 3, 4, 5, 6, 7, 8.001).map(_.toFloat))) // a guaranteed near-dup pair
+    val dir = fixtureDir("embeddings" ->
+      vecs.map { case (id, v) => (id, v, 0) }.toSeq.toDF("vec_id", "embedding", "label"))
+    val got = Dedup.embeddingCosine(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // driver-side reference
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    def norm(a: Array[Float]) = math.sqrt(dot(a, a))
+    val want = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      c = BigDecimal(dot(va, vb) / (norm(va) * norm(vb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.9
+    } yield (ia, ib) -> c).toMap
+    assert(got == want)
+    assert(got.contains((100L, 101L))) // the planted pair survived tiling
   }
 }
