@@ -113,12 +113,25 @@ object EventPairing {
     * store commits scale with partitions × stateful-ops × batches, and
     * these synchronous demo queries carry little data per partition —
     * 4 partitions cuts the fixed commit cost ~8× vs 32 (a production
-    * deployment sizes this to state volume, not CPU count). Restored
-    * after. */
+    * deployment sizes this to state volume, not CPU count). Also swaps
+    * the checkpoint file manager to the FileSystem-based one: the
+    * default FileContext manager's local-FS rename path forks a
+    * subprocess per file (Hadoop Shell readLink), which dominates
+    * micro-batch commit cost on local disk (measured −21 % on the
+    * chained-stateful flagship); on a real cluster checkpoints live on
+    * HDFS/object storage where the default is fine and this conf is
+    * simply not set. Both restored after. */
   private[streaming] def withStreamingPartitions[T](s: SparkSession)(body: => T): T = {
+    val mgrKey = "spark.sql.streaming.checkpointFileManagerClass"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevMgr = s.conf.getOption(mgrKey)
     s.conf.set("spark.sql.shuffle.partitions", "4")
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.conf.set(mgrKey, "org.apache.spark.sql.execution.streaming." +
+      "checkpointing.FileSystemBasedCheckpointFileManager")
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      prevMgr.fold(s.conf.unset(mgrKey))(s.conf.set(mgrKey, _))
+    }
   }
 
   /** s_pair_match — the pairing operator run as a REAL streaming query:

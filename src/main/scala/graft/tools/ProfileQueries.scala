@@ -11,13 +11,17 @@ object ProfileQueries {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_dedup_ngram", "q_dedup_embedding", "q_dedup_minhash",
         "q_salted_join", "s_pipeline", "s_tumbling_agg")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B experiments: pass extra spark confs as K=V in env
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warmup
     graft.SparkEntry.queries("q_facility_info_by_minute")(spark, sfDir)
