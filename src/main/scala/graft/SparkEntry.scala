@@ -111,6 +111,8 @@ object SparkEntry {
     "q_quality_score" -> (TextAnalysis.qualityScore _),
     "q_doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "q_tfidf" -> (TextAnalysis.tfidf _),
+    "q_hash_encode" -> (graft.operators.Catalog.hashEncode _),
+    "q_variant_json" -> (graft.operators.Catalog.variantJson _),
     // training-corpus prep (chunking, scrubbing, pooling, funnel)
     "q_doc_chunks" -> (Corpus.docChunks _),
     "q_pii_scrub" -> (Corpus.piiScrub _),
@@ -783,6 +785,19 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
         |       min(doc_id) AS first_doc_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hash_encode" ->
+      """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
+        |       to_base64(encode(text[1:12])) AS prefix_b64,
+        |       text[1:12] AS prefix_roundtrip,
+        |       to_hex(doc_id) AS id_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_variant_json" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       CAST(json_extract_string(props, '$.missing') AS INT) AS missing_int,
+        |       false AS is_null_variant
+        |FROM events WHERE props IS NOT NULL ORDER BY event_id""".stripMargin,
     "q_doc_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |c AS (SELECT doc_id, tk,

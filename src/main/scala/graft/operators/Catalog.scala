@@ -119,4 +119,39 @@ object Catalog {
       .select(col("event_id"), explode_outer(col("slots")).as("slot0"))
       .select(col("event_id"), col("slot0").cast("int").as("slot"))
       .orderBy(col("event_id"), col("slot").asc_nulls_first)
+
+  /** q_hash_encode — cryptographic digests and binary-text encodings:
+    * md5 / sha-256 content hashes (the fingerprints every data-lake
+    * manifest and dedup ledger carries), base64 round trip, and integer
+    * hex. All codegen'd per-row projections; digests are the two with
+    * cross-engine coverage (DuckDB lacks sha1/crc32). */
+  def hashEncode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("md5_hex"),
+        sha2(col("text").cast("binary"), 256).as("sha256_hex"),
+        base64(substring(col("text"), 1, 12).cast("binary")).as("prefix_b64"),
+        decode(unbase64(base64(substring(col("text"), 1, 12).cast("binary"))),
+          "UTF-8").as("prefix_roundtrip"),
+        hex(col("doc_id")).as("id_hex"))
+      .orderBy("doc_id")
+
+  /** q_variant_json — Spark 4 VARIANT ingestion: `parse_json` once into
+    * the binary variant encoding, then typed `variant_get` path
+    * extraction. At scale this is the schema-on-read answer for
+    * heterogeneous JSON: parse once, store the variant column, extract
+    * many times without re-parsing text (the reference parses gson trees
+    * per record per hop — O3, Main.java:137). `try_`-flavors make
+    * garbage payloads nulls, not failures (C2). */
+  def variantJson(s: SparkSession, d: String): DataFrame = {
+    val v = try_parse_json(col("props"))
+    Tables.events(s, d)
+      .filter(col("props").isNotNull)
+      .select(col("event_id"),
+        try_variant_get(v, "$.k", "int").as("k_int"),
+        try_variant_get(v, "$.k", "string").as("k_str"),
+        try_variant_get(v, "$.missing", "int").as("missing_int"),
+        is_variant_null(v).as("is_null_variant"))
+      .orderBy("event_id")
+  }
 }

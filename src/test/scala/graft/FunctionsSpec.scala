@@ -70,4 +70,22 @@ class FunctionsSpec extends SparkSpec {
     assert(m(1L) == m(2L)) // bag semantics: vote sums ignore order
     assert(m(1L) != m(3L))
   }
+
+  test("variant ingestion: garbage, JSON null, and missing paths all degrade to null (C2)") {
+    val df = Seq(
+      (1L, """{"k": 7}"""),
+      (2L, "not json at all"), // try_parse_json → NULL variant
+      (3L, """{"k": null}"""), // a real JSON null value
+      (4L, """{"other": 1}""") // path missing
+    ).toDF("event_id", "props")
+    val v = try_parse_json(col("props"))
+    val rows = df.select(col("event_id"),
+      try_variant_get(v, "$.k", "int").as("k_int"),
+      is_variant_null(try_variant_get(v, "$.k", "variant")).as("k_is_json_null"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(rows(1L) == (Some(7), Some(false)))
+    assert(rows(2L)._1.isEmpty) // garbage: null, query alive
+    assert(rows(3L) == (None, Some(true))) // JSON null ≠ SQL null: flagged
+    assert(rows(4L)._1.isEmpty) // missing path: null
+  }
 }
