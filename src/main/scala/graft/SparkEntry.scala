@@ -118,6 +118,8 @@ object SparkEntry {
     "q_pii_scrub" -> (Corpus.piiScrub _),
     "q_vec_centroid" -> (Corpus.vecCentroid _),
     "q_corpus_funnel" -> (Corpus.corpusFunnel _),
+    "q_stratified_sample" -> (Corpus.stratifiedSample _),
+    "q_data_split" -> (Corpus.dataSplit _),
     // deduplication
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_cluster" -> (Dedup.dedupCluster _),
@@ -822,6 +824,19 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM embeddings, range(1, 65) r(i)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+        |       min(doc_id) AS first_doc_id
+        |FROM documents
+        |WHERE CASE WHEN lang = 'en' THEN md5(CAST(doc_id AS VARCHAR))[1:1] = '0'
+        |           ELSE md5(CAST(doc_id AS VARCHAR))[1:1] IN ('0','1','2','3') END
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_data_split" ->
+      """SELECT CASE md5(CAST(doc_id AS VARCHAR))[1:1]
+        |         WHEN 'e' THEN 'valid' WHEN 'f' THEN 'test' ELSE 'train' END AS split,
+        |       lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_corpus_funnel" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_total,
         |       CAST(count(CASE WHEN n_chars >= 100 THEN 1 END) AS BIGINT) AS n_minlen,

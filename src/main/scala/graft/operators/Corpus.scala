@@ -77,6 +77,38 @@ object Corpus {
         count(lit(1)).as("n"))
       .orderBy("label", "dim")
 
+  /** q_stratified_sample — per-stratum deterministic sampling: the
+    * dominant language is downsampled hard (1/16) while the long-tail
+    * languages keep 1/4 — the class-rebalancing move every multilingual
+    * corpus makes. Selection is an md5-prefix threshold on the doc id
+    * (engine/run/cluster-size independent, like [[Analytics.hashSample]]);
+    * rates are hex-digit prefixes so the predicate is a pure codegen'd
+    * string compare. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    Tables.documents(s, d)
+      .filter(when(col("lang") === "en", h === "0") // 1/16
+        .otherwise(h.isin("0", "1", "2", "3"))) // 1/4
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc_id"))
+      .orderBy("lang")
+  }
+
+  /** q_data_split — deterministic train/valid/test assignment: the md5
+    * bucket of the doc id maps 14/16 → train, 1/16 → valid, 1/16 → test,
+    * stable under re-runs, engine changes, and repartitioning (the
+    * property rand()-based splits lack). Rolled up per (split, lang) so
+    * leakage-free disjointness is oracle-checked in aggregate. */
+  def dataSplit(s: SparkSession, d: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(h === "e", "valid").when(h === "f", "test").otherwise("train"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("split", "lang")
+  }
+
   /** q_corpus_funnel — the staged corpus-prep funnel as ONE scan:
     * total → length gate → token gate → exact-dedup survivors, each
     * stage a conditional aggregate over the previous stage's predicate.
