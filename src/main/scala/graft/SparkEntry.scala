@@ -111,6 +111,7 @@ object SparkEntry {
     "q_quality_score" -> (TextAnalysis.qualityScore _),
     "q_doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "q_tfidf" -> (TextAnalysis.tfidf _),
+    "q_array_setops" -> (graft.operators.Catalog.arraySetOps _),
     "q_hash_encode" -> (graft.operators.Catalog.hashEncode _),
     "q_variant_json" -> (graft.operators.Catalog.variantJson _),
     // training-corpus prep (chunking, scrubbing, pooling, funnel)
@@ -787,6 +788,19 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
         |       min(doc_id) AS first_doc_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_array_setops" ->
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |         [x FOR x IN range(o_orderkey % 4, o_orderkey % 4 + 4)] AS a,
+        |         [x FOR x IN range(o_orderkey % 7, o_orderkey % 7 + 4)] AS b
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |       list_sort(list_distinct(list_concat(a, b))) AS u,
+        |       list_sort(list_distinct([x FOR x IN a IF list_contains(b, x)])) AS i,
+        |       list_sort(list_distinct([x FOR x IN a IF NOT list_contains(b, x)])) AS e,
+        |       len([x FOR x IN a IF list_contains(b, x)]) > 0 AS overlaps,
+        |       list_transform(list_zip(a, b), x -> x[1] + x[2]) AS z
+        |FROM t ORDER BY o_orderkey""".stripMargin,
     "q_hash_encode" ->
       """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
         |       to_base64(encode(text[1:12])) AS prefix_b64,

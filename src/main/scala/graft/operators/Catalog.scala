@@ -120,6 +120,24 @@ object Catalog {
       .select(col("event_id"), col("slot0").cast("int").as("slot"))
       .orderBy(col("event_id"), col("slot").asc_nulls_first)
 
+  /** q_array_setops — array set algebra: union / intersect / except /
+    * overlap / element-wise zip over two derived integer arrays. Spark's
+    * set functions preserve first-array order — the outputs are
+    * array_sort'ed so the contract is the SET, matching any engine's
+    * ordering (DuckDB mirrors with list comprehensions + list_sort). */
+  def arraySetOps(s: SparkSession, d: String): DataFrame = {
+    val a = sequence(col("o_orderkey") % 4, col("o_orderkey") % 4 + 3)
+    val b = sequence(col("o_orderkey") % 7, col("o_orderkey") % 7 + 3)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        array_sort(array_union(a, b)).as("u"),
+        array_sort(array_intersect(a, b)).as("i"),
+        array_sort(array_except(a, b)).as("e"),
+        arrays_overlap(a, b).as("overlaps"),
+        zip_with(a, b, (x, y) => x + y).as("z"))
+      .orderBy("o_orderkey")
+  }
+
   /** q_hash_encode — cryptographic digests and binary-text encodings:
     * md5 / sha-256 content hashes (the fingerprints every data-lake
     * manifest and dedup ledger carries), base64 round trip, and integer
