@@ -157,6 +157,7 @@ object SparkEntry {
     "q_source_json" -> (Sources.jsonRoundtrip _),
     "q_source_csv" -> (Sources.csvRoundtrip _),
     "q_source_orc" -> (Sources.orcRoundtrip _),
+    "q_source_merge_schema" -> (Sources.mergeSchemaRoundtrip _),
     // streaming variants — real Structured Streaming queries over a
     // MemoryStream source, executed synchronously (SURVEY.md §2.3 s_*)
     "q_observe_metrics" -> (Observe.observeMetrics _),
@@ -1131,6 +1132,10 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     "q_source_csv" ->
       """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_source_merge_schema" ->
+      """SELECT event_id, user_id,
+        |       CASE WHEN event_id % 2 = 1 THEN value END AS value
         |FROM events ORDER BY event_id""".stripMargin,
     // streaming variants: one input batch ⇒ same results as the batch
     // analogs, so they share those oracles.

@@ -54,4 +54,27 @@ object Sources {
     * format; same pushdown/pruning machinery as parquet). */
   def orcRoundtrip(s: SparkSession, d: String): DataFrame =
     roundtrip(s, d, "orc")
+
+  /** q_source_merge_schema — schema evolution on read: two parquet
+    * batches written with DIFFERENT schemas (the later one grew a
+    * `value` column — the normal life of a long-lived dataset), read
+    * back as one relation via `mergeSchema` with the missing column
+    * null-filled. At 100 TB schema evolution happens in place; a reader
+    * that can't merge footers forces a full rewrite. (mergeSchema costs
+    * a footer pass per file — enable it per-read like here, not
+    * globally.) */
+  def mergeSchemaRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_merge").toString
+    val ev = wireEvents(s, d)
+    ev.filter(col("event_id") % 2 === 0)
+      .select("event_id", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/batch=0")
+    ev.filter(col("event_id") % 2 === 1)
+      .select("event_id", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$dir/batch=0", s"$dir/batch=1")
+      .select("event_id", "user_id", "value")
+      .orderBy("event_id")
+  }
 }
