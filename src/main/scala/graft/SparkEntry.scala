@@ -163,6 +163,7 @@ object SparkEntry {
     "q_observe_metrics" -> (Observe.observeMetrics _),
     "s_pair_match" -> (graft.streaming.EventPairing.sPairMatch _),
     "s_pair_match_tws" -> (graft.streaming.PairingTws.sPairMatchTws _),
+    "s_user_stats_tws" -> (graft.streaming.PairingTws.sUserStatsTws _),
     "s_ingest_time" -> (graft.streaming.IngestTime.sIngestTime _),
     "s_tumbling_agg" -> (graft.streaming.WindowedAgg.sTumblingAgg _),
     "s_pipeline" -> (graft.streaming.JoinedPipeline.sPipeline _),
@@ -1147,6 +1148,11 @@ object SparkEntry {
       """SELECT user_id, epoch_ms(placed_ts) AS placed_ms,
         |       epoch_ms(fulfilled_ts) AS fulfilled_ms, processing_ms
         |FROM complete ORDER BY user_id""".stripMargin),
+    "s_user_stats_tws" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms,
+        |       CAST(count(DISTINCT event_type) AS INT) AS n_types
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // C1 arrival-time windows: the oracle reproduces the rig's
     // deterministic arrival waves (wave = event_id mod 3) — the event
     // timestamp column is deliberately absent from the grouping.

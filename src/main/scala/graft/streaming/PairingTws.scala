@@ -88,6 +88,45 @@ class PairProcessor(policy: EventPairing.MergePolicy, ttlMs: Option[Long],
   }
 }
 
+/** Per-user output row of [[UserStatsProcessor]]. */
+case class UserStats(user_id: Long, n_events: Long, first_ms: Long,
+    last_ms: Long, n_types: Int)
+
+/** ListState + MapState coverage of the arbitrary-state API through the
+  * real runtime: a per-user event history (ListState — the buffer shape
+  * sessionization and replay features need) plus a per-type counter
+  * (MapState — keyed sub-state without serializing the whole map per
+  * update, which is exactly what a Value[Map] would do wrong at scale).
+  * Emits the refreshed aggregate for every key touched in the batch. */
+class UserStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, PairEvent, UserStats] {
+  import org.apache.spark.sql.Encoders
+
+  @transient private var history: org.apache.spark.sql.streaming.ListState[Long] = _
+  @transient private var typeCounts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    history = getHandle.getListState[Long]("history",
+      Encoders.scalaLong, TTLConfig.NONE)
+    typeCounts = getHandle.getMapState[String, Long]("type_counts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[PairEvent],
+      timers: TimerValues): Iterator[UserStats] = {
+    rows.foreach { e =>
+      history.appendValue(e.ts_ms)
+      val prior = if (typeCounts.containsKey(e.event_type))
+        typeCounts.getValue(e.event_type) else 0L
+      typeCounts.updateValue(e.event_type, prior + 1L)
+    }
+    val ts = history.get().toArray
+    var n = 0L; var lo = Long.MaxValue; var hi = Long.MinValue
+    ts.foreach { t => n += 1; if (t < lo) lo = t; if (t > hi) hi = t }
+    Iterator.single(UserStats(key, n, lo, hi, typeCounts.keys().length))
+  }
+}
+
 object PairingTws {
   private val nameCounter = new java.util.concurrent.atomic.AtomicInteger
 
@@ -115,6 +154,36 @@ object PairingTws {
     * `s_pair_match`'s SQL oracle. (The driver-side collect only feeds the
     * in-memory test source; production swaps in the Kafka source
     * wrapper.) */
+  /** s_user_stats_tws — per-user history/typed-counter stats through
+    * [[UserStatsProcessor]] (ListState + MapState on RocksDB). One input
+    * batch ⇒ one refreshed aggregate per user, so the plain per-user
+    * GROUP BY oracle applies. */
+  def sUserStatsTws(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .as[PairEvent]
+      .collect()
+
+    implicit val sqlCtx = s.sqlContext
+    withRocksDb(s) {
+      EventPairing.withStreamingPartitions(s) {
+        val input = MemoryStream[PairEvent]
+        input.addData(events.toSeq)
+        val stats = input.toDS()
+          .groupByKey(_.user_id)
+          .transformWithState(new UserStatsProcessor,
+            TimeMode.None(), OutputMode.Append())
+        val name = s"s_user_stats_tws_${nameCounter.incrementAndGet()}"
+        val q = stats.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).orderBy("user_id")
+      }
+    }
+  }
+
   def sPairMatchTws(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val events = Tables.events(s, d)
