@@ -1,0 +1,69 @@
+package graft
+
+/** Plan-shape regression guards: the scale promises PLANS.md documents,
+  * enforced by spec so a refactor can't silently trade them away. Each
+  * test inspects the statically-planned physical tree (the AQE initial
+  * plan — what the optimizer committed to before runtime stats). */
+class PlanHygieneSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString()
+
+  test("flagship pipeline: exactly two keyed exchanges (pair re-key + window rollup)") {
+    val p = plan("q_facility_info_by_minute")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
+  test("q_multi_join: every dimension broadcasts, the fact never sort-merges") {
+    val p = plan("q_multi_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_tpch_q6: predicates reach the parquet scan and the scan is pruned") {
+    val p = plan("q_tpch_q6")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"), p)
+    // 4 of 11 lineitem columns read — the widest column must not appear
+    assert(!p.contains("l_comment") && !p.contains("l_partkey"), p)
+  }
+
+  test("q_scan_project: column pruning reaches ReadSchema") {
+    val p = plan("q_scan_project")
+    assert(!p.contains("l_comment"), p)
+  }
+
+  test("q_bucketed_join: co-located join needs NO join-input exchange") {
+    val p = plan("q_bucketed_join")
+    // everything BELOW the SortMergeJoin node is its input subtree: both
+    // bucketed scans must feed it with no exchange (the post-join agg on
+    // a different key legitimately shuffles, above the join)
+    val joinSubtree = p.split("SortMergeJoin", 2)
+    assert(joinSubtree.length == 2, p)
+    assert(!joinSubtree(1).contains("Exchange"), p)
+    assert(p.contains("Bucketed: true"), p)
+  }
+
+  test("q_broadcast_join and q_stream-side dims: no shuffle on the probe side") {
+    val p = plan("q_broadcast_join")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q_dedup_embedding: distributed cogroup, nothing collected to the driver") {
+    val p = plan("q_dedup_embedding")
+    assert(p.contains("CoGroup"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_dedup_exact: one keyed aggregation, partial before the exchange") {
+    val p = plan("q_dedup_exact")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_topk_custom plans through the engine's own operator, not a window") {
+    val p = plan("q_topk_custom")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), p)
+  }
+}
