@@ -121,6 +121,11 @@ object SparkEntry {
     "q_corpus_funnel" -> (Corpus.corpusFunnel _),
     "q_stratified_sample" -> (Corpus.stratifiedSample _),
     "q_data_split" -> (Corpus.dataSplit _),
+    "q_repetition_stats" -> (Corpus.repetitionStats _),
+    "q_contamination" -> (Corpus.contamination _),
+    "q_seq_pack" -> (Corpus.seqPack _),
+    "q_inverted_index" -> (Corpus.invertedIndex _),
+    "q_bigram_lm" -> (Corpus.bigramLm _),
     // deduplication
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_cluster" -> (Dedup.dedupCluster _),
@@ -861,6 +866,60 @@ object SparkEntry {
         |       CAST(count(DISTINCT CASE WHEN n_chars >= 100
         |                       AND len(string_split(text, ' ')) >= 20 THEN md5(text) END) AS BIGINT) AS n_deduped
         |FROM documents""".stripMargin,
+    "q_repetition_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |b AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+        |             round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6)
+        |               AS dup_token_frac
+        |      FROM t),
+        |g AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS gram
+        |      FROM t),
+        |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |tg AS (SELECT doc_id, max(c) AS top_n, sum(c) AS n_grams FROM gc GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
+        |       coalesce(round(CAST(tg.top_n AS DOUBLE) / tg.n_grams, 6), 0.0) AS top_gram_frac,
+        |       (b.dup_token_frac > 0.6 OR
+        |        coalesce(round(CAST(tg.top_n AS DOUBLE) / tg.n_grams, 6), 0.0) > 0.1) AS flagged
+        |FROM b LEFT JOIN tg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_contamination" ->
+      """WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR))[1:1] AS h,
+        |             string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, h,
+        |              unnest([array_to_string(tk[i:i+7], ' ')
+        |                      FOR i IN range(1, greatest(len(tk) - 6, 2))]) AS shingle
+        |       FROM t),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE h = 'f')
+        |SELECT sh.doc_id, CAST(count(DISTINCT sh.shingle) AS BIGINT) AS n_contam
+        |FROM sh JOIN bench USING (shingle) WHERE sh.h <> 'f'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_seq_pack" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+        |      FROM t)
+        |SELECT lang, doc_id, n_tokens,
+        |       CAST(end_off - n_tokens AS BIGINT) AS start_off,
+        |       CAST((end_off - n_tokens) // 256 AS BIGINT) AS first_bin,
+        |       CAST((end_off - 1) // 256 AS BIGINT) AS last_bin
+        |FROM c ORDER BY lang, doc_id""".stripMargin,
+    "q_inverted_index" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |            FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |       list_sort(list(doc_id))[1:8] AS postings
+        |FROM dt GROUP BY term ORDER BY term""".stripMargin,
+    "q_bigram_lm" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2 FROM t),
+        |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM g GROUP BY 1, 2),
+        |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM g GROUP BY 1)
+        |SELECT big.w1, big.w2, big.c12,
+        |       round(CAST(big.c12 AS DOUBLE) / uni.c1, 6) AS p
+        |FROM big JOIN uni USING (w1)
+        |ORDER BY big.c12 DESC, big.w1, big.w2 LIMIT 50""".stripMargin,
     "q_dedup_cluster" ->
       """WITH RECURSIVE toksc AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |sh AS (SELECT DISTINCT doc_id,

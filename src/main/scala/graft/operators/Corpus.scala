@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -107,6 +108,136 @@ object Corpus {
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy("split", "lang")
+  }
+
+  /** q_repetition_stats — Gopher-style within-document repetition
+    * signals: duplicate-token fraction (pure array math, no shuffle) and
+    * top-bigram fraction (explode → two keyed aggs with map-side
+    * combine, both keyed by doc so the shuffle is narrow). Docs whose
+    * repetition exceeds the gate are flagged, the filter every
+    * pre-training corpus applies before tokenization. Fractions are a
+    * single int/int double division + round(6) — exactly rounded IEEE,
+    * identical cross-engine. */
+  def repetitionStats(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        round(lit(1.0) -
+          size(array_distinct(col("tk"))).cast("double") / size(col("tk")), 6)
+          .as("dup_token_frac"),
+        // size<2 guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not
+        // empty — a 1-token doc would index tk[-1] and fail.
+        expr("if(size(tk) < 2, array(), " +
+          "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i])))")
+          .as("grams"))
+    val top = base
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).count()
+      .groupBy(col("doc_id"))
+      .agg(max(col("count")).as("top_n"), sum(col("count")).as("n_grams"))
+    base.drop("grams")
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        coalesce(round(col("top_n") / col("n_grams"), 6), lit(0.0))
+          .as("top_gram_frac"))
+      .withColumn("flagged",
+        col("dup_token_frac") > 0.6 || col("top_gram_frac") > 0.1)
+      .orderBy("doc_id")
+  }
+
+  /** Contamination shingle width (tokens). */
+  private val ContamW = 8
+
+  /** q_contamination — benchmark-contamination detection: every training
+    * document containing any [[ContamW]]-token shingle of the held-out
+    * test split (the `md5[1]='f'` bucket of [[dataSplit]]) is reported
+    * with its overlap count. The benchmark side is tiny by construction
+    * (1/16 of docs; real benchmarks are MBs against a 100 TB corpus) so
+    * it is distinct-ed and **broadcast** — the train side never
+    * shuffles; at scale this is one map-side hash probe per shingle. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+          .as("h"),
+        split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("h"),
+        explode(expr(
+          s"transform(sequence(1, greatest(size(tk) - ${ContamW - 1}, 1)), " +
+            s"i -> array_join(slice(tk, i, $ContamW), ' '))")).as("shingle"))
+    val bench = sh.filter(col("h") === "f").select(col("shingle")).distinct()
+    sh.filter(col("h") =!= "f")
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_contam"))
+      .orderBy("doc_id")
+  }
+
+  /** Packed-sequence token budget. */
+  private val PackBudget = 256
+
+  /** q_seq_pack — training-sequence packing: concatenate each language's
+    * docs in doc_id order and cut every [[PackBudget]] tokens, reporting
+    * each doc's token offset and the bin range it spans (docs crossing a
+    * boundary are split, the standard pre-training packing policy).
+    * One running-sum window partitioned by lang — packing is
+    * embarrassingly parallel across partitions, and within one the
+    * window is a single sort; no global ordering is ever required. */
+  def seqPack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        (col("end_off") - col("n_tokens")).as("start_off"),
+        floor((col("end_off") - col("n_tokens")) / PackBudget).as("first_bin"),
+        floor((col("end_off") - 1) / PackBudget).as("last_bin"))
+      .orderBy("lang", "doc_id")
+  }
+
+  /** q_inverted_index — posting-list construction (the search-side dual
+    * of chunking): term → document frequency + the first 8 postings,
+    * deterministically ordered. explode → distinct (doc, term) → one
+    * agg keyed by term; `sort_array(collect_set(...))` makes the posting
+    * sample order-independent under any partitioning. At 100 TB the
+    * posting lists themselves would be written range-bucketed by term —
+    * the plan here (shuffle once on term) is that layout's build step. */
+  def invertedIndex(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        slice(sort_array(collect_set(col("doc_id"))), 1, 8).as("postings"))
+      .orderBy("term")
+
+  /** q_bigram_lm — count-based bigram language model: P(w2|w1) =
+    * c(w1,w2)/c(w1) with counts from one explode pass, the classic
+    * corpus statistic behind contamination filters and perplexity
+    * proxies. Two keyed aggregations (map-side combined) + a final join
+    * keyed on w1 — the unigram side is vocabulary-sized, hence
+    * broadcast. Emits the 50 most frequent bigrams (injective
+    * tie-break on the pair) so the output is stable at any scale. */
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("tk"))
+      // 1-token docs carry no bigrams; dropping them also guards Spark's
+      // descending sequence(1, 0) (see [[repetitionStats]]).
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
+        .as("g"))
+      .select(col("g.w1"), col("g.w2"))
+    val big = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    big.join(broadcast(uni), Seq("w1"))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(col("c12") / col("c1"), 6).as("p"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(50)
   }
 
   /** q_corpus_funnel — the staged corpus-prep funnel as ONE scan:

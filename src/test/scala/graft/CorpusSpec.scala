@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Corpus
+
+/** Crafted-fixture specs for the corpus-analysis operators — repetition
+  * gates, contamination shingle width, packing bin boundaries, posting
+  * determinism: the exact-threshold semantics organic data can't pin. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDir(rows: (Long, String, String, String, Long)*): String =
+    fixtureDir("documents" -> rows.toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+  test("repetition_stats: dup/top-gram gates, strict >, single-token doc") {
+    val twelve = (0 until 12).map(i => s"t$i").mkString(" ") // 11 distinct grams
+    val eleven = (0 until 11).map(i => s"t$i").mkString(" ") // 10 grams → frac exactly 0.1
+    val d = docsDir(
+      (1L, "a a a a", "en", "s", 7L),      // dup 0.75, top gram 1.0 → flagged
+      (2L, twelve, "en", "s", 1L),         // dup 0, top 1/11 ≈ 0.0909 → clean
+      (3L, eleven, "en", "s", 1L),         // top exactly 0.1: NOT > 0.1 → clean
+      (4L, "solo", "en", "s", 4L))         // no grams: left-join null → 0.0
+    val r = Corpus.repetitionStats(spark, d).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getDouble(2), x.getDouble(3), x.getBoolean(4)))).toMap
+    assert(r(1L) == ((4, 0.75, 1.0, true)))
+    assert(r(2L) == ((12, 0.0, 0.090909, false)))
+    assert(r(3L) == ((11, 0.0, 0.1, false))) // boundary: gate is strict
+    assert(r(4L) == ((1, 0.0, 0.0, false)))  // empty gram list survives
+  }
+
+  test("contamination: 8-token shared run caught, 7-token run is not") {
+    // doc 44 hashes to the 'f' bucket (benchmark); 1 and 2 are train.
+    val bench = (0 until 8).map(i => s"b$i").mkString(" ")
+    val seven = (0 until 7).map(i => s"b$i").mkString(" ")
+    val d = docsDir(
+      (44L, bench + " tail1 tail2", "en", "s", 1L),
+      (1L, "x1 x2 " + bench, "en", "s", 1L),   // full 8-run → contaminated
+      (2L, "x1 x2 " + seven + " zz", "en", "s", 1L)) // only 7 shared → clean
+    val r = Corpus.contamination(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r == Seq((1L, 1L)))
+  }
+
+  test("seq_pack: exact bin-boundary fill, split doc, per-lang restart") {
+    val tok = (n: Int) => (0 until n).map(i => s"w$i").mkString(" ")
+    val d = docsDir(
+      (1L, tok(200), "en", "s", 1L), // [0,200) → bin 0 only
+      (2L, tok(56), "en", "s", 1L),  // [200,256): fills bin 0 EXACTLY
+      (3L, tok(300), "en", "s", 1L), // [256,556): starts bin 1, spans into 2
+      (9L, tok(10), "de", "s", 1L))  // other lang: offsets restart at 0
+    val r = Corpus.seqPack(spark, d).collect()
+      .map(x => x.getLong(1) ->
+        ((x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    assert(r(1L) == ((0L, 0L, 0L)))
+    assert(r(2L) == ((200L, 0L, 0L)))  // ends at 256 → still bin 0
+    assert(r(3L) == ((256L, 1L, 2L)))  // boundary start → bin 1; crosses into 2
+    assert(r(9L) == ((0L, 0L, 0L)))    // packing is per-lang, no global order
+  }
+
+  test("inverted_index: df counts docs not occurrences; postings sorted, capped") {
+    val d = docsDir(
+      (7L, "apple apple apple", "en", "s", 1L),
+      (3L, "apple pear", "en", "s", 1L),
+      (5L, "pear apple", "en", "s", 1L))
+    val r = Corpus.invertedIndex(spark, d).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getSeq[Long](2)))).toMap
+    assert(r("apple") == ((3L, Seq(3L, 5L, 7L)))) // 3 docs, ids ascending
+    assert(r("pear") == ((2L, Seq(3L, 5L))))
+  }
+
+  test("bigram_lm: conditional probabilities sum to 1 per context") {
+    val d = docsDir(
+      (1L, "a b a b a", "en", "s", 1L),
+      (2L, "a c", "en", "s", 1L))
+    val rows = Corpus.bigramLm(spark, d).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    // grams: (a,b)×2 (b,a)×2 (a,a)×0 (a,c)×1 → c1(a)=3, c1(b)=2
+    assert(rows.toSet == Set(
+      ("a", "b", 2L, 0.666667), ("b", "a", 2L, 1.0), ("a", "c", 1L, 0.333333)))
+    val byW1 = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    byW1.foreach { case (_, p) => assert(math.abs(p - 1.0) < 1e-5) }
+  }
+}

@@ -16,6 +16,9 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+if len(sys.argv) > 3:  # dev-only filter: comma-separated query names
+    keep = set(sys.argv[3].split(","))
+    oracle = {k: v for k, v in oracle.items() if k in keep}
 fail = 0
 for name, sql in sorted(oracle.items()):
     try:
