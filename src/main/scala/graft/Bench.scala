@@ -33,7 +33,13 @@ object Bench {
     try SparkEntry.queries("q_facility_info_by_minute")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args(0): comma-separated query filter (dev only; the
+    // driver invokes with no args and measures everything)
+    val only: Set[String] =
+      if (args.nonEmpty) args(0).split(",").toSet else Set.empty
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

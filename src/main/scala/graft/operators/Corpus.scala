@@ -118,33 +118,42 @@ object Corpus {
     * pre-training corpus applies before tokenization. Fractions are a
     * single int/int double division + round(6) — exactly rounded IEEE,
     * identical cross-engine. */
-  def repetitionStats(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
+  def repetitionStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"),
+      // per-doc stats are projected BEFORE the explode on purpose: stats
+      // in the same select as the generator end up in a Project ABOVE
+      // Generate, re-running array_distinct once per GRAM row (measured
+      // 3× slower). Materialized here they are computed once per doc.
+      .select(col("doc_id"), col("tk"),
         size(col("tk")).as("n_tokens"),
         round(lit(1.0) -
           size(array_distinct(col("tk"))).cast("double") / size(col("tk")), 6)
-          .as("dup_token_frac"),
-        // size<2 guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not
-        // empty — a 1-token doc would index tk[-1] and fail.
-        expr("if(size(tk) < 2, array(), " +
-          "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i])))")
-          .as("grams"))
-    val top = base
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .groupBy(col("doc_id"), col("gram")).count()
-      .groupBy(col("doc_id"))
-      .agg(max(col("count")).as("top_n"), sum(col("count")).as("n_grams"))
-    base.drop("grams")
-      .join(top, Seq("doc_id"), "left")
+          .as("dup_token_frac"))
+      // explode_outer keeps gram-less docs as one null-gram row (the
+      // count(gram) below ignores it). size<2 guard: Spark's
+      // sequence(1, 0) is DESCENDING [1, 0], not empty — a 1-token doc
+      // would index tk[-1] and fail.
       .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
-        coalesce(round(col("top_n") / col("n_grams"), 6), lit(0.0))
-          .as("top_gram_frac"))
+        explode_outer(expr("if(size(tk) < 2, array(), " +
+          "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i])))"))
+          .as("gram"))
+      // single pass, no self-join: per-doc stats ride the two keyed aggs
+      // as first() (constant within a doc), both shuffles narrow.
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        first(col("dup_token_frac")).as("dup_token_frac"),
+        count(col("gram")).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        first(col("dup_token_frac")).as("dup_token_frac"),
+        max(col("c")).as("top_n"), sum(col("c")).as("n_grams"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        when(col("n_grams") > 0, round(col("top_n") / col("n_grams"), 6))
+          .otherwise(0.0).as("top_gram_frac"))
       .withColumn("flagged",
         col("dup_token_frac") > 0.6 || col("top_gram_frac") > 0.1)
       .orderBy("doc_id")
-  }
 
   /** Contamination shingle width (tokens). */
   private val ContamW = 8
