@@ -121,6 +121,8 @@ object SparkEntry {
     "q_corpus_funnel" -> (Corpus.corpusFunnel _),
     "q_stratified_sample" -> (Corpus.stratifiedSample _),
     "q_data_split" -> (Corpus.dataSplit _),
+    "q_agg_pushdown" -> (graft.operators.Scale.aggPushdown _),
+    "q_bloom_join" -> (graft.operators.Scale.bloomJoin _),
     "q_repetition_stats" -> (Corpus.repetitionStats _),
     "q_contamination" -> (Corpus.contamination _),
     "q_seq_pack" -> (Corpus.seqPack _),
@@ -866,6 +868,17 @@ object SparkEntry {
         |       CAST(count(DISTINCT CASE WHEN n_chars >= 100
         |                       AND len(string_split(text, ' ')) >= 20 THEN md5(text) END) AS BIGINT) AS n_deduped
         |FROM documents""".stripMargin,
+    "q_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 180000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_repetition_stats" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |b AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,

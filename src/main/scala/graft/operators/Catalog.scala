@@ -129,12 +129,17 @@ object Catalog {
     val a = sequence(col("o_orderkey") % 4, col("o_orderkey") % 4 + 3)
     val b = sequence(col("o_orderkey") % 7, col("o_orderkey") % 7 + 3)
     Tables.orders(s, d)
+      // materialize the two arrays once per row: inlined into the next
+      // select, each sequence() would be rebuilt for every one of the
+      // five set operations (CollapseProject keeps multi-referenced
+      // non-cheap aliases materialized, so this projection survives).
+      .select(col("o_orderkey"), a.as("arr_a"), b.as("arr_b"))
       .select(col("o_orderkey"),
-        array_sort(array_union(a, b)).as("u"),
-        array_sort(array_intersect(a, b)).as("i"),
-        array_sort(array_except(a, b)).as("e"),
-        arrays_overlap(a, b).as("overlaps"),
-        zip_with(a, b, (x, y) => x + y).as("z"))
+        array_sort(array_union(col("arr_a"), col("arr_b"))).as("u"),
+        array_sort(array_intersect(col("arr_a"), col("arr_b"))).as("i"),
+        array_sort(array_except(col("arr_a"), col("arr_b"))).as("e"),
+        arrays_overlap(col("arr_a"), col("arr_b")).as("overlaps"),
+        zip_with(col("arr_a"), col("arr_b"), (x, y) => x + y).as("z"))
       .orderBy("o_orderkey")
   }
 

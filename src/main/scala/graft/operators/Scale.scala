@@ -112,4 +112,52 @@ object Scale {
       .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("revenue"))
       .orderBy("o_orderstatus")
   }
+
+  /** q_agg_pushdown — parquet-footer-answered aggregation: global
+    * COUNT/MIN/MAX resolved from row-group statistics, never reading a
+    * data page. On a 100 TB table this turns a full scan into a
+    * metadata-only pass (footers are ~KBs per file). Needs the DSv2
+    * parquet path + `parquet.aggregatePushdown`; both are session-scoped
+    * here via `newSession()` so the shared session's planning (and every
+    * other query) is untouched. Plan-guarded by a `PushedAggregation`
+    * spec; values oracle-identical to the naive scan by construction. */
+  def aggPushdown(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // aggregate pushdown exists only on the v2 read path
+    s2.conf.set("spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text")
+    Tables.lineitem(s2, d)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+  }
+
+  /** q_bloom_join — runtime bloom-filter join pruning: the optimizer
+    * builds a bloom filter over the selectively-filtered orders side and
+    * injects a `might_contain` probe into the lineitem scan, discarding
+    * non-joining rows BEFORE the shuffle. At 100 TB this is the
+    * difference between shuffling the whole fact table and shuffling the
+    * ~match fraction of it. Thresholds are session-scoped (`newSession`)
+    * because the defaults (10 GB application side) are sized for real
+    * clusters, not testdata; broadcast is disabled so a shuffle exists
+    * to prune — at scale neither side fits a broadcast anyway. Results
+    * are oracle-identical to the plain join (a bloom filter only ever
+    * drops non-matching rows). */
+  def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val sel = Tables.orders(s2, d)
+      .filter(col("o_totalprice") > 180000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Tables.lineitem(s2, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
 }

@@ -66,4 +66,16 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("q_agg_pushdown: COUNT/MIN/MAX answered from parquet footers, no data read") {
+    val p = plan("q_agg_pushdown")
+    assert(p.contains("PushedAggregation: [COUNT(*)"), p)
+    assert(p.contains("MAX(l_extendedprice)"), p)
+  }
+
+  test("q_bloom_join: runtime bloom filter probes the fact scan before the shuffle") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("bloom_filter_agg"), p)
+  }
 }
