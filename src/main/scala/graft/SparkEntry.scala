@@ -123,6 +123,7 @@ object SparkEntry {
     "q_data_split" -> (Corpus.dataSplit _),
     "q_agg_pushdown" -> (graft.operators.Scale.aggPushdown _),
     "q_bloom_join" -> (graft.operators.Scale.bloomJoin _),
+    "q_zorder_layout" -> (graft.operators.Scale.zorderLayout _),
     "q_repetition_stats" -> (Corpus.repetitionStats _),
     "q_contamination" -> (Corpus.contamination _),
     "q_seq_pack" -> (Corpus.seqPack _),
@@ -165,6 +166,7 @@ object SparkEntry {
     "q_source_csv" -> (Sources.csvRoundtrip _),
     "q_source_orc" -> (Sources.orcRoundtrip _),
     "q_source_merge_schema" -> (Sources.mergeSchemaRoundtrip _),
+    "q_source_text" -> (Sources.textRoundtrip _),
     // streaming variants — real Structured Streaming queries over a
     // MemoryStream source, executed synchronously (SURVEY.md §2.3 s_*)
     "q_observe_metrics" -> (Observe.observeMetrics _),
@@ -873,6 +875,21 @@ object SparkEntry {
         |       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
         |       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
         |FROM lineitem""".stripMargin,
+    "q_zorder_layout" -> {
+      // the same 16-term interleave the Spark side builds, generated
+      // from the same loop so the two can't drift
+      val zTerms = (0 until 8).map(i =>
+        s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT least(user_id >> 3, 255) AS xb,
+         |             least(CAST(floor(value / 4.0) AS BIGINT), 255) AS yb
+         |           FROM events),
+         |z AS (SELECT xb, yb, ($zTerms) AS zv FROM b)
+         |SELECT zv >> 6 AS z_block, CAST(count(*) AS BIGINT) AS n,
+         |       min(xb) AS x_min, max(xb) AS x_max,
+         |       min(yb) AS y_min, max(yb) AS y_max
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_bloom_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
         |       CAST(SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_qty
@@ -1210,6 +1227,8 @@ object SparkEntry {
       """SELECT event_id, user_id,
         |       CASE WHEN event_id % 2 = 1 THEN value END AS value
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_source_text" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
     // streaming variants: one input batch ⇒ same results as the batch
     // analogs, so they share those oracles.
     "s_pair_match" -> (pairsCte +

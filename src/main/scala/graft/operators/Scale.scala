@@ -134,6 +134,34 @@ object Scale {
         max(col("l_extendedprice")).as("max_price"))
   }
 
+  /** q_zorder_layout — Z-order (Morton) multi-dimensional layout: both
+    * dimensions bucket to 8 bits, the buckets bit-interleave into a
+    * 16-bit z-value, and per-64-cell z-block min/max stats show the
+    * locality the layout buys — every block spans ≤8 consecutive
+    * buckets in EACH dimension (spec-enforced), so file-level min/max
+    * stats prune BOTH predicates, not just the leading sort key. At
+    * 100 TB the write path is `repartitionByRange($"z")
+    * .sortWithinPartitions($"z")` and these per-block stats become the
+    * parquet footer stats the scanner prunes on. The interleave is a
+    * plain 16-term shift/mask sum — whole-stage codegen'd, no UDF, no
+    * HOF. */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val z = (0 until 8).map { i =>
+      shiftleft(shiftright(col("xb"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("yb"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    Tables.events(s, d)
+      .select(
+        least(shiftright(col("user_id"), 3), lit(255L)).as("xb"),
+        least(floor(col("value") / 4.0).cast("long"), lit(255L)).as("yb"))
+      .withColumn("z_block", shiftright(z, 6))
+      .groupBy(col("z_block"))
+      .agg(count(lit(1)).as("n"),
+        min(col("xb")).as("x_min"), max(col("xb")).as("x_max"),
+        min(col("yb")).as("y_min"), max(col("yb")).as("y_max"))
+      .orderBy("z_block")
+  }
+
   /** q_bloom_join — runtime bloom-filter join pruning: the optimizer
     * builds a bloom filter over the selectively-filtered orders side and
     * injects a `might_contain` probe into the lineitem scan, discarding

@@ -77,4 +77,25 @@ object Sources {
       .select("event_id", "user_id", "value")
       .orderBy("event_id")
   }
+
+  /** q_source_text — raw text-lines round trip: the 100 TB raw-corpus
+    * entry point (web dumps, logs) is line-oriented text, not a typed
+    * format. Documents go out as `id<TAB>text` lines and come back
+    * through the `text` source as a single `value` column, re-parsed
+    * with one split (the corpus tokens are space-separated, so the
+    * first TAB is an unambiguous delimiter). Parsing is a codegen'd
+    * per-line map — exactly what a 1000-executor ingest does per
+    * split. */
+  def textRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_text").toString
+    Tables.documents(s, d)
+      .select(concat_ws("\t", col("doc_id"), col("text")).as("line"))
+      .write.mode("overwrite").text(dir)
+    s.read.text(dir)
+      .select(
+        substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+        substring(col("value"), instr(col("value"), "\t") + 1, lit(1000000))
+          .as("text"))
+      .orderBy("doc_id")
+  }
 }

@@ -78,4 +78,15 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("might_contain"), p)
     assert(p.contains("bloom_filter_agg"), p)
   }
+
+  test("q_zorder_layout: every 64-cell z-block spans ≤8 buckets in EACH dimension") {
+    // the locality guarantee that lets file min/max stats prune BOTH
+    // predicates — the entire point of the layout
+    val rows = SparkEntry.queries("q_zorder_layout")(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 7, r) // x span within a block
+      assert(r.getLong(5) - r.getLong(4) <= 7, r) // y span within a block
+    }
+  }
 }
