@@ -129,6 +129,8 @@ object SparkEntry {
     "q_seq_pack" -> (Corpus.seqPack _),
     "q_inverted_index" -> (Corpus.invertedIndex _),
     "q_bigram_lm" -> (Corpus.bigramLm _),
+    "q_doc_perplexity" -> (Corpus.docPerplexity _),
+    "q_vec_quantize" -> (Corpus.vecQuantize _),
     // deduplication
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_cluster" -> (Dedup.dedupCluster _),
@@ -950,6 +952,33 @@ object SparkEntry {
         |       round(CAST(big.c12 AS DOUBLE) / uni.c1, 6) AS p
         |FROM big JOIN uni USING (w1)
         |ORDER BY big.c12 DESC, big.w1, big.w2 LIMIT 50""".stripMargin,
+    "q_doc_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2 FROM t),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM g GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM g GROUP BY 1),
+        |lm AS (SELECT w1, w2, CAST(c12 AS DOUBLE) / c1 AS p FROM big JOIN uni USING (w1))
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CAST(floor(-ln(p) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         / 1000000.0 / count(*) AS avg_neg_logp
+        |FROM g JOIN lm USING (w1, w2) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_vec_quantize" ->
+      """WITH t AS (SELECT vec_id, embedding,
+        |             greatest(list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]), 1e-30) AS max_abs
+        |           FROM embeddings),
+        |e AS (SELECT vec_id, embedding, max_abs,
+        |        [least(greatest(round(CAST(x AS DOUBLE) * (CAST(127 AS DOUBLE) / max_abs)),
+        |                        CAST(-127 AS DOUBLE)), CAST(127 AS DOUBLE)) FOR x IN embedding] AS q
+        |      FROM t)
+        |SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
+        |       round(CAST(127 AS DOUBLE) / max_abs, 6) AS scale_r,
+        |       CAST(list_sum([CAST(v AS BIGINT) FOR v IN q]) AS BIGINT) AS q_sum,
+        |       CAST(list_sum([CAST(floor((CAST(embedding[i] AS DOUBLE) - q[i] / (CAST(127 AS DOUBLE) / max_abs)) *
+        |                                 (CAST(embedding[i] AS DOUBLE) - q[i] / (CAST(127 AS DOUBLE) / max_abs)) * 1e9 + 0.5) AS BIGINT)
+        |                      FOR i IN range(1, len(embedding) + 1)]) AS DOUBLE)
+        |         / 1e9 / len(embedding) AS mse
+        |FROM e ORDER BY vec_id""".stripMargin,
     "q_dedup_cluster" ->
       """WITH RECURSIVE toksc AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |sh AS (SELECT DISTINCT doc_id,

@@ -249,6 +249,69 @@ object Corpus {
       .limit(50)
   }
 
+  /** q_doc_perplexity — perplexity-proxy quality score: each document's
+    * bigrams are scored against the corpus bigram LM (P(w2|w1) =
+    * c12/c1) and the per-doc mean negative log-probability comes back —
+    * the classic "how surprising is this text" filter that gates
+    * low-quality documents before training. The LM is vocabulary²-sized
+    * (tiny at ANY corpus scale) so it broadcasts; doc grams never
+    * shuffle except the final per-doc mean. −ln(p) is fixed-pointed at
+    * 1e-6 per term (floor(x·1e6 + 0.5) — one libm call each engine,
+    * identical inputs) so the sum is order-independent and
+    * engine-portable. */
+  def docPerplexity(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
+        .as("g"))
+      .select(col("doc_id"), col("g.w1"), col("g.w2"))
+    val lm = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .join(grams.groupBy(col("w1")).agg(count(lit(1)).as("c1")), Seq("w1"))
+      .select(col("w1"), col("w2"),
+        (col("c12").cast("double") / col("c1")).as("p"))
+    grams.join(broadcast(lm), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        (sum(floor(-log(col("p")) * 1000000 + 0.5)).cast("double") / 1000000.0
+          / count(lit(1))).as("avg_neg_logp"))
+      .orderBy("doc_id")
+  }
+
+  /** q_vec_quantize — int8 embedding quantization (the 4× storage cut
+    * every vector store takes at scale): per-vector symmetric scale
+    * 127/max|x|, round-and-clamp to [−127, 127], plus the
+    * reconstruction MSE. Entirely per-row HOF folds — NO shuffle, no
+    * explode; the MSE accumulates in fixed-point longs (1e-9 grain) so
+    * the fold is order-independent and cross-engine exact. */
+  def vecQuantize(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      // CAST(127 AS DOUBLE), not the literal 127.0: exact-decimal
+      // literals parse as DECIMAL in both engines and the mixed
+      // arithmetic would promote differently. 1e-30 floor guards the
+      // all-zero vector (scale would be ±Inf → NaN quants).
+      .select(col("vec_id"), col("embedding"),
+        expr("greatest(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30)")
+          .as("max_abs"))
+      .select(col("vec_id"), col("embedding"), col("max_abs"),
+        expr("""transform(embedding, x ->
+                  least(greatest(round(CAST(x AS DOUBLE) * (CAST(127 AS DOUBLE) / max_abs), 0),
+                                 CAST(-127 AS DOUBLE)), CAST(127 AS DOUBLE)))""")
+          .as("q"))
+      .select(col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        round(expr("CAST(127 AS DOUBLE) / max_abs"), 6).as("scale_r"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + CAST(v AS BIGINT))")
+          .as("q_sum"),
+        (expr("""aggregate(
+                   zip_with(embedding, q, (x, v) ->
+                     CAST(x AS DOUBLE) - v / (CAST(127 AS DOUBLE) / max_abs)),
+                   CAST(0 AS BIGINT),
+                   (acc, e) -> acc + CAST(floor(e * e * 1e9 + 0.5) AS BIGINT))""")
+          .cast("double") / 1e9 / size(col("embedding"))).as("mse"))
+      .orderBy("vec_id")
+
   /** q_corpus_funnel — the staged corpus-prep funnel as ONE scan:
     * total → length gate → token gate → exact-dedup survivors, each
     * stage a conditional aggregate over the previous stage's predicate.

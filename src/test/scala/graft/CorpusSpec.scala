@@ -69,6 +69,34 @@ class CorpusSpec extends SparkSpec {
     assert(r("pear") == ((2L, Seq(3L, 5L))))
   }
 
+  test("doc_perplexity: all-repeated bigram scores 0; rarer contexts score higher") {
+    val d = docsDir(
+      (1L, "a a a a a", "en", "s", 1L),  // only gram (a,a), p=4/5... within corpus
+      (2L, "a b", "en", "s", 1L),
+      (3L, "solo", "en", "s", 1L))       // <2 tokens: excluded entirely
+    val r = Corpus.docPerplexity(spark, d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    // corpus grams: (a,a)×4, (a,b)×1 → c1(a)=5; p(a,a)=0.8, p(a,b)=0.2
+    val nl = (p: Double) => math.floor(-math.log(p) * 1e6 + 0.5) / 1e6
+    assert(r(1L)._1 == 4L)
+    assert(math.abs(r(1L)._2 - nl(0.8)) < 1e-9)        // repeated context: cheap
+    assert(math.abs(r(2L)._2 - nl(0.2)) < 1e-9)        // rare continuation: expensive
+    assert(r(2L)._2 > r(1L)._2)
+    assert(!r.contains(3L))
+  }
+
+  test("vec_quantize: peak hits ±127 exactly, half-way rounds up, zero vector survives") {
+    val d = fixtureDir("embeddings" -> Seq(
+      (1L, Seq(1.0f, 0.5f, -1.0f), 0),  // scale 127: q = [127, 64 (63.5→up), -127]
+      (2L, Seq(0.0f, 0.0f), 1))         // all-zero: guard path, q = 0, mse = 0
+      .toDF("vec_id", "embedding", "label"))
+    val r = Corpus.vecQuantize(spark, d).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getLong(3), x.getDouble(4)))).toMap
+    assert(r(1L)._1 == 3 && r(1L)._2 == (127L + 64L - 127L))
+    assert(r(1L)._3 > 0.0 && r(1L)._3 < 1e-4)  // only the 0.5 slot carries error
+    assert(r(2L) == ((2, 0L, 0.0)))
+  }
+
   test("bigram_lm: conditional probabilities sum to 1 per context") {
     val d = docsDir(
       (1L, "a b a b a", "en", "s", 1L),
