@@ -27,7 +27,12 @@ object StressDedup {
   private val Fam = Seq("q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash",
     "q_dedup_minhash_md5", "q_dedup_simhash", "q_dedup_simhash_md5",
     "q_dedup_cluster", "q_dedup_embedding", "q_similarity_knn",
-    "q_similarity_lsh", "q_similarity_ivf")
+    "q_similarity_lsh", "q_similarity_ivf",
+    // corpus-analysis family (round-3 additions): the gram-explode ops
+    // are the ones with super-linear potential (vocab² LM join,
+    // shingle join vs the bench split)
+    "q_repetition_stats", "q_contamination", "q_doc_perplexity",
+    "q_inverted_index", "q_bigram_lm", "q_seq_pack", "q_vec_quantize")
 
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 10
