@@ -178,6 +178,7 @@ object SparkEntry {
     "s_ingest_time" -> (graft.streaming.IngestTime.sIngestTime _),
     "s_tumbling_agg" -> (graft.streaming.WindowedAgg.sTumblingAgg _),
     "s_pipeline" -> (graft.streaming.JoinedPipeline.sPipeline _),
+    "s_join_outer" -> (graft.streaming.JoinedPipeline.sJoinOuter _),
     "s_sliding_agg" -> (graft.streaming.MoreStreaming.sSlidingAgg _),
     "s_session" -> (graft.streaming.MoreStreaming.sSession _),
     "s_dedup" -> (graft.streaming.MoreStreaming.sDedup _),
@@ -1320,5 +1321,13 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_pairs,
         |       CAST(sum(gap_ms) AS BIGINT) AS total_gap_ms
         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s_join_outer" ->
+      """WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+        |f AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, epoch_ms(p.ts) AS placed_ms, epoch_ms(f.ts) AS fulfilled_ms
+        |FROM p LEFT JOIN f
+        |  ON p.user_id = f.user_id AND f.ts >= p.ts
+        | AND f.ts <= p.ts + INTERVAL 24 HOURS
+        |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin,
   )
 }

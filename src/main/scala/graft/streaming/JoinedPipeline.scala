@@ -110,4 +110,68 @@ object JoinedPipeline {
       }
     }
   }
+
+  /** s_join_outer — stream-stream LEFT OUTER interval join: every
+    * signup pairs with each purchase inside its 24 h window; signups
+    * with NO purchase in the window surface with nulls — but only once
+    * BOTH watermarks pass the window end (before that, a match could
+    * still arrive; the null row would be a retraction append mode can't
+    * make). That outer-emission discipline is the semantic this query
+    * exists to pin; state stays bounded by the same interval + watermark
+    * math as [[sPipeline]]'s inner join. Oracle: the plain batch LEFT
+    * JOIN — outer rows emitted late are still exactly the batch outer
+    * rows. */
+  def sJoinOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, d)
+      .filter(col("event_type").isin(EventPairing.PlacedType, EventPairing.FulfilledType))
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+      .as[RawEvent]
+      .collect()
+    val maxTs = if (events.isEmpty) 0L else events.map(_.ts_ms).max
+
+    implicit val sqlCtx = s.sqlContext
+    EventPairing.withStreamingPartitions(s) {
+      val input = MemoryStream[RawEvent]
+
+      val placed = input.toDF()
+        .filter(col("event_type") === EventPairing.PlacedType)
+        .select(col("user_id").as("p_user"), timestamp_millis(col("ts_ms")).as("p_ts"))
+        .withWatermark("p_ts", "60 seconds")
+      val fulfilled = input.toDF()
+        .filter(col("event_type") === EventPairing.FulfilledType)
+        .select(col("user_id").as("f_user"), timestamp_millis(col("ts_ms")).as("f_ts"))
+        .withWatermark("f_ts", "60 seconds")
+
+      val joined = placed.join(fulfilled,
+        col("p_user") === col("f_user") &&
+          col("f_ts") >= col("p_ts") &&
+          col("f_ts") <= col("p_ts") + expr("INTERVAL 24 HOURS"),
+        "leftOuter")
+        .select(col("p_user").as("user_id"),
+          unix_millis(col("p_ts")).as("placed_ms"),
+          unix_millis(col("f_ts")).as("fulfilled_ms"))
+
+      val name = s"s_join_outer_${nameCounter.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // distinct negative sentinel users (never join); the second,
+        // further-future pair pushes both watermarks past every real
+        // signup's window end so unmatched rows actually flush
+        input.addData(events.toSeq ++ Seq(
+          RawEvent(-1L, EventPairing.PlacedType, maxTs + 86400000L),
+          RawEvent(-2L, EventPairing.FulfilledType, maxTs + 86400000L)))
+        q.processAllAvailable()
+        input.addData(
+          RawEvent(-1L, EventPairing.PlacedType, maxTs + 2 * 86400000L + 120000L),
+          RawEvent(-2L, EventPairing.FulfilledType, maxTs + 2 * 86400000L + 120000L))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name)
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("placed_ms"),
+          col("fulfilled_ms").asc_nulls_first)
+    }
+  }
 }

@@ -244,4 +244,25 @@ class StreamingSpec extends SparkSpec {
     assert(back.getString(0) == "o1")
     assert(back.getString(1).contains("\"event.type\":\"order.placed\""))
   }
+
+  test("s_join_outer: null row ONLY for signups with no purchase inside 24 h") {
+    def t(s: String): Timestamp = Timestamp.valueOf(s)
+    val d = fixtureDir("events" -> Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, "signup", 0.0, "{}"),
+      (2L, t("2024-01-01 01:00:00"), 1L, "purchase", 0.0, "{}"),   // in window
+      (3L, t("2024-01-01 00:00:00"), 2L, "signup", 0.0, "{}"),     // never purchases
+      (4L, t("2024-01-01 00:00:00"), 3L, "signup", 0.0, "{}"),
+      (5L, t("2024-01-02 01:00:00"), 3L, "purchase", 0.0, "{}"),   // 25 h: OUTSIDE
+      (6L, t("2024-01-01 00:00:00"), 4L, "signup", 0.0, "{}"),
+      (7L, t("2024-01-01 01:00:00"), 4L, "purchase", 0.0, "{}"),   // two matches:
+      (8L, t("2024-01-01 02:00:00"), 4L, "purchase", 0.0, "{}")    // all-pairs, no null
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = JoinedPipeline.sJoinOuter(spark, d).collect()
+      .map(x => (x.getLong(0), x.isNullAt(2)))
+    assert(r.toSeq == Seq(
+      (1L, false),          // matched pair, no null row
+      (2L, true),           // no purchase at all → exactly one null row
+      (3L, true),           // purchase exists but outside the window → null
+      (4L, false), (4L, false))) // both in-window purchases, no null row
+  }
 }
