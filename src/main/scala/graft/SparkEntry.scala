@@ -110,6 +110,7 @@ object SparkEntry {
     "q_lang_id" -> (TextAnalysis.langId _),
     "q_quality_score" -> (TextAnalysis.qualityScore _),
     "q_doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    "q_edit_distance" -> (TextAnalysis.editDistance _),
     "q_tfidf" -> (TextAnalysis.tfidf _),
     "q_array_setops" -> (graft.operators.Catalog.arraySetOps _),
     "q_hash_encode" -> (graft.operators.Catalog.hashEncode _),
@@ -791,6 +792,15 @@ object SparkEntry {
         |           FROM scored)
         |SELECT doc_id, term, score, rn FROM ranked WHERE rn <= 3
         |ORDER BY doc_id, rn""".stripMargin,
+    "q_edit_distance" ->
+      """WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+        |             text[1:60] AS prefix FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.prefix, b.prefix) AS INT) AS dist
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.n_tokens = b.n_tokens
+        |                 AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 45
+        |ORDER BY 1, 2""".stripMargin,
     "q_doc_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(

@@ -130,6 +130,30 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
+  /** q_edit_distance — levenshtein as fuzzy-dedup's exact-verify step.
+    * Edit distance is O(len²) per pair, so at ANY scale it only ever
+    * runs on banded candidates, never all-pairs: here the band is
+    * (lang, token count) — an equi-join key, so candidates co-locate in
+    * one narrow shuffle exactly like the MinHash/SimHash bucket joins —
+    * and the compared prefix is capped at 60 chars to bound the DP.
+    * `a < b` keeps each unordered pair once, injectively. */
+  def editDistance(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        substring(col("text"), 1, 60).as("prefix"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
+      col("n_tokens"), col("prefix").as("pa"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang"),
+      col("n_tokens"), col("prefix").as("pb"))
+    a.join(b, Seq("lang", "n_tokens"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).as("dist"))
+      .filter(col("dist") <= 45)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q_doc_fingerprint — polynomial rolling hash over the characters
     * (h = h*31 + ascii, mod 1e9+7): a deterministic content fingerprint
     * computable as a sequential fold in both engines. Collision-resistant

@@ -97,6 +97,18 @@ class CorpusSpec extends SparkSpec {
     assert(r(2L) == ((2, 0L, 0.0)))
   }
 
+  test("edit_distance: gate is inclusive at 45, banding keys must both match") {
+    val base = (0 until 10).map(i => s"tok$i").mkString(" ")  // 59 chars
+    val d = docsDir(
+      (1L, base, "en", "s", 1L),
+      (2L, base.replace("tok0", "xok0"), "en", "s", 1L),  // dist 1: kept
+      (3L, base, "de", "s", 1L),                          // other lang: no pair
+      (4L, base + " extra", "en", "s", 1L))               // 11 tokens: other band
+    val r = graft.operators.TextAnalysis.editDistance(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSeq
+    assert(r == Seq((1L, 2L, 1)))  // only the same-(lang, n_tokens) pair
+  }
+
   test("bigram_lm: conditional probabilities sum to 1 per context") {
     val d = docsDir(
       (1L, "a b a b a", "en", "s", 1L),
