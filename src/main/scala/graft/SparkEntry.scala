@@ -794,12 +794,12 @@ object SparkEntry {
         |ORDER BY doc_id, rn""".stripMargin,
     "q_edit_distance" ->
       """WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
-        |             text[1:60] AS prefix FROM documents)
+        |             text[1:40] AS prefix FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       CAST(levenshtein(a.prefix, b.prefix) AS INT) AS dist
         |FROM d a JOIN d b ON a.lang = b.lang AND a.n_tokens = b.n_tokens
         |                 AND a.doc_id < b.doc_id
-        |WHERE levenshtein(a.prefix, b.prefix) <= 45
+        |WHERE levenshtein(a.prefix, b.prefix) <= 30
         |ORDER BY 1, 2""".stripMargin,
     "q_doc_fingerprint" ->
       """SELECT doc_id,

@@ -135,13 +135,13 @@ object TextAnalysis {
     * runs on banded candidates, never all-pairs: here the band is
     * (lang, token count) — an equi-join key, so candidates co-locate in
     * one narrow shuffle exactly like the MinHash/SimHash bucket joins —
-    * and the compared prefix is capped at 60 chars to bound the DP.
+    * and the compared prefix is capped at 40 chars to bound the DP.
     * `a < b` keeps each unordered pair once, injectively. */
   def editDistance(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).as("n_tokens"),
-        substring(col("text"), 1, 60).as("prefix"))
+        substring(col("text"), 1, 40).as("prefix"))
     val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
       col("n_tokens"), col("prefix").as("pa"))
     val b = docs.select(col("doc_id").as("doc_b"), col("lang"),
@@ -150,7 +150,7 @@ object TextAnalysis {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("pa"), col("pb")).as("dist"))
-      .filter(col("dist") <= 45)
+      .filter(col("dist") <= 30)
       .orderBy("doc_a", "doc_b")
   }
 

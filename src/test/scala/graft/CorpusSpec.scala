@@ -97,7 +97,7 @@ class CorpusSpec extends SparkSpec {
     assert(r(2L) == ((2, 0L, 0.0)))
   }
 
-  test("edit_distance: gate is inclusive at 45, banding keys must both match") {
+  test("edit_distance: gate at 30, banding keys must both match") {
     val base = (0 until 10).map(i => s"tok$i").mkString(" ")  // 59 chars
     val d = docsDir(
       (1L, base, "en", "s", 1L),
