@@ -132,6 +132,9 @@ object SparkEntry {
     "q_bigram_lm" -> (Corpus.bigramLm _),
     "q_doc_perplexity" -> (Corpus.docPerplexity _),
     "q_vec_quantize" -> (Corpus.vecQuantize _),
+    "q_winnow" -> (Corpus.winnow _),
+    "q_boiler_ngrams" -> (Corpus.boilerNgrams _),
+    "q_temp_sample" -> (Corpus.tempSample _),
     // deduplication
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_cluster" -> (Dedup.dedupCluster _),
@@ -164,6 +167,7 @@ object SparkEntry {
     "q_asof_join" -> (Temporal.asofJoin _),
     "q_window_sliding" -> (Temporal.slidingWindow _),
     "q_window_session" -> (Temporal.sessionWindow _),
+    "q_recursive_cte" -> (Temporal.recursiveCte _),
     // file source/sink round trips
     "q_source_json" -> (Sources.jsonRoundtrip _),
     "q_source_csv" -> (Sources.csvRoundtrip _),
@@ -990,6 +994,63 @@ object SparkEntry {
         |                      FOR i IN range(1, len(embedding) + 1)]) AS DOUBLE)
         |         / 1e9 / len(embedding) AS mse
         |FROM e ORDER BY vec_id""".stripMargin,
+    "q_winnow" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 5),
+        |kg AS (SELECT doc_id, ts, len(ts) - 4 AS n_kg,
+        |              unnest([i FOR i IN range(1, len(ts) - 3)]) AS i
+        |       FROM toks),
+        |h AS (SELECT doc_id, n_kg, i - 1 AS pos,
+        |             list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |               [CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1
+        |                FOR c IN regexp_extract_all(
+        |                  substring(md5(array_to_string(ts[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)], ' ')), 1, 15), '.')]),
+        |               (acc, x) -> acc * 16 + x) AS hv
+        |      FROM kg),
+        |wm AS (SELECT doc_id, pos, n_kg,
+        |              min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+        |                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |       FROM h),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= greatest(n_kg - 4, 0))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+        |       min(fp) AS min_fp, max(fp) AS max_fp
+        |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_boiler_ngrams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 4),
+        |g AS (SELECT DISTINCT doc_id,
+        |             unnest([array_to_string(ts[i:i+3], ' ')
+        |                     FOR i IN range(1, len(ts) - 2)]) AS gram
+        |      FROM toks),
+        |df AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_docs FROM documents),
+        |per AS (SELECT doc_id,
+        |               CAST(count(*) AS BIGINT) AS n_grams,
+        |               CAST(count(*) FILTER (WHERE df.df >= 3 AND df.df * 50 >= tot.n_docs) AS BIGINT) AS n_boiler
+        |        FROM g JOIN df USING (gram), tot
+        |        GROUP BY 1)
+        |SELECT doc_id, n_grams, n_boiler,
+        |       round(CAST(n_boiler AS DOUBLE) / n_grams, 6) AS boiler_frac
+        |FROM per ORDER BY doc_id""".stripMargin,
+    "q_temp_sample" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total FROM documents GROUP BY 1),
+        |r AS (SELECT lang, n_total,
+        |             sqrt(CAST(n_total AS DOUBLE) / (SELECT max(n_total) FROM c)) AS rate
+        |      FROM c),
+        |u AS (SELECT d.lang, d.doc_id,
+        |             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |               [CAST(strpos('0123456789abcdef', ch) AS BIGINT) - 1
+        |                FOR ch IN regexp_extract_all(
+        |                  substring(md5('t#' || CAST(doc_id AS VARCHAR)), 1, 15), '.')]),
+        |               (acc, x) -> acc * 16 + x) AS DOUBLE)
+        |               / 1152921504606846976.0 AS uu
+        |      FROM documents d)
+        |SELECT r.lang, r.n_total, CAST(count(*) AS BIGINT) AS n_kept,
+        |       round(r.rate, 6) AS rate_r
+        |FROM u JOIN r USING (lang)
+        |WHERE uu < r.rate
+        |GROUP BY r.lang, r.n_total, r.rate
+        |ORDER BY r.lang""".stripMargin,
     "q_dedup_cluster" ->
       """WITH RECURSIVE toksc AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
@@ -1257,6 +1318,21 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     "q_window_sliding" -> slidingAggSql,
     "q_window_session" -> sessionWindowSql,
+    "q_recursive_cte" ->
+      """WITH RECURSIVE spine(month_start) AS (
+        |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) FROM orders
+        |  UNION ALL
+        |  SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE) FROM spine
+        |  WHERE month_start <
+        |    (SELECT CAST(date_trunc('month', max(o_orderdate)) AS DATE) FROM orders)
+        |),
+        |monthly AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, count(*) AS c
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT sp.month_start, CAST(coalesce(m.c, 0) AS BIGINT) AS n_orders
+        |FROM spine sp LEFT JOIN monthly m ON m.m = sp.month_start
+        |ORDER BY sp.month_start""".stripMargin,
     "q_source_json" ->
       """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
         |FROM events ORDER BY event_id""".stripMargin,

@@ -312,6 +312,113 @@ object Corpus {
           .cast("double") / 1e9 / size(col("embedding"))).as("mse"))
       .orderBy("vec_id")
 
+  /** Winnowing parameters: 5-token k-grams, window of 4 consecutive
+    * k-gram hashes (standard MOSS-style settings scaled to the tiny
+    * synthetic docs: guarantee = detect any shared run of ≥ 8 tokens). */
+  private val WinnowK = 5
+  private val WinnowW = 4
+
+  /** q_winnow — winnowing document fingerprints (the MOSS algorithm;
+    * Schleimer/Wilkerson/Aiken SIGMOD'03): hash every [[WinnowK]]-token
+    * k-gram, slide a [[WinnowW]]-wide window over the hash sequence and
+    * keep each window's minimum — any two documents sharing a long
+    * enough run share a fingerprint, at ~1/W the storage of full
+    * k-gram sets. Shape: one generator pass (no shuffle), ONE window
+    * sort keyed by doc — at 100 TB fingerprinting is per-doc local
+    * work and must never shuffle the corpus more than once. The hash
+    * is the portable 60-bit md5 ([[graft.functions.Md5Hash60]]) so the
+    * fingerprint VALUES are oracle-checked, not just the counts.
+    * Sub-window docs (fewer k-grams than [[WinnowW]]) keep one
+    * fingerprint — the min of what they have (winnowing's ≥1
+    * guarantee; pinned by CorpusSpec). */
+  def winnow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= WinnowK)
+      .select(col("doc_id"), (size(col("tk")) - (WinnowK - 1)).as("n_kg"),
+        posexplode(expr(
+          s"transform(sequence(1, size(tk) - ${WinnowK - 1}), " +
+            s"i -> array_join(slice(tk, i, $WinnowK), ' '))"))
+          .as(Seq("pos", "kg")))
+      .select(col("doc_id"), col("n_kg"), col("pos"),
+        graft.functions.md5hash60(col("kg")).as("h"))
+      .withColumn("fp", min(col("h")).over(w))
+      // valid window starts only: pos 0 .. n_kg - W (all-of-doc min for
+      // sub-window docs lands on pos 0)
+      .filter(col("pos") <= greatest(col("n_kg") - WinnowW, lit(0)))
+      .select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Boilerplate shingle width (tokens). */
+  private val BoilerW = 4
+
+  /** q_boiler_ngrams — C4-style boilerplate detection: a [[BoilerW]]-token
+    * shingle is boilerplate when it appears in ≥ max(3, 2 %) of ALL
+    * documents, and each document reports what fraction of its distinct
+    * shingles are boilerplate (the signal behind "drop docs that are
+    * mostly navigation chrome"). The 2 % gate is the exact integer
+    * comparison `df · 50 ≥ n_docs` — no float threshold to drift
+    * cross-engine. Shape: generator → distinct(doc, shingle) → one agg
+    * keyed by shingle → join back on shingle → one agg keyed by doc.
+    * Both shuffles are on the natural keys; the document-frequency side
+    * is vocabulary-sized. The corpus is scanned twice (gram build feeds
+    * both sides of the join) — at 100 TB the gram relation would be
+    * persisted between the two uses; the SHAPE (two narrow keyed
+    * shuffles, no all-pairs anything) is the scale-correct one. */
+  def boilerNgrams(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= BoilerW)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(tk) - ${BoilerW - 1}), " +
+          s"i -> array_join(slice(tk, i, $BoilerW), ' '))")).as("gram"))
+      .distinct()
+    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val tot = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    grams.join(df, Seq("gram"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") >= 3 && col("df") * 50 >= col("n_docs"), 1))
+          .as("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        round(col("n_boiler") / col("n_grams"), 6).as("boiler_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** q_temp_sample — temperature-based language rebalancing (the
+    * multilingual-corpus move: sample language l at rate (c_l/c_max)^τ,
+    * τ = 0.5, so head languages shrink toward the tail without ever
+    * upsampling). Selection is u(doc) < rate with u = md5-60-bit / 2^60
+    * — deterministic, engine- and cluster-size-independent; both sides
+    * of the comparison are IEEE-exact cross-engine (long→double is
+    * round-to-nearest in both, sqrt is correctly rounded in both).
+    * Shape: one tiny keyed agg for the rate table, broadcast back, one
+    * filtered agg — the corpus shuffles once, on lang. */
+  def tempSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      .withColumn("max_c", max(col("n_total")).over(Window.partitionBy()))
+      .select(col("lang"), col("n_total"),
+        sqrt(col("n_total") / col("max_c")).as("rate"))
+    val u = graft.functions
+      .md5hash60(concat(lit("t#"), col("doc_id").cast("string")))
+      .cast("double") / lit(1152921504606846976.0) // 2^60, exact in double
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(u < col("rate"))
+      .groupBy(col("lang"))
+      .agg(first(col("n_total")).as("n_total"),
+        count(lit(1)).as("n_kept"),
+        round(first(col("rate")), 6).as("rate_r"))
+      .orderBy("lang")
+  }
+
   /** q_corpus_funnel — the staged corpus-prep funnel as ONE scan:
     * total → length gate → token gate → exact-dedup survivors, each
     * stage a conditional aggregate over the previous stage's predicate.

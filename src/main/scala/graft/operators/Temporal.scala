@@ -70,4 +70,41 @@ object Temporal {
         col("n_events"),
         (millis(col("session_window.end")) - lit(300000L)).as("last_ms"))
       .orderBy("user_id", "session_start_ms")
+
+  /** q_recursive_cte — recursive date-spine generation (Spark 4
+    * `WITH RECURSIVE`, SPARK-24497): the anchor seeds the first order
+    * month, the recursive step walks one month at a time, bounded by a
+    * scalar subquery — fully declarative, NO driver participation (the
+    * usual collect-min/max-then-sequence spine needs two driver round
+    * trips). Orders are aggregated to per-month counts FIRST, so the
+    * LEFT JOIN that keeps gap months visible (n_orders = 0) runs over
+    * two month-cardinality relations — at 100 TB the only full-data
+    * pass is the map-side-combined monthly aggregation; the recursion
+    * itself is one 1-row step per month and costs nothing at any
+    * scale. Oracle: DuckDB WITH RECURSIVE (native). */
+  def recursiveCte(s: SparkSession, d: String): DataFrame = {
+    // depth = #months in the data (~80 here); the 100-step default
+    // would silently cap a wider date range, so raise it explicitly
+    s.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+    s.sql("""
+      WITH RECURSIVE spine(month_start) AS (
+        SELECT CAST(date_trunc('MONTH', min(o_orderdate)) AS DATE)
+        FROM graft_orders
+        UNION ALL
+        SELECT add_months(month_start, 1) FROM spine
+        WHERE month_start <
+          (SELECT CAST(date_trunc('MONTH', max(o_orderdate)) AS DATE)
+           FROM graft_orders)
+      ),
+      monthly AS (
+        SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS m,
+               count(*) AS c
+        FROM graft_orders GROUP BY 1
+      )
+      SELECT sp.month_start, CAST(coalesce(m.c, 0) AS BIGINT) AS n_orders
+      FROM spine sp LEFT JOIN monthly m ON m.m = sp.month_start
+      ORDER BY sp.month_start
+    """)
+  }
 }

@@ -109,6 +109,74 @@ class CorpusSpec extends SparkSpec {
     assert(r == Seq((1L, 2L, 1)))  // only the same-(lang, n_tokens) pair
   }
 
+  /** Independent md5-60-bit recomputation (plain JDK MessageDigest) —
+    * parity target for the winnow/temp_sample fingerprint math. */
+  private def md5h60(str: String): Long = {
+    val dg = java.security.MessageDigest.getInstance("MD5")
+      .digest(str.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      dg.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  test("winnow: brute-force parity; sub-window doc keeps 1 fp; <k-token doc drops") {
+    val toks = (0 until 10).map(i => s"w$i")
+    val d = docsDir(
+      (1L, toks.mkString(" "), "en", "s", 1L), // n_kg=6 → window starts 0..2
+      (2L, "a b c d e", "en", "s", 1L),        // 5 tokens: n_kg=1 < w → 1 fp
+      (3L, "a b c d", "en", "s", 1L))          // 4 tokens < k: excluded
+    // plain-Scala winnowing: 5-gram hashes, min over each 4-wide window
+    val hs = (0 to 5).map(i => md5h60(toks.slice(i, i + 5).mkString(" ")))
+    val fps = (0 to 2).map(i => hs.slice(i, i + 4).min).distinct
+    val r = Corpus.winnow(spark, d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((fps.size.toLong, fps.min, fps.max)))
+    assert(r(2L)._1 == 1L && r(2L)._2 == r(2L)._3) // winnowing's ≥1 guarantee
+    assert(!r.contains(3L))
+  }
+
+  test("boiler_ngrams: df gate needs 3 distinct docs; per-doc frac is over distinct grams") {
+    val common = "c1 c2 c3 c4"
+    val d = docsDir(
+      (1L, common, "en", "s", 1L),
+      (2L, common + " x1", "en", "s", 1L),  // grams: common + shifted one
+      (3L, common, "en", "s", 1L),          // df(common)=3 → boilerplate
+      (4L, "r1 r2 r3 r4", "en", "s", 1L),   // df=1 → clean
+      (5L, "d1 d2 d3 d4", "en", "s", 1L),
+      (6L, "d1 d2 d3 d4", "en", "s", 1L))   // df=2 < 3 → still clean
+    val r = Corpus.boilerNgrams(spark, d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((1L, 1L, 1.0)))
+    assert(r(2L) == ((2L, 1L, 0.5)))
+    assert(r(4L) == ((1L, 0L, 0.0)))
+    assert(r(5L) == ((1L, 0L, 0.0)))
+  }
+
+  test("boiler_ngrams: the 2% corpus gate — df=3 flips from boiler to clean at 151 docs") {
+    def corpus(n: Int): String = docsDir(
+      ((1L to 3L).map(i => (i, "s1 s2 s3 s4", "en", "s", 1L)) ++
+        (4L to n.toLong).map(i => (i, s"f${i}a f${i}b f${i}c f${i}d", "en", "s", 1L))): _*)
+    def boilerOfDoc1(dir: String): Long =
+      Corpus.boilerNgrams(spark, dir).collect()
+        .find(_.getLong(0) == 1L).get.getLong(2)
+    assert(boilerOfDoc1(corpus(150)) == 1L) // 3·50 = 150 ≥ 150 → boiler
+    assert(boilerOfDoc1(corpus(151)) == 0L) // 150 < 151 → clean
+  }
+
+  test("temp_sample: head lang rate 1, tail rate sqrt(c/max), md5-exact selection") {
+    val d = docsDir(
+      (1L, "t", "en", "s", 1L), (2L, "t", "en", "s", 1L),
+      (3L, "t", "en", "s", 1L), (4L, "t", "en", "s", 1L),
+      (10L, "t", "de", "s", 1L))
+    def u(id: Long): Double = md5h60("t#" + id).toDouble / math.pow(2, 60)
+    val enKept = (1L to 4L).count(u(_) < 1.0).toLong
+    val deKept = if (u(10L) < 0.5) 1L else 0L
+    val r = Corpus.tempSample(spark, d).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r("en") == ((4L, enKept, 1.0)))
+    if (deKept == 1L) assert(r("de") == ((1L, 1L, 0.5)))
+    else assert(!r.contains("de"))
+  }
+
   test("bigram_lm: conditional probabilities sum to 1 per context") {
     val d = docsDir(
       (1L, "a b a b a", "en", "s", 1L),

@@ -50,4 +50,17 @@ class TemporalSpec extends SparkSpec {
     val total = Temporal.slidingWindow(spark, dir).collect().map(_.getLong(2)).sum
     assert(total == 2L * 10) // 10 events, each in 2 windows
   }
+
+  test("recursive CTE date spine: gap months surface with zero orders") {
+    val d = fixtureDir("orders" -> Seq(
+      java.sql.Timestamp.valueOf("1995-01-15 00:00:00"),
+      java.sql.Timestamp.valueOf("1995-01-20 00:00:00"),
+      java.sql.Timestamp.valueOf("1995-04-02 00:00:00"))
+      .map(Tuple1(_)).toDF("o_orderdate"))
+    val rows = Temporal.recursiveCte(spark, d).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+    assert(rows == Seq( // Feb/Mar exist ONLY via the recursion — zero rows
+      ("1995-01-01", 2L), ("1995-02-01", 0L),
+      ("1995-03-01", 0L), ("1995-04-01", 1L)))
+  }
 }
