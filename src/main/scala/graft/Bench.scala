@@ -40,20 +40,27 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      // a failed rep must NOT feed its (fast, partial) elapsed time into
+      // the reported min — a broken query would masquerade as a speedup.
+      // Failures surface as null in the JSON instead.
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (if (times.isEmpty) None else Some(times.min))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) =>
+        "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+      }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val nFailed = results.count(_._2.isEmpty)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

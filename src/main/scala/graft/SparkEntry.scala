@@ -823,11 +823,11 @@ object SparkEntry {
         |         [x FOR x IN range(o_orderkey % 7, o_orderkey % 7 + 4)] AS b
         |  FROM orders)
         |SELECT o_orderkey,
-        |       list_sort(list_distinct(list_concat(a, b))) AS u,
-        |       list_sort(list_distinct([x FOR x IN a IF list_contains(b, x)])) AS i,
-        |       list_sort(list_distinct([x FOR x IN a IF NOT list_contains(b, x)])) AS e,
+        |       coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '') AS u,
+        |       coalesce(array_to_string(list_sort(list_distinct([x FOR x IN a IF list_contains(b, x)])), ','), '') AS i,
+        |       coalesce(array_to_string(list_sort(list_distinct([x FOR x IN a IF NOT list_contains(b, x)])), ','), '') AS e,
         |       len([x FOR x IN a IF list_contains(b, x)]) > 0 AS overlaps,
-        |       list_transform(list_zip(a, b), x -> x[1] + x[2]) AS z
+        |       coalesce(array_to_string(list_transform(list_zip(a, b), x -> x[1] + x[2]), ','), '') AS z
         |FROM t ORDER BY o_orderkey""".stripMargin,
     "q_hash_encode" ->
       """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
@@ -956,7 +956,7 @@ object SparkEntry {
       """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
         |            FROM documents)
         |SELECT term, CAST(count(*) AS BIGINT) AS df,
-        |       list_sort(list(doc_id))[1:8] AS postings
+        |       array_to_string(list_sort(list(doc_id))[1:8], ',') AS postings
         |FROM dt GROUP BY term ORDER BY term""".stripMargin,
     "q_bigram_lm" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),

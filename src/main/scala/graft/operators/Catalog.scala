@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -124,10 +124,15 @@ object Catalog {
     * overlap / element-wise zip over two derived integer arrays. Spark's
     * set functions preserve first-array order — the outputs are
     * array_sort'ed so the contract is the SET, matching any engine's
-    * ordering (DuckDB mirrors with list comprehensions + list_sort). */
+    * ordering (DuckDB mirrors with list comprehensions + list_sort).
+    * Each array is emitted as a canonical comma-joined string: the
+    * driver's comparator sorts/hashes output cells, and raw array
+    * cells are unhashable there — the string form is the portable
+    * wire contract (DuckDB mirrors with array_to_string). */
   def arraySetOps(s: SparkSession, d: String): DataFrame = {
     val a = sequence(col("o_orderkey") % 4, col("o_orderkey") % 4 + 3)
     val b = sequence(col("o_orderkey") % 7, col("o_orderkey") % 7 + 3)
+    def joined(c: Column): Column = array_join(c.cast("array<string>"), ",")
     Tables.orders(s, d)
       // materialize the two arrays once per row: inlined into the next
       // select, each sequence() would be rebuilt for every one of the
@@ -135,11 +140,11 @@ object Catalog {
       // non-cheap aliases materialized, so this projection survives).
       .select(col("o_orderkey"), a.as("arr_a"), b.as("arr_b"))
       .select(col("o_orderkey"),
-        array_sort(array_union(col("arr_a"), col("arr_b"))).as("u"),
-        array_sort(array_intersect(col("arr_a"), col("arr_b"))).as("i"),
-        array_sort(array_except(col("arr_a"), col("arr_b"))).as("e"),
+        joined(array_sort(array_union(col("arr_a"), col("arr_b")))).as("u"),
+        joined(array_sort(array_intersect(col("arr_a"), col("arr_b")))).as("i"),
+        joined(array_sort(array_except(col("arr_a"), col("arr_b")))).as("e"),
         arrays_overlap(col("arr_a"), col("arr_b")).as("overlaps"),
-        zip_with(col("arr_a"), col("arr_b"), (x, y) => x + y).as("z"))
+        joined(zip_with(col("arr_a"), col("arr_b"), (x, y) => x + y)).as("z"))
       .orderBy("o_orderkey")
   }
 

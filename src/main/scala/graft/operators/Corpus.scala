@@ -220,7 +220,11 @@ object Corpus {
       .distinct()
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
-        slice(sort_array(collect_set(col("doc_id"))), 1, 8).as("postings"))
+        // comma-joined string, not a raw array: the driver comparator
+        // sorts/hashes cells and can't hash arrays (DuckDB mirrors
+        // with array_to_string).
+        array_join(slice(sort_array(collect_set(col("doc_id"))), 1, 8)
+          .cast("array<string>"), ",").as("postings"))
       .orderBy("term")
 
   /** q_bigram_lm — count-based bigram language model: P(w2|w1) =

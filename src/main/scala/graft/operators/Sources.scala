@@ -32,8 +32,19 @@ object Sources {
       col("event_id"), col("user_id"), col("event_type"),
       millis(col("ts")).as("ts_ms"), col("value"))
 
+  /** Deterministic per-(tag, dataset) scratch dir: re-runs (Bench runs
+    * every query SPARK_GRAFT_REPS times) overwrite in place instead of
+    * leaking a fresh temp dir per invocation. */
+  private def scratchDir(tag: String, d: String): String = {
+    val safe = d.replaceAll("[^A-Za-z0-9]", "_")
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_scratch", s"${tag}_$safe")
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
   private def roundtrip(s: SparkSession, d: String, format: String): DataFrame = {
-    val dir = Files.createTempDirectory(s"graft_$format").toString
+    val dir = scratchDir(format, d)
     wireEvents(s, d).write.mode("overwrite").format(format)
       .option("header", "true").save(dir)
     s.read.format(format).schema(wireSchema)
@@ -64,7 +75,7 @@ object Sources {
     * a footer pass per file — enable it per-read like here, not
     * globally.) */
   def mergeSchemaRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_merge").toString
+    val dir = scratchDir("merge", d)
     val ev = wireEvents(s, d)
     ev.filter(col("event_id") % 2 === 0)
       .select("event_id", "user_id")
@@ -87,9 +98,16 @@ object Sources {
     * per-line map — exactly what a 1000-executor ingest does per
     * split. */
   def textRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_text").toString
+    val dir = scratchDir("text", d)
     Tables.documents(s, d)
-      .select(concat_ws("\t", col("doc_id"), col("text")).as("line"))
+      // the TAB-delimited line format is only unambiguous if text is
+      // non-null and TAB/newline-free — fail loudly at write time if a
+      // future corpus breaks that, instead of round-tripping wrong rows
+      .select(when(col("text").isNull
+          .or(col("text").contains("\t")).or(col("text").contains("\n")),
+          raise_error(concat(lit("textRoundtrip: doc_id="), col("doc_id"),
+            lit(" has null text or embedded tab/newline"))))
+        .otherwise(concat_ws("\t", col("doc_id"), col("text"))).as("line"))
       .write.mode("overwrite").text(dir)
     s.read.text(dir)
       .select(

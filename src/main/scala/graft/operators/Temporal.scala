@@ -83,11 +83,16 @@ object Temporal {
     * itself is one 1-row step per month and costs nothing at any
     * scale. Oracle: DuckDB WITH RECURSIVE (native). */
   def recursiveCte(s: SparkSession, d: String): DataFrame = {
+    // isolated child session: the raised recursion limit and the temp
+    // view must not leak into every later query of the shared session
+    // (Bench/Verify run the whole inventory in one JVM) — same pattern
+    // as withStreamingPartitions / aggPushdown.
+    val iso = s.newSession()
     // depth = #months in the data (~80 here); the 100-step default
     // would silently cap a wider date range, so raise it explicitly
-    s.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
-    Tables.orders(s, d).createOrReplaceTempView("graft_orders")
-    s.sql("""
+    iso.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
+    Tables.orders(iso, d).createOrReplaceTempView("graft_orders")
+    iso.sql("""
       WITH RECURSIVE spine(month_start) AS (
         SELECT CAST(date_trunc('MONTH', min(o_orderdate)) AS DATE)
         FROM graft_orders

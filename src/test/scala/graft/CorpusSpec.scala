@@ -64,9 +64,9 @@ class CorpusSpec extends SparkSpec {
       (3L, "apple pear", "en", "s", 1L),
       (5L, "pear apple", "en", "s", 1L))
     val r = Corpus.invertedIndex(spark, d).collect()
-      .map(x => x.getString(0) -> ((x.getLong(1), x.getSeq[Long](2)))).toMap
-    assert(r("apple") == ((3L, Seq(3L, 5L, 7L)))) // 3 docs, ids ascending
-    assert(r("pear") == ((2L, Seq(3L, 5L))))
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(r("apple") == ((3L, "3,5,7"))) // 3 docs, ids ascending
+    assert(r("pear") == ((2L, "3,5")))
   }
 
   test("doc_perplexity: all-repeated bigram scores 0; rarer contexts score higher") {
