@@ -135,6 +135,8 @@ object SparkEntry {
     "q_winnow" -> (Corpus.winnow _),
     "q_boiler_ngrams" -> (Corpus.boilerNgrams _),
     "q_temp_sample" -> (Corpus.tempSample _),
+    "q_ccnet_bucket" -> (Corpus.ccnetBucket _),
+    "q_mix_weights" -> (Corpus.mixWeights _),
     // deduplication
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_cluster" -> (Dedup.dedupCluster _),
@@ -148,6 +150,7 @@ object SparkEntry {
     "q_similarity_knn" -> (Similarity.knn _),
     "q_similarity_lsh" -> (Similarity.lsh _),
     "q_similarity_ivf" -> (Similarity.ivf _),
+    "q_knn_join" -> (Similarity.knnJoin _),
     "q_crossmodal_join" -> (Similarity.crossmodalJoin _),
     // multimodal columns
     "q_media_meta" -> (Multimodal.mediaMeta _),
@@ -978,6 +981,43 @@ object SparkEntry {
         |       CAST(sum(CAST(floor(-ln(p) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
         |         / 1000000.0 / count(*) AS avg_neg_logp
         |FROM g JOIN lm USING (w1, w2) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ccnet_bucket" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2 FROM t),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM g GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM g GROUP BY 1),
+        |lm AS (SELECT w1, w2, CAST(c12 AS DOUBLE) / c1 AS p FROM big JOIN uni USING (w1)),
+        |ppl AS (
+        |  SELECT g.doc_id,
+        |         CAST(sum(CAST(floor(-ln(p) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |           / 1000000.0 / count(*) AS avg_neg_logp
+        |  FROM g JOIN lm USING (w1, w2) GROUP BY 1),
+        |b AS (
+        |  SELECT ppl.doc_id, d.lang, ppl.avg_neg_logp,
+        |         CAST(ntile(3) OVER (PARTITION BY d.lang
+        |           ORDER BY ppl.avg_neg_logp, ppl.doc_id) AS INT) AS bucket
+        |  FROM ppl JOIN documents d ON d.doc_id = ppl.doc_id)
+        |SELECT doc_id, lang, avg_neg_logp, bucket,
+        |       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |            ELSE 'tail' END AS tier
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q_mix_weights" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per),
+        |sh AS (
+        |  SELECT source, n_docs, n_tokens,
+        |         round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS share,
+        |         round(sqrt(round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6)), 6) AS w_raw
+        |  FROM per, tot),
+        |ws AS (SELECT sum(CAST(w_raw AS DECIMAL(28,6))) AS w_sum FROM sh)
+        |SELECT source, n_docs, n_tokens, share,
+        |       round(w_raw / CAST(w_sum AS DOUBLE), 6) AS mix_weight,
+        |       round(round(w_raw / CAST(w_sum AS DOUBLE), 6) / share, 6) AS boost
+        |FROM sh, ws ORDER BY source""".stripMargin,
     "q_vec_quantize" ->
       """WITH t AS (SELECT vec_id, embedding,
         |             greatest(list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]), 1e-30) AS max_abs
@@ -1230,6 +1270,24 @@ object SparkEntry {
         |  GROUP BY e.vec_id)
         |SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nq2)), 6) AS cos_sim
         |FROM dots ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin,
+    "q_knn_join" ->
+      """WITH dots AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+        |         sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot,
+        |         sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) AS na2,
+        |         sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS nb2
+        |  FROM embeddings a, embeddings b, range(1, 65) r(i)
+        |  WHERE a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT vec_id, neighbor,
+        |         round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY round(dot / (sqrt(na2) * sqrt(nb2)), 6) DESC, neighbor)
+        |           AS INT) AS rk
+        |  FROM dots)
+        |SELECT vec_id, neighbor, cos_sim, rk
+        |FROM ranked WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
     "q_crossmodal_join" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,

@@ -439,4 +439,59 @@ object Corpus {
         countDistinct(when(tokOk, md5(col("text").cast("binary"))))
           .as("n_deduped"))
   }
+
+  /** q_ccnet_bucket — CCNet-style quality terciles: rank every document
+    * by its LM perplexity proxy ([[docPerplexity]]'s fixed-point
+    * avg −ln p) WITHIN its language and split into head / middle / tail
+    * thirds (ntile(3)) — the standard move for keeping per-language
+    * quality comparable instead of letting high-resource languages
+    * crowd the "clean" bucket. The ranking key (avg_neg_logp, doc_id)
+    * is a cross-engine-exact total order: the perplexity is a ratio of
+    * fixed-point longs and doc_id breaks ties injectively, so the tile
+    * boundaries are deterministic under any partitioning. One window
+    * per language partition — at 100 TB each language sorts
+    * independently (and the window would be range-partitioned by
+    * ntile's one required sort); no global order is ever needed. */
+  def ccnetBucket(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_neg_logp"), col("doc_id"))
+    docPerplexity(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .withColumn("bucket", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("avg_neg_logp"), col("bucket"),
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise("tail").as("tier"))
+      .orderBy("doc_id")
+  }
+
+  /** q_mix_weights — domain-mixture weights for training-data sampling:
+    * per-source token mass → corpus share → temperature-flattened
+    * (τ = 0.5, i.e. √share) normalized mixture weight, plus the boost
+    * each source's sampling rate gets vs its natural share (the
+    * DoReMi/LLaMA-style static reweighting table a sampler consumes).
+    * Determinism: shares are ratios of exact longs (IEEE division),
+    * √ of the ROUNDED share is correctly rounded in both engines, and
+    * the normalizer sums the rounded weights as DECIMAL — order-free.
+    * Shape: one map-side-combined agg over the corpus, then all math on
+    * a #sources-row relation (two broadcast scalars) — the corpus is
+    * scanned once and shuffled once, on source. */
+  def mixWeights(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("bigint")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"))
+    val sh = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot_tokens"), 6).as("share"))
+      .withColumn("w_raw", round(sqrt(col("share")), 6))
+    val wsum = sh.agg(sum(col("w_raw").cast("decimal(28,6)")).as("w_sum"))
+    sh.crossJoin(broadcast(wsum))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("share"),
+        round(col("w_raw") / col("w_sum").cast("double"), 6).as("mix_weight"))
+      .withColumn("boost", round(col("mix_weight") / col("share"), 6))
+      .orderBy("source")
+  }
 }

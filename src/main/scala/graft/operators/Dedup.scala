@@ -281,20 +281,20 @@ object Dedup {
 
   /** Spark's round(x, 6) semantics exactly (HALF_UP via BigDecimal) —
     * bit-identical to the declarative formulation and the SQL oracle. */
-  private def round6(x: Double): Double =
+  private[operators] def round6(x: Double): Double =
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Dot of two float vectors — the SAME sequential double fold as
     * [[graft.functions.FloatDot]], so results match the codegen'd path. */
-  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+  private[operators] def dotD(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var acc = 0.0; var i = 0
     while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
     acc
   }
 
-  private def normD(a: Array[Float]): Double = {
+  private[operators] def normD(a: Array[Float]): Double = {
     var acc = 0.0; var i = 0
     while (i < a.length) { val x = a(i).toDouble; acc += x * x; i += 1 }
     math.sqrt(acc)
@@ -303,7 +303,7 @@ object Dedup {
   /** Rows per tile side — bounds each cogroup task's in-memory block to
     * ~tileRows vectors regardless of corpus size (8192 × 64-dim float ≈
     * a few MB per task). */
-  private val tileRows = 8192L
+  private[operators] val tileRows = 8192L
 
   /** q_dedup_embedding — embedding-cosine near-dup pairs (≥ 0.9,
     * vec_id_a < vec_id_b). Exact all-pairs baseline, executed as a

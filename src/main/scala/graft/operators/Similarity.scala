@@ -143,4 +143,83 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(10)
   }
+
+  /** Neighbors kept per vector in [[knnJoin]]. */
+  private val KnnK = 3
+
+  /** q_knn_join — batch kNN self-join: the top-[[KnnK]] cosine
+    * neighbors for EVERY vector at once (semantic dedup / retrieval
+    * ground-truth construction — the batch dual of [[knn]]'s single
+    * probe). Executed as a distributed corpus × corpus block
+    * nested-loop with a TWO-LEVEL top-k: every vector hashes into one
+    * of nb blocks, each (probe block, build block) pair is a tile, a
+    * cogroup per tile materializes only the build block (≤
+    * [[Dedup.tileRows]] rows, norms precomputed) and keeps a local
+    * top-k per probe row — so the post-tile shuffle carries n·nb·k
+    * rows, NOT the n² compared pairs — and a ranking window merges the
+    * per-tile winners into the global top-k. Task memory is O(tileRows
+    * + k); nothing reaches the driver (the block count derives from one
+    * count()). Local and global selection use the SAME total order
+    * (round-6 cosine desc, neighbor id asc) so tile-local pruning is
+    * exact, not approximate — merging per-tile top-k under a total
+    * order is lossless. At 100 TB the O(n²) compare cost makes this the
+    * exact baseline you run per LSH/IVF bucket; the SHAPE (bounded
+    * tiles, heap-sized shuffle) is what survives the scale-up. */
+  def knnJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val n = Tables.embeddings(s, d).count()
+    val par = s.sparkContext.defaultParallelism
+    // enough tiles (nb²) to feed every core; blocks capped at tileRows
+    val nbL = math.max(math.ceil(math.sqrt(par.toDouble)).toLong,
+      (n + Dedup.tileRows - 1) / Dedup.tileRows)
+    val nb = math.max(1L, math.min(nbL, math.max(1L, n))).toInt
+    val k = KnnK
+    val tagged = e.map { case (id, v) =>
+      (Math.floorMod(java.lang.Long.hashCode(id), nb), id, v)
+    }
+    // probe rows visit every build block; build rows every probe block
+    val probe = tagged.flatMap { case (b, id, v) =>
+      Iterator.range(0, nb).map(j => ((b, j), id, v))
+    }
+    val build = tagged.flatMap { case (b, id, v) =>
+      Iterator.range(0, nb).map(i => ((i, b), id, v))
+    }
+    val local = probe.groupByKey(_._1).cogroup(build.groupByKey(_._1)) {
+      case (_, ps, bs) =>
+        val block = bs.map { case (_, id, v) => (id, v, Dedup.normD(v)) }.toArray
+        ps.flatMap { case (_, ida, va) =>
+          val na = Dedup.normD(va)
+          // insertion into a k-slot buffer ordered by (cos desc, id asc)
+          val top = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+          var j = 0
+          while (j < block.length) {
+            val (idb, vb, nrm) = block(j)
+            if (idb != ida) {
+              val c = Dedup.round6(Dedup.dotD(va, vb) / (na * nrm))
+              if (top.length < k || c > top.last._2 ||
+                  (c == top.last._2 && idb < top.last._1)) {
+                var pos = top.length
+                while (pos > 0 && (c > top(pos - 1)._2 ||
+                    (c == top(pos - 1)._2 && idb < top(pos - 1)._1))) pos -= 1
+                top.insert(pos, (idb, c))
+                if (top.length > k) top.remove(k)
+              }
+            }
+            j += 1
+          }
+          top.iterator.map { case (idb, c) => (ida, idb, c) }
+        }
+    }.toDF("vec_id", "neighbor", "cos_sim")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor").asc)
+    local
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("neighbor"), col("cos_sim"), col("rk"))
+      .orderBy("vec_id", "rk")
+  }
 }

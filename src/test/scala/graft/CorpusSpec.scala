@@ -189,4 +189,36 @@ class CorpusSpec extends SparkSpec {
     val byW1 = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum)
     byW1.foreach { case (_, p) => assert(math.abs(p - 1.0) < 1e-5) }
   }
+
+  test("ccnet_bucket: per-lang terciles remainder-first; ppl ties split by doc_id") {
+    // corpus LM: c(a,a)=3 c(a,b)=1 c(b,c)=1, c1(a)=4 c1(b)=1 →
+    // avg_neg_logp: doc4 = 0 (p=1), doc1 = doc2 = 0.287682 (tie),
+    // doc3 = 1.386294. en ranking asc: 4, 1, 2, 3 → ntile(3) of 4 rows
+    // = sizes 2,1,1 (remainder lands in the FIRST bucket).
+    val d = docsDir(
+      (1L, "a a a", "en", "s", 1L),
+      (2L, "a a", "en", "s", 1L),
+      (3L, "a b", "en", "s", 1L),
+      (4L, "b c", "en", "s", 1L),
+      (9L, "solo", "fr", "s", 1L)) // <2 tokens → no perplexity, no bucket
+    val r = Corpus.ccnetBucket(spark, d).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(3), x.getString(4)))).toMap
+    assert(r(4L) == ((1, "head")))
+    assert(r(1L) == ((1, "head")))   // tie at 0.287682 → doc 1 outranks doc 2
+    assert(r(2L) == ((2, "middle")))
+    assert(r(3L) == ((3, "tail")))
+    assert(!r.contains(9L))
+  }
+
+  test("mix_weights: τ=0.5 flattening damps the head source, boosts the tail") {
+    val d = docsDir(
+      (1L, "t t t t t t t t t", "en", "big", 1L), // 9 of 10 corpus tokens
+      (2L, "t", "en", "small", 1L))
+    val r = Corpus.mixWeights(spark, d).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(2), x.getDouble(3), x.getDouble(4), x.getDouble(5)))).toMap
+    // shares .9/.1 → √-flattened normalized mix .75/.25 (exact at 6dp)
+    assert(r("big") == ((9L, 0.9, 0.75, 0.833333)))
+    assert(r("small") == ((1L, 0.1, 0.25, 2.5)))
+  }
 }

@@ -177,4 +177,36 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
     assert(got.contains((100L, 101L))) // the planted pair survived tiling
   }
+
+  test("tiled knnJoin ≡ brute-force top-3 per vector on a multi-tile corpus") {
+    // 30 vectors at local[4] → nb = 2 blocks, 4 tiles: the local
+    // per-tile top-k must merge losslessly into the global top-3 under
+    // the shared (round6 cos desc, id asc) total order.
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val dir = fixtureDir("embeddings" ->
+      vecs.map { case (id, v) => (id, v, 0) }.toSeq.toDF("vec_id", "embedding", "label"))
+    val got = operators.Similarity.knnJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2))))
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    def norm(a: Array[Float]) = math.sqrt(dot(a, a))
+    val want = vecs.flatMap { case (ia, va) =>
+      vecs.filter(_._1 != ia).map { case (ib, vb) =>
+        (ib, BigDecimal(dot(va, vb) / (norm(va) * norm(vb)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (id, c) => (-c, id) }.take(3).zipWithIndex
+        .map { case ((ib, c), k) => (ia, k + 1) -> ((ib, c)) }
+    }.toMap
+    assert(got.length == 90) // 30 vectors × 3 ranked neighbors
+    assert(got.toMap == want)
+  }
+
+  test("knnJoin: equal cosines rank by ascending neighbor id") {
+    // embDir vectors 0 and 1 are identical → probe 2 sees an exact
+    // cosine tie; the tie must break on the smaller neighbor id.
+    val rows = operators.Similarity.knnJoin(spark, embDir).collect()
+      .filter(_.getLong(0) == 2L).sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+    assert(rows == Seq(0L, 1L, 3L))
+  }
 }
