@@ -125,6 +125,11 @@ object SparkEntry {
     "q_agg_pushdown" -> (graft.operators.Scale.aggPushdown _),
     "q_bloom_join" -> (graft.operators.Scale.bloomJoin _),
     "q_zorder_layout" -> (graft.operators.Scale.zorderLayout _),
+    "q_upsert_merge" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      graft.operators.Scale.upsertMerge(s, d)),
+    "q_incremental_agg" -> (graft.operators.Scale.incrementalAgg _),
+    "q_heavy_hitters" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      graft.operators.Scale.heavyHitters(s, d)),
     "q_repetition_stats" -> (Corpus.repetitionStats _),
     "q_contamination" -> (Corpus.contamination _),
     "q_seq_pack" -> (Corpus.seqPack _),
@@ -916,6 +921,42 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 180000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_upsert_merge" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+        |ch AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 2 THEN o_orderkey + 100000000
+        |              ELSE o_orderkey END AS k,
+        |         CASE WHEN o_orderkey % 10 = 1 THEN 'D' ELSE 'U' END AS op,
+        |         o_totalprice + 100.0 AS new_price
+        |  FROM orders WHERE o_orderkey % 10 <= 2),
+        |m AS (
+        |  SELECT coalesce(b.k, c.k) AS k,
+        |         CASE WHEN c.op = 'D' THEN NULL
+        |              ELSE coalesce(c.new_price, b.price) END AS merged_price,
+        |         CASE WHEN c.op IS NULL THEN 'keep'
+        |              WHEN c.op = 'D' THEN 'delete'
+        |              WHEN b.price IS NULL THEN 'insert'
+        |              ELSE 'update' END AS action
+        |  FROM base b FULL OUTER JOIN ch c ON b.k = c.k)
+        |SELECT action, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(floor(merged_price * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         / 10000.0 AS sum_price,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_incremental_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         / 10000.0 AS sum_value,
+        |       min(value) AS min_value, max(value) AS max_value,
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         / 10000.0 / count(*) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t)
+        |SELECT term, CAST(count(*) AS BIGINT) AS cnt, total
+        |FROM t, tot GROUP BY term, total
+        |HAVING count(*) * 41 > total ORDER BY term""".stripMargin,
     "q_repetition_stats" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |b AS (SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,

@@ -188,4 +188,107 @@ object Scale {
       .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy("o_orderpriority")
   }
+
+  /** q_upsert_merge — merge-on-read changeset apply (the copy-on-write
+    * compaction every table format runs): a deterministic changeset
+    * (updates for key%10=0, deletes for %10=1, inserts on a fresh key
+    * range for %10=2) full-outer-joins the snapshot on the key; newest
+    * version wins, tombstones drop, inserts append. ONE co-partitioned
+    * shuffle join — at 100 TB both sides are bucketed by the key and
+    * the join is exchange-free (q_bucketed_join shows that layout); the
+    * per-action rollup pins every merge outcome (keep / update / delete
+    * / insert) with an order-free fixed-point price sum. */
+  def upsertMerge(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+    val changes = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 10 <= 2)
+      .select(
+        when(col("o_orderkey") % 10 === 2,
+          col("o_orderkey") + lit(100000000L)).otherwise(col("o_orderkey")).as("k"),
+        when(col("o_orderkey") % 10 === 1, lit("D")).otherwise(lit("U")).as("op"),
+        (col("o_totalprice") + lit(100.0)).as("new_price"))
+    base.join(changes, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("op") === "D", lit(null).cast("double"))
+          .otherwise(coalesce(col("new_price"), col("price"))).as("merged_price"),
+        when(col("op").isNull, "keep")
+          .when(col("op") === "D", "delete")
+          .when(col("price").isNull, "insert")
+          .otherwise("update").as("action"))
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("merged_price")).as("sum_price"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("action")
+  }
+
+  /** q_incremental_agg — partial-aggregate merge (how a 100 TB metric
+    * stays fresh without rescanning history): two disjoint event
+    * batches aggregate independently to algebraic partials (count /
+    * fixed-point sum / min / max), the partials union and re-aggregate,
+    * and avg finalizes from the merged sum and count. The ORACLE is the
+    * single-pass aggregation over the full table — hash equality proves
+    * merge(partial(A), partial(B)) ≡ direct(A ∪ B), the algebra every
+    * incremental pipeline (and Spark's own ObjectHashAggregate partial
+    * mode) rests on. Partials are per-batch map-side-combined; the
+    * merge input is #event_types rows per batch — nothing at data
+    * scale ever re-shuffles. */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    def partial(df: DataFrame): DataFrame = df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 10000 + 0.5)).as("sum_fp"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    partial(ev.filter(col("event_id") % 2 === 0))
+      .unionByName(partial(ev.filter(col("event_id") % 2 === 1)))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        (sum(col("sum_fp")).cast("double") / 10000.0).as("sum_value"),
+        min(col("min_v")).as("min_value"), max(col("max_v")).as("max_value"))
+      .withColumn("avg_value", col("sum_value") / col("n_events"))
+      .orderBy("event_type")
+  }
+
+  /** Misra-Gries counter budget for [[heavyHitters]]. */
+  private val MgK = 40
+
+  /** q_heavy_hitters — EXACT frequent terms in two bounded-memory
+    * passes: per-partition Misra-Gries summaries ([[MgK]] counters,
+    * O(k) memory regardless of partition size) whose union provably
+    * contains every term with global count > total/(k+1); the candidate
+    * set (≤ k rows per partition) broadcasts back for an exact recount,
+    * and the final filter `cnt·(k+1) > total` makes the output exactly
+    * the true heavy hitters — sketch recall + exact precision, no
+    * approximation in the answer. At 100 TB this replaces the full
+    * term-cardinality shuffle with a broadcast-semi-join recount of a
+    * few hundred candidates; the decrement path (never hit by this
+    * near-uniform corpus) is pinned by a crafted-skew spec. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame =
+    heavyHitters(s, d, MgK)
+
+  private[graft] def heavyHitters(s: SparkSession, d: String, k: Int): DataFrame = {
+    import s.implicits._
+    val terms = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term")).as[String]
+    val candidates = terms.mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (counts.contains(t)) counts(t) += 1L
+        else if (counts.size < k) counts(t) = 1L
+        else counts.toList.foreach { case (key, c) =>
+          if (c == 1L) counts.remove(key) else counts(key) = c - 1L
+        }
+      }
+      counts.keysIterator
+    }.toDF("term").distinct()
+    val tot = terms.toDF("term").agg(count(lit(1)).as("total"))
+    terms.toDF("term")
+      .join(broadcast(candidates), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * (k + 1) > col("total"))
+      .orderBy("term")
+  }
 }

@@ -112,4 +112,55 @@ class EquivalenceSpec extends SparkSpec {
       rows(Tables.events(spark, d).filter(col("value") > 100.0)
         .select(col("event_id"), col("value")).orderBy("event_id")))
   }
+
+  test("Misra-Gries heavy hitters ≡ brute force under forced decrements (k=2)") {
+    import spark.implicits._
+    // vocab (7) ≫ k (2): the counter-eviction path MUST run; 'x' holds
+    // 8/14 > total/(k+1) and must survive eviction in every partition
+    val docs = Seq(
+      (1L, "x a x b x c x", "en", "s", 1L),
+      (2L, "x d x e x f x", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = fixtureDir("documents" -> docs)
+    val got = Scale.heavyHitters(spark, dir, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("x", 8L, 14L))) // exact count, not the MG estimate
+    // and the generic-k path agrees with a driver-side brute force
+    val brute = "x a x b x c x x d x e x f x".split(" ")
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .filter { case (_, c) => c * 3 > 14 }.keys.toSeq
+    assert(got.map(_._1) == brute)
+  }
+
+  test("upsert merge pins all four actions (keep/update/delete/insert)") {
+    import spark.implicits._
+    val dir = fixtureDir("orders" -> Seq(
+      (10L, 1000.0), (11L, 2000.0), (12L, 3000.0), (13L, 4000.0))
+      .toDF("o_orderkey", "o_totalprice"))
+    val r = Scale.upsertMerge(spark, dir).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), Option(x.get(2)), x.getLong(3), x.getLong(4)))).toMap
+    // key 12 keeps its base row too — its change lands on a NEW key
+    assert(r("keep") == ((2L, Some(7000.0), 12L, 13L)))
+    assert(r("update") == ((1L, Some(1100.0), 10L, 10L)))   // 1000 + 100
+    assert(r("delete") == ((1L, None, 11L, 11L)))           // tombstoned: no price
+    assert(r("insert") == ((1L, Some(3100.0), 100000012L, 100000012L)))
+  }
+
+  test("incremental agg merges a partial present in only one batch") {
+    import spark.implicits._
+    // type 'solo' exists only among even event_ids: the union+re-agg
+    // must surface it from a single partial without a null-identity bug
+    val dir = fixtureDir("events" -> Seq(
+      (2L, "solo", 10.0), (4L, "solo", 20.0),
+      (1L, "both", 1.0), (2L + 4L, "both", 3.0))
+      .map { case (id, t, v) =>
+        (id, new java.sql.Timestamp(id * 1000), id, t, v, null: String)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = Scale.incrementalAgg(spark, dir).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4), x.getDouble(5)))).toMap
+    assert(r("solo") == ((2L, 30.0, 10.0, 20.0, 15.0)))
+    assert(r("both") == ((2L, 4.0, 1.0, 3.0, 2.0)))
+  }
 }
