@@ -68,6 +68,7 @@ object SparkEntry {
     "q_scalar_funcs" -> (Relational.scalarFuncs _),
     "q_array_ops" -> (Relational.arrayOps _),
     "q_approx_distinct" -> (Relational.approxDistinct _),
+    "q_approx_quantile" -> (Relational.approxQuantile _),
     "q_percentiles" -> (Relational.percentiles _),
     "q_stats_agg" -> (Relational.statsAgg _),
     "q_lateral_explode" -> (Relational.lateralExplode _),

@@ -343,6 +343,22 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** q_approx_quantile — mergeable percentile sketch (no-oracle:
+    * approximate by design; rank error ≤ 1/accuracy). The sketch
+    * merges associatively across partitions — the 100 TB replacement
+    * for [[percentiles]]' exact per-group sort. The estimate is
+    * spec-bounded between the exact ±1 %-rank order statistics
+    * (AnalyticsSpec), the same hard-check pattern as
+    * [[approxDistinct]]. */
+  def approxQuantile(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"),
+        expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90_approx"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   /** q_cross_join — explicit Cartesian product of two tiny dims (every
     * nation × every region). Fine when one side is broadcast-small;
     * anything else should be an equi or banded join. */

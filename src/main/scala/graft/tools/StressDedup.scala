@@ -32,7 +32,13 @@ object StressDedup {
     // are the ones with super-linear potential (vocab² LM join,
     // shingle join vs the bench split)
     "q_repetition_stats", "q_contamination", "q_doc_perplexity",
-    "q_inverted_index", "q_bigram_lm", "q_seq_pack", "q_vec_quantize")
+    "q_inverted_index", "q_bigram_lm", "q_seq_pack", "q_vec_quantize",
+    // round-4 additions. q_knn_join is deliberately ABSENT: it is the
+    // declared-quadratic exact baseline (per-LSH/IVF-bucket rerank
+    // shape) and its per-row cost grows ~K by design — the banded
+    // variants own the full-corpus regime.
+    "q_ccnet_bucket", "q_mix_weights", "q_heavy_hitters",
+    "q_upsert_merge", "q_incremental_agg")
 
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 10
@@ -72,6 +78,31 @@ object StressDedup {
         col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // orders/events: offset the keys so copies stay disjoint. The orders
+    // offset is 1e10, clear of q_upsert_merge's 1e8 insert range; the
+    // user_id offset decorrelates any per-user grouping across copies.
+    val orders = spark.read.parquet(s"$base/orders.parquet")
+    orders.crossJoin(copies)
+      .withColumn("o_orderkey",
+        col("o_orderkey") + col("copy").cast("long") * 10000000000L)
+      .drop("copy")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    // events.ts is TIMESTAMP(NANOS): read as long (legacy conf), the
+    // replica is then written with a plain long ts — Tables.events
+    // handles both encodings.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$base/events.parquet")
+    events.crossJoin(copies)
+      .withColumn("event_id",
+        col("event_id") + col("copy").cast("long") * 1000000000L)
+      .withColumn("user_id",
+        col("user_id") + col("copy").cast("long") * 10000000L)
+      .drop("copy")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     val nBase = spark.read.parquet(s"$base/documents.parquet").count().toDouble
 

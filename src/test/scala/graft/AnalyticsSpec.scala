@@ -202,4 +202,28 @@ class AnalyticsSpec extends SparkSpec {
         s"$k: approx=${approx(k)} exact=$ex err=$err")
     }
   }
+
+  test("q_approx_quantile: sketch lands between the exact ±1%-rank order stats") {
+    // approx_percentile(…, accuracy=1000) guarantees rank error ≤
+    // n/1000; the exact percentiles at q ± 0.01 are therefore firm
+    // brackets (10× the sketch's worst case).
+    val dir = sf("sf0.01")
+    val approx = Relational.approxQuantile(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val bounds = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.49)").as("p49"),
+        expr("percentile(o_totalprice, 0.51)").as("p51"),
+        expr("percentile(o_totalprice, 0.89)").as("p89"),
+        expr("percentile(o_totalprice, 0.91)").as("p91"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(bounds.nonEmpty && bounds.keySet == approx.keySet)
+    bounds.foreach { case (k, (p49, p51, p89, p91)) =>
+      val (a50, a90) = approx(k)
+      assert(a50 >= p49 && a50 <= p51, s"$k p50: $a50 not in [$p49, $p51]")
+      assert(a90 >= p89 && a90 <= p91, s"$k p90: $a90 not in [$p89, $p91]")
+    }
+  }
 }
