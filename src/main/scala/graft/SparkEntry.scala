@@ -199,6 +199,7 @@ object SparkEntry {
     "s_stream_static" -> (graft.streaming.MoreStreaming.sStreamStatic _),
     "s_complete_agg" -> (graft.streaming.MoreStreaming.sCompleteAgg _),
     "s_foreach_sink" -> (graft.streaming.MoreStreaming.sForeachSink _),
+    "s_upsert_sink" -> (graft.streaming.MoreStreaming.sUpsertSink _),
     "s_file_source" -> (graft.streaming.MoreStreaming.sFileSource _),
     "s_update_mode" -> (graft.streaming.MoreStreaming.sUpdateMode _),
   )
@@ -1486,6 +1487,24 @@ object SparkEntry {
     "s_foreach_sink" ->
       """SELECT event_id, value FROM events WHERE value > 100.0
         |ORDER BY event_id""".stripMargin,
+    "s_upsert_sink" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+        |ch AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 2 THEN o_orderkey + 100000000
+        |              ELSE o_orderkey END AS k,
+        |         CASE WHEN o_orderkey % 10 = 1 THEN 'D' ELSE 'U' END AS op,
+        |         o_totalprice + 100.0 AS new_price
+        |  FROM orders WHERE o_orderkey % 10 <= 2),
+        |m AS (
+        |  SELECT coalesce(b.k, c.k) AS k,
+        |         coalesce(c.new_price, b.price) AS price
+        |  FROM base b FULL OUTER JOIN ch c ON b.k = c.k
+        |  WHERE c.op IS NULL OR c.op <> 'D')
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(floor(price * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         / 10000.0 AS sum_price,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM m""".stripMargin,
     "s_file_source" -> tumblingAggSql,
     "s_stream_static" ->
       """WITH bands(band, lo, hi) AS (VALUES

@@ -236,6 +236,66 @@ object MoreStreaming {
     }
   }
 
+  /** One change record for the streaming upsert sink. */
+  case class ChangeRow(k: Long, op: String, new_price: Double)
+
+  /** s_upsert_sink — streaming CDC apply (the lakehouse MERGE INTO
+    * loop): each micro-batch of change rows full-outer-merges into a
+    * VERSIONED parquet snapshot inside `foreachBatch` — updates win,
+    * tombstones drop, inserts append — and the next batch reads the
+    * version the previous one produced. Writing snapshot v(batchId+1)
+    * rather than appending makes replay idempotent: a re-delivered
+    * batch overwrites its own version instead of double-applying (the
+    * exactly-once recipe for non-transactional sinks). Shares
+    * q_upsert_merge's changeset; the oracle checks the FINAL snapshot
+    * state, so the two-batch streaming apply must converge to exactly
+    * the one-shot batch merge. At 100 TB the snapshot is a table format
+    * with file-level pruning and the merge joins only touched
+    * partitions; the per-batch shape here (one co-partitionable join,
+    * one rewrite) is that loop's kernel. */
+  def sUpsertSink(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_upsert_sink").toString
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      .write.mode("overwrite").parquet(s"$root/v0")
+    @volatile var latest = s"$root/v0"
+    val changes = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 10 <= 2)
+      .select(
+        when(col("o_orderkey") % 10 === 2,
+          col("o_orderkey") + lit(100000000L)).otherwise(col("o_orderkey")).as("k"),
+        when(col("o_orderkey") % 10 === 1, lit("D")).otherwise(lit("U")).as("op"),
+        (col("o_totalprice") + lit(100.0)).as("new_price"))
+      .as[ChangeRow].collect().sortBy(_.k)
+    EventPairing.withStreamingPartitions(s) {
+      val input = MemoryStream[ChangeRow]
+      val q = input.toDF().writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val snap = s.read.parquet(latest)
+          val next = s"$root/v${batchId + 1}"
+          snap.join(batch, Seq("k"), "full_outer")
+            .filter(col("op").isNull || col("op") =!= "D")
+            .select(col("k"),
+              coalesce(col("new_price"), col("price")).as("price"))
+            .write.mode("overwrite").parquet(next)
+          latest = next
+        }
+        .outputMode("append").start()
+      try {
+        val (first, second) = changes.splitAt(changes.length / 2)
+        input.addData(first.toSeq); q.processAllAvailable()
+        input.addData(second.toSeq); q.processAllAvailable()
+      } finally q.stop()
+    }
+    s.read.parquet(latest)
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("price")).as("sum_price"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+  }
+
   /** s_stream_static — stateless stream-static join: the streaming side
     * probes a broadcast static band dimension with a range predicate
     * (the streaming twin of q_range_join's theta join). No state, no

@@ -113,6 +113,22 @@ class EquivalenceSpec extends SparkSpec {
         .select(col("event_id"), col("value")).orderBy("event_id")))
   }
 
+  test("streaming upsert sink converges to the one-shot batch merge") {
+    // the two-micro-batch foreachBatch apply must land on exactly the
+    // state the single full-outer merge computes (per-action fixed-point
+    // sums add exactly in double: integers ≪ 2^53)
+    val st = rows(graft.streaming.MoreStreaming.sUpsertSink(spark, d)).head
+    val live = Scale.upsertMerge(spark, d).collect()
+      .filter(_.getString(0) != "delete")
+    // re-scale each per-action sum to its exact fixed-point long before
+    // adding (the /1e4 edge division is the only inexact step)
+    val sumFp = live.map(r => Math.round(r.getDouble(2) * 10000)).sum
+    assert(st(0) == live.map(_.getLong(1)).sum)                    // n_rows
+    assert(st(1) == sumFp.toDouble / 10000.0)                      // sum_price
+    assert(st(2) == live.map(_.getLong(3)).min)                    // min_k
+    assert(st(3) == live.map(_.getLong(4)).max)                    // max_k
+  }
+
   test("Misra-Gries heavy hitters ≡ brute force under forced decrements (k=2)") {
     import spark.implicits._
     // vocab (7) ≫ k (2): the counter-eviction path MUST run; 'x' holds
