@@ -49,6 +49,8 @@ object SparkEntry {
     "q_shuffle_hash_join" -> (Relational.shuffleHashJoin _),
     "q_tpch_q6" -> (Relational.tpchQ6 _),
     "q_tpch_q3" -> (Relational.tpchQ3 _),
+    "q_tpch_q5" -> (Relational.tpchQ5 _),
+    "q_anomaly_zscore" -> (graft.operators.Analytics.anomalyZscore _),
     "q_agg_q1" -> (Relational.aggQ1 _),
     "q_agg_distinct" -> (Relational.aggDistinct _),
     "q_rollup" -> (Relational.rollup _),
@@ -612,6 +614,34 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1997-06-01'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_anomaly_zscore" ->
+      """WITH st AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_v,
+        |         CAST(sum(CAST(floor(value * value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_v2
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT event_type, sum_v / n AS mean_v,
+        |             sqrt(sum_v2 / n - (sum_v / n) * (sum_v / n)) AS sd_v
+        |      FROM st)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       round((e.value - m.mean_v) / m.sd_v, 6) AS z
+        |FROM events e JOIN m USING (event_type)
+        |WHERE m.sd_v > 0.0 AND abs(e.value - m.mean_v) > m.sd_v * 3.0
+        |ORDER BY e.event_id""".stripMargin,
     "q_agg_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_qty,

@@ -346,4 +346,33 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .orderBy("band")
   }
+
+  /** q_anomaly_zscore — per-group z-score outliers (the data-quality
+    * monitor every ingest pipeline runs): per event_type mean and
+    * population stddev, broadcast back, keep |value − mean| > 3σ. The
+    * moments are built from the SAME fixed-point sums both engines
+    * compute exactly (Σ and Σx² as 1e-4-grain longs), so mean/σ are
+    * bit-identical doubles and the 3σ gate can't flip cross-engine —
+    * the usual stddev_pop would drift in summation order. Shape: one
+    * map-side-combined agg to #types rows, broadcast join back, one
+    * codegen'd filter — the corpus is scanned twice but never
+    * shuffled on a data-sized key. */
+  def anomalyZscore(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value")).as("sum_v"),
+        dsum(col("value") * col("value")).as("sum_v2"))
+      .select(col("event_type"),
+        (col("sum_v") / col("n")).as("mean_v"),
+        sqrt(col("sum_v2") / col("n") -
+          (col("sum_v") / col("n")) * (col("sum_v") / col("n"))).as("sd_v"))
+    Tables.events(s, d)
+      .join(broadcast(stats), Seq("event_type"))
+      .filter(col("sd_v") > 0.0 &&
+        abs(col("value") - col("mean_v")) > col("sd_v") * 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mean_v")) / col("sd_v"), 6).as("z"))
+      .orderBy("event_id")
+  }
 }

@@ -431,4 +431,32 @@ object Relational {
         millis(col("o_orderdate")).as("orderdate_ms"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
+
+  /** q_tpch_q5 — TPC-H Q5 shape (local supplier volume): the 6-table
+    * star — lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region
+    * with the c_nationkey = s_nationkey locality predicate — rolled up
+    * to per-nation revenue. The fact table never shuffles for a dim:
+    * customer/supplier/nation/region all broadcast (they are
+    * vocabulary-sized at any scale); the only exchanges are the
+    * fact⋈orders key shuffle and the final nation rollup. Revenue is
+    * exact decimal so the DESC ranking is engine-independent. */
+  def tpchQ5(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsumExact(dprod(col("l_extendedprice"),
+        lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
 }
