@@ -50,6 +50,7 @@ object SparkEntry {
     "q_tpch_q6" -> (Relational.tpchQ6 _),
     "q_tpch_q3" -> (Relational.tpchQ3 _),
     "q_tpch_q5" -> (Relational.tpchQ5 _),
+    "q_pagerank" -> (graft.operators.Graph.pagerank _),
     "q_anomaly_zscore" -> (graft.operators.Analytics.anomalyZscore _),
     "q_agg_q1" -> (Relational.aggQ1 _),
     "q_agg_distinct" -> (Relational.aggDistinct _),
@@ -628,6 +629,33 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT c AS src, p AS dst FROM pairs
+        |          UNION ALL SELECT p AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+        |r0 AS (SELECT src AS node, 1000000000000 // n AS rank FROM deg, nn),
+        |r1 AS (SELECT e.dst AS node,
+        |              CAST(150000000000 // nn.n + (85 * sum(r.rank // dg.d)) // 100 AS BIGINT) AS rank
+        |       FROM edges e JOIN r0 r ON e.src = r.node
+        |       JOIN deg dg ON dg.src = e.src CROSS JOIN nn
+        |       GROUP BY e.dst, nn.n),
+        |r2 AS (SELECT e.dst AS node,
+        |              CAST(150000000000 // nn.n + (85 * sum(r.rank // dg.d)) // 100 AS BIGINT) AS rank
+        |       FROM edges e JOIN r1 r ON e.src = r.node
+        |       JOIN deg dg ON dg.src = e.src CROSS JOIN nn
+        |       GROUP BY e.dst, nn.n),
+        |r3 AS (SELECT e.dst AS node,
+        |              CAST(150000000000 // nn.n + (85 * sum(r.rank // dg.d)) // 100 AS BIGINT) AS rank
+        |       FROM edges e JOIN r2 r ON e.src = r.node
+        |       JOIN deg dg ON dg.src = e.src CROSS JOIN nn
+        |       GROUP BY e.dst, nn.n)
+        |SELECT node, rank,
+        |       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind
+        |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
     "q_anomaly_zscore" ->
       """WITH st AS (
         |  SELECT event_type, count(*) AS n,

@@ -113,6 +113,32 @@ class EquivalenceSpec extends SparkSpec {
         .select(col("event_id"), col("value")).orderBy("event_id")))
   }
 
+  test("fixed-point pagerank ≡ driver-side integer model on a crafted graph") {
+    import spark.implicits._
+    val dir = fixtureDir(
+      "orders" -> Seq((100L, 1L), (101L, 1L), (102L, 2L))
+        .toDF("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq((100L, 1L), (101L, 2L), (102L, 2L))
+        .toDF("l_orderkey", "l_suppkey"))
+    // pairs: c1–s1, c1–s2, c2–s2 → node ids c=2k, s=2k+1
+    val got = graft.operators.Graph.pagerank(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Set((2L, 3L), (2L, 5L), (4L, 5L))
+      .toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = deg.size.toLong
+    var rank = deg.keys.map(_ -> 1000000000000L / n).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => rank(s) / deg(s) }.sum).toMap
+      rank = in.map { case (v, m) => v -> (150000000000L / n + 85L * m / 100L) }
+    }
+    assert(got == rank) // exact, to the 1e-12 unit
+    // floor division only ever LOSES mass, and not much of it
+    assert(rank.values.sum <= 1000000000000L &&
+      rank.values.sum >= 1000000000000L * 99L / 100L)
+  }
+
   test("streaming upsert sink converges to the one-shot batch merge") {
     // the two-micro-batch foreachBatch apply must land on exactly the
     // state the single full-outer merge computes (per-action fixed-point
