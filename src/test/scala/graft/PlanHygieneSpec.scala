@@ -89,4 +89,33 @@ class PlanHygieneSpec extends SparkSpec {
       assert(r.getLong(5) - r.getLong(4) <= 7, r) // y span within a block
     }
   }
+
+  test("q_tpch_q5: every dimension broadcasts — the fact side never sort-merges") {
+    val p = plan("q_tpch_q5")
+    assert(!p.contains("SortMergeJoin"), p)
+    // customer / supplier / nation / region all build broadcast sides
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("q_knn_join: shuffle carries per-tile top-k, never the n² pairs") {
+    val p = plan("q_knn_join")
+    assert(p.contains("CoGroup"), p)
+    // the rank-limit pushes below the window exchange (partial top-k)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_heavy_hitters: candidate recount joins via broadcast, not a full-term shuffle") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only hashpartitioning exchanges are the candidate distinct and
+    // the candidate-only recount — both bounded by k·P, not vocabulary
+    assert(p.contains("MapPartitions"), p)
+  }
+
+  test("q_anomaly_zscore: per-type stats broadcast back — no data-sized shuffle") {
+    val p = plan("q_anomaly_zscore")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
