@@ -146,6 +146,8 @@ object SparkEntry {
     "q_temp_sample" -> (Corpus.tempSample _),
     "q_ccnet_bucket" -> (Corpus.ccnetBucket _),
     "q_mix_weights" -> (Corpus.mixWeights _),
+    "q_capped_sample" -> (Corpus.cappedSample _),
+    "q_pmi_phrases" -> (Corpus.pmiPhrases _),
     // deduplication
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_cluster" -> (Dedup.dedupCluster _),
@@ -1119,6 +1121,32 @@ object SparkEntry {
         |       round(w_raw / CAST(w_sum AS DOUBLE), 6) AS mix_weight,
         |       round(round(w_raw / CAST(w_sum AS DOUBLE), 6) / share, 6) AS boost
         |FROM sh, ws ORDER BY source""".stripMargin,
+    "q_capped_sample" ->
+      """WITH u AS (SELECT doc_id, source,
+        |                  md5('cap#' || CAST(doc_id AS VARCHAR)) AS u
+        |           FROM documents),
+        |r AS (SELECT source, doc_id, u,
+        |             CAST(row_number() OVER (PARTITION BY source
+        |               ORDER BY u, doc_id) AS INT) AS rk
+        |      FROM u)
+        |SELECT source, rk, doc_id, u FROM r WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin,
+    "q_pmi_phrases" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |       FROM (SELECT unnest(tk) AS w FROM t) GROUP BY 1),
+        |tu AS (SELECT CAST(sum(c) AS BIGINT) AS tu FROM uc),
+        |g AS (SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+        |      FROM t WHERE len(tk) >= 2),
+        |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM g GROUP BY 1, 2),
+        |tb AS (SELECT CAST(sum(c12) AS BIGINT) AS tb FROM bg)
+        |SELECT bg.w1, bg.w2, bg.c12,
+        |       CAST(floor(ln(CAST(bg.c12 AS DOUBLE) * tu.tu * tu.tu /
+        |         (CAST(tb.tb AS DOUBLE) * u1.c * u2.c)) * 1000000 + 0.5) AS DOUBLE)
+        |         / 1000000.0 AS pmi
+        |FROM bg JOIN uc u1 ON u1.w = bg.w1 JOIN uc u2 ON u2.w = bg.w2, tu, tb
+        |WHERE bg.c12 >= 5
+        |ORDER BY pmi DESC, bg.w1, bg.w2 LIMIT 30""".stripMargin,
     "q_vec_quantize" ->
       """WITH t AS (SELECT vec_id, embedding,
         |             greatest(list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]), 1e-30) AS max_abs

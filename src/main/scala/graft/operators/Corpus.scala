@@ -494,4 +494,57 @@ object Corpus {
       .withColumn("boost", round(col("mix_weight") / col("share"), 6))
       .orderBy("source")
   }
+
+  /** q_capped_sample — deterministic per-domain cap (the sampler that
+    * CONSUMES [[mixWeights]]-style quotas): keep the 5 docs per source
+    * with the smallest md5("cap#"+doc_id) — a uniform, engine- and
+    * cluster-size-independent draw (same trick as [[tempSample]], but
+    * rank-based so the cap is EXACT, not expected). Fixed-length
+    * lowercase hex compares identically as string and number, so the
+    * ranking needs no numeric fold. One window per source partition —
+    * per-domain sorts are independent; with a rank pushdown
+    * (WindowGroupLimit) each partition keeps a 5-slot heap. */
+  def cappedSample(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("u"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("cap#"), col("doc_id").cast("string")).cast("binary")).as("u"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk"), col("doc_id"), col("u"))
+      .orderBy("source", "rk")
+  }
+
+  /** q_pmi_phrases — pointwise mutual information over adjacent bigrams
+    * (the phrase-detection statistic behind word2vec-style corpus prep):
+    * PMI(w1,w2) = ln(p12 / (p1·p2)) with unigram and bigram
+    * probabilities from two keyed counts, evaluated as one double
+    * expression over EXACT long counts (identical association order in
+    * the SQL oracle) and snapped to a 1e-6 grid before the ranking.
+    * Count gate c12 ≥ 5 is integer-exact. Shape: two explode → keyed
+    * agg passes; the unigram side is vocabulary-sized and broadcasts
+    * back twice; the two grand totals are broadcast scalars. */
+  def pmiPhrases(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(split(col("text"), " ").as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tu = uni.agg(sum(col("c")).as("tu"))
+    val grams = toks.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
+        .as("g"))
+      .select(col("g.w1"), col("g.w2"))
+    val big = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val tb = big.agg(sum(col("c12")).as("tb"))
+    big.filter(col("c12") >= 5)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(tu)).crossJoin(broadcast(tb))
+      .select(col("w1"), col("w2"), col("c12"),
+        (floor(log(col("c12").cast("double") * col("tu") * col("tu") /
+          (col("tb").cast("double") * col("c1") * col("c2"))) * 1000000 + 0.5)
+          .cast("double") / 1000000.0).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(30)
+  }
 }

@@ -210,6 +210,30 @@ class CorpusSpec extends SparkSpec {
     assert(!r.contains(9L))
   }
 
+  test("pmi_phrases: always-together pair outranks the independent one") {
+    // unigrams x5 y5 a5 b15 (Tu=30); bigrams (x,y)×5 (a,b)×5 (Tb=10):
+    // PMI(x,y)=ln(18)=2.890372, PMI(a,b)=ln(6)=1.791759 at the 1e-6 grid
+    val d = docsDir(
+      (Seq.tabulate(5)(i => (i + 1L, "x y", "en", "s", 1L)) ++
+        Seq.tabulate(5)(i => (i + 11L, "a b", "en", "s", 1L)) ++
+        Seq.tabulate(10)(i => (i + 21L, "b", "en", "s", 1L))): _*)
+    val r = Corpus.pmiPhrases(spark, d).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(
+      ("x", "y", 5L, 2.890372), ("a", "b", 5L, 1.791759)))
+  }
+
+  test("capped_sample: a source below the cap keeps every doc, ranks dense") {
+    val d = docsDir(
+      (1L, "t", "en", "small", 1L), (2L, "t", "en", "small", 1L),
+      (3L, "t", "en", "small", 1L))
+    val r = Corpus.cappedSample(spark, d).collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getLong(2)))
+    assert(r.length == 3)
+    assert(r.map(_._2).toSeq == Seq(1, 2, 3))        // dense ranks
+    assert(r.map(_._3).toSet == Set(1L, 2L, 3L))     // all docs kept
+  }
+
   test("mix_weights: τ=0.5 flattening damps the head source, boosts the tail") {
     val d = docsDir(
       (1L, "t t t t t t t t t", "en", "big", 1L), // 9 of 10 corpus tokens
