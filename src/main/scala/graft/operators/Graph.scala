@@ -42,15 +42,21 @@ object Graph {
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
       .distinct()
+    // edges/degrees are loop-invariant: materialize once (localCheckpoint
+    // → durable checkpoint on a cluster, as in Dedup.connectedComponents)
+    // or every iteration re-derives the distinct pair join from scratch
     val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
       .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+      .localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     val nDf = deg.agg(count(lit(1)).as("n"))
     // init: every node starts with SCALE/n (floor) micro-units
     var ranks = deg.select(col("src").as("node"))
       .crossJoin(broadcast(nDf))
       .select(col("node"), expr(s"$Scale div n").as("rank"))
     for (_ <- 1 to Iterations) {
+      // checkpoint per round: iteration i's plan must not replay 1..i-1
       ranks = edges
         .join(ranks, col("src") === col("node"))
         .join(deg, Seq("src"))
@@ -61,6 +67,7 @@ object Graph {
         .select(col("dst").as("node"),
           expr(s"($Scale * 15 div 100) div n + (85 * in_mass) div 100")
             .as("rank"))
+        .localCheckpoint()
     }
     ranks
       .select(col("node"), col("rank"),
