@@ -50,6 +50,7 @@ object SparkEntry {
     "q_tpch_q6" -> (Relational.tpchQ6 _),
     "q_tpch_q3" -> (Relational.tpchQ3 _),
     "q_tpch_q5" -> (Relational.tpchQ5 _),
+    "q_nullsafe_join" -> (Relational.nullsafeJoin _),
     "q_pagerank" -> (graft.operators.Graph.pagerank _),
     "q_anomaly_zscore" -> (graft.operators.Analytics.anomalyZscore _),
     "q_agg_q1" -> (Relational.aggQ1 _),
@@ -631,6 +632,19 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_nullsafe_join" ->
+      """WITH l AS (SELECT o_orderkey AS k_l,
+        |                  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |                       ELSE o_orderkey % 7 END AS b_l
+        |           FROM orders WHERE o_orderkey % 97 = 0),
+        |r AS (SELECT o_orderkey AS k_r,
+        |             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |                  ELSE o_orderkey % 7 END AS b_r
+        |      FROM orders WHERE o_orderkey % 89 = 0)
+        |SELECT coalesce(CAST(b_l AS VARCHAR), 'NULL') AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_pairs, min(k_l) AS min_k
+        |FROM l JOIN r ON b_l IS NOT DISTINCT FROM b_r
+        |GROUP BY b_l ORDER BY bucket""".stripMargin,
     "q_pagerank" ->
       """WITH pairs AS (
         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p

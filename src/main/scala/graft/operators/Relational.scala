@@ -432,6 +432,31 @@ object Relational {
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
 
+  /** q_nullsafe_join — null-safe equality join (`<=>` / IS NOT DISTINCT
+    * FROM): NULL keys MATCH each other, unlike plain `=` where they
+    * silently drop — the semantic every dedup-on-nullable-key and
+    * SCD-merge pipeline needs. Two derived order sets join on a
+    * nullable bucket; the NULL<=>NULL group must survive with a real
+    * count. Planner note: `<=>` still hashes (EqualNullSafe is a valid
+    * hash-join key, null hashing to a bucket), so the plan is the same
+    * shuffled hash/broadcast join as `=` — no nested-loop penalty. */
+  def nullsafeJoin(s: SparkSession, d: String): DataFrame = {
+    // thin both sides first (97/89 strides) — a null-safe key is still a
+    // hash key, but bucket cardinality is 7, so unfiltered sides would
+    // build quadratic per-bucket pair counts
+    def side(tag: String, stride: Int) = Tables.orders(s, d)
+      .filter(col("o_orderkey") % stride === 0)
+      .select(col("o_orderkey").as(s"k_$tag"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("o_orderkey") % 7).as(s"b_$tag"))
+    side("l", 97).join(side("r", 89), col("b_l") <=> col("b_r"))
+      .groupBy(col("b_l"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("k_l")).as("min_k"))
+      .select(coalesce(col("b_l").cast("string"), lit("NULL")).as("bucket"),
+        col("n_pairs"), col("min_k"))
+      .orderBy("bucket")
+  }
+
   /** q_tpch_q5 — TPC-H Q5 shape (local supplier volume): the 6-table
     * star — lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region
     * with the c_nationkey = s_nationkey locality predicate — rolled up

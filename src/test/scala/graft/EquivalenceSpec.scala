@@ -113,6 +113,14 @@ class EquivalenceSpec extends SparkSpec {
         .select(col("event_id"), col("value")).orderBy("event_id")))
   }
 
+  test("null-safe join: the NULL<=>NULL group survives with real pairs") {
+    val r = Relational.nullsafeJoin(spark, d).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // plain `=` would silently drop exactly this group
+    assert(r.keySet == Set("1", "2", "3", "4", "5", "6", "NULL"), r)
+    assert(r("NULL") > 0)
+  }
+
   test("fixed-point pagerank ≡ driver-side integer model on a crafted graph") {
     import spark.implicits._
     val dir = fixtureDir(
