@@ -168,6 +168,7 @@ object SparkEntry {
     "q_media_meta" -> (Multimodal.mediaMeta _),
     "q_media_frames" -> (Multimodal.mediaFrames _),
     "q_media_features" -> (Multimodal.mediaFeatures _),
+    "q_media_histdup" -> (Multimodal.mediaHistDup _),
     // reshaping + subqueries + extended scalar catalogs
     "q_pivot" -> (graft.operators.Reshape.pivot _),
     "q_unpivot" -> (graft.operators.Reshape.unpivot _),
@@ -1452,6 +1453,23 @@ object SparkEntry {
       """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
         |       md5(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
         |FROM documents, range(0, 4) r(i) ORDER BY 1, 2""".stripMargin,
+    "q_media_histdup" ->
+      """WITH b AS (
+        |  SELECT doc_id, ascii(ch) % 8 AS bin
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+        |        FROM documents)),
+        |c AS (SELECT doc_id, bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+        |grid AS (SELECT d.doc_id, r.i AS bin
+        |         FROM (SELECT DISTINCT doc_id FROM documents) d, range(0, 8) r(i)),
+        |fullc AS (SELECT g.doc_id, g.bin, coalesce(c.n, 0) AS n
+        |          FROM grid g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bin = g.bin),
+        |hist AS (SELECT doc_id,
+        |                string_agg(CAST(n AS VARCHAR), ',' ORDER BY bin) AS sig
+        |         FROM fullc GROUP BY 1)
+        |SELECT sig, CAST(count(*) AS BIGINT) AS n_media,
+        |       min(doc_id) AS first_doc_id,
+        |       array_to_string(list_sort(list(doc_id))[1:8], ',') AS members
+        |FROM hist GROUP BY sig HAVING count(*) >= 2 ORDER BY sig""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",

@@ -27,4 +27,8 @@ package object functions {
     * engine-portable hash primitive (≡ conv(substring(md5(s),1,15),16,10)). */
   def md5hash60(s: Column): Column =
     toColumn(Md5Hash60(toExpr(s)))
+
+  /** 8-bin byte-value histogram of a binary column ([[ByteHistogram]]). */
+  def byte_histogram(payload: Column): Column =
+    toColumn(ByteHistogram(toExpr(payload)))
 }

@@ -90,4 +90,27 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id")
   }
+
+  /** q_media_histdup — payload-signature dedup without decoding: the
+    * native [[graft.functions.ByteHistogram]] expression folds each
+    * binary payload into an 8-bin byte histogram in one codegen'd pass
+    * (no decode, no copy), the joined counts become the bucket key, and
+    * buckets with ≥ 2 members are the candidate duplicate groups —
+    * SimHash-style bucketing at the raw-byte level, the first-pass
+    * filter a multimodal dedup pipeline runs before any expensive
+    * perceptual hash. One keyed aggregation on the signature; at 100 TB
+    * the signature is the shuffle key and candidate groups rerank with
+    * a real content hash inside the bucket. */
+  def mediaHistDup(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .select(col("doc_id"),
+        array_join(graft.functions.byte_histogram(col("payload"))
+          .cast("array<string>"), ",").as("sig"))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("n_media"),
+        min(col("doc_id")).as("first_doc_id"),
+        array_join(slice(sort_array(collect_set(col("doc_id"))), 1, 8)
+          .cast("array<string>"), ",").as("members"))
+      .filter(col("n_media") >= 2)
+      .orderBy("sig")
 }

@@ -71,6 +71,14 @@ class FunctionsSpec extends SparkSpec {
     assert(m(1L) != m(3L))
   }
 
+  test("byte_histogram: bins by unsigned byte mod 8, zeros preserved") {
+    // "aaab": 'a'=97 → bin 1 ×3, 'b'=98 → bin 2 ×1
+    val r = Seq(Tuple1("aaab".getBytes("UTF-8"))).toDF("p")
+      .select(graft.functions.byte_histogram(col("p")).as("h"))
+      .collect().head.getSeq[Int](0)
+    assert(r == Seq(0, 3, 1, 0, 0, 0, 0, 0))
+  }
+
   test("variant ingestion: garbage, JSON null, and missing paths all degrade to null (C2)") {
     val df = Seq(
       (1L, """{"k": 7}"""),

@@ -202,6 +202,15 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toMap == want)
   }
 
+  test("media_histdup: identical payloads share a bucket; the near-dup does not") {
+    // docsDir has exactly one identical text pair (docs 0 and 1); the
+    // one-token-appended near-dup must land in its own signature
+    val r = Multimodal.mediaHistDup(spark, docsDir).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 2L)          // bucket of exactly the pair
+    assert(r.head.getString(3) == "0,1")     // members
+  }
+
   test("knnJoin: equal cosines rank by ascending neighbor id") {
     // embDir vectors 0 and 1 are identical → probe 2 sees an exact
     // cosine tie; the tie must break on the smaller neighbor id.
