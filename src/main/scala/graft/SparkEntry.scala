@@ -181,6 +181,7 @@ object SparkEntry {
     "q_bucketed_join" -> (graft.operators.Scale.bucketedJoin _),
     // temporal: as-of join + the full window family
     "q_asof_join" -> (Temporal.asofJoin _),
+    "q_interpolate" -> (Temporal.interpolate _),
     "q_window_sliding" -> (Temporal.slidingWindow _),
     "q_window_session" -> (Temporal.sessionWindow _),
     "q_recursive_cte" -> (Temporal.recursiveCte _),
@@ -1535,6 +1536,41 @@ object SparkEntry {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY 1, 2""".stripMargin,
+    "q_interpolate" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, arg_min(value, event_id) AS v
+        |  FROM events GROUP BY 1, 2),
+        |g0 AS (SELECT user_id, min(ts_ms) AS mn, max(ts_ms) AS mx FROM ev GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id,
+        |         unnest(generate_series((mn + 3599999) // 3600000,
+        |                                mx // 3600000)) * 3600000 AS ts_ms,
+        |         1 AS kind, CAST(NULL AS DOUBLE) AS v
+        |  FROM g0 WHERE mx // 3600000 >= (mn + 3599999) // 3600000),
+        |pts AS (SELECT user_id, ts_ms, 0 AS kind, v FROM ev
+        |        UNION ALL SELECT user_id, ts_ms, kind, v FROM grid),
+        |wv AS (
+        |  SELECT user_id, ts_ms, kind,
+        |         last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |           ORDER BY ts_ms, kind
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        |         last_value(CASE WHEN kind = 0 THEN ts_ms END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts_ms, kind
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+        |         first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |           ORDER BY ts_ms, kind
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        |         first_value(CASE WHEN kind = 0 THEN ts_ms END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts_ms, kind
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+        |  FROM pts)
+        |SELECT user_id, ts_ms,
+        |       round(CASE WHEN prev_t = ts_ms THEN prev_v
+        |                  ELSE prev_v + (next_v - prev_v) * (ts_ms - prev_t)
+        |                         / (next_t - prev_t) END, 6) AS v_interp
+        |FROM wv WHERE kind = 1 AND prev_t IS NOT NULL
+        |  AND (next_t IS NOT NULL OR prev_t = ts_ms)
+        |ORDER BY user_id, ts_ms""".stripMargin,
     "q_window_sliding" -> slidingAggSql,
     "q_window_session" -> sessionWindowSql,
     "q_recursive_cte" ->

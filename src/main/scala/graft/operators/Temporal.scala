@@ -112,4 +112,59 @@ object Temporal {
       ORDER BY sp.month_start
     """)
   }
+
+  /** Resample grid step for [[interpolate]]: hourly. */
+  private val GridMs = 3600000L
+
+  /** q_interpolate — time-series resampling with linear interpolation:
+    * every user's irregular event series becomes an hourly grid, each
+    * grid point valued by straight-line interpolation between its
+    * bracketing events. The classic one-pass formulation: interleave
+    * grid points with events, ONE window per user ordered by (ts, kind)
+    * carries the last event back (running last_value ignore-nulls) and
+    * the next event forward — no self-join, no per-point probe.
+    * Determinism: same-ts events reduce via min_by on the unique
+    * event_id; the interpolation ratio is one fixed association-order
+    * double expression over exact longs, rounded at the edge. At scale
+    * each user's series sorts independently inside its window
+    * partition; grid size is bounded by span/step, not event count. */
+  def interpolate(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .groupBy(col("user_id"), millis(col("ts")).as("ts_ms"))
+      .agg(expr("min_by(value, event_id)").as("v"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
+      .select(col("user_id"),
+        expr(s"(mn + ${GridMs - 1}) div $GridMs").as("kmin"),
+        expr(s"mx div $GridMs").as("kmax"))
+      // sequence(a, b) runs DESCENDING when a > b — a span shorter than
+      // one grid step must yield zero points, not a reversed ramp
+      .filter(col("kmax") >= col("kmin"))
+      .select(col("user_id"),
+        explode(sequence(col("kmin"), col("kmax"))).as("k"))
+      .select(col("user_id"), (col("k") * GridMs).as("ts_ms"),
+        lit(1).as("kind"), lit(null).cast("double").as("v"))
+    val pts = ev.select(col("user_id"), col("ts_ms"), lit(0).as("kind"), col("v"))
+      .unionByName(grid)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("kind"))
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val evTs = when(col("kind") === 0, col("ts_ms"))
+    pts
+      .withColumn("prev_v", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("prev_t", last(evTs, ignoreNulls = true).over(back))
+      .withColumn("next_v", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("next_t", first(evTs, ignoreNulls = true).over(fwd))
+      // a grid point landing exactly on its prev event needs no forward
+      // bracket (events sort before the grid row at equal ts, so the
+      // forward window can't see them)
+      .filter(col("kind") === 1 && col("prev_t").isNotNull &&
+        (col("next_t").isNotNull || col("prev_t") === col("ts_ms")))
+      .select(col("user_id"), col("ts_ms"),
+        round(when(col("prev_t") === col("ts_ms"), col("prev_v"))
+          .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
+            (col("ts_ms") - col("prev_t")) / (col("next_t") - col("prev_t"))), 6)
+          .as("v_interp"))
+      .orderBy("user_id", "ts_ms")
+  }
 }

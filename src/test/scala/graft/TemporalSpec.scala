@@ -63,4 +63,23 @@ class TemporalSpec extends SparkSpec {
       ("1995-01-01", 2L), ("1995-02-01", 0L),
       ("1995-03-01", 0L), ("1995-04-01", 1L)))
   }
+
+  test("interpolate: exact-at-event grid uses the event; interior is linear; short span empty") {
+    val H = 3600000L
+    val d = fixtureDir("events" -> Seq(
+      // user 1: events at 0h (v=10) and 2h (v=30) → grid 0h,1h,2h
+      (10L, new java.sql.Timestamp(0L), 1L, "x", 10.0, "{}"),
+      (11L, new java.sql.Timestamp(2 * H), 1L, "x", 30.0, "{}"),
+      // user 2: 30-minute span straddling no grid point → zero rows
+      (20L, new java.sql.Timestamp(H + 1), 2L, "x", 1.0, "{}"),
+      (21L, new java.sql.Timestamp(H + 1800000L), 2L, "x", 2.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = Temporal.interpolate(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(r == Map(
+      (1L, 0L) -> 10.0,       // event exactly on the grid: its own value
+      (1L, H) -> 20.0,        // interior midpoint: straight line
+      (1L, 2 * H) -> 30.0))   // other endpoint
+    assert(!r.keySet.exists(_._1 == 2L)) // sub-step span yields no grid
+  }
 }
