@@ -146,15 +146,23 @@ object Temporal {
         lit(1).as("kind"), lit(null).cast("double").as("v"))
     val pts = ev.select(col("user_id"), col("ts_ms"), lit(0).as("kind"), col("v"))
       .unionByName(grid)
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("kind"))
-    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // BOTH directions as running (growing) frames: Spark's WindowExec
+    // recomputes non-invertible aggregates from scratch per row in a
+    // shrinking (currentRow → unboundedFollowing) frame — O(n²) per
+    // partition (measured 5.6 s at sf0.1); the same "next event" is a
+    // running last_value over the REVERSED ordering — O(n), two sorts.
+    val back = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").asc, col("kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").desc, col("kind").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val evTs = when(col("kind") === 0, col("ts_ms"))
     pts
       .withColumn("prev_v", last(col("v"), ignoreNulls = true).over(back))
       .withColumn("prev_t", last(evTs, ignoreNulls = true).over(back))
-      .withColumn("next_v", first(col("v"), ignoreNulls = true).over(fwd))
-      .withColumn("next_t", first(evTs, ignoreNulls = true).over(fwd))
+      .withColumn("next_v", last(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("next_t", last(evTs, ignoreNulls = true).over(fwd))
       // a grid point landing exactly on its prev event needs no forward
       // bracket (events sort before the grid row at equal ts, so the
       // forward window can't see them)

@@ -38,7 +38,14 @@ object StressDedup {
     // shape) and its per-row cost grows ~K by design — the banded
     // variants own the full-corpus regime.
     "q_ccnet_bucket", "q_mix_weights", "q_heavy_hitters",
-    "q_upsert_merge", "q_incremental_agg")
+    "q_upsert_merge", "q_incremental_agg",
+    // round-4 session 2. q_nullsafe_join is ABSENT by design: its
+    // 7-value bucket key makes pair counts quadratic by construction —
+    // it is a semantics demo, not a scale operator. q_tpch_q5 needs the
+    // dim tables the harness doesn't replicate (dims broadcast; the
+    // fact side's scaling is covered by the other join queries).
+    "q_interpolate", "q_media_histdup", "q_pmi_phrases",
+    "q_capped_sample", "q_anomaly_zscore", "q_pagerank")
 
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 10
@@ -86,9 +93,24 @@ object StressDedup {
     orders.crossJoin(copies)
       .withColumn("o_orderkey",
         col("o_orderkey") + col("copy").cast("long") * 10000000000L)
+      // custkey offset decorrelates the pagerank graph across copies
+      .withColumn("o_custkey",
+        col("o_custkey") + col("copy").cast("long") * 1000000L)
       .drop("copy")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    // lineitem: keys follow orders' offsets; suppkey offset keeps the
+    // bipartite customer↔supplier graph disjoint per copy
+    val lineitem = spark.read.parquet(s"$base/lineitem.parquet")
+    lineitem.crossJoin(copies)
+      .withColumn("l_orderkey",
+        col("l_orderkey") + col("copy").cast("long") * 10000000000L)
+      .withColumn("l_suppkey",
+        col("l_suppkey") + col("copy").cast("long") * 1000000L)
+      .drop("copy")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     // events.ts is TIMESTAMP(NANOS): read as long (legacy conf), the
     // replica is then written with a plain long ts — Tables.events
