@@ -132,6 +132,7 @@ object SparkEntry {
     "q_zorder_layout" -> (graft.operators.Scale.zorderLayout _),
     "q_upsert_merge" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       graft.operators.Scale.upsertMerge(s, d)),
+    "q_table_checksum" -> (graft.operators.Scale.tableChecksum _),
     "q_incremental_agg" -> (graft.operators.Scale.incrementalAgg _),
     "q_heavy_hitters" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       graft.operators.Scale.heavyHitters(s, d)),
@@ -1021,6 +1022,19 @@ object SparkEntry {
         |         / 10000.0 AS sum_price,
         |       min(k) AS min_k, max(k) AS max_k
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_table_checksum" ->
+      """WITH h AS (
+        |  SELECT CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           [CAST(strpos('0123456789abcdef', ch) AS BIGINT) - 1
+        |            FOR ch IN regexp_extract_all(substring(md5(
+        |              l_orderkey || '|' || l_linenumber || '|' ||
+        |              CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS VARCHAR)
+        |              || '|' || l_returnflag || '|' || l_linestatus), 1, 15), '.')]),
+        |           (acc, x) -> acc * 16 + x) AS BIGINT) AS h
+        |  FROM lineitem)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(h) % 1152921504606846976 AS BIGINT) AS checksum60
+        |FROM h""".stripMargin,
     "q_incremental_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)

@@ -251,6 +251,26 @@ object Scale {
       .orderBy("event_type")
   }
 
+  /** q_table_checksum — order-independent table fingerprint (the
+    * cross-system migration check: run on both sides of a copy, compare
+    * one row): each row canonicalizes to a delimited string of
+    * engine-stable fields (integers, chars, and a fixed-point rescale
+    * of the double — raw double→string formatting is NOT portable),
+    * hashes to a 60-bit md5 long, and the longs SUM exactly in
+    * DECIMAL(38,0) then reduce mod 2^60. Addition is commutative, so
+    * the checksum is independent of row order, partitioning, and
+    * engine — and the whole thing is one scan with partial aggregation,
+    * no shuffle of data-sized anything. */
+  def tableChecksum(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(graft.functions.md5hash60(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_quantity") * 100 + 0.5).cast("bigint"),
+        col("l_returnflag"), col("l_linestatus"))).as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT)")
+          .as("checksum60"))
+
   /** Misra-Gries counter budget for [[heavyHitters]]. */
   private val MgK = 40
 

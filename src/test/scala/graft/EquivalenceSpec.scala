@@ -113,6 +113,21 @@ class EquivalenceSpec extends SparkSpec {
         .select(col("event_id"), col("value")).orderBy("event_id")))
   }
 
+  test("table checksum: invariant to row order/partitioning, sensitive to one cell") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1, 1.0, "A", "F"), (2L, 1, 2.5, "R", "O"), (3L, 2, 3.0, "N", "F"))
+    def dirOf(rs: Seq[(Long, Int, Double, String, String)], parts: Int) =
+      fixtureDir("lineitem" -> rs
+        .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
+        .repartition(parts))
+    def sum(d: String) = Scale.tableChecksum(spark, d).collect().head.getLong(1)
+    val base = sum(dirOf(rows, 1))
+    assert(base == sum(dirOf(rows.reverse, 3)))   // order + partitioning free
+    val touched = rows.updated(1, (2L, 1, 2.51, "R", "O"))
+    assert(base != sum(dirOf(touched, 1)))        // one cell flips the sum
+  }
+
   test("null-safe join: the NULL<=>NULL group survives with real pairs") {
     val r = Relational.nullsafeJoin(spark, d).collect()
       .map(x => x.getString(0) -> x.getLong(1)).toMap
