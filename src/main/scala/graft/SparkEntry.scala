@@ -53,6 +53,8 @@ object SparkEntry {
     "q_nullsafe_join" -> (Relational.nullsafeJoin _),
     "q_pagerank" -> (graft.operators.Graph.pagerank _),
     "q_anomaly_zscore" -> (graft.operators.Analytics.anomalyZscore _),
+    "q_funnel" -> (graft.operators.Analytics.funnel _),
+    "q_retention" -> (graft.operators.Analytics.retention _),
     "q_agg_q1" -> (Relational.aggQ1 _),
     "q_agg_distinct" -> (Relational.aggDistinct _),
     "q_rollup" -> (Relational.rollup _),
@@ -675,6 +677,32 @@ object SparkEntry {
         |SELECT node, rank,
         |       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind
         |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+        |v AS (SELECT user_id,
+        |             min(CASE WHEN event_type = 'view' THEN ts_ms END) AS t_view
+        |      FROM ev GROUP BY 1),
+        |sg AS (SELECT e.user_id, v.t_view,
+        |              min(CASE WHEN e.event_type = 'signup' AND e.ts_ms >= v.t_view
+        |                       THEN e.ts_ms END) AS t_signup
+        |       FROM ev e JOIN v ON e.user_id = v.user_id GROUP BY 1, 2),
+        |p AS (SELECT e.user_id, s.t_view, s.t_signup,
+        |             min(CASE WHEN e.event_type = 'purchase' AND e.ts_ms >= s.t_signup
+        |                      THEN e.ts_ms END) AS t_purchase
+        |      FROM ev e JOIN sg s ON e.user_id = s.user_id GROUP BY 1, 2, 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(count(t_view) AS BIGINT) AS n_viewed,
+        |       CAST(count(t_signup) AS BIGINT) AS n_signed_up,
+        |       CAST(count(t_purchase) AS BIGINT) AS n_purchased
+        |FROM p""".stripMargin,
+    "q_retention" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) // 604800000 AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort FROM ev GROUP BY 1)
+        |SELECT cohort, week - cohort AS "offset",
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM ev e JOIN f USING (user_id)
+        |WHERE week - cohort <= 8
+        |GROUP BY cohort, week - cohort ORDER BY 1, 2""".stripMargin,
     "q_anomaly_zscore" ->
       """WITH st AS (
         |  SELECT event_type, count(*) AS n,

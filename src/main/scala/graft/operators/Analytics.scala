@@ -347,6 +347,53 @@ object Analytics {
       .orderBy("band")
   }
 
+  /** q_funnel — ordered-stage funnel (view → signup → purchase): a
+    * stage only counts if it happens AT OR AFTER the previous stage's
+    * first completion, so out-of-order events don't fake progress. One
+    * conditional-aggregation pass per user (min-ts per stage with an
+    * ordering predicate via a two-level agg), then a tiny rollup to
+    * per-stage user counts — the corpus shuffles once on user_id.
+    * Timestamps are exact longs; no float anywhere. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), millis(col("ts")).as("ts_ms"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts_ms"))).as("t_view"))
+      .join(ev, Seq("user_id"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(when(col("event_type") === "signup" &&
+        col("ts_ms") >= col("t_view"), col("ts_ms"))).as("t_signup"))
+      .join(ev, Seq("user_id"))
+      .groupBy(col("user_id"), col("t_view"), col("t_signup"))
+      .agg(min(when(col("event_type") === "purchase" &&
+        col("ts_ms") >= col("t_signup"), col("ts_ms"))).as("t_purchase"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      count(col("t_view")).as("n_viewed"),
+      count(col("t_signup")).as("n_signed_up"),
+      count(col("t_purchase")).as("n_purchased"))
+  }
+
+  /** q_retention — weekly cohort retention: users cohorted by their
+    * first-seen week, counted distinct per (cohort, weeks-since) cell.
+    * The classic triangular matrix every growth dashboard draws. Two
+    * keyed aggregations (first-seen per user, then the cell rollup)
+    * plus a broadcast-sized join back — integer week arithmetic on
+    * epoch-ms, nothing engine-variant. Cells are capped at offset ≤ 8
+    * so output stays dashboard-sized at any scale. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val wk = 604800000L // 7 * 24 * 3600 * 1000
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr(s"unix_millis(ts) div $wk").as("week"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+    ev.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort"), (col("week") - col("cohort")).as("offset"))
+      .filter(col("offset") <= 8)
+      .groupBy(col("cohort"), col("offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "offset")
+  }
+
   /** q_anomaly_zscore — per-group z-score outliers (the data-quality
     * monitor every ingest pipeline runs): per event_type mean and
     * population stddev, broadcast back, keep |value − mean| > 3σ. The

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.operators.{Pairing, Relational, Reshape, Scale, Sources, TypedPairing}
+import graft.operators.{Analytics, Pairing, Relational, Reshape, Scale, Sources, TypedPairing}
 
 /** Cross-formulation equivalence: independent implementations of the
   * same semantics must agree row-for-row on the real testdata — the
@@ -111,6 +111,26 @@ class EquivalenceSpec extends SparkSpec {
     assert(rows(ms.sForeachSink(spark, d)) ==
       rows(Tables.events(spark, d).filter(col("value") > 100.0)
         .select(col("event_id"), col("value")).orderBy("event_id")))
+  }
+
+  test("funnel: stages count at-or-after the previous stage only") {
+    import spark.implicits._
+    def e(id: Long, ms: Long, u: Long, t: String) =
+      (id, new java.sql.Timestamp(ms), u, t, 0.0, null: String)
+    val dir = fixtureDir("events" -> Seq(
+      e(1, 1000, 1, "view"), e(2, 2000, 1, "signup"), e(3, 3000, 1, "purchase"),
+      // user 2: purchase BEFORE signup → purchased must NOT count
+      e(4, 1000, 2, "view"), e(5, 3000, 2, "signup"), e(6, 2000, 2, "purchase"),
+      // user 3: signup before the first view → signup must NOT count
+      e(7, 2000, 3, "signup"), e(8, 3000, 3, "view"),
+      // user 4: never enters the funnel
+      e(9, 1000, 4, "error"),
+      // user 5: all three stages at the SAME ts — >= boundary includes them
+      e(10, 1000, 5, "view"), e(11, 1000, 5, "signup"), e(12, 1000, 5, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = Analytics.funnel(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 4L, 3L, 2L)))
   }
 
   test("table checksum: invariant to row order/partitioning, sensitive to one cell") {
