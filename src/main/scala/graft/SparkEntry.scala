@@ -152,6 +152,7 @@ object SparkEntry {
     "q_mix_weights" -> (Corpus.mixWeights _),
     "q_capped_sample" -> (Corpus.cappedSample _),
     "q_pmi_phrases" -> (Corpus.pmiPhrases _),
+    "q_token_entropy" -> (Corpus.tokenEntropy _),
     // deduplication
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_cluster" -> (Dedup.dedupCluster _),
@@ -1189,6 +1190,25 @@ object SparkEntry {
         |      FROM u)
         |SELECT source, rk, doc_id, u FROM r WHERE rk <= 5
         |ORDER BY source, rk""".stripMargin,
+    "q_token_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |             CAST(count(*) AS BIGINT) AS n_distinct, list(c) AS cs
+        |      FROM c GROUP BY 1),
+        |e AS (SELECT doc_id, n, n_distinct,
+        |             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |               [CAST(floor(-(CAST(x AS DOUBLE) / n) *
+        |                      ln(CAST(x AS DOUBLE) / n) * 1e9 + 0.5) AS BIGINT)
+        |                FOR x IN cs]),
+        |               (acc, t) -> acc + t) AS DOUBLE) / 1e9 AS entropy
+        |      FROM a)
+        |SELECT doc_id, n, n_distinct, entropy,
+        |       CASE WHEN n_distinct = 1 THEN 0.0
+        |            ELSE round(entropy / ln(CAST(n AS DOUBLE)), 6) END AS norm_entropy
+        |FROM e ORDER BY doc_id""".stripMargin,
     "q_pmi_phrases" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
         |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c

@@ -515,6 +515,37 @@ object Corpus {
       .orderBy("source", "rk")
   }
 
+  /** q_token_entropy — Shannon entropy of each document's token
+    * distribution (the Gopher-style repetition gate: low entropy =
+    * degenerate repetition, entropy ≈ ln(n) = all-distinct): H =
+    * −Σ p·ln p over the doc's token counts. Each term snaps to a 1e-9
+    * fixed-point long BEFORE the per-doc sum, so the fold is
+    * order-independent and cross-engine exact (the p = c/n ratio and
+    * the product are correctly-rounded IEEE on identical inputs; ln
+    * matches libm-to-libm at these magnitudes — same scheme as
+    * docPerplexity). Shape: explode → (doc, token) counts → per-doc
+    * rollup; two keyed map-side-combined shuffles, nothing driver-side.
+    * The normalized ratio H/ln(n) lands in [0, 1] for the gate. */
+  def tokenEntropy(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        collect_list(col("c")).as("cs"))
+      .select(col("doc_id"), col("n"), col("n_distinct"),
+        (expr("""aggregate(cs, CAST(0 AS BIGINT), (acc, c) ->
+                   acc + CAST(floor(-(CAST(c AS DOUBLE) / n) *
+                     ln(CAST(c AS DOUBLE) / n) * 1e9 + 0.5) AS BIGINT))""")
+          .cast("double") / 1e9).as("entropy"))
+      .withColumn("norm_entropy",
+        when(col("n_distinct") === 1, 0.0)
+          .otherwise(round(col("entropy") / log(col("n").cast("double")), 6)))
+      .orderBy("doc_id")
+  }
+
   /** q_pmi_phrases — pointwise mutual information over adjacent bigrams
     * (the phrase-detection statistic behind word2vec-style corpus prep):
     * PMI(w1,w2) = ln(p12 / (p1·p2)) with unigram and bigram

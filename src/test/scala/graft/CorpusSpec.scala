@@ -234,6 +234,20 @@ class CorpusSpec extends SparkSpec {
     assert(r.map(_._3).toSet == Set(1L, 2L, 3L))     // all docs kept
   }
 
+  test("token_entropy: degenerate doc scores 0, all-distinct scores norm 1") {
+    val d = docsDir(
+      (1L, "a a a a", "en", "s", 1L),   // 1 distinct → H = 0, norm 0
+      (2L, "a b", "en", "s", 1L),       // uniform 2 → H = ln 2, norm 1
+      (3L, "a a b b", "en", "s", 1L))   // uniform 2 of 4 → norm ln2/ln4 = 0.5
+    val h2 = 693147180L.toDouble / 1e9  // two 1e-9-snapped 0.5·ln2 terms
+    val r = Corpus.tokenEntropy(spark, d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r(1L) == ((4L, 1L, 0.0, 0.0)))
+    assert(r(2L) == ((2L, 2L, h2, 1.0)))
+    assert(r(3L) == ((4L, 2L, h2, 0.5)))
+  }
+
   test("mix_weights: τ=0.5 flattening damps the head source, boosts the tail") {
     val d = docsDir(
       (1L, "t t t t t t t t t", "en", "big", 1L), // 9 of 10 corpus tokens
