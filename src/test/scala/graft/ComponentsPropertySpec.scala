@@ -47,4 +47,32 @@ class ComponentsPropertySpec extends SparkSpec {
       assert(got == expect, s"case $i: $edges")
     }
   }
+
+  private val genStream: Gen[(List[String], Int)] = for {
+    vocab <- Gen.choose(3, 12)
+    len <- Gen.choose(20, 120)
+    // zipf-ish skew: low token ids drawn quadratically more often
+    toks <- Gen.listOfN(len,
+      Gen.choose(0, vocab * vocab - 1).map(x => s"w${math.sqrt(x.toDouble).toInt}"))
+    k <- Gen.choose(2, 6)
+  } yield (toks, k)
+
+  test("Misra-Gries heavy hitters ≡ brute force on random skewed streams (any k)") {
+    // the MG union guarantee must hold for EVERY stream and k: output is
+    // exactly {term : cnt·(k+1) > total}, never a superset or subset
+    (1 to 8).foreach { i =>
+      val (toks, k) = genStream.pureApply(Gen.Parameters.default, Seed(i.toLong * 13))
+      val dir = fixtureDir("documents" ->
+        // split the stream across docs (→ partitions) to exercise merges
+        toks.grouped(10).zipWithIndex
+          .map { case (g, j) => (j.toLong, g.mkString(" "), "en", "s", 1L) }
+          .toSeq.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      val got = graft.operators.Scale.heavyHitters(spark, dir, k).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = toks.length
+      val expect = toks.groupBy(identity).view.mapValues(_.length.toLong)
+        .filter { case (_, c) => c * (k + 1) > total }.toMap
+      assert(got == expect, s"case $i k=$k total=$total")
+    }
+  }
 }
