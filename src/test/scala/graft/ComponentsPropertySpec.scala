@@ -75,4 +75,40 @@ class ComponentsPropertySpec extends SparkSpec {
       assert(got == expect, s"case $i k=$k total=$total")
     }
   }
+
+  private val genBipartite: Gen[List[(Long, Long)]] = for {
+    nc <- Gen.choose(2, 8)   // customers
+    ns <- Gen.choose(2, 6)   // suppliers
+    m <- Gen.choose(3, 20)
+    es <- Gen.listOfN(m, for {
+      c <- Gen.choose(1L, nc.toLong)
+      p <- Gen.choose(1L, ns.toLong)
+    } yield (c, p))
+  } yield es.distinct
+
+  test("fixed-point pagerank ≡ driver integer model on random bipartite graphs") {
+    (1 to 6).foreach { i =>
+      val pairs = genBipartite.pureApply(Gen.Parameters.default, Seed(i.toLong * 31))
+      val dir = fixtureDir(
+        "orders" -> pairs.zipWithIndex
+          .map { case ((c, _), j) => (j.toLong, c) }.toDF("o_orderkey", "o_custkey"),
+        "lineitem" -> pairs.zipWithIndex
+          .map { case ((_, p), j) => (j.toLong, p) }.toDF("l_orderkey", "l_suppkey"))
+      val got = graft.operators.Graph.pagerank(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // same integer semantics, driver-side
+      val edges = pairs.map { case (c, p) => (c * 2, p * 2 + 1) }
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val n = deg.size.toLong
+      var rank = deg.keys.map(_ -> 1000000000000L / n).toMap
+      for (_ <- 1 to 3) {
+        val in = edges.groupBy(_._2).view
+          .mapValues(_.map { case (s, _) => rank(s) / deg(s) }.sum).toMap
+        rank = in.map { case (v, m) => v -> (150000000000L / n + 85L * m / 100L) }
+      }
+      val expectTop = rank.toSeq.sortBy { case (node, r) => (-r, node) }.take(20).toMap
+      assert(got == expectTop, s"case $i: $pairs")
+    }
+  }
 }
