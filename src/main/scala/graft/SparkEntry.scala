@@ -153,8 +153,10 @@ object SparkEntry {
     "q_capped_sample" -> (Corpus.cappedSample _),
     "q_pmi_phrases" -> (Corpus.pmiPhrases _),
     "q_token_entropy" -> (Corpus.tokenEntropy _),
+    "q_block_dedup" -> (Corpus.blockDedup _),
     // deduplication
     "q_dedup_exact" -> (Dedup.exact _),
+    "q_semdedup" -> (Dedup.semDedup _),
     "q_dedup_cluster" -> (Dedup.dedupCluster _),
     "q_dedup_ngram" -> (Dedup.ngramJaccard _),
     "q_dedup_minhash" -> (Dedup.minhashLsh _),
@@ -1298,6 +1300,44 @@ object SparkEntry {
         |WHERE uu < r.rate
         |GROUP BY r.lang, r.n_total, r.rate
         |ORDER BY r.lang""".stripMargin,
+    "q_block_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |bl AS (SELECT doc_id, ts,
+        |              unnest([i FOR i IN range(1, CAST(ceil(len(ts) / 16.0) AS BIGINT) + 1)]) AS i
+        |       FROM toks),
+        |b AS (SELECT doc_id, i - 1 AS bpos,
+        |             array_to_string(ts[CAST((i - 1) * 16 + 1 AS BIGINT):CAST(i * 16 AS BIGINT)], ' ') AS btext
+        |      FROM bl),
+        |own AS (SELECT btext, count(DISTINCT doc_id) AS bdf, min(doc_id) AS first_doc
+        |        FROM b GROUP BY btext)
+        |SELECT b.doc_id AS doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_blocks,
+        |       CAST(count(*) FILTER (WHERE NOT (bdf = 1 OR b.doc_id = first_doc)) AS BIGINT) AS n_dropped,
+        |       md5(coalesce(string_agg(btext, ' ' ORDER BY bpos)
+        |                      FILTER (WHERE bdf = 1 OR b.doc_id = first_doc), '')) AS clean_md5
+        |FROM b JOIN own USING (btext)
+        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+    "q_semdedup" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |cen AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |asn AS (SELECT e.vec_id, centroid_id,
+        |               round(list_dot_product(v, cv)
+        |                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+        |        FROM e, cen),
+        |cells AS (SELECT vec_id, centroid_id AS cell FROM (
+        |            SELECT vec_id, centroid_id,
+        |                   row_number() OVER (PARTITION BY vec_id
+        |                                      ORDER BY cos DESC, centroid_id DESC) AS rn
+        |            FROM asn) WHERE rn = 1),
+        |m AS (SELECT e.vec_id, cell, v FROM e JOIN cells USING (vec_id)),
+        |red AS (SELECT DISTINCT a.cell, a.vec_id
+        |        FROM m a JOIN m b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        |        WHERE round(list_dot_product(a.v, b.v)
+        |                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35)
+        |SELECT m.cell AS cell, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(count(r.vec_id) AS BIGINT) AS n_redundant
+        |FROM m LEFT JOIN red r ON m.cell = r.cell AND m.vec_id = r.vec_id
+        |GROUP BY m.cell ORDER BY cell""".stripMargin,
     "q_dedup_cluster" ->
       """WITH RECURSIVE toksc AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |sh AS (SELECT DISTINCT doc_id,

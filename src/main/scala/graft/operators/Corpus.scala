@@ -578,4 +578,48 @@ object Corpus {
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
       .limit(30)
   }
+
+  /** Block width (tokens) for [[blockDedup]]. */
+  private val BlockW = 16
+
+  /** q_block_dedup — C4/RefinedWeb-style repeated-block removal
+    * (sub-document exact dedup; C4 does it per line, reference
+    * Raffel et al. 2020 §2.2 "three-sentence span" and RefinedWeb's
+    * exact-substring pass are the same idea): each document is cut
+    * into non-overlapping [[BlockW]]-token blocks, a block whose text
+    * occurs in ≥ 2 documents is kept ONLY in the lowest-id document
+    * containing it, and every document reports its block counts plus
+    * the md5 of its cleaned (kept-blocks-only, original order) text —
+    * so the oracle pins the reassembled VALUES, not just counts.
+    * Within-doc repeats in the owning doc are all kept (the contract
+    * is cross-document dedup; pinned by CorpusSpec). Shape: generator
+    * pass → one agg keyed by block text (vocabulary-sized) → join
+    * back on block text → one doc-keyed agg. Both shuffles ride
+    * natural keys; nothing is ever all-pairs — at 100 TB this is two
+    * narrow keyed shuffles of the block relation, the same cost class
+    * as the C4 production pass. */
+  def blockDedup(s: SparkSession, d: String): DataFrame = {
+    val blocks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, cast(ceil(size(tk) / ${BlockW}.0) as int)), " +
+            s"b -> array_join(slice(tk, (b - 1) * $BlockW + 1, $BlockW), ' '))"))
+          .as(Seq("bpos", "btext")))
+    val owners = blocks.groupBy(col("btext"))
+      .agg(countDistinct(col("doc_id")).as("bdf"),
+        min(col("doc_id")).as("first_doc"))
+    blocks.join(owners, Seq("btext"))
+      .withColumn("kept", col("bdf") === 1 || col("doc_id") === col("first_doc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        count(when(!col("kept"), 1)).as("n_dropped"),
+        // kept blocks reassembled in document order: collect_list drops
+        // the when()-null unkept slots, array_sort orders by bpos (the
+        // struct's first field, unique per doc)
+        md5(array_join(transform(array_sort(collect_list(
+          when(col("kept"), struct(col("bpos"), col("btext"))))),
+          x => x.getField("btext")), " ")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
 }

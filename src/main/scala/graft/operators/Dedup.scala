@@ -377,4 +377,49 @@ object Dedup {
     }.toDF("vec_a", "vec_b", "cos_sim")
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Cosine threshold for [[semDedup]] — compared on the 1e-6 rounded
+    * grid (both engines round the identical sequential-fold dot
+    * product, so the gate cannot flip cross-engine). */
+  private val SemTau = 0.35
+
+  /** q_semdedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster-scoped semantic dedup. Vectors are k-means-style assigned
+    * to cells (deterministic stride centroids, the [[Similarity.ivf]]
+    * index shape — a real build would train them; the pruning
+    * structure is the point), and a vector is REDUNDANT when a
+    * lower-id cell-mate has cosine ≥ [[SemTau]]. Pairwise work is
+    * confined to cells — n²/k instead of n², and the cell id is the
+    * shuffle key, so at 100 TB each cell's comparison runs where its
+    * vectors already live; the corpus-wide all-pairs query
+    * ([[embeddingDedup]]) stays the exact baseline, this is the scale
+    * path. Output is the per-cell dedup ledger (dashboard-sized at
+    * any corpus size). Fully oracled: assignment argmax AND the
+    * in-cell gate replay in DuckDB on the rounded grid. */
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centroids = broadcast(
+      e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")))
+    // argmax-cosine cell assignment (max of (cos, id) struct is
+    // deterministic incl. ties — same contract as Similarity.ivf)
+    val cells = e.crossJoin(centroids)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+        Similarity.cosine(col("embedding"), col("cvec")).as("cos"),
+        col("centroid_id"))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("cell"))
+    val m = e.join(cells, Seq("vec_id"))
+    val mates = m.select(col("cell"), col("vec_id").as("nb_id"),
+      col("embedding").as("nb_vec"))
+    val redundant = m.join(mates, Seq("cell"))
+      .filter(col("nb_id") < col("vec_id") &&
+        Similarity.cosine(col("embedding"), col("nb_vec")) >= SemTau)
+      .select(col("cell"), col("vec_id")).distinct()
+    m.select(col("cell"), col("vec_id"))
+      .join(redundant.withColumn("red", lit(1)), Seq("cell", "vec_id"), "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), count(col("red")).as("n_redundant"))
+      .orderBy("cell")
+  }
 }

@@ -259,4 +259,26 @@ class CorpusSpec extends SparkSpec {
     assert(r("big") == ((9L, 0.9, 0.75, 0.833333)))
     assert(r("small") == ((1L, 0.1, 0.25, 2.5)))
   }
+
+  test("block_dedup: block-aligned cross-doc drops, in-doc repeats kept, full dup empties") {
+    def blk(p: String) = (0 until 16).map(i => s"$p$i").mkString(" ")
+    val (a, b, c, u) = (blk("a"), blk("b"), blk("c"), blk("u"))
+    def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = docsDir(
+      (1L, s"$a $b", "en", "s", 1L),  // owns A and B
+      (2L, s"$a $c", "en", "s", 1L),  // A dropped (doc 1 owns it), C kept
+      (3L, s"x0 $a", "en", "s", 1L),  // A shifted off the block grid → kept
+      (4L, s"$a $a", "en", "s", 1L),  // both occurrences drop (owner is doc 1)
+      (5L, s"$u $u", "en", "s", 1L),  // in-doc repeat, df = 1 doc → both kept
+      (7L, s"$a $b", "en", "s", 1L))  // exact full dup → loses everything
+    val r = Corpus.blockDedup(spark, d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((2L, 0L, md5hex(s"$a $b"))))
+    assert(r(2L) == ((2L, 1L, md5hex(c))))
+    assert(r(3L) == ((2L, 0L, md5hex(s"x0 $a")))) // alignment is part of the contract
+    assert(r(4L) == ((2L, 2L, md5hex(""))))
+    assert(r(5L) == ((2L, 0L, md5hex(s"$u $u"))))
+    assert(r(7L) == ((2L, 2L, md5hex(""))))
+  }
 }

@@ -218,4 +218,45 @@ class OperatorsSpec extends SparkSpec {
       .filter(_.getLong(0) == 2L).sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
     assert(rows == Seq(0L, 1L, 3L))
   }
+
+  test("semDedup: redundancy is cell-scoped — a cross-cell near-dup pair survives") {
+    // Two stride centroids (ids 0 and 50, orthogonal). The 45°-straddle
+    // pair (20, 51) has cosine ≈ 0.9966 ≥ τ but lands in DIFFERENT
+    // cells, so neither is flagged — SemDeDup's accepted approximation,
+    // and exactly what makes the pairwise work n²/k instead of n².
+    val vecs: Seq[(Long, Seq[Float])] = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),           // centroid A (also a member)
+      50L -> Seq(0f, 1f, 0f, 0f),          // centroid B (also a member)
+      1L -> Seq(0.99f, 0.12f, 0f, 0f),     // cell A, near id 0 → redundant
+      20L -> Seq(0.3f, 0.29f, 0.91f, 0f),  // cell A side of the straddle pair
+      21L -> Seq(0.29f, 0.3f, 0.91f, 0f),  // cell B side, cos(20,21) ≈ 0.9999
+      30L -> Seq(0f, 0f, 0f, 1f),          // orthogonal to all → survivor
+      51L -> Seq(0f, 0.98f, 0.2f, 0f))     // cell B, near centroid 50 → redundant
+    val dir = fixtureDir("embeddings" ->
+      vecs.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label"))
+    // driver-side model: same argmax assignment, same rounded gate
+    def dot(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    def cos6(a: Seq[Float], b: Seq[Float]) =
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = vecs.filter(_._1 % 50 == 0)
+    val cell = vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cos6(v, cv), cid) }.max._2
+    }.toMap
+    val redundant = vecs.collect { case (id, v) if vecs.exists { case (nb, nv) =>
+      nb < id && cell(nb) == cell(id) && cos6(v, nv) >= 0.35 } => id }.toSet
+    val want = vecs.groupBy { case (id, _) => cell(id) }.map { case (c, ms) =>
+      c -> ((ms.size.toLong, ms.count(m => redundant(m._1)).toLong))
+    }
+    val got = Dedup.semDedup(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(got == want)
+    // the boundary pins themselves: the straddle pair is ≥ τ but split
+    // across cells → both unflagged; 51 is flagged by its own centroid
+    // acting as an ordinary (lower-id) member; 30 survives everywhere.
+    assert(cell(20L) != cell(21L) && cos6(vecs(3)._2, vecs(4)._2) >= 0.35)
+    assert(!redundant(20L) && !redundant(21L))
+    assert(redundant(1L) && redundant(51L) && !redundant(30L) && !redundant(0L))
+  }
 }

@@ -118,4 +118,24 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q_block_dedup: owner lookup is an equi-join on block text, never nested-loop") {
+    val p = plan("q_block_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // only the two columns the operator needs leave the scan
+    assert(!p.contains("n_chars"), p)
+  }
+
+  test("q_semdedup: pairwise work rides the cell key; only the centroid set nested-loops") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested loops are broadcast centroid assignments (nlist-
+    // sized build side, one map pass over the corpus) — the assignment
+    // subtree re-plans once per self-join reference (persist it on a
+    // cluster); the in-cell mate join and the ledger join must stay
+    // equi-joins on (cell[, vec_id]).
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj >= 1 && bnlj <= 3, p)
+    assert(p.contains("SortMergeJoin [cell#") || p.contains("BroadcastHashJoin [cell#"), p)
+  }
 }
