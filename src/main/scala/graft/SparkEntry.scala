@@ -157,6 +157,7 @@ object SparkEntry {
     // deduplication
     "q_dedup_exact" -> (Dedup.exact _),
     "q_semdedup" -> (Dedup.semDedup _),
+    "q_neardup_purge" -> (Dedup.neardupPurge _),
     "q_dedup_cluster" -> (Dedup.dedupCluster _),
     "q_dedup_ngram" -> (Dedup.ngramJaccard _),
     "q_dedup_minhash" -> (Dedup.minhashLsh _),
@@ -1363,6 +1364,36 @@ object SparkEntry {
         |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.doc = e.b)
         |SELECT doc AS doc_id, min(lbl) AS cluster_rep FROM reach GROUP BY doc
         |ORDER BY doc_id""".stripMargin,
+    "q_neardup_purge" ->
+      """WITH RECURSIVE toksc AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |              unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |                      FOR i IN range(1, len(ts) - 1)]) AS shingle
+        |       FROM toksc),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                 CAST(count(*) AS BIGINT) AS n_common
+        |          FROM sh a JOIN sh b
+        |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN cnt ca ON ca.doc_id = doc_a
+        |             JOIN cnt cb ON cb.doc_id = doc_b
+        |  WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(doc, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.doc = e.b),
+        |comp AS (SELECT doc AS doc_id, min(lbl) AS cluster_rep FROM reach GROUP BY doc),
+        |allc AS (SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS rep
+        |         FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |sz AS (SELECT rep, CAST(count(*) AS BIGINT) AS cluster_size FROM allc GROUP BY rep)
+        |SELECT allc.doc_id AS doc_id, rep, cluster_size,
+        |       (allc.doc_id <> rep) AS purged
+        |FROM allc JOIN sz USING (rep) ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |sh AS (SELECT DISTINCT doc_id,

@@ -249,6 +249,30 @@ object Dedup {
     connectedComponents(ngramJaccard(s, d).select(col("doc_a"), col("doc_b")))
       .orderBy("doc_id")
 
+  /** q_neardup_purge — the dedup pipeline's FINAL step: a full-corpus
+    * survivor ledger. Near-dup pairs (n-gram Jaccard ≥ 0.5) cluster via
+    * [[connectedComponents]]; every document — including the ones in no
+    * pair, which the pair graph never sees — gets its cluster
+    * representative (min doc_id), the cluster size, and the purge
+    * decision (everything but the representative drops). This is the
+    * relation a training run actually consumes ("which docs do I keep"),
+    * not the pair/cluster diagnostics upstream. Shape: the pair+CC work
+    * is [[dedupCluster]]'s; the ledger adds one LEFT join from the
+    * corpus (singletons coalesce to themselves) and one cluster-keyed
+    * size agg — both on natural keys, nothing driver-side. */
+  def neardupPurge(s: SparkSession, d: String): DataFrame = {
+    val comp = connectedComponents(
+      ngramJaccard(s, d).select(col("doc_a"), col("doc_b")))
+    val all = Tables.documents(s, d).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_rep"), col("doc_id")).as("rep"))
+    val sizes = all.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, Seq("rep"))
+      .select(col("doc_id"), col("rep"), col("cluster_size"),
+        (col("doc_id") =!= col("rep")).as("purged"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components over an undirected pair list (doc_a, doc_b):
     * (doc_id, cluster_rep = min doc in its component) for every doc
     * appearing in a pair. Min-label propagation; see [[dedupCluster]]. */

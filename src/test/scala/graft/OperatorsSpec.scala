@@ -219,6 +219,23 @@ class OperatorsSpec extends SparkSpec {
     assert(rows == Seq(0L, 1L, 3L))
   }
 
+  test("neardupPurge: full-corpus ledger — singletons and shingle-less docs survive") {
+    val base = (0 until 20).map(i => s"w$i").mkString(" ")
+    val d = fixtureDir("documents" -> Seq(
+      (1L, base, "en", "s", 1L),            // cluster rep
+      (2L, base + " extra", "en", "s", 1L), // jaccard 18/19 → purged
+      (3L, (0 until 20).map(i => s"z$i").mkString(" "), "en", "s", 1L), // unique
+      (4L, "x y", "en", "s", 1L))           // < 3 tokens: no shingles at all
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = Dedup.neardupPurge(spark, d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r(1L) == ((1L, 2L, false)))
+    assert(r(2L) == ((1L, 2L, true)))  // only the non-representative drops
+    assert(r(3L) == ((3L, 1L, false))) // in no pair → its own singleton cluster
+    assert(r(4L) == ((4L, 1L, false))) // too short to shingle, still in the ledger
+    assert(r.size == 4)
+  }
+
   test("semDedup: redundancy is cell-scoped — a cross-cell near-dup pair survives") {
     // Two stride centroids (ids 0 and 50, orthogonal). The 45°-straddle
     // pair (20, 51) has cosine ≈ 0.9966 ≥ τ but lands in DIFFERENT
