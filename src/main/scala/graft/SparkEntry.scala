@@ -170,6 +170,7 @@ object SparkEntry {
     "q_similarity_lsh" -> (Similarity.lsh _),
     "q_similarity_ivf" -> (Similarity.ivf _),
     "q_knn_join" -> (Similarity.knnJoin _),
+    "q_ann_recall" -> (Similarity.annRecall _),
     "q_crossmodal_join" -> (Similarity.crossmodalJoin _),
     // multimodal columns
     "q_media_meta" -> (Multimodal.mediaMeta _),
@@ -1501,6 +1502,41 @@ object SparkEntry {
         |             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
         |FROM b, q WHERE b.bucket = q.qb AND b.vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_recall" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |cen AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |asn AS (SELECT e.vec_id, centroid_id,
+        |               round(list_dot_product(v, cv)
+        |                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+        |        FROM e, cen),
+        |cells AS (SELECT vec_id, centroid_id AS cell FROM (
+        |            SELECT vec_id, centroid_id,
+        |                   row_number() OVER (PARTITION BY vec_id
+        |                                      ORDER BY cos DESC, centroid_id DESC) AS rn
+        |            FROM asn) WHERE rn = 1),
+        |probed AS (SELECT centroid_id AS cell FROM asn WHERE vec_id = 0
+        |           ORDER BY cos DESC, centroid_id ASC LIMIT 2),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |approx AS (SELECT e.vec_id AS vec_id
+        |           FROM e JOIN cells ON e.vec_id = cells.vec_id
+        |                  JOIN probed ON cells.cell = probed.cell
+        |                  CROSS JOIN q
+        |           WHERE e.vec_id <> 0
+        |           ORDER BY round(list_dot_product(v, qv)
+        |                          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
+        |                    e.vec_id ASC
+        |           LIMIT 10),
+        |exact AS (SELECT e.vec_id
+        |          FROM e CROSS JOIN q
+        |          WHERE e.vec_id <> 0
+        |          ORDER BY round(list_dot_product(v, qv)
+        |                         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
+        |                   vec_id ASC
+        |          LIMIT 10)
+        |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_exact,
+        |       CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+        |       round(CAST(count(a.vec_id) AS DOUBLE) / 10.0, 6) AS recall
+        |FROM exact x LEFT JOIN approx a USING (vec_id)""".stripMargin,
     "q_similarity_ivf" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
         |cen AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),

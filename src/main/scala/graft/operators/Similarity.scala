@@ -144,6 +144,34 @@ object Similarity {
       .limit(10)
   }
 
+  /** q_ann_recall — the index-quality eval every ANN deployment runs:
+    * recall@10 of the IVF probe ([[ivf]]) against the brute-force
+    * top-10 ([[knn]]'s ranking, cut at 10) for the standard query
+    * (vec_id = 0). One row out: k, the exact/approx overlap, and
+    * recall = hits/k. Both sides are bounded top-k relations, so the
+    * comparison join is trivially broadcast — the cost IS the two
+    * retrievals, and the exact side is the in-bucket rerank baseline
+    * you'd sample at 100 TB (run recall on a query panel, not the
+    * corpus). Fully oracled: both retrievals replay in DuckDB on the
+    * rounded-cosine grid. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("query_vec"))
+    val exact = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        cosine(col("embedding"), col("query_vec")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"))
+    val approx = ivf(s, d).select(col("vec_id").as("a_id"))
+    exact.join(approx, col("vec_id") === col("a_id"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("a_id")).as("n_hit"))
+      .select(lit(10).as("k"), col("n_exact"), col("n_hit"),
+        round(col("n_hit") / 10.0, 6).as("recall"))
+  }
+
   /** Neighbors kept per vector in [[knnJoin]]. */
   private val KnnK = 3
 

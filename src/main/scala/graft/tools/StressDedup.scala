@@ -45,7 +45,12 @@ object StressDedup {
     // dim tables the harness doesn't replicate (dims broadcast; the
     // fact side's scaling is covered by the other join queries).
     "q_interpolate", "q_media_histdup", "q_pmi_phrases",
-    "q_capped_sample", "q_anomaly_zscore", "q_pagerank")
+    "q_capped_sample", "q_anomaly_zscore", "q_pagerank",
+    // round-4 session 3: block dedup shuffles on block text (copies
+    // share no blocks — suffixed tokens); semdedup's cells multiply K×
+    // (1e8 ≡ 0 mod 50 keeps every copy's centroid stride) with per-cell
+    // size constant; the purge ledger adds one linear join+agg over CC.
+    "q_block_dedup", "q_semdedup", "q_neardup_purge")
 
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 10

@@ -219,6 +219,38 @@ class OperatorsSpec extends SparkSpec {
     assert(rows == Seq(0L, 1L, 3L))
   }
 
+  test("annRecall: a true neighbor in an unprobed cell costs exactly its recall share") {
+    // 3 cells; the query probes A (its own) and B (cos ≈ 0.707). Vector
+    // 70 is the #7 true neighbor but lives in unprobed cell C → the
+    // only miss: recall = 9/10 exactly.
+    val high = Seq(0.95f, 0.05f, 0.1f, 0f)
+    val junk = Seq(0.3f, 0f, 0.95f, 0f)
+    val vecs: Seq[(Long, Seq[Float])] =
+      Seq(0L -> Seq(1f, 0f, 0f, 0f),           // query + centroid A
+        50L -> Seq(0.71f, -0.71f, 0f, 0f),     // centroid B (probed #2)
+        100L -> Seq(0f, 1f, 0f, 0f),           // centroid C (unprobed)
+        70L -> Seq(0.6f, 0.75f, 0f, 0f),       // cell C, cos(q) ≈ 0.625
+        10L -> Seq(0.05f, 0f, 0.998f, 0f)) ++  // below the top-10 cut
+        (1L to 5L).map(_ -> high) ++ (6L to 9L).map(_ -> junk)
+    val dir = fixtureDir("embeddings" ->
+      vecs.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label"))
+    val r = operators.Similarity.annRecall(spark, dir).collect().head
+    assert((r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((10, 10L, 9L, 0.9)))
+  }
+
+  test("annRecall: probing every cell makes IVF lossless — recall exactly 1.0") {
+    val vecs: Seq[(Long, Seq[Float])] =
+      Seq(0L -> Seq(1f, 0f, 0f, 0f), 50L -> Seq(0f, 1f, 0f, 0f)) ++
+        (1L to 11L).map(i => i ->
+          Seq(0.1f * (i % 4), 0.1f * ((i + 1) % 3), 1f, 0.01f * i))
+    val dir = fixtureDir("embeddings" ->
+      vecs.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label"))
+    val r = operators.Similarity.annRecall(spark, dir).collect().head
+    assert((r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((10, 10L, 10L, 1.0)))
+  }
+
   test("neardupPurge: full-corpus ledger — singletons and shingle-less docs survive") {
     val base = (0 until 20).map(i => s"w$i").mkString(" ")
     val d = fixtureDir("documents" -> Seq(
