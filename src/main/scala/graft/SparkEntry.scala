@@ -154,6 +154,7 @@ object SparkEntry {
     "q_pmi_phrases" -> (Corpus.pmiPhrases _),
     "q_token_entropy" -> (Corpus.tokenEntropy _),
     "q_block_dedup" -> (Corpus.blockDedup _),
+    "q_bpe_merges" -> (Corpus.bpeMerges _),
     // deduplication
     "q_dedup_exact" -> (Dedup.exact _),
     "q_semdedup" -> (Dedup.semDedup _),
@@ -1302,6 +1303,53 @@ object SparkEntry {
         |WHERE uu < r.rate
         |GROUP BY r.lang, r.n_total, r.rate
         |ORDER BY r.lang""".stripMargin,
+    "q_bpe_merges" ->
+      """WITH v0 AS (SELECT CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
+        |            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |            GROUP BY w),
+        |p1 AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |         SELECT freq,
+        |                unnest([syms[i] FOR i IN range(1, len(syms))]) AS l,
+        |                unnest([syms[i + 1] FOR i IN range(1, len(syms))]) AS r
+        |         FROM v0 WHERE len(syms) >= 2)
+        |       GROUP BY l, r),
+        |b1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |v1 AS (SELECT freq,
+        |              CASE WHEN b.l IS NULL THEN syms ELSE
+        |                list_reduce(list_prepend(CAST([] AS VARCHAR[]), [[s] FOR s IN syms]),
+        |                  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
+        |                              THEN acc[1:len(acc) - 1] || [acc[-1] || x[1]]
+        |                              ELSE acc || x END)
+        |              END AS syms
+        |       FROM v0 LEFT JOIN b1 b ON true),
+        |p2 AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |         SELECT freq,
+        |                unnest([syms[i] FOR i IN range(1, len(syms))]) AS l,
+        |                unnest([syms[i + 1] FOR i IN range(1, len(syms))]) AS r
+        |         FROM v1 WHERE len(syms) >= 2)
+        |       GROUP BY l, r),
+        |b2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |v2 AS (SELECT freq,
+        |              CASE WHEN b.l IS NULL THEN syms ELSE
+        |                list_reduce(list_prepend(CAST([] AS VARCHAR[]), [[s] FOR s IN syms]),
+        |                  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
+        |                              THEN acc[1:len(acc) - 1] || [acc[-1] || x[1]]
+        |                              ELSE acc || x END)
+        |              END AS syms
+        |       FROM v1 LEFT JOIN b2 b ON true),
+        |p3 AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |         SELECT freq,
+        |                unnest([syms[i] FOR i IN range(1, len(syms))]) AS l,
+        |                unnest([syms[i + 1] FOR i IN range(1, len(syms))]) AS r
+        |         FROM v2 WHERE len(syms) >= 2)
+        |       GROUP BY l, r),
+        |b3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)
+        |SELECT CAST(1 AS INT) AS round, l AS lhs, r AS rhs, cnt AS pair_count FROM b1
+        |UNION ALL
+        |SELECT CAST(2 AS INT), l, r, cnt FROM b2
+        |UNION ALL
+        |SELECT CAST(3 AS INT), l, r, cnt FROM b3
+        |ORDER BY round""".stripMargin,
     "q_block_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |bl AS (SELECT doc_id, ts,

@@ -579,6 +579,57 @@ object Corpus {
       .limit(30)
   }
 
+  /** Merge rounds learned by [[bpeMerges]]. */
+  private val BpeRounds = 3
+
+  /** q_bpe_merges — BPE tokenizer induction (Sennrich et al. 2016,
+    * arXiv:1508.07909): learn the first [[BpeRounds]] merge rules from
+    * the corpus. The corpus is scanned ONCE into the word-frequency
+    * table; induction then runs entirely on that vocabulary-sized
+    * relation — each round counts adjacent symbol pairs (weighted by
+    * word frequency, overlaps counted, the standard formulation), picks
+    * the best pair on the (count desc, left asc, right asc) total
+    * order, and applies it with a value-greedy left-to-right fold.
+    * The chosen rule is a broadcast 1-row relation, so the whole
+    * 3-round chain is one declarative plan — NO driver round trips
+    * (unlike the iterative-with-convergence-check operators, the round
+    * count is fixed). A round with no pairs left emits nothing and
+    * passes the vocabulary through unchanged (pinned by spec).
+    * Output: (round, left, right, pair_count) — the merge table a
+    * tokenizer trainer would persist. */
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    val vocab0 = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), expr("split(w, '')").as("syms"))
+    // value-greedy merge: walk the symbols, joining (l, r) whenever the
+    // accumulated tail equals l and the next symbol equals r
+    val applyMerge = expr(
+      "aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
+        "if(size(acc) > 0 and element_at(acc, -1) = l and x = r, " +
+        "concat(slice(acc, 1, size(acc) - 1), array(concat(l, r))), " +
+        "concat(acc, array(x))))")
+    val (rules, _) = (1 to BpeRounds).foldLeft(
+      (Seq.empty[DataFrame], vocab0)) { case ((acc, vocab), round) =>
+      val pairs = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      val best = pairs
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc).limit(1)
+      // LEFT join on true: an empty best (no pairs remain) must pass
+      // the vocabulary through, not annihilate it
+      val merged = vocab.join(broadcast(best), lit(true), "left")
+        .select(col("freq"),
+          when(col("l").isNull, col("syms")).otherwise(applyMerge).as("syms"))
+      (acc :+ best.select(lit(round).as("round"), col("l").as("lhs"),
+        col("r").as("rhs"), col("cnt").as("pair_count")), merged)
+    }
+    rules.reduce(_.unionAll(_)).orderBy("round")
+  }
+
   /** Block width (tokens) for [[blockDedup]]. */
   private val BlockW = 16
 

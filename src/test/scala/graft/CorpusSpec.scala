@@ -260,6 +260,25 @@ class CorpusSpec extends SparkSpec {
     assert(r("small") == ((1L, 0.1, 0.25, 2.5)))
   }
 
+  test("bpe_merges: overlap counting, greedy application, merged symbols chain, dry round stops") {
+    // "aaaa" alone: round 1 counts (a,a) at 3 (overlapping adjacent
+    // pairs, the standard formulation), greedy application yields
+    // [aa, aa] — NOT [aa, a, a] — so round 2 learns (aa, aa); round 3
+    // has no pairs left and must emit nothing.
+    val d1 = docsDir((1L, "aaaa", "en", "s", 1L))
+    val r1 = Corpus.bpeMerges(spark, d1).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getLong(3)))
+    assert(r1.toSeq == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+
+    // frequency weighting: "aa" appears twice, so (a,a) beats (a,b)
+    // despite both being single-type pairs; after both merges every
+    // token is one symbol and round 3 is dry.
+    val d2 = docsDir((1L, "aa aa ab", "en", "s", 1L))
+    val r2 = Corpus.bpeMerges(spark, d2).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getLong(3)))
+    assert(r2.toSeq == Seq((1, "a", "a", 2L), (2, "a", "b", 1L)))
+  }
+
   test("block_dedup: block-aligned cross-doc drops, in-doc repeats kept, full dup empties") {
     def blk(p: String) = (0 until 16).map(i => s"$p$i").mkString(" ")
     val (a, b, c, u) = (blk("a"), blk("b"), blk("c"), blk("u"))
