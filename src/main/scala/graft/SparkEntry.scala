@@ -155,6 +155,7 @@ object SparkEntry {
     "q_token_entropy" -> (Corpus.tokenEntropy _),
     "q_block_dedup" -> (Corpus.blockDedup _),
     "q_bpe_merges" -> (Corpus.bpeMerges _),
+    "q_vocab_coverage" -> (Corpus.vocabCoverage _),
     // deduplication
     "q_dedup_exact" -> (Dedup.exact _),
     "q_semdedup" -> (Dedup.semDedup _),
@@ -1303,6 +1304,17 @@ object SparkEntry {
         |WHERE uu < r.rate
         |GROUP BY r.lang, r.n_total, r.rate
         |ORDER BY r.lang""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT w, 1 AS iv FROM (
+        |        SELECT w, count(*) AS c FROM t GROUP BY w
+        |        ORDER BY c DESC, w ASC LIMIT 32))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) FILTER (WHERE v.iv IS NULL) AS BIGINT) AS n_oov,
+        |       round(CAST(count(*) FILTER (WHERE v.iv IS NULL) AS DOUBLE)
+        |             / count(*), 6) AS oov_rate
+        |FROM t LEFT JOIN v ON t.w = v.w
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_bpe_merges" ->
       """WITH v0 AS (SELECT CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
         |            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

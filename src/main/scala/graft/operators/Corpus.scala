@@ -630,6 +630,33 @@ object Corpus {
     rules.reduce(_.unionAll(_)).orderBy("round")
   }
 
+  /** Vocabulary size for [[vocabCoverage]]. */
+  private val VocabK = 32
+
+  /** q_vocab_coverage — vocabulary coverage / OOV-rate eval: build the
+    * top-[[VocabK]] corpus vocabulary by frequency (ties by token asc —
+    * the cut is a total order, pinned by spec) and report each
+    * language's token-weighted out-of-vocabulary rate against it. This
+    * is the eval that sizes a tokenizer's vocabulary, and the
+    * multilingual-fairness number (a shared vocab under-serves tail
+    * languages). Shape: one explode+agg for the frequency table, the
+    * K-row vocab broadcasts back onto the token stream, one lang-keyed
+    * agg — the corpus shuffles once, on its natural (lang) key. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(VocabK)
+      .select(col("w"), lit(1).as("iv"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("iv").isNull, 1)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"))
+      .orderBy("lang")
+  }
+
   /** Block width (tokens) for [[blockDedup]]. */
   private val BlockW = 16
 

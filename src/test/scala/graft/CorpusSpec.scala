@@ -279,6 +279,22 @@ class CorpusSpec extends SparkSpec {
     assert(r2.toSeq == Seq((1, "a", "a", 2L), (2, "a", "b", 1L)))
   }
 
+  test("vocab_coverage: the rank-32 tie cuts lexicographically; rate is token-weighted") {
+    // 31 head tokens with distinct high counts fill ranks 1-31; "aa"
+    // and "ab" tie at rank 32 with count 5 → "aa" (lexicographically
+    // first) makes the vocab, "ab" is OOV.
+    val head = (1 to 31).map(i => ("k%02d ".format(i) * (50 - i)).trim)
+      .mkString(" ")
+    val d = docsDir(
+      (1L, head + " " + ("aa " * 5).trim, "en", "s", 1L),
+      (2L, ("ab " * 5).trim + " zz", "de", "s", 1L))
+    val r = Corpus.vocabCoverage(spark, d).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    val enTok = (1 to 31).map(50 - _).sum + 5L
+    assert(r("en") == ((enTok, 0L, 0.0)))          // every en token is in-vocab
+    assert(r("de") == ((6L, 6L, 1.0)))             // ab lost the tie; zz is tail
+  }
+
   test("block_dedup: block-aligned cross-doc drops, in-doc repeats kept, full dup empties") {
     def blk(p: String) = (0 until 16).map(i => s"$p$i").mkString(" ")
     val (a, b, c, u) = (blk("a"), blk("b"), blk("c"), blk("u"))
