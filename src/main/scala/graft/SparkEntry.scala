@@ -111,6 +111,7 @@ object SparkEntry {
     "q_gaps_islands" -> (graft.operators.Analytics.gapsIslands _),
     "q_hash_sample" -> (graft.operators.Analytics.hashSample _),
     "q_range_join" -> (graft.operators.Analytics.rangeJoin _),
+    "q_range_join_custom" -> (graft.operators.Analytics.rangeJoinCustom _),
     // LLM-pipeline extensions (SURVEY.md §7.1.5): text analysis
     "q_text_stats" -> (TextAnalysis.textStats _),
     "q_token_count" -> (TextAnalysis.tokenCount _),
@@ -555,6 +556,14 @@ object SparkEntry {
         |FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('p00_small', 0.0, 100.0), ('p01_mid', 100.0, 250.0),
+        |  ('p02_large', 250.0, 500.0), ('p03_huge', 500.0, 1e9))
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_range_join_custom" ->
       """WITH bands(band, lo, hi) AS (VALUES
         |  ('p00_small', 0.0, 100.0), ('p01_mid', 100.0, 250.0),
         |  ('p02_large', 250.0, 500.0), ('p03_huge', 500.0, 1e9))

@@ -347,6 +347,26 @@ object Analytics {
       .orderBy("band")
   }
 
+  /** q_range_join_custom — the SAME band-join semantics as
+    * [[rangeJoin]], executed through the engine's own
+    * [[graft.plans.BandJoinPlan]] operator (binary-search probe into
+    * the broadcast sorted band table, O(log m) per row instead of
+    * BNLJ's O(m)) — and it must agree with the declarative query's
+    * oracle, which is what makes the custom operator trustworthy. */
+  def rangeJoinCustom(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("p00_small", 0.0, 100.0),
+      ("p01_mid", 100.0, 250.0),
+      ("p02_large", 250.0, 500.0),
+      ("p03_huge", 500.0, 1e9)).toDF("band", "lo", "hi")
+    graft.plans.BandJoin.bandJoin(
+        Tables.events(s, d).select(col("value")), bands, "value", "lo", "hi")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("band")
+  }
+
   /** q_funnel — ordered-stage funnel (view → signup → purchase): a
     * stage only counts if it happens AT OR AFTER the previous stage's
     * first completion, so out-of-order events don't fake progress. One
