@@ -50,7 +50,11 @@ object StressDedup {
     // share no blocks — suffixed tokens); semdedup's cells multiply K×
     // (1e8 ≡ 0 mod 50 keeps every copy's centroid stride) with per-cell
     // size constant; the purge ledger adds one linear join+agg over CC.
-    "q_block_dedup", "q_semdedup", "q_neardup_purge")
+    "q_block_dedup", "q_semdedup", "q_neardup_purge",
+    // round-4 session 4: bpe's vocab relation grows ~K× (suffixed
+    // tokens are new words sharing the same characters); coverage and
+    // the band-join probe are single-pass linear.
+    "q_bpe_merges", "q_vocab_coverage", "q_range_join_custom")
 
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 10
