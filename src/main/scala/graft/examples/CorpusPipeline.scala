@@ -61,6 +61,25 @@ object CorpusPipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // the packaged survivor ledger (near-dup clusters → one rep each);
+    // dedupSurvivors below shows the same thing composed by hand from
+    // the pair generator + connectedComponents
+    val ledger = Dedup.neardupPurge(spark, dir)
+    println("[corpus-pipeline] purge ledger (first 5):")
+    ledger.filter(col("purged")).show(5, truncate = false)
+
+    // sub-document pass: repeated 16-token blocks keep one owner
+    val blockStats = Corpus.blockDedup(spark, dir)
+      .agg(sum(col("n_blocks")).as("blocks"), sum(col("n_dropped")).as("dropped"))
+    println("[corpus-pipeline] block dedup totals:")
+    blockStats.show(truncate = false)
+
+    // tokenizer stages: learned merges + vocab coverage per language
+    println("[corpus-pipeline] first BPE merges:")
+    Corpus.bpeMerges(spark, dir).show(truncate = false)
+    println("[corpus-pipeline] vocab coverage:")
+    Corpus.vocabCoverage(spark, dir).show(truncate = false)
+
     val survivors = dedupSurvivors(spark, dir)
     val quality = TextAnalysis.qualityScore(spark, dir)
       .select(col("doc_id"), col("quality"))

@@ -55,6 +55,26 @@ class BandJoinSpec extends SparkSpec {
     assert(custom == decl && custom.values.sum > 0)
   }
 
+  test("random overlapping bands: custom operator ≡ in-memory filter model") {
+    val rnd = new scala.util.Random(41)
+    (1 to 5).foreach { c =>
+      val bands = (0 until rnd.nextInt(12) + 1).map { i =>
+        val lo = rnd.nextDouble() * 100 - 20   // negatives too
+        (s"b$i", lo, lo + rnd.nextDouble() * 60) // arbitrary overlap
+      }
+      val vs = Seq.fill(rnd.nextInt(40) + 5)(rnd.nextDouble() * 140 - 30)
+      val got = bandJoin(probe(vs.map(java.lang.Double.valueOf): _*),
+          bands.toDF("band", "lo", "hi"), "v", "lo", "hi")
+        .select(col("id"), col("band")).collect()
+        .map(x => (x.getLong(0), x.getString(1))).sorted.toSeq
+      val want = (for {
+        (v, i) <- vs.zipWithIndex
+        (b, lo, hi) <- bands if v >= lo && v < hi
+      } yield (i.toLong, b)).sorted
+      assert(got == want, s"case $c")
+    }
+  }
+
   test("the plan runs through BandJoin, not a nested loop") {
     val p = SparkEntry.queries("q_range_join_custom")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString()

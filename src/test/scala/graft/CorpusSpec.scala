@@ -260,6 +260,38 @@ class CorpusSpec extends SparkSpec {
     assert(r("small") == ((1L, 0.1, 0.25, 2.5)))
   }
 
+  test("block_dedup: random corpora ≡ in-memory model (ownership, counts, reassembly)") {
+    val rnd = new scala.util.Random(17)
+    def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (1 to 4).foreach { c =>
+      // tiny alphabet + short docs → block collisions are common
+      val docs = (1L to (rnd.nextInt(6) + 3).toLong).map { id =>
+        val n = rnd.nextInt(50) + 1
+        (id, Seq.fill(n)(s"w${rnd.nextInt(3)}").mkString(" "))
+      }
+      val dir = docsDir(docs.map { case (id, t) => (id, t, "en", "s", 1L) }: _*)
+      // model: 16-token blocks, shared blocks owned by the min doc_id
+      val blocks = docs.flatMap { case (id, t) =>
+        t.split(" ").grouped(16).zipWithIndex.map { case (b, i) => (id, i, b.mkString(" ")) }
+      }
+      val owner = blocks.groupBy(_._3).map { case (bt, bs) =>
+        bt -> ((bs.map(_._1).min, bs.map(_._1).distinct.size))
+      }
+      val want = docs.map { case (id, _) =>
+        val mine = blocks.filter(_._1 == id).sortBy(_._2)
+        val kept = mine.filter { case (_, _, bt) =>
+          val (first, df) = owner(bt); df == 1 || first == id
+        }
+        id -> ((mine.size.toLong, (mine.size - kept.size).toLong,
+          md5hex(kept.map(_._3).mkString(" "))))
+      }.toMap
+      val got = Corpus.blockDedup(spark, dir).collect()
+        .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+      assert(got == want, s"case $c")
+    }
+  }
+
   test("bpe_merges: overlap counting, greedy application, merged symbols chain, dry round stops") {
     // "aaaa" alone: round 1 counts (a,a) at 3 (overlapping adjacent
     // pairs, the standard formulation), greedy application yields
