@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.RewriteSelfDot)
+    e.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     e.injectFunction((
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
