@@ -24,8 +24,20 @@ import org.apache.spark.sql.types.IntegerType
   * formulations are equally under-specified (row_number itself is
   * non-deterministic on ties). All 178 oracled queries hash-match with
   * the rule active, and WindowTopKRuleSpec pins shape + semantics.
+  *
+  * OPT-IN (`spark.graft.topkRewrite=true`): measured at sf0.1, the
+  * heap operator wins when partitions are large relative to k
+  * (q_window_rank 0.81 → 0.47 s) but loses to Spark's own codegen'd
+  * WindowGroupLimit path when groups are small (q_capped_sample
+  * 0.20 → 0.67 s) — per-key heap state dominates there. Without
+  * per-relation statistics the rule can't pick sides statically, so
+  * the default stays off and the knob is the contract, like AQE's.
   */
 object RewriteWindowTopK extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def enabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.topkRewrite", "false") == "true"
 
   /** k such that `cond` ≡ rn ≤ k, if it is an upper bound on `rn`. */
   private def bound(cond: Expression, rn: AttributeReference): Option[Int] =
@@ -41,7 +53,7 @@ object RewriteWindowTopK extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan = if (!enabled) plan else plan.transform {
     case f @ Filter(cond, w: Window) if w.windowExpressions.size == 1 =>
       w.windowExpressions.head match {
         case alias @ Alias(WindowExpression(_: RowNumber, spec: WindowSpecDefinition), _)

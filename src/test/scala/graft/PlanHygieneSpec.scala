@@ -100,10 +100,10 @@ class PlanHygieneSpec extends SparkSpec {
   test("q_knn_join: shuffle carries per-tile top-k, never the n² pairs") {
     val p = plan("q_knn_join")
     assert(p.contains("CoGroup"), p)
-    // the global merge is a bounded per-key structure: since the
-    // RewriteWindowTopK rule, the row_number-filter idiom plans through
-    // the engine's own TopKPerKey heaps (previously WindowGroupLimit)
-    assert(p.contains("TopKPerKey"), p)
+    // the rank-limit pushes below the window exchange (partial top-k);
+    // with spark.graft.topkRewrite=true the same filter would instead
+    // plan through the engine's TopKPerKey heaps (WindowTopKRuleSpec)
+    assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
