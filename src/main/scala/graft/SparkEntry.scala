@@ -157,6 +157,7 @@ object SparkEntry {
     "q_block_dedup" -> (Corpus.blockDedup _),
     "q_bpe_merges" -> (Corpus.bpeMerges _),
     "q_vocab_coverage" -> (Corpus.vocabCoverage _),
+    "q_quality_logit" -> (TextAnalysis.qualityLogit _),
     // deduplication
     "q_dedup_exact" -> (Dedup.exact _),
     "q_semdedup" -> (Dedup.semDedup _),
@@ -1313,6 +1314,21 @@ object SparkEntry {
         |WHERE uu < r.rate
         |GROUP BY r.lang, r.n_total, r.rate
         |ORDER BY r.lang""".stripMargin,
+    "q_quality_logit" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |f AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
+        |             CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_cnt,
+        |             CAST(len(ts) - len(list_distinct(ts)) AS BIGINT) AS d_cnt,
+        |             CAST(floor(ln(len(ts)) * 1000000 + 0.5) AS BIGINT) AS lnfp
+        |      FROM t),
+        |g AS (SELECT doc_id, n_tokens,
+        |             -20000000 * CAST(n_tokens AS BIGINT) + 6 * n_tokens * lnfp
+        |               + 30000000 * s_cnt - 10000000 * d_cnt AS z_fp
+        |      FROM f)
+        |SELECT doc_id, n_tokens, z_fp,
+        |       round(1.0 / (1.0 + exp(-CAST(z_fp AS DOUBLE) / (n_tokens * 1e7))), 6) AS p_keep,
+        |       z_fp >= 0 AS keep
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q_vocab_coverage" ->
       """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
         |v AS (SELECT w, 1 AS iv FROM (

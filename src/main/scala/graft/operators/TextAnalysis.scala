@@ -103,6 +103,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q_quality_logit — a fastText-style linear quality classifier (the
+    * CCNet/fastText filtering stage): z = −2 + 0.6·ln(n_tokens) +
+    * 3·stop_ratio − 1·dup_ratio, keep = z ≥ 0. The GATE is exact: z is
+    * carried as the integer z_fp = z·n·10⁷ (the only transcendental,
+    * ln(n), enters as a 1e-6 fixed-point integer, and the rational
+    * ratios clear their denominator by multiplying through by n), so
+    * keep/drop cannot flip cross-engine; on this corpus the narrowest
+    * margin is ~1500 lnfp units vs the 1-unit libm risk. Only the
+    * displayed probability runs through exp(), rounded to 1e-6 (the
+    * tfidf precedent). Pure map-side — one linear scan at any scale. */
+  def qualityLogit(s: SparkSession, d: String): DataFrame = {
+    val n = size(toks)
+    val sCnt = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+    val dCnt = (n - size(array_distinct(toks))).cast("long")
+    val lnfp = floor(log(n.cast("double")) * 1000000 + 0.5).cast("long")
+    val zFp = lit(-20000000L) * n + lit(6L) * n * lnfp +
+      lit(30000000L) * sCnt + lit(-10000000L) * dCnt
+    Tables.documents(s, d).select(
+      col("doc_id"), n.as("n_tokens"), zFp.as("z_fp"),
+      round(lit(1.0) / (lit(1.0) +
+        exp(-zFp.cast("double") / (n.cast("double") * 1e7))), 6).as("p_keep"),
+      (zFp >= 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** q_tfidf — classic TF-IDF: term frequency per doc × ln(N/df), top-3
     * terms per doc. One shuffle builds (doc, term) counts; document
     * frequency is a second keyed agg broadcast back onto the terms; N is

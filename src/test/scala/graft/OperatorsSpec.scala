@@ -76,6 +76,35 @@ class OperatorsSpec extends SparkSpec {
     assert(got.head._2 == 1.0 && got.last._2 == -1.0)
   }
 
+  test("qualityLogit: exact integer gate — each feature flips its arm; model parity") {
+    val diverse = (1 to 40).map(i => s"t$i").mkString(" ")
+    val d = fixtureDir("documents" -> Seq(
+      (1L, "the a of and is the a of and is", "en", "s", 1L), // stopwords carry it
+      (2L, ("x " * 40).trim, "en", "s", 1L),  // 39 dups: penalty buries ln(40)
+      (3L, "solo", "en", "s", 1L),            // ln(1)=0 → z = -2 exactly
+      (4L, diverse, "en", "s", 1L))           // ln(40) alone clears the bar
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = TextAnalysis.qualityLogit(spark, d).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getLong(2), x.getDouble(3), x.getBoolean(4)))).toMap
+    // driver model with the same fixed-point contract
+    val stop = Set("the", "a", "of", "and", "is")
+    def model(text: String) = {
+      val ts = text.split(" ")
+      val n = ts.length
+      val sC = ts.count(stop); val dC = n - ts.distinct.length
+      val lnfp = math.floor(math.log(n) * 1000000 + 0.5).toLong
+      val z = -20000000L * n + 6L * n * lnfp + 30000000L * sC - 10000000L * dC
+      val p = BigDecimal(1.0 / (1.0 + math.exp(-z.toDouble / (n * 1e7))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (n, z, p, z >= 0)
+    }
+    assert(r(1L) == model("the a of and is the a of and is") && r(1L)._4)
+    assert(r(2L) == model(("x " * 40).trim) && !r(2L)._4)
+    assert(r(3L) == ((1, -20000000L, model("solo")._3, false)))
+    assert(r(4L) == model(diverse) && r(4L)._4)
+  }
+
   test("language id picks the lexicon argmax, und on no hits") {
     val rows = TextAnalysis.langId(spark, docsDir).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
