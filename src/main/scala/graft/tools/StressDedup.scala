@@ -54,7 +54,8 @@ object StressDedup {
     // round-4 session 4: bpe's vocab relation grows ~K× (suffixed
     // tokens are new words sharing the same characters); coverage and
     // the band-join probe are single-pass linear.
-    "q_bpe_merges", "q_vocab_coverage", "q_range_join_custom")
+    "q_bpe_merges", "q_vocab_coverage", "q_range_join_custom",
+    "q_quality_logit")
 
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 10
