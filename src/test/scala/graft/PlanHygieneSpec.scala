@@ -128,6 +128,23 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("n_chars"), p)
   }
 
+  test("q_bpe_merges: rules broadcast as 1-row builds; induction never goes cartesian") {
+    val p = plan("q_bpe_merges")
+    assert(!p.contains("CartesianProduct"), p)
+    // every nested loop is a LEFT join against a broadcast 1-row best
+    // rule. Count 4: round-2's arm carries one, round-3's carries three
+    // (v1 re-plans both as the vocab side and inside b2's lineage) —
+    // the self-referencing duplication to persist away on a cluster.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 4 &&
+      "LeftOuter".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("q_quality_logit: pure map-side — no join, no keyed shuffle") {
+    val p = plan("q_quality_logit")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("q_semdedup: pairwise work rides the cell key; only the centroid set nested-loops") {
     val p = plan("q_semdedup")
     assert(!p.contains("CartesianProduct"), p)
