@@ -221,6 +221,7 @@ object SparkEntry {
     "s_foreach_sink" -> (graft.streaming.MoreStreaming.sForeachSink _),
     "s_upsert_sink" -> (graft.streaming.MoreStreaming.sUpsertSink _),
     "s_file_source" -> (graft.streaming.MoreStreaming.sFileSource _),
+    "s_quality_gate" -> (graft.streaming.MoreStreaming.sQualityGate _),
     "s_update_mode" -> (graft.streaming.MoreStreaming.sUpdateMode _),
   )
 
@@ -1314,6 +1315,19 @@ object SparkEntry {
         |WHERE uu < r.rate
         |GROUP BY r.lang, r.n_total, r.rate
         |ORDER BY r.lang""".stripMargin,
+    "s_quality_gate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |f AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
+        |             CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_cnt,
+        |             CAST(len(ts) - len(list_distinct(ts)) AS BIGINT) AS d_cnt,
+        |             CAST(floor(ln(len(ts)) * 1000000 + 0.5) AS BIGINT) AS lnfp
+        |      FROM t),
+        |g AS (SELECT doc_id, n_tokens,
+        |             -20000000 * CAST(n_tokens AS BIGINT) + 6 * n_tokens * lnfp
+        |               + 30000000 * s_cnt - 10000000 * d_cnt AS z_fp
+        |      FROM f)
+        |SELECT doc_id, n_tokens, z_fp FROM g WHERE z_fp >= 0
+        |ORDER BY doc_id""".stripMargin,
     "q_quality_logit" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |f AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,

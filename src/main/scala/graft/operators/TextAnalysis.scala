@@ -113,13 +113,21 @@ object TextAnalysis {
     * margin is ~1500 lnfp units vs the 1-unit libm risk. Only the
     * displayed probability runs through exp(), rounded to 1e-6 (the
     * tfidf precedent). Pure map-side — one linear scan at any scale. */
-  def qualityLogit(s: SparkSession, d: String): DataFrame = {
+  /** (n_tokens, z_fp) — the classifier's feature/score columns over any
+    * relation with a `text` column; shared by the batch query and the
+    * streaming ingestion gate ([[graft.streaming.MoreStreaming
+    * .sQualityGate]]). */
+  private[graft] def logitZ: (Column, Column) = {
     val n = size(toks)
     val sCnt = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
     val dCnt = (n - size(array_distinct(toks))).cast("long")
     val lnfp = floor(log(n.cast("double")) * 1000000 + 0.5).cast("long")
-    val zFp = lit(-20000000L) * n + lit(6L) * n * lnfp +
-      lit(30000000L) * sCnt + lit(-10000000L) * dCnt
+    (n, lit(-20000000L) * n + lit(6L) * n * lnfp +
+      lit(30000000L) * sCnt + lit(-10000000L) * dCnt)
+  }
+
+  def qualityLogit(s: SparkSession, d: String): DataFrame = {
+    val (n, zFp) = logitZ
     Tables.documents(s, d).select(
       col("doc_id"), n.as("n_tokens"), zFp.as("z_fp"),
       round(lit(1.0) / (lit(1.0) +

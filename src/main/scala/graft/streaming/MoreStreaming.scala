@@ -236,6 +236,36 @@ object MoreStreaming {
     }
   }
 
+  /** s_quality_gate — the corpus-ingestion quality filter as a LIVE
+    * stream: documents land as json files, `readStream` tails the
+    * directory, and each document passes or drops on the SAME exact
+    * integer z-gate as the batch classifier
+    * ([[graft.operators.TextAnalysis.logitZ]] — one code path, two
+    * execution modes). Stateless map+filter: no watermark, no state
+    * store, append mode — at scale this is the first hop of the
+    * ingestion topology, pacing with maxFilesPerTrigger, and the gate
+    * decision is reproducible batch-vs-stream because it is integer
+    * arithmetic. Oracle: the batch relation of kept documents. */
+  def sQualityGate(s: SparkSession, d: String): DataFrame = {
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_quality_gate").toString
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .write.mode("overwrite").json(stage)
+    EventPairing.withStreamingPartitions(s) {
+      val (n, zFp) = graft.operators.TextAnalysis.logitZ
+      val gated = s.readStream.schema("doc_id BIGINT, text STRING").json(stage)
+        .select(col("doc_id"), n.as("n_tokens"), zFp.as("z_fp"))
+        .filter(col("z_fp") >= 0)
+      val name = s"s_quality_gate_${nameCounter.incrementAndGet()}"
+      val q = gated.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table(name).orderBy("doc_id")
+    }
+  }
+
   /** One change record for the streaming upsert sink. */
   case class ChangeRow(k: Long, op: String, new_price: Double)
 
