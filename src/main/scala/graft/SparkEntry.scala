@@ -166,6 +166,7 @@ object SparkEntry {
     "q_dedup_ngram" -> (Dedup.ngramJaccard _),
     "q_dedup_minhash" -> (Dedup.minhashLsh _),
     "q_dedup_minhash_md5" -> (Dedup.minhashLshMd5 _),
+    "q_minhash_accuracy" -> (Dedup.minhashAccuracy _),
     "q_dedup_simhash" -> (Dedup.simhash _),
     "q_dedup_simhash_md5" -> (Dedup.simhashMd5 _),
     "q_dedup_embedding" -> (Dedup.embeddingCosine _),
@@ -1439,6 +1440,56 @@ object SparkEntry {
         |       CAST(count(r.vec_id) AS BIGINT) AS n_redundant
         |FROM m LEFT JOIN red r ON m.cell = r.cell AND m.vec_id = r.vec_id
         |GROUP BY m.cell ORDER BY cell""".stripMargin,
+    "q_minhash_accuracy" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |              unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |                      FOR i IN range(1, len(ts) - 1)]) AS s
+        |       FROM toks),
+        |hh AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           [CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1
+        |            FOR c IN regexp_extract_all(substring(md5(s || '#a'), 1, 15), '.')]),
+        |           (acc, x) -> acc * 16 + x) AS h1,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           [CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1
+        |            FOR c IN regexp_extract_all(substring(md5(s || '#b'), 1, 15), '.')]),
+        |           (acc, x) -> acc * 16 + x) AS h2
+        |  FROM sh),
+        |mins AS (
+        |  SELECT doc_id, j, min(h1 + j * (h2 >> 4)) AS m
+        |  FROM hh, range(0, 16) r(j) GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, j // 4 AS band,
+        |         string_agg(CAST(m AS VARCHAR), ':' ORDER BY j) AS band_key
+        |  FROM mins GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |agree AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         CAST(count(*) FILTER (WHERE ma.m = mb.m) AS BIGINT) AS k_eq
+        |  FROM cand c JOIN mins ma ON ma.doc_id = c.doc_a
+        |              JOIN mins mb ON mb.doc_id = c.doc_b AND ma.j = mb.j
+        |  GROUP BY 1, 2),
+        |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dsh GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |                 CAST(count(*) AS BIGINT) AS n_common
+        |          FROM dsh x JOIN dsh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+        |       k_eq / 16.0 AS est_jaccard,
+        |       round(coalesce(n_common, 0) / (ca.n + cb.n - coalesce(n_common, 0)), 6) AS true_jaccard,
+        |       round(abs(k_eq / 16.0
+        |                 - coalesce(n_common, 0) / (ca.n + cb.n - coalesce(n_common, 0))), 6) AS abs_err
+        |FROM cand c JOIN agree USING (doc_a, doc_b)
+        |     LEFT JOIN inter USING (doc_a, doc_b)
+        |     JOIN cnt ca ON ca.doc_id = c.doc_a
+        |     JOIN cnt cb ON cb.doc_id = c.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_cluster" ->
       """WITH RECURSIVE toksc AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |sh AS (SELECT DISTINCT doc_id,

@@ -171,6 +171,65 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q_minhash_accuracy — the sketch-quality eval for the MinHash
+    * index (the dedup-side dual of [[Similarity.annRecall]]): for every
+    * LSH candidate pair, the Jaccard ESTIMATE from signature-component
+    * agreement (matching minima / k — the unbiased MinHash estimator)
+    * next to the EXACT distinct-shingle Jaccard and the absolute error.
+    * This is how a pipeline tunes k and the banding before trusting the
+    * sketch at 100 TB — and the exact side is computed only on the
+    * candidate set, never all pairs. est is k_eq/16 (an exact binary
+    * double: no rounding needed); the exact ratio and error round at
+    * 1e-6. Shares [[minhashLshMd5]]'s portable md5 hash family, so the
+    * whole eval replays in the oracle. */
+  def minhashAccuracy(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    def hex60(suffix: String): Column =
+      graft.functions.md5hash60(concat(col("sh"), lit(suffix)))
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(shinglesOf(col("tk"))).as("sh"))
+    val hashed = sh.select(col("doc_id"), hex60("#a").as("h1"), hex60("#b").as("h2"))
+    def phash(j: Int): Column = col("h1") + lit(j.toLong) * shiftright(col("h2"), 4)
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(min(phash(0)).as("m0"),
+        (1 until k).map(j => min(phash(j)).as(s"m$j")): _*)
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        concat_ws(":", (b * 4 until (b + 1) * 4).map(j => col(s"m$j")): _*)): _*))
+        .as(Seq("band", "band_key")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.toDF("doc_a" +: (0 until k).map(j => s"a$j"): _*)
+    val sb = sig.toDF("doc_b" +: (0 until k).map(j => s"b$j"): _*)
+    val kEq = (0 until k)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
+    val ds = sh.distinct()
+    val cnt = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = ds.as("x")
+      .join(ds.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val common = coalesce(col("n_common"), lit(0L))
+    val trueJ = common.cast("double") / (col("na") + col("nb") - common)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), (kEq / lit(16.0)).as("est_jaccard"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(cnt.toDF("doc_a", "na"), "doc_a")
+      .join(cnt.toDF("doc_b", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        round(trueJ, 6).as("true_jaccard"),
+        round(abs(col("est_jaccard") - trueJ), 6).as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q_dedup_simhash — 64-bit SimHash near-dup pairs: per-doc signature
     * via the native [[graft.functions.SimHash64]] expression, then a
     * banded self-join on 16-bit chunks + Hamming ≤ 3 verification

@@ -280,6 +280,29 @@ class OperatorsSpec extends SparkSpec {
       ((10, 10L, 10L, 1.0)))
   }
 
+  test("minhashAccuracy: exact pair estimates 1.0 with zero error; estimator stays in [0,1]") {
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val near = (0 until 30).map(i => if (i == 29) "zz" else s"w$i").mkString(" ")
+    val d = fixtureDir("documents" -> Seq(
+      (1L, base, "en", "s", 1L),
+      (2L, base, "en", "s", 1L),   // identical: est = true = 1, err = 0
+      (3L, near, "en", "s", 1L),   // near-dup: candidate with partial overlap
+      (4L, (0 until 30).map(i => s"q$i").mkString(" "), "en", "s", 1L)) // disjoint
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = Dedup.minhashAccuracy(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getDouble(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r((1L, 2L)) == ((1.0, 1.0, 0.0)))
+    assert(r.keySet.forall { case (_, b) => b != 4L }) // disjoint doc: no candidate
+    r.values.foreach { case (est, tj, err) =>
+      assert(est >= 0.0 && est <= 1.0 && tj >= 0.0 && tj <= 1.0 && err >= 0.0)
+    }
+    // near pair: 27 of 29 distinct shingles shared → exact J = 27/29;
+    // the 16-minima estimator reads 13/16 on this data
+    assert(r((1L, 3L)) == ((0.8125, 0.931034, 0.118534)))
+    assert(r((2L, 3L)) == r((1L, 3L))) // identical docs estimate identically
+  }
+
   test("neardupPurge: full-corpus ledger — singletons and shingle-less docs survive") {
     val base = (0 until 20).map(i => s"w$i").mkString(" ")
     val d = fixtureDir("documents" -> Seq(
