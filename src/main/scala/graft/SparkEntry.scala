@@ -1421,7 +1421,8 @@ object SparkEntry {
         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
     "q_semdedup" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
-        |cen AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |cen AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+        |        WHERE vec_id % (SELECT greatest(50, count(*) // 64) FROM e) = 0),
         |asn AS (SELECT e.vec_id, centroid_id,
         |               round(list_dot_product(v, cv)
         |                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
@@ -1654,7 +1655,8 @@ object SparkEntry {
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q_ann_recall" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
-        |cen AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |cen AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+        |        WHERE vec_id % (SELECT greatest(50, count(*) // 64) FROM e) = 0),
         |asn AS (SELECT e.vec_id, centroid_id,
         |               round(list_dot_product(v, cv)
         |                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
@@ -1689,7 +1691,8 @@ object SparkEntry {
         |FROM exact x LEFT JOIN approx a USING (vec_id)""".stripMargin,
     "q_similarity_ivf" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
-        |cen AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |cen AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+        |        WHERE vec_id % (SELECT greatest(50, count(*) // 64) FROM e) = 0),
         |asn AS (SELECT e.vec_id, centroid_id,
         |               round(list_dot_product(v, cv)
         |                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS cos

@@ -476,22 +476,22 @@ object Dedup {
     * shuffle key, so at 100 TB each cell's comparison runs where its
     * vectors already live; the corpus-wide all-pairs query
     * ([[embeddingDedup]]) stays the exact baseline, this is the scale
-    * path. Output is the per-cell dedup ledger (dashboard-sized at
-    * any corpus size). Fully oracled: assignment argmax AND the
-    * in-cell gate replay in DuckDB on the rounded grid. */
+    * path. Centroids are the [[Similarity.ivfStride]] sample — a
+    * size-independent nlist, so assignment is O(n·nlist) under an
+    * O(nlist) broadcast. The assignment is localCheckpoint'ed: the
+    * `cells` relation feeds the member table, BOTH sides of the mate
+    * self-join, and the final ledger — without the checkpoint Catalyst
+    * re-plans (and re-executes) the full assignment subtree once per
+    * reference (a real deployment persists to durable storage).
+    * Fully oracled: assignment argmax AND the in-cell gate replay in
+    * DuckDB on the rounded grid. */
   def semDedup(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val stride = Similarity.ivfStride(e.count())
     val centroids = broadcast(
-      e.filter(col("vec_id") % 50 === 0)
+      e.filter(col("vec_id") % stride === 0)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")))
-    // argmax-cosine cell assignment (max of (cos, id) struct is
-    // deterministic incl. ties — same contract as Similarity.ivf)
-    val cells = e.crossJoin(centroids)
-      .groupBy(col("vec_id"))
-      .agg(max(struct(
-        Similarity.cosine(col("embedding"), col("cvec")).as("cos"),
-        col("centroid_id"))).as("best"))
-      .select(col("vec_id"), col("best.centroid_id").as("cell"))
+    val cells = Similarity.assignCells(e, centroids).localCheckpoint()
     val m = e.join(cells, Seq("vec_id"))
     val mates = m.select(col("cell"), col("vec_id").as("nb_id"),
       col("embedding").as("nb_vec"))

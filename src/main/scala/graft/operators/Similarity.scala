@@ -81,31 +81,52 @@ object Similarity {
       when(dot(vec, p) >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Target cell count for the IVF-family index ([[ivf]], [[annRecall]],
+    * [[Dedup.semDedup]]) — FIXED regardless of corpus size. The round-4
+    * scheme (`vec_id % 50`) grew nlist with the corpus, making the
+    * assignment crossJoin O(n²/50) and the centroid broadcast O(n) —
+    * measurably super-linear at ×10 and an executor OOM at 100 TB. */
+  private[graft] val IvfNlist = 64L
+
+  /** Centroid stride: every `stride`-th vec_id seeds a centroid, with
+    * stride = max(50, n / [[IvfNlist]]) — so nlist = ⌈n/stride⌉ never
+    * exceeds ~[[IvfNlist]]+1 at ANY corpus size (and tiny corpora keep
+    * the legacy %50 grid, so small fixtures pin the same cells).
+    * Assignment is O(n·nlist) with an O(nlist) broadcast — the IVF
+    * contract. `n` comes from the ONE count() this family takes (a
+    * parquet-metadata read, no scan). */
+  private[graft] def ivfStride(n: Long): Long = math.max(50L, n / IvfNlist)
+
+  /** Argmax-cosine cell assignment over a broadcast centroid set —
+    * (vec_id, cell). max of the (cos, id) struct is deterministic
+    * including ties (higher centroid_id wins), matching the oracle's
+    * `row_number() ... ORDER BY cos DESC, centroid_id DESC` window. */
+  private[operators] def assignCells(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.crossJoin(centroids)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+        cosine(col("embedding"), col("cvec")).as("cos"),
+        col("centroid_id"))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("cell"))
+
   /** q_similarity_ivf — IVF-style ANN: deterministic stride-sampled
-    * centroids (every 50th vector — a real build would k-means them; the
-    * index structure, not the training, is the point), each vector
-    * assigned to its max-cosine centroid via a broadcast of the centroid
-    * set, probe = the query's top-2 centroids, exact rerank inside the
-    * probed cells. At 100 TB the cell id is the partition key and a probe
-    * touches nprobe/nlist of the corpus; assignment is one broadcast map
-    * pass, no shuffle until the tiny rerank. Oracle: the same index math
+    * centroids (a SIZE-INDEPENDENT ~[[IvfNlist]] of them — a real build
+    * would k-means them; the index structure, not the training, is the
+    * point), each vector assigned to its max-cosine centroid via a
+    * broadcast of the centroid set, probe = the query's top-2 centroids,
+    * exact rerank inside the probed cells. At 100 TB the cell id is the
+    * partition key and a probe touches nprobe/nlist of the corpus;
+    * assignment is one broadcast map pass — O(n·nlist) with nlist fixed —
+    * no shuffle until the tiny rerank. Oracle: the same index math
     * in DuckDB (argmax via a ranking window over the rounded cosine —
     * rounding to 1e-6 is what makes tie-breaks engine-independent). */
   def ivf(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
+    val stride = ivfStride(e.count())
     val centroids = broadcast(
-      e.filter(col("vec_id") % 50 === 0)
+      e.filter(col("vec_id") % stride === 0)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")))
-    // cell assignment: argmax cosine over the broadcast centroid set
-    // (max of (cos, id) struct is deterministic incl. ties)
-    def assign(df: DataFrame, idCol: String): DataFrame =
-      df.crossJoin(centroids)
-        .groupBy(col(idCol))
-        .agg(max(struct(
-          cosine(col("embedding"), col("cvec")).as("cos"),
-          col("centroid_id"))).as("best"))
-        .select(col(idCol), col("best.centroid_id").as("cell"))
-    val cells = assign(e, "vec_id")
+    val cells = assignCells(e, centroids)
     val corpus = e.join(cells, "vec_id")
     val q = e.filter(col("vec_id") === 0)
     // probe: the query's 2 nearest cells

@@ -320,6 +320,22 @@ class OperatorsSpec extends SparkSpec {
     assert(r.size == 4)
   }
 
+  test("ivf/semDedup: past the %50 grid the stride grows, nlist stays fixed") {
+    // 6400 vectors → stride = max(50, 6400/64) = 100: every cell id must
+    // be a stride-100 seed, and the cell count must stay ≤ nlist+1 —
+    // the size-independence the 100 TB broadcast contract rests on.
+    val vecs = (0L until 6400L).map(i =>
+      (i, Seq(((i % 7) + 1).toFloat, ((i % 11) + 1).toFloat,
+        ((i % 13) + 1).toFloat, 1f), 0))
+    val dir = fixtureDir("embeddings" -> vecs.toDF("vec_id", "embedding", "label"))
+    val topk = Similarity.ivf(spark, dir).collect()
+    assert(topk.length == 10 && topk.forall(_.getLong(1) % 100L == 0L), topk.mkString(","))
+    val ledger = Dedup.semDedup(spark, dir).collect()
+    assert(ledger.length <= Similarity.IvfNlist + 1, ledger.length)
+    assert(ledger.forall(_.getLong(0) % 100L == 0L))
+    assert(ledger.map(_.getLong(1)).sum == 6400L) // every vector lands in a cell
+  }
+
   test("semDedup: redundancy is cell-scoped — a cross-cell near-dup pair survives") {
     // Two stride centroids (ids 0 and 50, orthogonal). The 45°-straddle
     // pair (20, 51) has cosine ≈ 0.9966 ≥ τ but lands in DIFFERENT

@@ -145,16 +145,31 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
-  test("q_semdedup: pairwise work rides the cell key; only the centroid set nested-loops") {
+  test("q_semdedup: pairwise work rides the cell key; assignment computes exactly once") {
     val p = plan("q_semdedup")
     assert(!p.contains("CartesianProduct"), p)
-    // the only nested loops are broadcast centroid assignments (nlist-
-    // sized build side, one map pass over the corpus) — the assignment
-    // subtree re-plans once per self-join reference (persist it on a
-    // cluster); the in-cell mate join and the ledger join must stay
-    // equi-joins on (cell[, vec_id]).
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    assert(bnlj >= 1 && bnlj <= 3, p)
+    // the cell assignment is localCheckpoint'ed, so the committed plan
+    // holds NO assignment nested-loop at all — every consumer (member
+    // table, both mate-join sides, the ledger) reads the materialized
+    // checkpoint instead of re-planning the broadcast centroid pass
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2, p)
+    // the in-cell mate join and the ledger join stay equi-joins on
+    // (cell[, vec_id])
     assert(p.contains("SortMergeJoin [cell#") || p.contains("BroadcastHashJoin [cell#"), p)
+  }
+
+  test("IVF family: nlist is size-independent — stride pins the broadcast side") {
+    // the 100 TB contract: assignment is O(n·nlist) under an O(nlist)
+    // broadcast, so nlist = ⌈n/stride⌉ must NOT grow with the corpus
+    for (n <- Seq(1L, 500L, 3200L, 1000000L, 1000000000L, 1000000000000L)) {
+      val stride = operators.Similarity.ivfStride(n)
+      val nlist = (n + stride - 1) / stride
+      assert(nlist <= operators.Similarity.IvfNlist + 1,
+        s"n=$n stride=$stride nlist=$nlist")
+    }
+    // tiny corpora keep the legacy %50 grid (fixtures + sf oracles pin it)
+    assert(operators.Similarity.ivfStride(500L) == 50L)
+    assert(operators.Similarity.ivfStride(2000L) == 50L)
   }
 }
