@@ -31,6 +31,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // 1/5/15-min load BEFORE this JVM ramps up: a loadavg already near
+    // the core count means another process is competing for CPU and the
+    // timings below are contaminated.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "" }
+    val loadAtStart = loadavg()
     // One warmup pass of the flagship amortizes JVM/codegen/parquet-footer
     // warmup out of the first measured query.
     try SparkEntry.queries("q_facility_info_by_minute")(spark, sfDir)
@@ -56,7 +64,9 @@ object Bench {
           None
         }
       }
-      name -> (if (times.isEmpty) None else Some(times.min))
+      name -> times
+    }.map { case (name, times) =>
+      (name, if (times.isEmpty) None else Some(times.min), times)
     }
     // The driver captures only the LAST 2000 characters of stdout and
     // json-parses the {"metric"...} line it finds there. With 175 queries
@@ -65,13 +75,20 @@ object Bench {
     // way. So: full detail goes to a file; the printed line carries the
     // total plus a fixed headline subset and MUST stay well under 1800
     // characters (asserted below).
-    val fullJson = results.map { case (k, v) =>
+    val fullJson = results.map { case (k, v, _) =>
         "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+      }.mkString("{", ",", "}")
+    // Contamination telemetry (round 4 recorded a 5× driver-side bench
+    // under external CPU load that needed a judge re-run to diagnose):
+    // per-rep times expose intra-run spread, loadavg exposes competing
+    // processes — either makes a polluted measurement machine-detectable.
+    val repsJson = results.map { case (k, _, ts) =>
+        "\"" + k + "\":" + ts.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val nFailed = results.count(_._2.isEmpty)
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$nFailed,"queries":$fullJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$nFailed,"loadavg_start":"$loadAtStart","loadavg_end":"${loadavg()}","queries":$fullJson,"reps":$repsJson,"sf":"$sfDir"}"""
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(fullOut),
@@ -94,14 +111,19 @@ object Bench {
       "q_knn_join", "q_tfidf", "q_lang_id", "q_quality_score",
       "q_pagerank", "q_winnow", "q_variant_json",
       "s_pipeline", "s_pair_match", "s_tumbling_agg", "s_sliding_agg")
-    val byName = results.toMap
+    val byName = results.map { case (n, v, _) => n -> v }.toMap
+    // Locale.ROOT: the f"" interpolator honours the JVM default locale,
+    // and a comma-decimal locale (de_DE) would print "value":115,503 —
+    // invalid JSON the driver can't parse.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val hl = headline.flatMap(k => byName.get(k).map(v =>
-        "\"" + k + "\":" + v.map(t => f"$t%.3f").getOrElse("null")))
+        "\"" + k + "\":" + v.map(f3).getOrElse("null")))
       .mkString("{", ",", "}")
     val failedNames = results.filter(_._2.isEmpty).map(_._1).take(5)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":$nFailed,"failedQueries":$failedNames,"queries":$hl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"failed":$nFailed,"failedQueries":$failedNames,"queries":$hl,"sf":"$sfDir"}"""
     require(line.length < 1800,
       s"bench line ${line.length} chars — would overflow the driver's 2000-char tail capture")
     println(line)

@@ -45,7 +45,10 @@ object RewriteWindowTopK extends Rule[LogicalPlan] with PredicateHelper {
       case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType))
         if a.semanticEquals(rn) => Some(k)
       case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))
-        if a.semanticEquals(rn) => Some(k - 1)
+        if a.semanticEquals(rn) =>
+        // rn < Int.MinValue is always false; k - 1 would wrap to
+        // Int.MaxValue and turn "return no rows" into "return all rows"
+        if (k == Int.MinValue) None else Some(k - 1)
       case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: AttributeReference)
         if a.semanticEquals(rn) => Some(k)
       case EqualTo(a: AttributeReference, Literal(1, IntegerType))
