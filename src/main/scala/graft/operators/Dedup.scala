@@ -142,25 +142,46 @@ object Dedup {
     * int64 overflow (DuckDB) and never wraps in engines that don't
     * (JVM) — identical values everywhere. Band buckets compare as the
     * joined "m0:m1:m2:m3" string, so no second-level hash is needed. */
-  def minhashLshMd5(s: SparkSession, d: String): DataFrame = {
-    val k = 16
-    // native 60-bit md5 expression — value-identical to
-    // conv(substring(md5(s),1,15),16,10) but no hex-string round trip
-    def hex60(suffix: String): Column =
-      graft.functions.md5hash60(concat(col("sh"), lit(suffix)))
-    val sh = Tables.documents(s, d)
+  /** The raw (doc_id, shingle-text) stream — md5-family input (the
+    * xxhash64 path hashes at the shingle edge instead; this one keeps
+    * the text because the portable hash salts it with #a/#b). */
+  private def md5Shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), explode(shinglesOf(col("tk"))).as("sh"))
-      .select(col("doc_id"), hex60("#a").as("h1"), hex60("#b").as("h2"))
+
+  /** Portable k-component MinHash signature (m0..m{k-1}) over a
+    * (doc_id, sh) stream: Kirsch–Mitzenmacher double hashing h_j = h1 +
+    * j·(h2 >> 4) from TWO 60-bit md5 parses per shingle (not k md5
+    * calls — measured 2.5×); the shift keeps j·h2 under 2^60 so the
+    * arithmetic never overflows in engines that trap on int64 overflow
+    * (DuckDB) and never wraps in engines that don't (JVM). The native
+    * md5hash60 expression is value-identical to
+    * conv(substring(md5(s),1,15),16,10) minus the hex round trip.
+    * Shared by [[minhashLshMd5]] and [[minhashAccuracy]] so the sketch
+    * and its quality eval cannot drift apart. */
+  private def md5MinhashSig(sh: DataFrame, k: Int): DataFrame = {
+    def hex60(suffix: String): Column =
+      graft.functions.md5hash60(concat(col("sh"), lit(suffix)))
+    val hashed = sh.select(col("doc_id"), hex60("#a").as("h1"), hex60("#b").as("h2"))
     def phash(j: Int): Column = col("h1") + lit(j.toLong) * shiftright(col("h2"), 4)
-    val sig = sh.groupBy(col("doc_id"))
+    hashed.groupBy(col("doc_id"))
       .agg(min(phash(0)).as("m0"),
         (1 until k).map(j => min(phash(j)).as(s"m$j")): _*)
-    val bands = sig.select(
+  }
+
+  /** LSH bands over a k-component signature: k/4 bands × 4 rows, band
+    * key = the joined "m_i:…" string (portable — no second-level hash). */
+  private def md5SigBands(sig: DataFrame, k: Int): DataFrame =
+    sig.select(
       col("doc_id"),
-      posexplode(array((0 until 4).map(b =>
+      posexplode(array((0 until k / 4).map(b =>
         concat_ws(":", (b * 4 until (b + 1) * 4).map(j => col(s"m$j")): _*)): _*))
         .as(Seq("band", "band_key")))
+
+  def minhashLshMd5(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    val bands = md5SigBands(md5MinhashSig(md5Shingles(s, d), k), k)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
@@ -184,21 +205,9 @@ object Dedup {
     * whole eval replays in the oracle. */
   def minhashAccuracy(s: SparkSession, d: String): DataFrame = {
     val k = 16
-    def hex60(suffix: String): Column =
-      graft.functions.md5hash60(concat(col("sh"), lit(suffix)))
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), explode(shinglesOf(col("tk"))).as("sh"))
-    val hashed = sh.select(col("doc_id"), hex60("#a").as("h1"), hex60("#b").as("h2"))
-    def phash(j: Int): Column = col("h1") + lit(j.toLong) * shiftright(col("h2"), 4)
-    val sig = hashed.groupBy(col("doc_id"))
-      .agg(min(phash(0)).as("m0"),
-        (1 until k).map(j => min(phash(j)).as(s"m$j")): _*)
-    val bands = sig.select(
-      col("doc_id"),
-      posexplode(array((0 until 4).map(b =>
-        concat_ws(":", (b * 4 until (b + 1) * 4).map(j => col(s"m$j")): _*)): _*))
-        .as(Seq("band", "band_key")))
+    val sh = md5Shingles(s, d)
+    val sig = md5MinhashSig(sh, k)
+    val bands = md5SigBands(sig, k)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
@@ -220,7 +229,7 @@ object Dedup {
     val common = coalesce(col("n_common"), lit(0L))
     val trueJ = common.cast("double") / (col("na") + col("nb") - common)
     cand.join(sa, "doc_a").join(sb, "doc_b")
-      .select(col("doc_a"), col("doc_b"), (kEq / lit(16.0)).as("est_jaccard"))
+      .select(col("doc_a"), col("doc_b"), (kEq / lit(k.toDouble)).as("est_jaccard"))
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .join(cnt.toDF("doc_a", "na"), "doc_a")
       .join(cnt.toDF("doc_b", "nb"), "doc_b")
