@@ -1666,29 +1666,40 @@ object SparkEntry {
         |                   row_number() OVER (PARTITION BY vec_id
         |                                      ORDER BY cos DESC, centroid_id DESC) AS rn
         |            FROM asn) WHERE rn = 1),
-        |probed AS (SELECT centroid_id AS cell FROM asn WHERE vec_id = 0
-        |           ORDER BY cos DESC, centroid_id ASC LIMIT 2),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        |approx AS (SELECT e.vec_id AS vec_id
-        |           FROM e JOIN cells ON e.vec_id = cells.vec_id
-        |                  JOIN probed ON cells.cell = probed.cell
-        |                  CROSS JOIN q
-        |           WHERE e.vec_id <> 0
-        |           ORDER BY round(list_dot_product(v, qv)
-        |                          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
-        |                    e.vec_id ASC
-        |           LIMIT 10),
-        |exact AS (SELECT e.vec_id
-        |          FROM e CROSS JOIN q
-        |          WHERE e.vec_id <> 0
-        |          ORDER BY round(list_dot_product(v, qv)
-        |                         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
-        |                   vec_id ASC
-        |          LIMIT 10)
-        |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_exact,
-        |       CAST(count(a.vec_id) AS BIGINT) AS n_hit,
-        |       round(CAST(count(a.vec_id) AS DOUBLE) / 10.0, 6) AS recall
-        |FROM exact x LEFT JOIN approx a USING (vec_id)""".stripMargin,
+        |panel AS (SELECT vec_id AS qid, v AS qv FROM e
+        |          WHERE vec_id % (SELECT greatest(50, count(*) // 20) FROM e) = 0),
+        |exact AS (SELECT qid, vec_id FROM (
+        |            SELECT p.qid, e.vec_id,
+        |                   row_number() OVER (PARTITION BY p.qid
+        |                     ORDER BY round(list_dot_product(v, qv)
+        |                       / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
+        |                       e.vec_id ASC) AS rn
+        |            FROM e, panel p WHERE e.vec_id <> p.qid) WHERE rn <= 10),
+        |probed AS (SELECT qid, cell FROM (
+        |             SELECT p.qid, centroid_id AS cell,
+        |                    row_number() OVER (PARTITION BY p.qid
+        |                      ORDER BY round(list_dot_product(qv, cv)
+        |                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+        |                        centroid_id ASC) AS rn
+        |             FROM panel p, cen) WHERE rn <= 2),
+        |approx AS (SELECT qid, vec_id FROM (
+        |             SELECT pr.qid, e.vec_id,
+        |                    row_number() OVER (PARTITION BY pr.qid
+        |                      ORDER BY round(list_dot_product(v, qv)
+        |                        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
+        |                        e.vec_id ASC) AS rn
+        |             FROM e JOIN cells ON e.vec_id = cells.vec_id
+        |                    JOIN probed pr ON cells.cell = pr.cell
+        |                    JOIN panel p ON p.qid = pr.qid
+        |             WHERE e.vec_id <> pr.qid) WHERE rn <= 10),
+        |hits AS (SELECT x.qid, CAST(count(*) AS BIGINT) AS nx,
+        |                CAST(count(a.vec_id) AS BIGINT) AS nh
+        |         FROM exact x LEFT JOIN approx a ON a.qid = x.qid AND a.vec_id = x.vec_id
+        |         GROUP BY x.qid)
+        |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(sum(nx) AS BIGINT) AS n_exact, CAST(sum(nh) AS BIGINT) AS n_hit,
+        |       round(CAST(sum(nh) AS DOUBLE) / sum(nx), 6) AS recall
+        |FROM hits""".stripMargin,
     "q_similarity_ivf" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
         |cen AS (SELECT vec_id AS centroid_id, v AS cv FROM e

@@ -165,32 +165,69 @@ object Similarity {
       .limit(10)
   }
 
+  /** Target recall-panel size (queries sampled per eval run). */
+  private[graft] val RecallPanel = 20L
+
+  /** Panel stride: every `stride`-th vec_id joins the recall panel,
+    * stride = max(50, n/[[RecallPanel]]) — ~20 queries at any corpus
+    * size (and tiny fixtures keep the %50 grid, like [[ivfStride]]). */
+  private[graft] def panelStride(n: Long): Long = math.max(50L, n / RecallPanel)
+
   /** q_ann_recall — the index-quality eval every ANN deployment runs:
-    * recall@10 of the IVF probe ([[ivf]]) against the brute-force
-    * top-10 ([[knn]]'s ranking, cut at 10) for the standard query
-    * (vec_id = 0). One row out: k, the exact/approx overlap, and
-    * recall = hits/k. Both sides are bounded top-k relations, so the
-    * comparison join is trivially broadcast — the cost IS the two
-    * retrievals, and the exact side is the in-bucket rerank baseline
-    * you'd sample at 100 TB (run recall on a query panel, not the
-    * corpus). Fully oracled: both retrievals replay in DuckDB on the
-    * rounded-cosine grid. */
+    * recall@10 of the IVF probe (the [[ivf]] index math) against the
+    * brute-force top-10, averaged over a PANEL of ~[[RecallPanel]]
+    * stride-sampled query vectors — one query is an anecdote; a panel
+    * is a measurement. One row out: k, panel size, total exact/hit
+    * counts, recall = hits/exact (with a constant 10-deep exact side
+    * per query the micro- and macro-average coincide, and the single
+    * long/long division is exact on the 1e-6 grid in any engine).
+    * The panel and centroid sets broadcast; per-query rankings are
+    * row_number windows keyed by (qid), so the eval's shuffles carry
+    * panel·n rows — at 100 TB you run this on a sampled corpus slice,
+    * which is exactly what the stride construction expresses.
+    * Fully oracled: both retrievals replay in DuckDB per panel query
+    * on the rounded-cosine grid. */
   def annRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d)
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("query_vec"))
-    val exact = e.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        cosine(col("embedding"), col("query_vec")).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(10)
-      .select(col("vec_id"))
-    val approx = ivf(s, d).select(col("vec_id").as("a_id"))
-    exact.join(approx, col("vec_id") === col("a_id"), "left")
-      .agg(count(lit(1)).as("n_exact"), count(col("a_id")).as("n_hit"))
-      .select(lit(10).as("k"), col("n_exact"), col("n_hit"),
-        round(col("n_hit") / 10.0, 6).as("recall"))
+    val n = e.count()
+    val centroids = broadcast(
+      e.filter(col("vec_id") % ivfStride(n) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")))
+    val cells = assignCells(e, centroids).localCheckpoint()
+    val panel = broadcast(
+      e.filter(col("vec_id") % panelStride(n) === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = e.crossJoin(panel)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qvec")).as("cos"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    val probed = panel.crossJoin(centroids)
+      .select(col("qid"), col("centroid_id"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 2)
+      .select(col("qid"), col("centroid_id").as("cell"))
+    val approx = e.join(cells, "vec_id")
+      .join(broadcast(probed), "cell")
+      .join(panel, "qid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qvec")).as("cos"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("nx"), count(col("hit")).as("nh"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("nx")).as("n_exact"), sum(col("nh")).as("n_hit"))
+      .select(lit(10).as("k"), col("n_queries"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
   }
 
   /** Neighbors kept per vector in [[knnJoin]]. */

@@ -248,24 +248,63 @@ class OperatorsSpec extends SparkSpec {
     assert(rows == Seq(0L, 1L, 3L))
   }
 
+  /** Driver-side model of the recall-panel pipeline: same stride
+    * centroids/panel, same rounded-cosine grid, same tie-breaks
+    * (assignment max → larger centroid id; probe/top-k → ascending id). */
+  private def recallModel(vecs: Seq[(Long, Seq[Float])]): (Int, Long, Long, Long, Double) = {
+    def dot(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    def cos6(a: Seq[Float], b: Seq[Float]) =
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = vecs.size.toLong
+    val cents = vecs.filter(_._1 % operators.Similarity.ivfStride(n) == 0)
+    val cell = vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cos6(v, cv), cid) }.max._2
+    }.toMap
+    val panel = vecs.filter(_._1 % operators.Similarity.panelStride(n) == 0)
+    var nx = 0L; var nh = 0L
+    panel.foreach { case (qid, qv) =>
+      val exact = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos6(v, qv)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      val probed = cents.map { case (cid, cv) => (cid, cos6(qv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(2).map(_._1).toSet
+      val approx = vecs
+        .filter { case (id, _) => id != qid && probed(cell(id)) }
+        .map { case (id, v) => (id, cos6(v, qv)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      nx += exact.size; nh += exact.intersect(approx).size
+    }
+    (10, panel.size.toLong, nx, nh,
+      BigDecimal(nh.toDouble / nx).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  private def runRecall(vecs: Seq[(Long, Seq[Float])]): (Int, Long, Long, Long, Double) = {
+    val dir = fixtureDir("embeddings" ->
+      vecs.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label"))
+    val r = operators.Similarity.annRecall(spark, dir).collect().head
+    (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+  }
+
   test("annRecall: a true neighbor in an unprobed cell costs exactly its recall share") {
-    // 3 cells; the query probes A (its own) and B (cos ≈ 0.707). Vector
-    // 70 is the #7 true neighbor but lives in unprobed cell C → the
-    // only miss: recall = 9/10 exactly.
+    // Panel {0, 50, 100}. For query 0: probes A (its own) and B
+    // (cos ≈ 0.707); vector 70 is a true top-10 neighbor but lives in
+    // unprobed cell C → query 0 contributes 9/10. Queries 50 and 100
+    // contribute per the model; the Spark result must match it exactly.
     val high = Seq(0.95f, 0.05f, 0.1f, 0f)
     val junk = Seq(0.3f, 0f, 0.95f, 0f)
     val vecs: Seq[(Long, Seq[Float])] =
       Seq(0L -> Seq(1f, 0f, 0f, 0f),           // query + centroid A
         50L -> Seq(0.71f, -0.71f, 0f, 0f),     // centroid B (probed #2)
-        100L -> Seq(0f, 1f, 0f, 0f),           // centroid C (unprobed)
-        70L -> Seq(0.6f, 0.75f, 0f, 0f),       // cell C, cos(q) ≈ 0.625
+        100L -> Seq(0f, 1f, 0f, 0f),           // centroid C (unprobed by q0)
+        70L -> Seq(0.6f, 0.75f, 0f, 0f),       // cell C, cos(q0) ≈ 0.625
         10L -> Seq(0.05f, 0f, 0.998f, 0f)) ++  // below the top-10 cut
         (1L to 5L).map(_ -> high) ++ (6L to 9L).map(_ -> junk)
-    val dir = fixtureDir("embeddings" ->
-      vecs.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label"))
-    val r = operators.Similarity.annRecall(spark, dir).collect().head
-    assert((r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
-      ((10, 10L, 9L, 0.9)))
+    val want = recallModel(vecs)
+    assert(runRecall(vecs) == want)
+    // the panel is a real panel (3 queries) and imperfect (a miss exists)
+    assert(want._2 == 3L && want._4 < want._3)
   }
 
   test("annRecall: probing every cell makes IVF lossless — recall exactly 1.0") {
@@ -273,11 +312,11 @@ class OperatorsSpec extends SparkSpec {
       Seq(0L -> Seq(1f, 0f, 0f, 0f), 50L -> Seq(0f, 1f, 0f, 0f)) ++
         (1L to 11L).map(i => i ->
           Seq(0.1f * (i % 4), 0.1f * ((i + 1) % 3), 1f, 0.01f * i))
-    val dir = fixtureDir("embeddings" ->
-      vecs.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label"))
-    val r = operators.Similarity.annRecall(spark, dir).collect().head
-    assert((r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
-      ((10, 10L, 10L, 1.0)))
+    // 2 cells, nprobe = 2 → every cell probed for every panel query:
+    // the approximate retrieval degenerates to exact, recall must be 1
+    val got = runRecall(vecs)
+    assert(got == recallModel(vecs))
+    assert(got == ((10, 2L, 20L, 20L, 1.0)))
   }
 
   test("minhashAccuracy: exact pair estimates 1.0 with zero error; estimator stays in [0,1]") {
