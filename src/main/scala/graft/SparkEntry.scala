@@ -247,6 +247,53 @@ object SparkEntry {
       |  WHERE placed_ts IS NOT NULL AND fulfilled_ts IS NOT NULL)
       |""".stripMargin
 
+  /** Rounded cosine on the 1e-6 grid — the IVF family's comparison
+    * currency (drift-proof across engines). */
+  private def cosSql(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  /** Shared IVF-index CTE chain (q_similarity_ivf / q_ann_recall /
+    * q_semdedup — ONE definition so the three oracles cannot drift from
+    * each other or from Similarity.trainedCentroids): stride-seeded
+    * centroids (stride = max(50, n/64), size-independent nlist),
+    * IvfIters Lloyd's rounds with scaled-long fixed-point means
+    * (round(v[i]·1e6) per component — integer sums are order-exact, the
+    * single double division replays bit-identically), then the final
+    * argmax assignment. Exposes: e(vec_id, v), cen(centroid_id, cv) —
+    * the trained set — asn(vec_id, centroid_id, cos), cells(vec_id,
+    * cell). dims is fixed at 64 (the embeddings table's width). */
+  private val ivfIndexCte: String = {
+    val iters = graft.operators.Similarity.IvfIters
+    val sb = new StringBuilder
+    sb ++= """e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+             |cen0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+             |         WHERE vec_id % (SELECT greatest(50, count(*) // 64) FROM e) = 0),
+             |""".stripMargin
+    for (t <- 0 until iters) {
+      sb ++= s"""asn$t AS (SELECT e.vec_id, centroid_id, ${cosSql("v", "cv")} AS cos FROM e, cen$t),
+                |cell$t AS (SELECT vec_id, centroid_id AS cell FROM (
+                |            SELECT vec_id, centroid_id,
+                |                   row_number() OVER (PARTITION BY vec_id
+                |                                      ORDER BY cos DESC, centroid_id DESC) AS rn
+                |            FROM asn$t) WHERE rn = 1),
+                |sum$t AS (SELECT cell, i, sum(CAST(round(v[i] * 1000000.0) AS BIGINT)) AS sx,
+                |                 CAST(count(*) AS BIGINT) AS cnt
+                |          FROM e JOIN cell$t USING (vec_id), range(1, 65) r(i)
+                |          GROUP BY cell, i),
+                |cen${t + 1} AS (SELECT cell AS centroid_id, list(sx / (1000000.0 * cnt) ORDER BY i) AS cv
+                |          FROM sum$t GROUP BY cell),
+                |""".stripMargin
+    }
+    sb ++= s"""cen AS (SELECT centroid_id, cv FROM cen$iters),
+              |asn AS (SELECT e.vec_id, centroid_id, ${cosSql("v", "cv")} AS cos FROM e, cen),
+              |cells AS (SELECT vec_id, centroid_id AS cell FROM (
+              |           SELECT vec_id, centroid_id,
+              |                  row_number() OVER (PARTITION BY vec_id
+              |                                     ORDER BY cos DESC, centroid_id DESC) AS rn
+              |           FROM asn) WHERE rn = 1)""".stripMargin
+    sb.toString
+  }
+
   /** Shared oracle texts — streaming variants check the SAME SQL as
     * their batch twins (one place to fix a boundary semantic). */
   private val tumblingAggSql: String =
@@ -1420,19 +1467,8 @@ object SparkEntry {
         |FROM b JOIN own USING (btext)
         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
     "q_semdedup" ->
-      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
-        |cen AS (SELECT vec_id AS centroid_id, v AS cv FROM e
-        |        WHERE vec_id % (SELECT greatest(50, count(*) // 64) FROM e) = 0),
-        |asn AS (SELECT e.vec_id, centroid_id,
-        |               round(list_dot_product(v, cv)
-        |                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
-        |        FROM e, cen),
-        |cells AS (SELECT vec_id, centroid_id AS cell FROM (
-        |            SELECT vec_id, centroid_id,
-        |                   row_number() OVER (PARTITION BY vec_id
-        |                                      ORDER BY cos DESC, centroid_id DESC) AS rn
-        |            FROM asn) WHERE rn = 1),
-        |m AS (SELECT e.vec_id, cell, v FROM e JOIN cells USING (vec_id)),
+      (s"WITH $ivfIndexCte,\n" +
+      """m AS (SELECT e.vec_id, cell, v FROM e JOIN cells USING (vec_id)),
         |red AS (SELECT DISTINCT a.cell, a.vec_id
         |        FROM m a JOIN m b ON a.cell = b.cell AND b.vec_id < a.vec_id
         |        WHERE round(list_dot_product(a.v, b.v)
@@ -1440,7 +1476,7 @@ object SparkEntry {
         |SELECT m.cell AS cell, CAST(count(*) AS BIGINT) AS n_vecs,
         |       CAST(count(r.vec_id) AS BIGINT) AS n_redundant
         |FROM m LEFT JOIN red r ON m.cell = r.cell AND m.vec_id = r.vec_id
-        |GROUP BY m.cell ORDER BY cell""".stripMargin,
+        |GROUP BY m.cell ORDER BY cell""".stripMargin),
     "q_minhash_accuracy" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |sh AS (SELECT doc_id,
@@ -1654,20 +1690,9 @@ object SparkEntry {
         |FROM b, q WHERE b.bucket = q.qb AND b.vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q_ann_recall" ->
-      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
-        |cen AS (SELECT vec_id AS centroid_id, v AS cv FROM e
-        |        WHERE vec_id % (SELECT greatest(50, count(*) // 64) FROM e) = 0),
-        |asn AS (SELECT e.vec_id, centroid_id,
-        |               round(list_dot_product(v, cv)
-        |                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
-        |        FROM e, cen),
-        |cells AS (SELECT vec_id, centroid_id AS cell FROM (
-        |            SELECT vec_id, centroid_id,
-        |                   row_number() OVER (PARTITION BY vec_id
-        |                                      ORDER BY cos DESC, centroid_id DESC) AS rn
-        |            FROM asn) WHERE rn = 1),
-        |panel AS (SELECT vec_id AS qid, v AS qv FROM e
-        |          WHERE vec_id % (SELECT greatest(50, count(*) // 20) FROM e) = 0),
+      (s"WITH $ivfIndexCte,\n" +
+      """panel AS (SELECT vec_id AS qid, v AS qv FROM e
+        |          WHERE vec_id % (SELECT greatest(50, count(*) // 20) FROM e) = 17),
         |exact AS (SELECT qid, vec_id FROM (
         |            SELECT p.qid, e.vec_id,
         |                   row_number() OVER (PARTITION BY p.qid
@@ -1699,21 +1724,10 @@ object SparkEntry {
         |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_queries,
         |       CAST(sum(nx) AS BIGINT) AS n_exact, CAST(sum(nh) AS BIGINT) AS n_hit,
         |       round(CAST(sum(nh) AS DOUBLE) / sum(nx), 6) AS recall
-        |FROM hits""".stripMargin,
+        |FROM hits""".stripMargin),
     "q_similarity_ivf" ->
-      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
-        |cen AS (SELECT vec_id AS centroid_id, v AS cv FROM e
-        |        WHERE vec_id % (SELECT greatest(50, count(*) // 64) FROM e) = 0),
-        |asn AS (SELECT e.vec_id, centroid_id,
-        |               round(list_dot_product(v, cv)
-        |                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
-        |        FROM e, cen),
-        |cells AS (SELECT vec_id, centroid_id AS cell FROM (
-        |            SELECT vec_id, centroid_id,
-        |                   row_number() OVER (PARTITION BY vec_id
-        |                                      ORDER BY cos DESC, centroid_id DESC) AS rn
-        |            FROM asn) WHERE rn = 1),
-        |probed AS (SELECT centroid_id AS cell FROM asn WHERE vec_id = 0
+      (s"WITH $ivfIndexCte,\n" +
+      """probed AS (SELECT centroid_id AS cell FROM asn WHERE vec_id = 0
         |           ORDER BY cos DESC, centroid_id ASC LIMIT 2),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
         |SELECT e.vec_id AS vec_id, cells.cell AS cell,
@@ -1723,7 +1737,7 @@ object SparkEntry {
         |       JOIN probed ON cells.cell = probed.cell
         |       CROSS JOIN q
         |WHERE e.vec_id <> 0
-        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin),
     "q_dedup_embedding" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -485,8 +485,9 @@ object Dedup {
     * shuffle key, so at 100 TB each cell's comparison runs where its
     * vectors already live; the corpus-wide all-pairs query
     * ([[embeddingDedup]]) stays the exact baseline, this is the scale
-    * path. Centroids are the [[Similarity.ivfStride]] sample — a
-    * size-independent nlist, so assignment is O(n·nlist) under an
+    * path. Centroids are [[Similarity.trainedCentroids]] — the stride
+    * seed refined by fixed-point Lloyd's rounds, a size-independent
+    * nlist, so training and assignment are O(n·nlist) under an
     * O(nlist) broadcast. The assignment is localCheckpoint'ed: the
     * `cells` relation feeds the member table, BOTH sides of the mate
     * self-join, and the final ledger — without the checkpoint Catalyst
@@ -496,10 +497,8 @@ object Dedup {
     * DuckDB on the rounded grid. */
   def semDedup(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val stride = Similarity.ivfStride(e.count())
     val centroids = broadcast(
-      e.filter(col("vec_id") % stride === 0)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")))
+      Similarity.trainedCentroids(e, Similarity.ivfStride(e.count())))
     val cells = Similarity.assignCells(e, centroids).localCheckpoint()
     val m = e.join(cells, Seq("vec_id"))
     val mates = m.select(col("cell"), col("vec_id").as("nb_id"),

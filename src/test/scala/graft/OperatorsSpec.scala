@@ -248,31 +248,66 @@ class OperatorsSpec extends SparkSpec {
     assert(rows == Seq(0L, 1L, 3L))
   }
 
-  /** Driver-side model of the recall-panel pipeline: same stride
+  /** Rounded cosine on the 1e-6 grid — model twin of Similarity.cosine
+    * (same sequential fold, same HALF_UP edge). */
+  private def cos6d(a: Seq[Double], b: Seq[Double]): Double = {
+    def dot(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  private def lift(v: Seq[Float]): Seq[Double] = v.map(_.toDouble)
+
+  /** Model twin of Similarity.trainedCentroids: stride seed + IvfIters
+    * Lloyd's rounds with scaled-long fixed-point means. */
+  private def trainedCents(vecs: Seq[(Long, Seq[Float])]): Seq[(Long, Seq[Double])] = {
+    val stride = operators.Similarity.ivfStride(vecs.size.toLong)
+    var cents: Seq[(Long, Seq[Double])] =
+      vecs.filter(_._1 % stride == 0).map { case (id, v) => id -> lift(v) }
+    for (_ <- 1 to operators.Similarity.IvfIters) {
+      val byCell = vecs.groupBy { case (_, v) =>
+        cents.map { case (cid, cv) => (cos6d(lift(v), cv), cid) }.max._2
+      }
+      cents = byCell.toSeq.sortBy(_._1).map { case (cid, members) =>
+        val dims = members.head._2.length
+        cid -> (0 until dims).map { i =>
+          val sx = members.map { case (_, v) =>
+            BigDecimal(v(i).toDouble * 1e6)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          }.sum
+          sx.toDouble / (1e6 * members.size)
+        }
+      }
+    }
+    cents
+  }
+
+  /** Model assignment over the trained set (tie → larger centroid id). */
+  private def cellOf(vecs: Seq[(Long, Seq[Float])],
+      cents: Seq[(Long, Seq[Double])]): Map[Long, Long] =
+    vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cos6d(lift(v), cv), cid) }.max._2
+    }.toMap
+
+  /** Driver-side model of the recall-panel pipeline: same trained
     * centroids/panel, same rounded-cosine grid, same tie-breaks
     * (assignment max → larger centroid id; probe/top-k → ascending id). */
   private def recallModel(vecs: Seq[(Long, Seq[Float])]): (Int, Long, Long, Long, Double) = {
-    def dot(a: Seq[Float], b: Seq[Float]) =
-      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
-    def cos6(a: Seq[Float], b: Seq[Float]) =
-      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val n = vecs.size.toLong
-    val cents = vecs.filter(_._1 % operators.Similarity.ivfStride(n) == 0)
-    val cell = vecs.map { case (id, v) =>
-      id -> cents.map { case (cid, cv) => (cos6(v, cv), cid) }.max._2
-    }.toMap
-    val panel = vecs.filter(_._1 % operators.Similarity.panelStride(n) == 0)
+    val cents = trainedCents(vecs)
+    val cell = cellOf(vecs, cents)
+    val panel = vecs.filter(_._1 % operators.Similarity.panelStride(vecs.size.toLong)
+      == operators.Similarity.PanelOffset)
     var nx = 0L; var nh = 0L
     panel.foreach { case (qid, qv) =>
       val exact = vecs.filter(_._1 != qid)
-        .map { case (id, v) => (id, cos6(v, qv)) }
+        .map { case (id, v) => (id, cos6d(lift(v), lift(qv))) }
         .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
-      val probed = cents.map { case (cid, cv) => (cid, cos6(qv, cv)) }
+      val probed = cents.map { case (cid, cv) => (cid, cos6d(lift(qv), cv)) }
         .sortBy { case (cid, c) => (-c, cid) }.take(2).map(_._1).toSet
       val approx = vecs
         .filter { case (id, _) => id != qid && probed(cell(id)) }
-        .map { case (id, v) => (id, cos6(v, qv)) }
+        .map { case (id, v) => (id, cos6d(lift(v), lift(qv))) }
         .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
       nx += exact.size; nh += exact.intersect(approx).size
     }
@@ -288,35 +323,51 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("annRecall: a true neighbor in an unprobed cell costs exactly its recall share") {
-    // Panel {0, 50, 100}. For query 0: probes A (its own) and B
-    // (cos ≈ 0.707); vector 70 is a true top-10 neighbor but lives in
-    // unprobed cell C → query 0 contributes 9/10. Queries 50 and 100
-    // contribute per the model; the Spark result must match it exactly.
+    // Panel = {17} (the seed-disjoint offset sample). The query probes
+    // its own cell A and one other; a true top-10 neighbor living in
+    // the unprobed third cell is the miss the panel must charge for.
     val high = Seq(0.95f, 0.05f, 0.1f, 0f)
     val junk = Seq(0.3f, 0f, 0.95f, 0f)
     val vecs: Seq[(Long, Seq[Float])] =
-      Seq(0L -> Seq(1f, 0f, 0f, 0f),           // query + centroid A
-        50L -> Seq(0.71f, -0.71f, 0f, 0f),     // centroid B (probed #2)
-        100L -> Seq(0f, 1f, 0f, 0f),           // centroid C (unprobed by q0)
-        70L -> Seq(0.6f, 0.75f, 0f, 0f),       // cell C, cos(q0) ≈ 0.625
+      Seq(0L -> Seq(1f, 0f, 0f, 0f),           // centroid-A seed
+        17L -> Seq(0.995f, 0.1f, 0f, 0f),      // the panel query (cell A)
+        50L -> Seq(0.71f, -0.71f, 0f, 0f),     // centroid-B seed
+        100L -> Seq(0f, 1f, 0f, 0f),           // centroid-C seed
+        70L -> Seq(0.6f, 0.75f, 0f, 0f),       // cell C, close to the query
         10L -> Seq(0.05f, 0f, 0.998f, 0f)) ++  // below the top-10 cut
         (1L to 5L).map(_ -> high) ++ (6L to 9L).map(_ -> junk)
     val want = recallModel(vecs)
     assert(runRecall(vecs) == want)
-    // the panel is a real panel (3 queries) and imperfect (a miss exists)
-    assert(want._2 == 3L && want._4 < want._3)
+    // the panel is the offset sample (1 query) and imperfect (a miss exists)
+    assert(want._2 == 1L && want._4 < want._3)
   }
 
   test("annRecall: probing every cell makes IVF lossless — recall exactly 1.0") {
     val vecs: Seq[(Long, Seq[Float])] =
-      Seq(0L -> Seq(1f, 0f, 0f, 0f), 50L -> Seq(0f, 1f, 0f, 0f)) ++
+      Seq(0L -> Seq(1f, 0f, 0f, 0f), 50L -> Seq(0f, 1f, 0f, 0f),
+        17L -> Seq(0.8f, 0.6f, 0.1f, 0f)) ++   // the panel query
         (1L to 11L).map(i => i ->
           Seq(0.1f * (i % 4), 0.1f * ((i + 1) % 3), 1f, 0.01f * i))
     // 2 cells, nprobe = 2 → every cell probed for every panel query:
     // the approximate retrieval degenerates to exact, recall must be 1
     val got = runRecall(vecs)
     assert(got == recallModel(vecs))
-    assert(got == ((10, 2L, 20L, 20L, 1.0)))
+    assert(got == ((10, 1L, 10L, 10L, 1.0)))
+  }
+
+  test("Lloyd's rounds do not decrease the spherical k-means objective") {
+    // recentring on the (unnormalized) mean IS spherical k-means — the
+    // mean and the normalized mean point the same way, and cosine is
+    // scale-invariant — so the assignment objective must be monotone
+    // (up to the 1e-6 comparison grid the pipeline rounds on).
+    val rnd = new scala.util.Random(7)
+    val vecs: Seq[(Long, Seq[Float])] =
+      (0L until 300L).map(i => i -> Seq.fill(8)(rnd.nextFloat() * 2f - 1f))
+    def objective(cents: Seq[(Long, Seq[Double])]): Double =
+      vecs.map { case (_, v) => cents.map { case (_, cv) => cos6d(lift(v), cv) }.max }.sum
+    val seed = vecs.filter(_._1 % operators.Similarity.ivfStride(300L) == 0)
+      .map { case (id, v) => id -> lift(v) }
+    assert(objective(trainedCents(vecs)) >= objective(seed) - 1e-4)
   }
 
   test("minhashAccuracy: exact pair estimates 1.0 with zero error; estimator stays in [0,1]") {
@@ -390,16 +441,9 @@ class OperatorsSpec extends SparkSpec {
       51L -> Seq(0f, 0.98f, 0.2f, 0f))     // cell B, near centroid 50 → redundant
     val dir = fixtureDir("embeddings" ->
       vecs.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label"))
-    // driver-side model: same argmax assignment, same rounded gate
-    def dot(a: Seq[Float], b: Seq[Float]) =
-      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
-    def cos6(a: Seq[Float], b: Seq[Float]) =
-      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val cents = vecs.filter(_._1 % 50 == 0)
-    val cell = vecs.map { case (id, v) =>
-      id -> cents.map { case (cid, cv) => (cos6(v, cv), cid) }.max._2
-    }.toMap
+    // driver-side model: same trained assignment, same rounded gate
+    def cos6(a: Seq[Float], b: Seq[Float]) = cos6d(lift(a), lift(b))
+    val cell = cellOf(vecs, trainedCents(vecs))
     val redundant = vecs.collect { case (id, v) if vecs.exists { case (nb, nv) =>
       nb < id && cell(nb) == cell(id) && cos6(v, nv) >= 0.35 } => id }.toSet
     val want = vecs.groupBy { case (id, _) => cell(id) }.map { case (c, ms) =>
