@@ -159,6 +159,28 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin [cell#") || p.contains("BroadcastHashJoin [cell#"), p)
   }
 
+  test("q_similarity_ivf: trained centroids materialize once; rerank rides the cell key") {
+    val p = plan("q_similarity_ivf")
+    assert(!p.contains("CartesianProduct"), p)
+    // the trained centroid set is a checkpointed ≤nlist-row relation
+    // (training ran exactly once, its chain absent from this plan) and
+    // every nested loop is a broadcast against it or the 1-row query
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3, p)
+    // the probed-cell rerank is an equi-join on cell, never nested-loop
+    assert(p.contains("SortMergeJoin [cell#") || p.contains("BroadcastHashJoin [cell#"), p)
+  }
+
+  test("q_ann_recall: panel eval — broadcast panel/centroids, equi-join rerank") {
+    val p = plan("q_ann_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    // exact side = corpus × broadcast(panel); probe = panel ×
+    // broadcast(centroids); both bounded builds. The approx rerank must
+    // reach its candidates through equi-joins (cell, then qid).
+    assert(p.contains("SortMergeJoin [cell#") || p.contains("BroadcastHashJoin [cell#"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("IVF family: nlist is size-independent — stride pins the broadcast side") {
     // the 100 TB contract: assignment is O(n·nlist) under an O(nlist)
     // broadcast, so nlist = ⌈n/stride⌉ must NOT grow with the corpus
