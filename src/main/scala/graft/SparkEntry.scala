@@ -176,6 +176,7 @@ object SparkEntry {
     "q_similarity_ivf" -> (Similarity.ivf _),
     "q_knn_join" -> (Similarity.knnJoin _),
     "q_ann_recall" -> (Similarity.annRecall _),
+    "q_ivf_cell_stats" -> (Similarity.ivfCellStats _),
     "q_crossmodal_join" -> (Similarity.crossmodalJoin _),
     // multimodal columns
     "q_media_meta" -> (Multimodal.mediaMeta _),
@@ -1725,6 +1726,14 @@ object SparkEntry {
         |       CAST(sum(nx) AS BIGINT) AS n_exact, CAST(sum(nh) AS BIGINT) AS n_hit,
         |       round(CAST(sum(nh) AS DOUBLE) / sum(nx), 6) AS recall
         |FROM hits""".stripMargin),
+    "q_ivf_cell_stats" ->
+      (s"WITH $ivfIndexCte,\n" +
+      """sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS sz FROM cells GROUP BY cell)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(sz) AS BIGINT) AS n_vecs,
+        |       CAST(min(sz) AS BIGINT) AS min_cell, CAST(max(sz) AS BIGINT) AS max_cell,
+        |       round(CAST(sum(sz) AS DOUBLE) / count(*), 6) AS avg_cell,
+        |       round(CAST(max(sz) * count(*) AS DOUBLE) / sum(sz), 6) AS imbalance
+        |FROM sz""".stripMargin),
     "q_similarity_ivf" ->
       (s"WITH $ivfIndexCte,\n" +
       """probed AS (SELECT centroid_id AS cell FROM asn WHERE vec_id = 0

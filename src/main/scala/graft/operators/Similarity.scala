@@ -280,6 +280,29 @@ object Similarity {
         round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
   }
 
+  /** q_ivf_cell_stats — the index-HEALTH view an ANN deployment
+    * monitors next to [[annRecall]]'s quality panel: cell-size
+    * distribution of the trained index (cell count, vectors, min/max/
+    * mean cell size, imbalance = max/mean). A skewed cell means probe
+    * latency skew and a retrain trigger — this is the dashboard row
+    * that says so. One output row at any corpus size; cost = the
+    * training chain plus one cell-keyed count, linear with nlist
+    * fixed. Fully oracled through the shared training CTE; the two
+    * ratios are single divisions of exact integers, deterministic on
+    * the 1e-6 grid. */
+  def ivfCellStats(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val centroids = broadcast(trainedCentroids(e, ivfStride(e.count())))
+    assignCells(e, centroids)
+      .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("sz")).as("n_vecs"),
+        min(col("sz")).as("min_cell"), max(col("sz")).as("max_cell"))
+      .select(col("n_cells"), col("n_vecs"), col("min_cell"), col("max_cell"),
+        round(col("n_vecs").cast("double") / col("n_cells"), 6).as("avg_cell"),
+        round((col("max_cell") * col("n_cells")).cast("double") / col("n_vecs"), 6)
+          .as("imbalance"))
+  }
+
   /** Neighbors kept per vector in [[knnJoin]]. */
   private val KnnK = 3
 

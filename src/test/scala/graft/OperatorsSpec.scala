@@ -424,6 +424,10 @@ class OperatorsSpec extends SparkSpec {
     assert(ledger.length <= Similarity.IvfNlist + 1, ledger.length)
     assert(ledger.forall(_.getLong(0) % 100L == 0L))
     assert(ledger.map(_.getLong(1)).sum == 6400L) // every vector lands in a cell
+    val st = Similarity.ivfCellStats(spark, dir).collect().head
+    assert(st.getLong(0) == ledger.length.toLong) // same index → same cells
+    assert(st.getLong(1) == 6400L)
+    assert(st.getLong(2) <= st.getLong(3) && st.getDouble(5) >= 1.0)
   }
 
   test("semDedup: redundancy is cell-scoped — a cross-cell near-dup pair survives") {
