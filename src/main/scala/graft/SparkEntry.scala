@@ -176,6 +176,7 @@ object SparkEntry {
     "q_similarity_ivf" -> (Similarity.ivf _),
     "q_knn_join" -> (Similarity.knnJoin _),
     "q_ann_recall" -> (Similarity.annRecall _),
+    "q_sq_recall" -> (Similarity.sqRecall _),
     "q_ivf_cell_stats" -> (Similarity.ivfCellStats _),
     "q_crossmodal_join" -> (Similarity.crossmodalJoin _),
     // multimodal columns
@@ -1726,6 +1727,38 @@ object SparkEntry {
         |       CAST(sum(nx) AS BIGINT) AS n_exact, CAST(sum(nh) AS BIGINT) AS n_hit,
         |       round(CAST(sum(nh) AS DOUBLE) / sum(nx), 6) AS recall
         |FROM hits""".stripMargin),
+    "q_sq_recall" ->
+      """WITH t AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+        |             greatest(list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]), 1e-30) AS max_abs
+        |           FROM embeddings),
+        |e AS (SELECT vec_id, v,
+        |        [least(greatest(round(x * (CAST(127 AS DOUBLE) / max_abs)),
+        |                        CAST(-127 AS DOUBLE)), CAST(127 AS DOUBLE)) FOR x IN v] AS code
+        |      FROM t),
+        |panel AS (SELECT vec_id AS qid, v AS qv, code AS qc FROM e
+        |          WHERE vec_id % (SELECT greatest(50, count(*) // 20) FROM e) = 17),
+        |exact AS (SELECT qid, vec_id FROM (
+        |            SELECT p.qid, e.vec_id,
+        |                   row_number() OVER (PARTITION BY p.qid
+        |                     ORDER BY round(list_dot_product(v, qv)
+        |                       / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
+        |                       e.vec_id ASC) AS rn
+        |            FROM e, panel p WHERE e.vec_id <> p.qid) WHERE rn <= 10),
+        |approx AS (SELECT qid, vec_id FROM (
+        |             SELECT p.qid, e.vec_id,
+        |                    row_number() OVER (PARTITION BY p.qid
+        |                      ORDER BY list_dot_product(code, qc)
+        |                        / (sqrt(list_dot_product(code, code)) * sqrt(list_dot_product(qc, qc))) DESC,
+        |                        e.vec_id ASC) AS rn
+        |             FROM e, panel p WHERE e.vec_id <> p.qid) WHERE rn <= 10),
+        |hits AS (SELECT x.qid, CAST(count(*) AS BIGINT) AS nx,
+        |                CAST(count(a.vec_id) AS BIGINT) AS nh
+        |         FROM exact x LEFT JOIN approx a ON a.qid = x.qid AND a.vec_id = x.vec_id
+        |         GROUP BY x.qid)
+        |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(sum(nx) AS BIGINT) AS n_exact, CAST(sum(nh) AS BIGINT) AS n_hit,
+        |       round(CAST(sum(nh) AS DOUBLE) / sum(nx), 6) AS recall
+        |FROM hits""".stripMargin,
     "q_ivf_cell_stats" ->
       (s"WITH $ivfIndexCte,\n" +
       """sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS sz FROM cells GROUP BY cell)

@@ -303,6 +303,64 @@ object Similarity {
           .as("imbalance"))
   }
 
+  /** q_sq_recall — retrieval in the COMPRESSED domain: recall@10 of
+    * int8 scalar-quantized cosine ranking against the exact float
+    * ranking, over the same seed-disjoint panel as [[annRecall]].
+    * q_vec_quantize measures per-vector reconstruction error; this is
+    * the question that actually decides whether the 4× storage cut is
+    * usable at 100 TB — does ranking by quantized scores return the
+    * same neighbors? Codes are the q_vec_quantize scheme (symmetric
+    * per-vector scale 127/max|x|, round-half-up, clamped), held as
+    * integer-valued doubles: every code product is ≤ 127², the
+    * 64-term dot sum stays ≪ 2⁵³, so quantized dot/norms are EXACT
+    * integers in any summation order and the score replays
+    * bit-identically in the oracle — the quantized side needs no
+    * rounding grid at all (the exact side keeps round-6 as usual).
+    * Scoring runs through the same codegen'd [[dot]] loop as the float
+    * path (the expression is element-type-generic). Shuffle shape is
+    * [[annRecall]]'s: panel·n scored rows into per-qid top-k windows;
+    * on a real corpus you point it at a sampled slice. One row out:
+    * k, panel size, exact/hit counts, recall. */
+  def sqRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val n = e.count()
+    val coded = e
+      .withColumn("max_abs",
+        expr("greatest(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30)"))
+      .withColumn("code",
+        expr("""transform(embedding, x ->
+                  least(greatest(round(CAST(x AS DOUBLE) * (CAST(127 AS DOUBLE) / max_abs), 0),
+                                 CAST(-127 AS DOUBLE)), CAST(127 AS DOUBLE)))"""))
+      .select(col("vec_id"), col("embedding"), col("code"))
+    val panel = broadcast(
+      coded.filter(col("vec_id") % panelStride(n) === PanelOffset)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("code").as("qcode")))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = coded.crossJoin(panel)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qvec")).as("cos"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val approx = coded.crossJoin(panel)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("code"), col("qcode")) /
+          (sqrt(norm2(col("code"))) * sqrt(norm2(col("qcode"))))).as("cos"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("nx"), count(col("hit")).as("nh"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("nx")).as("n_exact"), sum(col("nh")).as("n_hit"))
+      .select(lit(10).as("k"), col("n_queries"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+  }
+
   /** Neighbors kept per vector in [[knnJoin]]. */
   private val KnnK = 3
 

@@ -355,6 +355,87 @@ class OperatorsSpec extends SparkSpec {
     assert(got == ((10, 1L, 10L, 10L, 1.0)))
   }
 
+  /** Model twin of Similarity.sqRecall: q_vec_quantize int8 codes
+    * (HALF_UP round, clamp ±127), UNROUNDED quantized cosine (exact
+    * integers → deterministic) vs the round-6 exact side. */
+  private def sqModel(vecs: Seq[(Long, Seq[Float])]): (Int, Long, Long, Long, Double) = {
+    val stride = math.max(50L, vecs.size.toLong / 20L)
+    def codes(v: Seq[Float]): Seq[Double] = {
+      val maxAbs = math.max(v.map(x => math.abs(x.toDouble)).max, 1e-30)
+      v.map { x =>
+        val r = BigDecimal(x.toDouble * (127.0 / maxAbs))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+        math.min(math.max(r, -127.0), 127.0)
+      }
+    }
+    def cosRaw(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val panel = vecs.filter(_._1 % stride == 17L)
+    var nx = 0L; var nh = 0L
+    panel.foreach { case (qid, qv) =>
+      val exact = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos6d(lift(v), lift(qv))) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      val qc = codes(qv)
+      val approx = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosRaw(codes(v), qc)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      nx += exact.size; nh += exact.intersect(approx).size
+    }
+    (10, panel.size.toLong, nx, nh,
+      BigDecimal(nh.toDouble / nx).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  private def runSqRecall(vecs: Seq[(Long, Seq[Float])]): (Int, Long, Long, Long, Double) = {
+    val dir = fixtureDir("embeddings" ->
+      vecs.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label"))
+    val r = operators.Similarity.sqRecall(spark, dir).collect().head
+    (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+  }
+
+  test("sqRecall: matches the quantized-ranking model on a random panel") {
+    val rnd = new scala.util.Random(11)
+    val vecs: Seq[(Long, Seq[Float])] =
+      (0L until 120L).map(i => i -> Seq.fill(16)(rnd.nextFloat() * 2f - 1f))
+    val want = sqModel(vecs)
+    assert(runSqRecall(vecs) == want)
+    assert(want._2 == 3L && want._4 > 0L && want._4 <= want._3)
+  }
+
+  test("sqRecall: an outlier component starves the int8 grid — the eval reports the loss") {
+    // one ×100 component per vector forces scale = 127/outlier, so the
+    // informative components quantize to a couple of levels (most to 0):
+    // the quantized ranking must diverge from exact and recall drop < 1
+    val rnd = new scala.util.Random(23)
+    val vecs: Seq[(Long, Seq[Float])] =
+      (0L until 120L).map { i =>
+        val v = Seq.fill(15)(rnd.nextFloat() * 2f - 1f)
+        i -> (v :+ (100f + (i % 7).toFloat))
+      }
+    val want = sqModel(vecs)
+    assert(runSqRecall(vecs) == want)
+    assert(want._4 < want._3, s"expected quantization loss, got $want")
+  }
+
+  test("sqRecall: vectors on the exact int8 grid quantize losslessly — recall 1.0") {
+    // components k/64 (exact floats) with max |k| = 127 → scale is
+    // exactly 64 and code = k: the quantized cosine equals the float
+    // cosine bit-for-bit (4096 = 2^12 cancels through the sqrt), so
+    // the two rankings coincide and recall must be exactly 1
+    val rnd = new scala.util.Random(5)
+    val vecs: Seq[(Long, Seq[Float])] =
+      (0L until 60L).map { i =>
+        val ks = Seq.fill(7)(rnd.nextInt(255) - 127)
+        i -> (ks :+ (if (i % 2 == 0) 127 else -127)).map(k => k / 64f)
+      }
+    val want = sqModel(vecs)
+    assert(runSqRecall(vecs) == want)
+    assert(want == ((10, 1L, 10L, 10L, 1.0)))
+  }
+
   test("Lloyd's rounds do not decrease the spherical k-means objective") {
     // recentring on the (unnormalized) mean IS spherical k-means — the
     // mean and the normalized mean point the same way, and cosine is
