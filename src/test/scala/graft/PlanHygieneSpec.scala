@@ -181,6 +181,17 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p)
   }
 
+  test("q_sq_recall: both rankings score corpus × broadcast(panel); top-k prunes pre-shuffle") {
+    val p = plan("q_sq_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    // exact and quantized passes each join the corpus against the
+    // bounded broadcast panel — exactly two nested loops, both BuildRight
+    assert("BroadcastNestedLoopJoin BuildRight".r.findAllIn(p).size == 2, p)
+    // rank<=10 pushes into WindowGroupLimit: each task forwards its own
+    // top-k, so the per-qid shuffle carries panel·k·tasks rows, not panel·n
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("IVF family: nlist is size-independent — stride pins the broadcast side") {
     // the 100 TB contract: assignment is O(n·nlist) under an O(nlist)
     // broadcast, so nlist = ⌈n/stride⌉ must NOT grow with the corpus
