@@ -177,6 +177,8 @@ object SparkEntry {
     "q_knn_join" -> (Similarity.knnJoin _),
     "q_ann_recall" -> (Similarity.annRecall _),
     "q_sq_recall" -> (Similarity.sqRecall _),
+    "q_lsh_recall" -> (Similarity.lshRecall _),
+    "q_ivfsq_recall" -> (Similarity.ivfSqRecall _),
     "q_ivf_cell_stats" -> (Similarity.ivfCellStats _),
     "q_crossmodal_join" -> (Similarity.crossmodalJoin _),
     // multimodal columns
@@ -253,6 +255,30 @@ object SparkEntry {
     * currency (drift-proof across engines). */
   private def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  /** Shared recall-eval SQL pieces (q_ann_recall / q_sq_recall /
+    * q_lsh_recall / q_ivfsq_recall): the panel predicate — every
+    * panelStride-th vec_id at offset 17, with centroid-seed ids
+    * excluded EXPLICITLY (Similarity.panelFilter: the offset alone
+    * only guarantees seed-disjointness while both strides are
+    * multiples of 50) — and the hits→summary fold. One definition so
+    * the four recall oracles measure the identical panel and cannot
+    * drift from each other. Both assume a CTE `e(vec_id, …)` holding
+    * the full corpus and CTEs `exact(qid, vec_id)` /
+    * `approx(qid, vec_id)` holding the two top-10 sets. */
+  private val panelWhereSql =
+    """vec_id % (SELECT greatest(50, count(*) // 20) FROM e) = 17
+      |            AND vec_id % (SELECT greatest(50, count(*) // 64) FROM e) <> 0""".stripMargin
+
+  private val recallTailSql =
+    """hits AS (SELECT x.qid, CAST(count(*) AS BIGINT) AS nx,
+      |                CAST(count(a.vec_id) AS BIGINT) AS nh
+      |         FROM exact x LEFT JOIN approx a ON a.qid = x.qid AND a.vec_id = x.vec_id
+      |         GROUP BY x.qid)
+      |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(sum(nx) AS BIGINT) AS n_exact, CAST(sum(nh) AS BIGINT) AS n_hit,
+      |       round(CAST(sum(nh) AS DOUBLE) / sum(nx), 6) AS recall
+      |FROM hits""".stripMargin
 
   /** Shared IVF-index CTE chain (q_similarity_ivf / q_ann_recall /
     * q_semdedup — ONE definition so the three oracles cannot drift from
@@ -1693,9 +1719,10 @@ object SparkEntry {
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q_ann_recall" ->
       (s"WITH $ivfIndexCte,\n" +
-      """panel AS (SELECT vec_id AS qid, v AS qv FROM e
-        |          WHERE vec_id % (SELECT greatest(50, count(*) // 20) FROM e) = 17),
-        |exact AS (SELECT qid, vec_id FROM (
+      s"""panel AS (SELECT vec_id AS qid, v AS qv FROM e
+        |          WHERE $panelWhereSql),
+        |""".stripMargin +
+      """exact AS (SELECT qid, vec_id FROM (
         |            SELECT p.qid, e.vec_id,
         |                   row_number() OVER (PARTITION BY p.qid
         |                     ORDER BY round(list_dot_product(v, qv)
@@ -1719,25 +1746,20 @@ object SparkEntry {
         |                    JOIN probed pr ON cells.cell = pr.cell
         |                    JOIN panel p ON p.qid = pr.qid
         |             WHERE e.vec_id <> pr.qid) WHERE rn <= 10),
-        |hits AS (SELECT x.qid, CAST(count(*) AS BIGINT) AS nx,
-        |                CAST(count(a.vec_id) AS BIGINT) AS nh
-        |         FROM exact x LEFT JOIN approx a ON a.qid = x.qid AND a.vec_id = x.vec_id
-        |         GROUP BY x.qid)
-        |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_queries,
-        |       CAST(sum(nx) AS BIGINT) AS n_exact, CAST(sum(nh) AS BIGINT) AS n_hit,
-        |       round(CAST(sum(nh) AS DOUBLE) / sum(nx), 6) AS recall
-        |FROM hits""".stripMargin),
+        |""".stripMargin + recallTailSql),
     "q_sq_recall" ->
-      """WITH t AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+      ("""WITH t AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
         |             greatest(list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]), 1e-30) AS max_abs
         |           FROM embeddings),
         |e AS (SELECT vec_id, v,
         |        [least(greatest(round(x * (CAST(127 AS DOUBLE) / max_abs)),
         |                        CAST(-127 AS DOUBLE)), CAST(127 AS DOUBLE)) FOR x IN v] AS code
         |      FROM t),
-        |panel AS (SELECT vec_id AS qid, v AS qv, code AS qc FROM e
-        |          WHERE vec_id % (SELECT greatest(50, count(*) // 20) FROM e) = 17),
-        |exact AS (SELECT qid, vec_id FROM (
+        |""".stripMargin +
+      s"""panel AS (SELECT vec_id AS qid, v AS qv, code AS qc FROM e
+        |          WHERE $panelWhereSql),
+        |""".stripMargin +
+      """exact AS (SELECT qid, vec_id FROM (
         |            SELECT p.qid, e.vec_id,
         |                   row_number() OVER (PARTITION BY p.qid
         |                     ORDER BY round(list_dot_product(v, qv)
@@ -1751,14 +1773,72 @@ object SparkEntry {
         |                        / (sqrt(list_dot_product(code, code)) * sqrt(list_dot_product(qc, qc))) DESC,
         |                        e.vec_id ASC) AS rn
         |             FROM e, panel p WHERE e.vec_id <> p.qid) WHERE rn <= 10),
-        |hits AS (SELECT x.qid, CAST(count(*) AS BIGINT) AS nx,
-        |                CAST(count(a.vec_id) AS BIGINT) AS nh
-        |         FROM exact x LEFT JOIN approx a ON a.qid = x.qid AND a.vec_id = x.vec_id
-        |         GROUP BY x.qid)
-        |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_queries,
-        |       CAST(sum(nx) AS BIGINT) AS n_exact, CAST(sum(nh) AS BIGINT) AS n_hit,
-        |       round(CAST(sum(nh) AS DOUBLE) / sum(nx), 6) AS recall
-        |FROM hits""".stripMargin,
+        |""".stripMargin + recallTailSql),
+    "q_lsh_recall" ->
+      ("""WITH planes AS (
+        |  SELECT j, [((i * 31 + j * 17) % 101) / 50.5 - 1.0 FOR i IN range(0, 64)] AS p
+        |  FROM range(0, 4) r(j)),
+        |e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |b AS (SELECT vec_id, v,
+        |             CAST(sum(CASE WHEN list_dot_product(v, p) >= 0.0
+        |                           THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+        |      FROM e, planes GROUP BY vec_id, v),
+        |""".stripMargin +
+      s"""panel AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM b
+        |          WHERE $panelWhereSql),
+        |""".stripMargin +
+      """exact AS (SELECT qid, vec_id FROM (
+        |            SELECT p.qid, e.vec_id,
+        |                   row_number() OVER (PARTITION BY p.qid
+        |                     ORDER BY round(list_dot_product(v, qv)
+        |                       / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
+        |                       e.vec_id ASC) AS rn
+        |            FROM e, panel p WHERE e.vec_id <> p.qid) WHERE rn <= 10),
+        |approx AS (SELECT qid, vec_id FROM (
+        |             SELECT p.qid, b.vec_id,
+        |                    row_number() OVER (PARTITION BY p.qid
+        |                      ORDER BY round(list_dot_product(v, qv)
+        |                        / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
+        |                        b.vec_id ASC) AS rn
+        |             FROM b JOIN panel p ON b.bucket = p.qb
+        |             WHERE b.vec_id <> p.qid) WHERE rn <= 10),
+        |""".stripMargin + recallTailSql),
+    "q_ivfsq_recall" ->
+      (s"WITH $ivfIndexCte,\n" +
+      """t AS (SELECT vec_id, v, greatest(list_max([abs(x) FOR x IN v]), 1e-30) AS max_abs FROM e),
+        |c AS (SELECT vec_id, v,
+        |        [least(greatest(round(x * (CAST(127 AS DOUBLE) / max_abs)),
+        |                        CAST(-127 AS DOUBLE)), CAST(127 AS DOUBLE)) FOR x IN v] AS code
+        |      FROM t),
+        |""".stripMargin +
+      s"""panel AS (SELECT vec_id AS qid, v AS qv, code AS qc FROM c
+        |          WHERE $panelWhereSql),
+        |""".stripMargin +
+      """exact AS (SELECT qid, vec_id FROM (
+        |            SELECT p.qid, e.vec_id,
+        |                   row_number() OVER (PARTITION BY p.qid
+        |                     ORDER BY round(list_dot_product(v, qv)
+        |                       / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
+        |                       e.vec_id ASC) AS rn
+        |            FROM e, panel p WHERE e.vec_id <> p.qid) WHERE rn <= 10),
+        |probed AS (SELECT qid, cell FROM (
+        |             SELECT p.qid, centroid_id AS cell,
+        |                    row_number() OVER (PARTITION BY p.qid
+        |                      ORDER BY round(list_dot_product(qv, cv)
+        |                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+        |                        centroid_id ASC) AS rn
+        |             FROM panel p, cen) WHERE rn <= 2),
+        |approx AS (SELECT qid, vec_id FROM (
+        |             SELECT pr.qid, c.vec_id,
+        |                    row_number() OVER (PARTITION BY pr.qid
+        |                      ORDER BY list_dot_product(code, qc)
+        |                        / (sqrt(list_dot_product(code, code)) * sqrt(list_dot_product(qc, qc))) DESC,
+        |                        c.vec_id ASC) AS rn
+        |             FROM c JOIN cells ON c.vec_id = cells.vec_id
+        |                    JOIN probed pr ON cells.cell = pr.cell
+        |                    JOIN panel p ON p.qid = pr.qid
+        |             WHERE c.vec_id <> pr.qid) WHERE rn <= 10),
+        |""".stripMargin + recallTailSql),
     "q_ivf_cell_stats" ->
       (s"WITH $ivfIndexCte,\n" +
       """sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS sz FROM cells GROUP BY cell)

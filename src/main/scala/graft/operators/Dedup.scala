@@ -476,30 +476,28 @@ object Dedup {
   private val SemTau = 0.35
 
   /** q_semdedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
-    * cluster-scoped semantic dedup. Vectors are k-means-style assigned
-    * to cells (deterministic stride centroids, the [[Similarity.ivf]]
-    * index shape — a real build would train them; the pruning
-    * structure is the point), and a vector is REDUNDANT when a
-    * lower-id cell-mate has cosine ≥ [[SemTau]]. Pairwise work is
-    * confined to cells — n²/k instead of n², and the cell id is the
-    * shuffle key, so at 100 TB each cell's comparison runs where its
-    * vectors already live; the corpus-wide all-pairs query
-    * ([[embeddingDedup]]) stays the exact baseline, this is the scale
-    * path. Centroids are [[Similarity.trainedCentroids]] — the stride
-    * seed refined by fixed-point Lloyd's rounds, a size-independent
+    * cluster-scoped semantic dedup. Vectors are k-means-assigned to
+    * cells using the TRAINED IVF index — stride-seeded centroids
+    * refined by fixed-point Lloyd's rounds with a size-independent
     * nlist, so training and assignment are O(n·nlist) under an
-    * O(nlist) broadcast. The assignment is localCheckpoint'ed: the
-    * `cells` relation feeds the member table, BOTH sides of the mate
-    * self-join, and the final ledger — without the checkpoint Catalyst
-    * re-plans (and re-executes) the full assignment subtree once per
-    * reference (a real deployment persists to durable storage).
+    * O(nlist) broadcast — and a vector is REDUNDANT when a lower-id
+    * cell-mate has cosine ≥ [[SemTau]]. Pairwise work is confined to
+    * cells — n²/k instead of n², and the cell id is the shuffle key,
+    * so at 100 TB each cell's comparison runs where its vectors
+    * already live; the corpus-wide all-pairs query
+    * ([[embeddingDedup]]) stays the exact baseline, this is the scale
+    * path. The index comes from the SHARED [[Similarity.ivfIndex]]
+    * build (localCheckpoint'ed centroids + assignment): the `cells`
+    * relation feeds the member table, BOTH sides of the mate
+    * self-join, and the final ledger without re-executing the
+    * assignment subtree per reference — and without retraining per
+    * query (a real deployment persists the index to durable storage
+    * and every consumer probes it).
     * Fully oracled: assignment argmax AND the in-cell gate replay in
     * DuckDB on the rounded grid. */
   def semDedup(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val centroids = broadcast(
-      Similarity.trainedCentroids(e, Similarity.ivfStride(e.count())))
-    val cells = Similarity.assignCells(e, centroids).localCheckpoint()
+    val (_, cells) = Similarity.ivfIndex(s, d)
     val m = e.join(cells, Seq("vec_id"))
     val mates = m.select(col("cell"), col("vec_id").as("nb_id"),
       col("embedding").as("nb_vec"))

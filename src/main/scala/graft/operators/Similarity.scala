@@ -97,6 +97,42 @@ object Similarity {
     * parquet-metadata read, no scan). */
   private[graft] def ivfStride(n: Long): Long = math.max(50L, n / IvfNlist)
 
+  /** Training-chain executions this JVM — the observable the
+    * one-training-chain-per-run plan guard asserts on. Incremented by
+    * [[trainedCentroids]]; [[ivfIndex]] is what keeps it at 1. */
+  private[graft] val trainRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Materialized IVF index, keyed by (session, data dir): the trained
+    * centroid set and the full cell assignment, each localCheckpoint'ed
+    * so every consumer reads the SAME executed relations. A 100 TB
+    * deployment builds its index once and serves probes against it for
+    * days — retraining per query would misstate both the cost model
+    * and the operational shape — so the four index consumers
+    * ([[ivf]], [[annRecall]], [[ivfCellStats]], [[Dedup.semDedup]])
+    * share this build. Training is deterministic (fixed-point Lloyd's),
+    * so cached and fresh results are bit-identical and the per-query
+    * DuckDB oracles (which replay the full chain each time) stay green.
+    * Keyed by session because a checkpoint dies with its session; keyed
+    * by dir because each corpus has its own index. */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** Test hook: drop materialized indexes so a spec can measure a cold
+    * build (the cache is append-only otherwise). */
+  private[graft] def clearIndexCache(): Unit = indexCache.clear()
+
+  /** The shared index build: (centroids, cells). One count() (parquet
+    * metadata), one training chain, one assignment pass — then every
+    * probe, eval, health check, and semantic-dedup pass reuses the two
+    * checkpointed relations. */
+  private[graft] def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    indexCache.computeIfAbsent((s, d), { _ =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cen = trainedCentroids(e, ivfStride(e.count()))
+      val cells = assignCells(e, broadcast(cen)).localCheckpoint()
+      (cen, cells)
+    })
+
   /** Argmax-cosine cell assignment over a broadcast centroid set —
     * (vec_id, cell). max of the (cos, id) struct is deterministic
     * including ties (higher centroid_id wins), matching the oracle's
@@ -129,6 +165,7 @@ object Similarity {
     * so its consumers (assignment + probe) never re-run the training
     * chain. */
   private[operators] def trainedCentroids(e: DataFrame, stride: Long): DataFrame = {
+    trainRuns.incrementAndGet()
     var cen = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("centroid_id"),
         col("embedding").cast("array<double>").as("cvec"))
@@ -159,19 +196,29 @@ object Similarity {
     * no shuffle until the tiny rerank. Oracle: the same index math
     * in DuckDB (argmax via a ranking window over the rounded cosine —
     * rounding to 1e-6 is what makes tie-breaks engine-independent; the
-    * trained centroids replay exactly via the scaled-long means). */
-  def ivf(s: SparkSession, d: String): DataFrame = {
+    * trained centroids replay exactly via the scaled-long means).
+    * The index (centroids + assignment) comes from the SHARED
+    * [[ivfIndex]] build — trained once per (session, corpus), probed
+    * by every consumer, the build-once/probe-many lifecycle a real
+    * index has. */
+  def ivf(s: SparkSession, d: String): DataFrame = ivfAt(s, d, nprobe = 2)
+
+  /** [[ivf]] with the probe width exposed — nprobe is THE operating
+    * knob of an IVF deployment (recall rises, probe cost grows as
+    * nprobe/nlist of the corpus); the declared query pins nprobe=2,
+    * tools/NprobeSweep measures the curve. */
+  private[graft] def ivfAt(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val centroids = broadcast(trainedCentroids(e, ivfStride(e.count())))
-    val cells = assignCells(e, centroids)
+    val (cen, cells) = ivfIndex(s, d)
+    val centroids = broadcast(cen)
     val corpus = e.join(cells, "vec_id")
     val q = e.filter(col("vec_id") === 0)
-    // probe: the query's 2 nearest cells
+    // probe: the query's nprobe nearest cells
     val probed = q.crossJoin(centroids)
       .select(col("centroid_id"),
         cosine(col("embedding"), col("cvec")).as("cos"))
       .orderBy(col("cos").desc, col("centroid_id").asc)
-      .limit(2)
+      .limit(nprobe)
       .select(col("centroid_id").as("cell"))
     corpus
       .join(broadcast(probed), "cell")
@@ -211,14 +258,48 @@ object Similarity {
     * [[ivfStride]]). */
   private[graft] def panelStride(n: Long): Long = math.max(50L, n / RecallPanel)
 
-  /** Panel offset — keeps the query sample DISJOINT from the centroid
-    * seeds (both strides are multiples of 50): a panel drawn from the
-    * seed ids probes its own cell at cosine 1 and reports inflated
-    * recall (measured: 0.96 self-biased vs 0.90 honest at sf0.01). The
-    * offset is what makes the eval able to show training working —
-    * trained 0.37 vs seed 0.32 on the offset panel, where the biased
-    * panel showed training "regressing". */
+  /** Panel offset — keeps the query sample off the centroid-seed grid:
+    * a panel drawn from the seed ids probes its own cell at cosine 1
+    * and reports inflated recall (measured: 0.96 self-biased vs 0.90
+    * honest at sf0.01). The offset alone only guarantees disjointness
+    * while both strides are multiples of 50 (the small-corpus regime);
+    * [[recallPanel]] therefore ALSO excludes seed ids explicitly, so
+    * the guarantee holds at every corpus size — e.g. n=4288 gives
+    * ivfStride 67, panelStride 214, and vec_id 1943 = 17+9·214 = 29·67
+    * would otherwise be both a seed and a panel query. */
   private[graft] val PanelOffset = 17L
+
+  /** The SHARED recall panel (qid, qvec): every `panelStride`-th
+    * vec_id at [[PanelOffset]], with centroid-seed ids excluded
+    * explicitly (see [[PanelOffset]]). Every retrieval eval
+    * ([[annRecall]], [[sqRecall]], [[lshRecall]], [[ivfSqRecall]])
+    * draws THIS panel, so their recall numbers are comparable — a user
+    * choosing an index variant reads four rows measured on the same
+    * queries. */
+  private[graft] def panelFilter(n: Long): Column =
+    col("vec_id") % panelStride(n) === PanelOffset &&
+      col("vec_id") % ivfStride(n) =!= 0
+
+  private def recallPanel(e: DataFrame, n: Long): DataFrame =
+    broadcast(
+      e.filter(panelFilter(n))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+
+  /** Folds per-query (exact top-k, approx top-k ∩ exact) into the one
+    * summary row every recall eval emits: k, panel size, exact/hit
+    * counts, recall = hits/exact. `exact` carries (qid, vec_id);
+    * `approx` carries (qid, vec_id, hit=1). With a constant k-deep
+    * exact side per query the micro- and macro-average coincide, and
+    * the single long/long division is exact on the 1e-6 grid in any
+    * engine. */
+  private def recallSummary(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("nx"), count(col("hit")).as("nh"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("nx")).as("n_exact"), sum(col("nh")).as("n_hit"))
+      .select(lit(10).as("k"), col("n_queries"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
 
   /** q_ann_recall — the index-quality eval every ANN deployment runs:
     * recall@10 of the IVF probe (the [[ivf]] index math) against the
@@ -239,15 +320,18 @@ object Similarity {
     * which is exactly what the stride construction expresses.
     * Fully oracled: both retrievals replay in DuckDB per panel query
     * on the rounded-cosine grid. */
-  def annRecall(s: SparkSession, d: String): DataFrame = {
+  def annRecall(s: SparkSession, d: String): DataFrame =
+    annRecallAt(s, d, nprobe = 2)
+
+  /** [[annRecall]] with the probe width exposed (tools/NprobeSweep
+    * measures recall vs nprobe on this). */
+  private[graft] def annRecallAt(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d)
     val n = e.count()
-    val centroids = broadcast(trainedCentroids(e, ivfStride(n)))
-    val cells = assignCells(e, centroids).localCheckpoint()
-    val panel = broadcast(
-      e.filter(col("vec_id") % panelStride(n) === PanelOffset)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+    val (cen, cells) = ivfIndex(s, d)
+    val centroids = broadcast(cen)
+    val panel = recallPanel(e, n)
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     val exact = e.crossJoin(panel)
@@ -261,7 +345,7 @@ object Similarity {
     val probed = panel.crossJoin(centroids)
       .select(col("qid"), col("centroid_id"),
         cosine(col("qvec"), col("cvec")).as("cos"))
-      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 2)
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= nprobe)
       .select(col("qid"), col("centroid_id").as("cell"))
     val approx = e.join(cells, "vec_id")
       .join(broadcast(probed), "cell")
@@ -271,13 +355,7 @@ object Similarity {
         cosine(col("embedding"), col("qvec")).as("cos"))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
       .select(col("qid"), col("vec_id"), lit(1).as("hit"))
-    exact.join(approx, Seq("qid", "vec_id"), "left")
-      .groupBy(col("qid"))
-      .agg(count(lit(1)).as("nx"), count(col("hit")).as("nh"))
-      .agg(count(lit(1)).as("n_queries"),
-        sum(col("nx")).as("n_exact"), sum(col("nh")).as("n_hit"))
-      .select(lit(10).as("k"), col("n_queries"), col("n_exact"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+    recallSummary(exact, approx)
   }
 
   /** q_ivf_cell_stats — the index-HEALTH view an ANN deployment
@@ -285,15 +363,15 @@ object Similarity {
     * distribution of the trained index (cell count, vectors, min/max/
     * mean cell size, imbalance = max/mean). A skewed cell means probe
     * latency skew and a retrain trigger — this is the dashboard row
-    * that says so. One output row at any corpus size; cost = the
-    * training chain plus one cell-keyed count, linear with nlist
-    * fixed. Fully oracled through the shared training CTE; the two
+    * that says so. One output row at any corpus size; cost = one
+    * cell-keyed count over the SHARED [[ivfIndex]] assignment (the
+    * training chain runs once per session, not per dashboard refresh).
+    * Fully oracled through the shared training CTE; the two
     * ratios are single divisions of exact integers, deterministic on
     * the 1e-6 grid. */
   def ivfCellStats(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val centroids = broadcast(trainedCentroids(e, ivfStride(e.count())))
-    assignCells(e, centroids)
+    val (_, cells) = ivfIndex(s, d)
+    cells
       .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
       .agg(count(lit(1)).as("n_cells"), sum(col("sz")).as("n_vecs"),
         min(col("sz")).as("min_cell"), max(col("sz")).as("max_cell"))
@@ -325,16 +403,9 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d)
     val n = e.count()
-    val coded = e
-      .withColumn("max_abs",
-        expr("greatest(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30)"))
-      .withColumn("code",
-        expr("""transform(embedding, x ->
-                  least(greatest(round(CAST(x AS DOUBLE) * (CAST(127 AS DOUBLE) / max_abs), 0),
-                                 CAST(-127 AS DOUBLE)), CAST(127 AS DOUBLE)))"""))
-      .select(col("vec_id"), col("embedding"), col("code"))
+    val coded = sqCoded(e)
     val panel = broadcast(
-      coded.filter(col("vec_id") % panelStride(n) === PanelOffset)
+      coded.filter(panelFilter(n))
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
           col("code").as("qcode")))
     val wq = Window.partitionBy(col("qid"))
@@ -347,18 +418,117 @@ object Similarity {
       .select(col("qid"), col("vec_id"))
     val approx = coded.crossJoin(panel)
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        (dot(col("code"), col("qcode")) /
-          (sqrt(norm2(col("code"))) * sqrt(norm2(col("qcode"))))).as("cos"))
+      .select(col("qid"), col("vec_id"), sqCos.as("cos"))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
       .select(col("qid"), col("vec_id"), lit(1).as("hit"))
-    exact.join(approx, Seq("qid", "vec_id"), "left")
-      .groupBy(col("qid"))
-      .agg(count(lit(1)).as("nx"), count(col("hit")).as("nh"))
-      .agg(count(lit(1)).as("n_queries"),
-        sum(col("nx")).as("n_exact"), sum(col("nh")).as("n_hit"))
-      .select(lit(10).as("k"), col("n_queries"), col("n_exact"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+    recallSummary(exact, approx)
+  }
+
+  /** The q_vec_quantize int8 coding (symmetric per-vector scale
+    * 127/max|x|, round-half-up, clamped), held as integer-valued
+    * doubles — every code product ≤ 127², the 64-term dot ≪ 2⁵³, so
+    * quantized scores are EXACT integers in any summation order
+    * (see [[sqRecall]]). Shared by the SQ and IVF-SQ evals. */
+  private def sqCoded(e: DataFrame): DataFrame = e
+    .withColumn("max_abs",
+      expr("greatest(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30)"))
+    .withColumn("code",
+      expr("""transform(embedding, x ->
+                least(greatest(round(CAST(x AS DOUBLE) * (CAST(127 AS DOUBLE) / max_abs), 0),
+                               CAST(-127 AS DOUBLE)), CAST(127 AS DOUBLE)))"""))
+    .select(col("vec_id"), col("embedding"), col("code"))
+
+  /** Quantized cosine between `code` and `qcode` — exact rationals of
+    * exact integers; needs no rounding grid to replay cross-engine. */
+  private def sqCos: Column =
+    dot(col("code"), col("qcode")) /
+      (sqrt(norm2(col("code"))) * sqrt(norm2(col("qcode"))))
+
+  /** q_lsh_recall — recall@10 of the sign-LSH probe ([[lsh]]'s 4
+    * rational hyperplanes → 16 buckets, candidates = the query's
+    * bucket) against the brute-force top-10, on the SHARED seed-disjoint
+    * panel — the third index's missing scorecard: IVF has
+    * [[annRecall]], SQ ranking has [[sqRecall]], and a user choosing
+    * between the three needs all of them measured on the same queries.
+    * A bucket holding fewer than 10 candidates simply caps the hit
+    * count — that lost recall IS the measurement (probing one bucket
+    * reads ~1/2^planes of the corpus; [[lsh]] documents multi-probe as
+    * the knob). Shuffle shape is [[annRecall]]'s: panel·n scored rows
+    * into per-qid top-k windows, bucket-join pruned on the approx side.
+    * Fully oracled — the rational planes replay in DuckDB. */
+  def lshRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = 64
+    val e0 = Tables.embeddings(s, d)
+    val n = e0.count()
+    val e = e0.withColumn("bucket", lshBucket(col("embedding"), 4, dims))
+    val panel = broadcast(
+      e.filter(panelFilter(n))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("bucket").as("qbucket")))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = e0.crossJoin(panel)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qvec")).as("cos"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val approx = e.join(panel, col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qvec")).as("cos"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    recallSummary(exact, approx)
+  }
+
+  /** q_ivfsq_recall — the COMPOSED compressed-domain deployment: probe
+    * the trained IVF cells (nprobe=2, the [[ivf]] scheme), rank the
+    * candidates by int8 quantized cosine (the [[sqRecall]] coding),
+    * recall@10 vs the exact float ranking on the shared panel. This is
+    * the standard big-corpus ANN stack — cells bound what you read
+    * (nprobe/nlist of the corpus), codes bound what you store (4× cut)
+    * — and this eval is the one number that says what the combination
+    * costs in quality vs its two halves' separate evals. Index from
+    * the shared [[ivfIndex]] build; probe selection scores float
+    * query-vs-centroid (centroids stay float in an IVF-SQ index — only
+    * corpus vectors are coded); candidate scores are exact integers
+    * (no rounding grid), tie-broken by vec_id. Fully oracled. */
+  def ivfSqRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val n = e.count()
+    val (cen, cells) = ivfIndex(s, d)
+    val centroids = broadcast(cen)
+    val coded = sqCoded(e)
+    val panel = broadcast(
+      coded.filter(panelFilter(n))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("code").as("qcode")))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = e.crossJoin(panel)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qvec")).as("cos"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    val probed = panel.crossJoin(centroids)
+      .select(col("qid"), col("centroid_id"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 2)
+      .select(col("qid"), col("centroid_id").as("cell"))
+    val approx = coded.join(cells, "vec_id")
+      .join(broadcast(probed), "cell")
+      .join(panel, "qid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), sqCos.as("cos"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    recallSummary(exact, approx)
   }
 
   /** Neighbors kept per vector in [[knnJoin]]. */

@@ -283,6 +283,16 @@ class OperatorsSpec extends SparkSpec {
     cents
   }
 
+  /** Model twin of Similarity.panelFilter: the offset sample with
+    * centroid-seed ids excluded explicitly. */
+  private def panelOf(vecs: Seq[(Long, Seq[Float])]): Seq[(Long, Seq[Float])] = {
+    val n = vecs.size.toLong
+    vecs.filter { case (id, _) =>
+      id % operators.Similarity.panelStride(n) == operators.Similarity.PanelOffset &&
+        id % operators.Similarity.ivfStride(n) != 0
+    }
+  }
+
   /** Model assignment over the trained set (tie → larger centroid id). */
   private def cellOf(vecs: Seq[(Long, Seq[Float])],
       cents: Seq[(Long, Seq[Double])]): Map[Long, Long] =
@@ -296,8 +306,7 @@ class OperatorsSpec extends SparkSpec {
   private def recallModel(vecs: Seq[(Long, Seq[Float])]): (Int, Long, Long, Long, Double) = {
     val cents = trainedCents(vecs)
     val cell = cellOf(vecs, cents)
-    val panel = vecs.filter(_._1 % operators.Similarity.panelStride(vecs.size.toLong)
-      == operators.Similarity.PanelOffset)
+    val panel = panelOf(vecs)
     var nx = 0L; var nh = 0L
     panel.foreach { case (qid, qv) =>
       val exact = vecs.filter(_._1 != qid)
@@ -359,7 +368,6 @@ class OperatorsSpec extends SparkSpec {
     * (HALF_UP round, clamp ±127), UNROUNDED quantized cosine (exact
     * integers → deterministic) vs the round-6 exact side. */
   private def sqModel(vecs: Seq[(Long, Seq[Float])]): (Int, Long, Long, Long, Double) = {
-    val stride = math.max(50L, vecs.size.toLong / 20L)
     def codes(v: Seq[Float]): Seq[Double] = {
       val maxAbs = math.max(v.map(x => math.abs(x.toDouble)).max, 1e-30)
       v.map { x =>
@@ -373,7 +381,7 @@ class OperatorsSpec extends SparkSpec {
         x.zip(y).map { case (p, q) => p * q }.sum
       dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
     }
-    val panel = vecs.filter(_._1 % stride == 17L)
+    val panel = panelOf(vecs)
     var nx = 0L; var nh = 0L
     panel.foreach { case (qid, qv) =>
       val exact = vecs.filter(_._1 != qid)
@@ -434,6 +442,152 @@ class OperatorsSpec extends SparkSpec {
     val want = sqModel(vecs)
     assert(runSqRecall(vecs) == want)
     assert(want == ((10, 1L, 10L, 10L, 1.0)))
+  }
+
+  /** Model twin of Similarity.lshRecall: rational sign-planes
+    * (re-derived here, not imported — ((i·31+j·17) mod 101)/50.5 − 1),
+    * truncated to the vector's dims exactly as vec_dot's min-length
+    * loop does; candidates = the query's bucket, ranked on the round-6
+    * grid. */
+  private def lshModel(vecs: Seq[(Long, Seq[Float])]): (Int, Long, Long, Long, Double) = {
+    val dims = vecs.head._2.length
+    def planeD(j: Int): Seq[Double] =
+      (0 until dims).map(i => ((i * 31 + j * 17) % 101) / 50.5 - 1.0)
+    def bucket(v: Seq[Float]): Long =
+      (0 until 4).map { j =>
+        val d = lift(v).zip(planeD(j)).map { case (a, b) => a * b }.sum
+        if (d >= 0.0) 1L << j else 0L
+      }.sum
+    val panel = panelOf(vecs)
+    var nx = 0L; var nh = 0L
+    panel.foreach { case (qid, qv) =>
+      val exact = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos6d(lift(v), lift(qv))) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      val qb = bucket(qv)
+      val approx = vecs
+        .filter { case (id, v) => id != qid && bucket(v) == qb }
+        .map { case (id, v) => (id, cos6d(lift(v), lift(qv))) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      nx += exact.size; nh += exact.intersect(approx).size
+    }
+    (10, panel.size.toLong, nx, nh,
+      BigDecimal(nh.toDouble / nx).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  private def runLshRecall(vecs: Seq[(Long, Seq[Float])]): (Int, Long, Long, Long, Double) = {
+    val dir = fixtureDir("embeddings" ->
+      vecs.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label"))
+    val r = operators.Similarity.lshRecall(spark, dir).collect().head
+    (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+  }
+
+  test("lshRecall: matches the sign-plane model; one bucket cannot hold every neighbor") {
+    val rnd = new scala.util.Random(31)
+    val vecs: Seq[(Long, Seq[Float])] =
+      (0L until 120L).map(i => i -> Seq.fill(16)(rnd.nextFloat() * 2f - 1f))
+    val want = lshModel(vecs)
+    assert(runLshRecall(vecs) == want)
+    // 16 buckets over near-random vectors: the probe reads ~1/16 of the
+    // corpus, so some true neighbors must be missing (the measurement)
+    assert(want._2 == 3L && want._4 < want._3)
+  }
+
+  test("lshRecall: identical vectors share every sign — recall on the clone panel is 1") {
+    // all vectors are the SAME direction (scaled): every bucket bit
+    // agrees, the panel query's bucket holds the whole corpus, and the
+    // in-bucket exact rerank degenerates to brute force
+    val vecs: Seq[(Long, Seq[Float])] =
+      (0L until 60L).map(i => i -> Seq(1f, 0.5f, -0.25f, 0.125f).map(_ * (1f + i)))
+    val want = lshModel(vecs)
+    assert(runLshRecall(vecs) == want)
+    assert(want == ((10, 1L, 10L, 10L, 1.0)))
+  }
+
+  /** Model twin of Similarity.ivfSqRecall: trained-cell probe (float
+    * query vs float centroids, top-2) + quantized candidate ranking. */
+  private def ivfSqModel(vecs: Seq[(Long, Seq[Float])]): (Int, Long, Long, Long, Double) = {
+    def codes(v: Seq[Float]): Seq[Double] = {
+      val maxAbs = math.max(v.map(x => math.abs(x.toDouble)).max, 1e-30)
+      v.map { x =>
+        val r = BigDecimal(x.toDouble * (127.0 / maxAbs))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+        math.min(math.max(r, -127.0), 127.0)
+      }
+    }
+    def cosRaw(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val cents = trainedCents(vecs)
+    val cell = cellOf(vecs, cents)
+    val panel = panelOf(vecs)
+    var nx = 0L; var nh = 0L
+    panel.foreach { case (qid, qv) =>
+      val exact = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos6d(lift(v), lift(qv))) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      val probed = cents.map { case (cid, cv) => (cid, cos6d(lift(qv), cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(2).map(_._1).toSet
+      val qc = codes(qv)
+      val approx = vecs
+        .filter { case (id, _) => id != qid && probed(cell(id)) }
+        .map { case (id, v) => (id, cosRaw(codes(v), qc)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      nx += exact.size; nh += exact.intersect(approx).size
+    }
+    (10, panel.size.toLong, nx, nh,
+      BigDecimal(nh.toDouble / nx).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  private def runIvfSqRecall(vecs: Seq[(Long, Seq[Float])]): (Int, Long, Long, Long, Double) = {
+    val dir = fixtureDir("embeddings" ->
+      vecs.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label"))
+    val r = operators.Similarity.ivfSqRecall(spark, dir).collect().head
+    (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+  }
+
+  test("ivfSqRecall: matches the composed cell-probe + quantized-ranking model") {
+    val rnd = new scala.util.Random(41)
+    val vecs: Seq[(Long, Seq[Float])] =
+      (0L until 120L).map(i => i -> Seq.fill(16)(rnd.nextFloat() * 2f - 1f))
+    val want = ivfSqModel(vecs)
+    assert(runIvfSqRecall(vecs) == want)
+    assert(want._2 == 3L && want._4 > 0L && want._4 <= want._3)
+  }
+
+  test("ivfSqRecall: composition never beats its IVF half on the same panel") {
+    // quantized ranking inside the probed cells can only reorder (and
+    // possibly drop) candidates the float IVF path already retrieved —
+    // per panel query approx(ivfsq) ⊆ cells(probed), so recall(ivf-sq)
+    // ≤ recall(ivf) would need per-query sets; at summary level the hit
+    // count is bounded by the IVF hit count when codes are lossless and
+    // can only fall otherwise. Grid-exact vectors make codes lossless →
+    // the two evals must coincide exactly.
+    val rnd = new scala.util.Random(43)
+    val vecs: Seq[(Long, Seq[Float])] =
+      (0L until 60L).map { i =>
+        val ks = Seq.fill(7)(rnd.nextInt(255) - 127)
+        i -> (ks :+ (if (i % 2 == 0) 127 else -127)).map(k => k / 64f)
+      }
+    val want = ivfSqModel(vecs)
+    assert(runIvfSqRecall(vecs) == want)
+    assert(want == recallModel(vecs))
+  }
+
+  test("recall panel is seed-disjoint at ANY corpus size (explicit exclusion)") {
+    // n=4288: ivfStride=67, panelStride=214 — vec_id 1943 = 17+9·214 =
+    // 29·67 sits on BOTH grids; the %50-regime offset argument cannot
+    // exclude it (round-5 advice), the explicit filter must.
+    val n = 4288L
+    val kept = spark.range(n).select(col("id").as("vec_id"))
+      .filter(operators.Similarity.panelFilter(n))
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept.nonEmpty)
+    assert(!kept.contains(1943L))
+    assert(kept.forall(id => id % 214 == 17 && id % 67 != 0))
+    assert((17L until n by 214).filter(_ % 67 == 0) == Seq(1943L))
   }
 
   test("Lloyd's rounds do not decrease the spherical k-means objective") {
