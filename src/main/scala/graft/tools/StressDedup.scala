@@ -24,13 +24,16 @@ import org.apache.spark.sql.functions._
   * is the operator's own doing.
   */
 object StressDedup {
-  /** EVERY batch query runs under the stress harness (round-5: the ×10
-    * ratio is the only super-linear-growth detector, and it caught the
-    * round-4 IVF flaw — coverage gaps are blind spots). Streaming s_*
-    * queries are excluded: their inputs are MemoryStream feeds sized by
-    * the test rig, not by sfDir, so a ×10 ratio would measure nothing. */
+  /** EVERY declared query runs under the stress harness (round-5: the
+    * ×10 ratio is the only super-linear-growth detector, and it caught
+    * the round-4 IVF flaw — coverage gaps are blind spots). That
+    * includes the streaming s_* family: their MemoryStream/file feeds
+    * collect the EVENTS table at sfDir, so they scale with the replica
+    * like every batch query — and their ratio is the one measurement of
+    * state-store commit cost vs corpus size (RocksDB put/get/commit per
+    * key as keys and rows grow ×K), the axis no batch query exercises. */
   private def fam: Seq[String] =
-    graft.SparkEntry.queries.keys.filter(_.startsWith("q_")).toSeq.sorted
+    graft.SparkEntry.queries.keys.toSeq.sorted
 
   /** Quadratic BY DESIGN — exact all-pairs baselines (the per-bucket
     * rerank shape; the banded/celled variants own the full-corpus
@@ -141,7 +144,10 @@ object StressDedup {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.min)
-      catch { case e: Throwable =>
+      // NonFatal only: an OOM/StackOverflow must ABORT the run — a JVM
+      // that just blew its heap times every later query through GC
+      // pressure, silently contaminating the remaining ratios (r5 advice)
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[stress] $name failed on $dir: ${e.getMessage}")
         None
       }
@@ -149,7 +155,35 @@ object StressDedup {
     // warmup both paths
     time("q_dedup_exact", base)
 
-    val rows = fam.map { q =>
+    // The shared IVF index (Similarity.ivfIndex) builds once per dir and
+    // every family query then probes it — which would BLIND the family's
+    // ×10 ratios to TRAINING scaling, the exact axis where round 4's
+    // super-linear flaw lived. So the build is measured as its own row,
+    // cold on every rep (cache cleared first), and the caches are left
+    // warm so the family rows measure probe scaling.
+    def timeBuild(dir: String): Option[Double] =
+      try Some((1 to 2).map { _ =>
+        graft.operators.Similarity.clearIndexCache()
+        val t0 = System.nanoTime()
+        graft.operators.Similarity.ivfIndex(spark, dir)
+        (System.nanoTime() - t0) / 1e9
+      }.min)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[stress] ivf_index_build failed on $dir: ${e.getMessage}")
+        None
+      }
+    val buildRow = {
+      val tb = timeBuild(base)
+      val ts = timeBuild(out)
+      // the last clearIndexCache dropped base's entry — re-warm it
+      try graft.operators.Similarity.ivfIndex(spark, base)
+      catch { case scala.util.control.NonFatal(_) => () }
+      val ratio = for (b <- tb; s <- ts) yield s / (b * k)
+      println(f"[stress] ${"ivf_index_build"}%-22s base=${tb.getOrElse(-1.0)}%6.2fs  x$k=${ts.getOrElse(-1.0)}%7.2fs  perRowRatio=${ratio.getOrElse(-1.0)}%5.2f")
+      ("ivf_index_build", tb, ts, ratio, false)
+    }
+
+    val rows = buildRow +: fam.map { q =>
       val tb = time(q, base)
       val ts = time(q, out)
       // per-row cost ratio: >1 = super-linear in corpus size
