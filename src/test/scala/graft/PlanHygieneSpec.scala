@@ -192,6 +192,26 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_lsh_recall: bucket probe is an equi-join on the signature; top-k prunes pre-shuffle") {
+    val p = plan("q_lsh_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    // approx candidates reach each panel query through the bucket =
+    // qbucket equi-join against the bounded broadcast panel — at scale
+    // the signature is the partition key, never an all-pairs scan
+    assert(p.contains("BroadcastHashJoin [bucket#") || p.contains("SortMergeJoin [bucket#"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q_ivfsq_recall: candidates ride the cell equi-join; quantized top-k prunes pre-shuffle") {
+    val p = plan("q_ivfsq_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    // compressed-domain rerank still reaches candidates through the
+    // probed-cell equi-join over the shared materialized assignment
+    assert(p.contains("SortMergeJoin [cell#") || p.contains("BroadcastHashJoin [cell#"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("IVF family: nlist is size-independent — stride pins the broadcast side") {
     // the 100 TB contract: assignment is O(n·nlist) under an O(nlist)
     // broadcast, so nlist = ⌈n/stride⌉ must NOT grow with the corpus
