@@ -24,16 +24,21 @@ object Bench {
     * present when the JVM started, or a large spread between reps of
     * the same query on identical code (rounds 4 and 5 each recorded a
     * ~5× polluted driver-side total that needed a judge re-run to
-    * diagnose; the artifact should carry its own verdict). Spread is
-    * only meaningful above a floor: sub-second queries jitter 3× from
-    * GC alone without meaning anything. */
+    * diagnose; the artifact should carry its own verdict). The spread
+    * gate needs BOTH a magnitude floor and a wide ratio: rep 1 carries
+    * per-query codegen/JIT warm-up, so on a verified-idle machine
+    * (loadavg 0.6) short queries legitimately spread 3×+ (a clean
+    * round-6 run had 1.79 s → 0.54 s) — while the contamination this
+    * flag exists for showed 10×+ on multi-second queries (48.7 s →
+    * 4.7 s). Requiring max ≥ 5 s and > 5× spread separates the two
+    * regimes with margin on each side. */
   private[graft] def suspectReason(load1Start: Option[Double],
       reps: Seq[(String, Seq[Double])]): Option[String] = {
     val fromLoad = load1Start.filter(_ >= 2.5)
       .map(l => f"loadavg_start $l%.2f")
     val fromSpread = reps.collectFirst {
-      case (name, ts) if ts.length >= 2 && ts.min >= 0.5 &&
-          ts.max / ts.min > 3.0 =>
+      case (name, ts) if ts.length >= 2 && ts.max >= 5.0 &&
+          ts.max / ts.min > 5.0 =>
         f"rep spread ${ts.max / ts.min}%.1fx on $name"
     }
     fromLoad.orElse(fromSpread)
