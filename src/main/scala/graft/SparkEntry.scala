@@ -180,6 +180,7 @@ object SparkEntry {
     "q_lsh_recall" -> (Similarity.lshRecall _),
     "q_ivfsq_recall" -> (Similarity.ivfSqRecall _),
     "q_ivf_cell_stats" -> (Similarity.ivfCellStats _),
+    "q_index_persist" -> (Similarity.indexPersist _),
     "q_crossmodal_join" -> (Similarity.crossmodalJoin _),
     // multimodal columns
     "q_media_meta" -> (Multimodal.mediaMeta _),
@@ -228,6 +229,8 @@ object SparkEntry {
     "s_file_source" -> (graft.streaming.MoreStreaming.sFileSource _),
     "s_quality_gate" -> (graft.streaming.MoreStreaming.sQualityGate _),
     "s_update_mode" -> (graft.streaming.MoreStreaming.sUpdateMode _),
+    "s_vector_ingest" -> (graft.streaming.StreamingIndex.sVectorIngest _),
+    "s_neardup_gate" -> (graft.streaming.StreamingIndex.sNeardupGate _),
   )
 
   /** DuckDB VALUES list kept in sync with TextAnalysis.lexicon. */
@@ -321,6 +324,38 @@ object SparkEntry {
               |           FROM asn) WHERE rn = 1)""".stripMargin
     sb.toString
   }
+
+  /** Shared md5-MinHash band CTE (q_dedup_minhash_md5 /
+    * s_neardup_gate — ONE definition so the batch sketch oracle and
+    * the streaming gate oracle cannot drift): 3-token shingles, two
+    * 60-bit md5 parses per shingle, the Kirsch–Mitzenmacher family
+    * h_j = h1 + j·(h2 >> 4), per-doc component minima, "m0:m1:m2:m3"
+    * band keys. Exposes `bands(doc_id, band, band_key)`. */
+  private val md5BandsCte: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT doc_id,
+      |              unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+      |                      FOR i IN range(1, len(ts) - 1)]) AS s
+      |       FROM toks),
+      |hh AS (
+      |  SELECT doc_id,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           [CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1
+      |            FOR c IN regexp_extract_all(substring(md5(s || '#a'), 1, 15), '.')]),
+      |           (acc, x) -> acc * 16 + x) AS h1,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           [CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1
+      |            FOR c IN regexp_extract_all(substring(md5(s || '#b'), 1, 15), '.')]),
+      |           (acc, x) -> acc * 16 + x) AS h2
+      |  FROM sh),
+      |mins AS (
+      |  SELECT doc_id, j, min(h1 + j * (h2 >> 4)) AS m
+      |  FROM hh, range(0, 16) r(j) GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, j // 4 AS band,
+      |         string_agg(CAST(m AS VARCHAR), ':' ORDER BY j) AS band_key
+      |  FROM mins GROUP BY 1, 2)
+      |""".stripMargin
 
   /** Shared oracle texts — streaming variants check the SAME SQL as
     * their batch twins (one place to fix a boundary semantic). */
@@ -1632,34 +1667,18 @@ object SparkEntry {
     // (xxhash64 / SimHash64) hashing; deterministic for the rows-only
     // check, pinned by specs, and the *_md5 portable variants below
     // carry full oracles for the same pipeline shapes.
-    "q_dedup_minhash_md5" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |sh AS (SELECT doc_id,
-        |              unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-        |                      FOR i IN range(1, len(ts) - 1)]) AS s
-        |       FROM toks),
-        |hh AS (
-        |  SELECT doc_id,
-        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |           [CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1
-        |            FOR c IN regexp_extract_all(substring(md5(s || '#a'), 1, 15), '.')]),
-        |           (acc, x) -> acc * 16 + x) AS h1,
-        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |           [CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1
-        |            FOR c IN regexp_extract_all(substring(md5(s || '#b'), 1, 15), '.')]),
-        |           (acc, x) -> acc * 16 + x) AS h2
-        |  FROM sh),
-        |mins AS (
-        |  SELECT doc_id, j, min(h1 + j * (h2 >> 4)) AS m
-        |  FROM hh, range(0, 16) r(j) GROUP BY 1, 2),
-        |bands AS (
-        |  SELECT doc_id, j // 4 AS band,
-        |         string_agg(CAST(m AS VARCHAR), ':' ORDER BY j) AS band_key
-        |  FROM mins GROUP BY 1, 2)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
+    "q_dedup_minhash_md5" -> (md5BandsCte +
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // the gate view is the SYMMETRIC expansion of the candidate pairs:
+    // for each arriving doc, every EXISTING doc it band-collides with
+    "s_neardup_gate" -> (md5BandsCte +
+      """SELECT a.doc_id AS doc_id, b.doc_id AS dup_id
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "q_dedup_simhash_md5" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         |h AS (SELECT doc_id,
@@ -1847,6 +1866,22 @@ object SparkEntry {
         |       round(CAST(sum(sz) AS DOUBLE) / count(*), 6) AS avg_cell,
         |       round(CAST(max(sz) * count(*) AS DOUBLE) / sum(sz), 6) AS imbalance
         |FROM sz""".stripMargin),
+    // the persisted-index round trip and the streaming ingest both
+    // verify against the SAME trained chain the in-memory index uses:
+    // a loaded index (or a streamed assignment) is correct iff it is
+    // value-identical to that chain
+    "q_index_persist" ->
+      (s"WITH $ivfIndexCte,\n" +
+      """a AS (SELECT CAST(count(DISTINCT cell) AS BIGINT) AS n_cells,
+        |              CAST(count(*) AS BIGINT) AS n_vecs,
+        |              CAST(bit_xor((vec_id % 1000003) * 1009 + (cell % 1009)) AS BIGINT) AS asn_checksum
+        |       FROM cells),
+        |c AS (SELECT CAST(sum(CAST(round(cv[i] * 1000000.0) AS BIGINT)) AS BIGINT) AS cen_checksum
+        |      FROM cen, range(1, 65) r(i))
+        |SELECT n_cells, n_vecs, asn_checksum, cen_checksum FROM a, c""".stripMargin),
+    "s_vector_ingest" ->
+      (s"WITH $ivfIndexCte\n" +
+      """SELECT vec_id, cell FROM cells ORDER BY vec_id""".stripMargin),
     "q_similarity_ivf" ->
       (s"WITH $ivfIndexCte,\n" +
       """probed AS (SELECT centroid_id AS cell FROM asn WHERE vec_id = 0

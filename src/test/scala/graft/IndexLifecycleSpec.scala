@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** The durable/streaming half of the index lifecycle (SURVEY.md §2.3
+  * q_index_persist / s_vector_ingest / s_neardup_gate): a persisted
+  * index must be value-identical to the trained one, a streamed
+  * assignment must be row-identical to the batch assignment, and the
+  * streaming admission gate must emit exactly the batch sketch's
+  * candidate pairs — boundary cases (identical docs, sub-shingle docs,
+  * self-pairs) pinned on a crafted fixture, where organic data would
+  * pass by luck. */
+class IndexLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q_index_persist: loaded index is value-identical to the trained one") {
+    val d = sf("sf0.001")
+    val (cen, cells) = Similarity.ivfIndex(spark, d)
+    val row = SparkEntry.queries("q_index_persist")(spark, d).collect()(0)
+    assert(row.getAs[Long]("n_vecs") == cells.count())
+    assert(row.getAs[Long]("n_cells") == cells.select("cell").distinct().count())
+    // the checksums recomputed from the IN-MEMORY index must match the
+    // loaded-relation row — any drift through the parquet round trip
+    // (a flipped bit in one double, one reassigned vector) breaks this
+    val asn = cells
+      .agg(expr("bit_xor((vec_id % 1000003) * 1009 + (cell % 1009))"))
+      .as[Long].collect()(0)
+    val cenSum = cen.select(explode(col("cvec")).as("x"))
+      .agg(sum(round(col("x") * 1e6).cast("long")))
+      .as[Long].collect()(0)
+    assert(row.getAs[Long]("asn_checksum") == asn)
+    assert(row.getAs[Long]("cen_checksum") == cenSum)
+    // and the stored centroid DOUBLES round-trip bit-exactly
+    val (lcen, _) = Similarity.loadIndex(spark, Similarity.indexStorePath(d))
+    def c(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("centroid_id").select("centroid_id", "cvec")
+      .as[(Long, Seq[Double])].collect().toSeq
+    assert(c(cen) == c(lcen))
+  }
+
+  test("s_vector_ingest: streamed assignment is row-identical to the batch assignment") {
+    val d = sf("sf0.001")
+    val streamed = SparkEntry.queries("s_vector_ingest")(spark, d)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSeq
+    val batch = Similarity.ivfIndex(spark, d)._2
+      .orderBy("vec_id").select("vec_id", "cell")
+      .as[(Long, Long)].collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("s_neardup_gate: emits exactly the symmetric expansion of the batch pairs") {
+    val d = sf("sf0.001")
+    val batch = SparkEntry.queries("q_dedup_minhash_md5")(spark, d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val expected = batch.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSeq.sorted
+    val gate = SparkEntry.queries("s_neardup_gate")(spark, d)
+      .select("doc_id", "dup_id").as[(Long, Long)].collect().toSeq
+    assert(gate == expected)
+  }
+
+  test("s_neardup_gate boundary: identical docs collide both ways, sub-shingle docs absent, no self-pairs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact twin of 1 — every band collides
+      (3L, "too short"),                      // < 3 tokens: no shingle, absent from sketch AND stream
+      (4L, "six entirely different words here"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = fixtureDir("documents" -> docs)
+    val gate = SparkEntry.queries("s_neardup_gate")(spark, dir)
+      .select("doc_id", "dup_id").as[(Long, Long)].collect().toSeq
+    assert(gate == Seq((1L, 2L), (2L, 1L)))
+  }
+}

@@ -228,12 +228,12 @@ class PlanHygieneSpec extends SparkSpec {
 
   test("IVF family: ONE training chain per (session, corpus) — the shared index") {
     // build-once/probe-many is the index lifecycle a 100 TB deployment
-    // has; five consumers retraining five times would misstate the cost
-    // model 5×. trainRuns counts trainedCentroids executions.
+    // has; seven consumers retraining seven times would misstate the
+    // cost model 7×. trainRuns counts trainedCentroids executions.
     operators.Similarity.clearIndexCache()
     val before = operators.Similarity.trainRuns.get()
     for (q <- Seq("q_similarity_ivf", "q_ann_recall", "q_ivf_cell_stats",
-        "q_ivfsq_recall", "q_semdedup"))
+        "q_ivfsq_recall", "q_semdedup", "q_index_persist", "s_vector_ingest"))
       SparkEntry.queries(q)(spark, sf("sf0.001"))
         .write.format("noop").mode("overwrite").save()
     assert(operators.Similarity.trainRuns.get() == before + 1)
