@@ -179,13 +179,33 @@ object Dedup {
         concat_ws(":", (b * 4 until (b + 1) * 4).map(j => col(s"m$j")): _*)): _*))
         .as(Seq("band", "band_key")))
 
+  /** Session cache for [[md5BandIndex]], keyed like
+    * Similarity.indexCache: an admission gate probes the SAME corpus
+    * sketch for its whole lifetime (build-once/probe-many — rebuilding
+    * the index per gate query re-hashes the corpus each time), and
+    * localCheckpoint ties the cached relation to its session. */
+  private val bandCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]
+
+  /** Test hook: drop cached band indexes (cold-build measurement). */
+  private[graft] def clearBandCache(): Unit = bandCache.clear()
+
+  /** Band-index builds this JVM — the observable for the
+    * one-build-per-corpus plan guard (the md5 sketch analog of
+    * Similarity.trainRuns). */
+  private[graft] val bandBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Corpus band index (doc_id, band, band_key) over the portable md5
     * signature — the STATIC side the streaming near-dup admission gate
-    * (s_neardup_gate) probes, localCheckpoint'ed so each admission
-    * micro-batch joins an already-executed sketch instead of re-hashing
-    * the corpus per batch. Same k and banding as [[minhashLshMd5]]. */
+    * (s_neardup_gate) probes, built ONCE per (session, corpus) and
+    * localCheckpoint'ed so each admission micro-batch (and each gate
+    * query) joins an already-executed sketch instead of re-hashing the
+    * corpus. Same k and banding as [[minhashLshMd5]]. */
   private[graft] def md5BandIndex(s: SparkSession, d: String, k: Int): DataFrame =
-    md5SigBands(md5MinhashSig(md5Shingles(s, d), k), k).localCheckpoint()
+    bandCache.computeIfAbsent((s, d, k), { _ =>
+      bandBuilds.incrementAndGet()
+      md5SigBands(md5MinhashSig(md5Shingles(s, d), k), k).localCheckpoint()
+    })
 
   /** Per-document band keys computed MAP-SIDE from a (doc_id, tk
     * token-array) relation — the per-event form of [[md5MinhashSig]]

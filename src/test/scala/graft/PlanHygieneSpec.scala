@@ -238,4 +238,16 @@ class PlanHygieneSpec extends SparkSpec {
         .write.format("noop").mode("overwrite").save()
     assert(operators.Similarity.trainRuns.get() == before + 1)
   }
+
+  test("near-dup gate: ONE band-index build per (session, corpus)") {
+    // the admission gate probes a pre-built corpus sketch; rebuilding it
+    // per gate query would re-hash the corpus every time (the md5 analog
+    // of the IVF retrain-per-query shape round 5 eliminated)
+    operators.Dedup.clearBandCache()
+    val before = operators.Dedup.bandBuilds.get()
+    for (_ <- 1 to 2)
+      SparkEntry.queries("s_neardup_gate")(spark, sf("sf0.001"))
+        .write.format("noop").mode("overwrite").save()
+    assert(operators.Dedup.bandBuilds.get() == before + 1)
+  }
 }
