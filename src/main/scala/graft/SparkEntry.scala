@@ -181,6 +181,7 @@ object SparkEntry {
     "q_ivfsq_recall" -> (Similarity.ivfSqRecall _),
     "q_ivf_cell_stats" -> (Similarity.ivfCellStats _),
     "q_index_persist" -> (Similarity.indexPersist _),
+    "q_index_refresh" -> (Similarity.indexRefresh _),
     "q_crossmodal_join" -> (Similarity.crossmodalJoin _),
     // multimodal columns
     "q_media_meta" -> (Multimodal.mediaMeta _),
@@ -293,13 +294,19 @@ object SparkEntry {
     * argmax assignment. Exposes: e(vec_id, v), cen(centroid_id, cv) —
     * the trained set — asn(vec_id, centroid_id, cos), cells(vec_id,
     * cell). dims is fixed at 64 (the embeddings table's width). */
-  private val ivfIndexCte: String = {
+  private val ivfIndexCte: String = ivfIndexCteOver("embeddings")
+
+  /** [[ivfIndexCte]] generalized over its source relation — the
+    * refresh oracle trains the SAME chain on the pre-arrival corpus
+    * subset (q_index_refresh), so the training replay has exactly one
+    * definition. */
+  private def ivfIndexCteOver(src: String): String = {
     val iters = graft.operators.Similarity.IvfIters
     val sb = new StringBuilder
-    sb ++= """e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
-             |cen0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e
-             |         WHERE vec_id % (SELECT greatest(50, count(*) // 64) FROM e) = 0),
-             |""".stripMargin
+    sb ++= s"""e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM $src),
+              |cen0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+              |         WHERE vec_id % (SELECT greatest(50, count(*) // 64) FROM e) = 0),
+              |""".stripMargin
     for (t <- 0 until iters) {
       sb ++= s"""asn$t AS (SELECT e.vec_id, centroid_id, ${cosSql("v", "cv")} AS cos FROM e, cen$t),
                 |cell$t AS (SELECT vec_id, centroid_id AS cell FROM (
@@ -1882,6 +1889,32 @@ object SparkEntry {
     "s_vector_ingest" ->
       (s"WITH $ivfIndexCte\n" +
       """SELECT vec_id, cell FROM cells ORDER BY vec_id""".stripMargin),
+    // refresh: the SAME training chain over the pre-arrival subset
+    // (frozen index), arrivals assigned by the same argmax window
+    "q_index_refresh" ->
+      (s"WITH ${ivfIndexCteOver("(SELECT * FROM embeddings WHERE vec_id % 5 <> 3) pre")},\n" +
+      s"""newv AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        |         FROM embeddings WHERE vec_id % 5 = 3),
+        |nasn AS (SELECT newv.vec_id, centroid_id, ${cosSql("v", "cv")} AS cos FROM newv, cen),
+        |ncells AS (SELECT vec_id, centroid_id AS cell FROM (
+        |            SELECT vec_id, centroid_id,
+        |                   row_number() OVER (PARTITION BY vec_id
+        |                                      ORDER BY cos DESC, centroid_id DESC) AS rn
+        |            FROM nasn) WHERE rn = 1),
+        |osz AS (SELECT cell, CAST(count(*) AS BIGINT) AS sz FROM cells GROUP BY cell),
+        |oa AS (SELECT CAST(sum(sz) AS BIGINT) AS n_old,
+        |              CAST(count(*) AS BIGINT) AS n_cells_old,
+        |              round(CAST(max(sz) * count(*) AS DOUBLE) / sum(sz), 6) AS imbalance_old
+        |       FROM osz),
+        |asz AS (SELECT cell, CAST(count(*) AS BIGINT) AS sz FROM (
+        |          SELECT cell FROM cells UNION ALL SELECT cell FROM ncells) GROUP BY cell),
+        |ab AS (SELECT CAST(sum(sz) AS BIGINT) AS n_all,
+        |              CAST(count(*) AS BIGINT) AS n_cells_refreshed,
+        |              round(CAST(max(sz) * count(*) AS DOUBLE) / sum(sz), 6) AS imbalance_refreshed
+        |       FROM asz)
+        |SELECT n_old, n_all - n_old AS n_new, n_cells_old, n_cells_refreshed,
+        |       imbalance_old, imbalance_refreshed
+        |FROM oa, ab""".stripMargin),
     "q_similarity_ivf" ->
       (s"WITH $ivfIndexCte,\n" +
       """probed AS (SELECT centroid_id AS cell FROM asn WHERE vec_id = 0

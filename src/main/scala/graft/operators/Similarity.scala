@@ -127,11 +127,17 @@ object Similarity {
     * checkpointed relations. */
   private[graft] def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
     indexCache.computeIfAbsent((s, d), { _ =>
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val cen = trainedCentroids(e, ivfStride(e.count()))
-      val cells = assignCells(e, broadcast(cen)).localCheckpoint()
-      (cen, cells)
+      buildIndex(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
     })
+
+  /** Train + assign over an arbitrary corpus relation — the one build
+    * path behind [[ivfIndex]] (full corpus) and [[indexRefresh]] (the
+    * pre-arrival subset). */
+  private def buildIndex(e: DataFrame): (DataFrame, DataFrame) = {
+    val cen = trainedCentroids(e, ivfStride(e.count()))
+    val cells = assignCells(e, broadcast(cen)).localCheckpoint()
+    (cen, cells)
+  }
 
   /** Durable index store for [[ivfIndex]]: two parquet relations
     * (centroids, cells) under a per-corpus directory. At 100 TB the
@@ -185,6 +191,42 @@ object Similarity {
     val c = lcen.select(explode(col("cvec")).as("x"))
       .agg(sum(round(col("x") * 1e6).cast("long")).as("cen_checksum"))
     a.crossJoin(c)
+  }
+
+  /** q_index_refresh — INCREMENTAL index maintenance, the operation a
+    * deployment runs between retrains: the index trained on the
+    * pre-arrival corpus (vec_id % 5 ≠ 3 — the 80% that existed at
+    * build time; residue 3, NOT 0, so the stride-seed grid — all
+    * multiples of 50, hence of 5 — stays inside the pre-arrival
+    * corpus) stays FROZEN, the arrivals (vec_id % 5 = 3) are
+    * assigned into its cells by the same broadcast argmax as the
+    * original build, and the row reports the health drift — cell
+    * counts and imbalance before vs after absorbing the arrivals.
+    * Rising imbalance is THE retrain trigger ([[ivfCellStats]] is the
+    * steady-state view; this is the decision view). Cost: one extra
+    * training chain per session (cached like [[ivfIndex]], keyed by a
+    * synthetic dir suffix) + an O(n_new·nlist) assignment pass under
+    * the O(nlist) broadcast. Fully oracled: the frozen chain replays
+    * via the shared training CTE over the filtered corpus, the
+    * arrival assignment via the same argmax window. */
+  def indexRefresh(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val (cen, oldCells) = indexCache.computeIfAbsent((s, d + "::pre-arrival"), { _ =>
+      buildIndex(e.filter(col("vec_id") % 5 =!= 3))
+    })
+    val newCells = assignCells(e.filter(col("vec_id") % 5 === 3), broadcast(cen))
+    def health(cells: DataFrame, nName: String, ncName: String, imbName: String) =
+      cells.groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("nc"), sum(col("sz")).as("n"), max(col("sz")).as("mx"))
+        .select(col("n").as(nName), col("nc").as(ncName),
+          round((col("mx") * col("nc")).cast("double") / col("n"), 6).as(imbName))
+    health(oldCells, "n_old", "n_cells_old", "imbalance_old")
+      .crossJoin(
+        health(oldCells.select("cell").unionAll(newCells.select("cell")),
+          "n_all", "n_cells_refreshed", "imbalance_refreshed"))
+      .select(col("n_old"), (col("n_all") - col("n_old")).as("n_new"),
+        col("n_cells_old"), col("n_cells_refreshed"),
+        col("imbalance_old"), col("imbalance_refreshed"))
   }
 
   /** Argmax-cosine cell assignment over a broadcast centroid set —

@@ -60,6 +60,22 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(gate == expected)
   }
 
+  test("q_index_refresh: frozen index, coherent counts, one extra chain across repeat calls") {
+    val d = sf("sf0.001")
+    Similarity.clearIndexCache()
+    val before = Similarity.trainRuns.get()
+    val r1 = SparkEntry.queries("q_index_refresh")(spark, d).collect()(0)
+    val r2 = SparkEntry.queries("q_index_refresh")(spark, d).collect()(0)
+    // exactly ONE pre-arrival training chain (cached), not one per call
+    assert(Similarity.trainRuns.get() == before + 1)
+    assert(r1 == r2)
+    // every vector is either pre-arrival or an arrival, and arrivals
+    // can only fill cells of the frozen centroid set
+    assert(r1.getAs[Long]("n_old") + r1.getAs[Long]("n_new") == 500L)
+    assert(r1.getAs[Long]("n_new") == 100L) // vec_id % 5 == 0 on 0..499
+    assert(r1.getAs[Long]("n_cells_refreshed") >= r1.getAs[Long]("n_cells_old"))
+  }
+
   test("s_neardup_gate boundary: identical docs collide both ways, sub-shingle docs absent, no self-pairs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
