@@ -239,6 +239,28 @@ class PlanHygieneSpec extends SparkSpec {
     assert(operators.Similarity.trainRuns.get() == before + 1)
   }
 
+  test("q_index_refresh: frozen assignment is one broadcast pass over a checkpointed index") {
+    val p = plan("q_index_refresh")
+    assert(!p.contains("CartesianProduct"), p)
+    // the frozen index is a checkpointed relation (no second training
+    // chain in this plan); the only nested loops are the arrival
+    // assignment against the ≤nlist broadcast and the 1-row × 1-row
+    // health summary cross
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_index_persist: summary reads the LOADED parquet store, not the training chain") {
+    val p = plan("q_index_persist")
+    assert(!p.contains("CartesianProduct"), p)
+    // both summary sides scan the persisted store (centroids + cells
+    // parquet), and no assignment nested-loop appears — the chain ran
+    // at save time, not in this read-side plan
+    assert("Scan parquet".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      "BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
   test("near-dup gate: ONE band-index build per (session, corpus)") {
     // the admission gate probes a pre-built corpus sketch; rebuilding it
     // per gate query would re-hash the corpus every time (the md5 analog
