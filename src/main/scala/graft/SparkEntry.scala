@@ -232,6 +232,7 @@ object SparkEntry {
     "s_update_mode" -> (graft.streaming.MoreStreaming.sUpdateMode _),
     "s_vector_ingest" -> (graft.streaming.StreamingIndex.sVectorIngest _),
     "s_neardup_gate" -> (graft.streaming.StreamingIndex.sNeardupGate _),
+    "s_ann_serve" -> (graft.streaming.StreamingIndex.sAnnServe _),
   )
 
   /** DuckDB VALUES list kept in sync with TextAnalysis.lexicon. */
@@ -1889,6 +1890,28 @@ object SparkEntry {
     "s_vector_ingest" ->
       (s"WITH $ivfIndexCte\n" +
       """SELECT vec_id, cell FROM cells ORDER BY vec_id""".stripMargin),
+    // serving: probe argmax (cos DESC, centroid_id ASC) + in-cell
+    // top-1 rerank (cos DESC, vec_id ASC), replayed per panel query
+    "s_ann_serve" ->
+      (s"WITH $ivfIndexCte,\n" +
+      s"""panel AS (SELECT vec_id AS qid, v AS qv FROM e
+        |          WHERE $panelWhereSql),
+        |pcos AS (SELECT qid, centroid_id, ${cosSql("qv", "cv")} AS cos FROM panel, cen),
+        |pr AS (SELECT qid, centroid_id AS cell FROM (
+        |        SELECT qid, centroid_id,
+        |               row_number() OVER (PARTITION BY qid
+        |                                  ORDER BY cos DESC, centroid_id ASC) AS rn
+        |        FROM pcos) WHERE rn = 1),
+        |cand AS (SELECT pr.qid, e.vec_id, ${cosSql("v", "qv")} AS cos
+        |         FROM pr JOIN cells ON cells.cell = pr.cell
+        |                 JOIN e ON e.vec_id = cells.vec_id
+        |                 JOIN panel ON panel.qid = pr.qid
+        |         WHERE e.vec_id <> pr.qid)
+        |SELECT qid, vec_id, cos AS cos_sim FROM (
+        |  SELECT qid, vec_id, cos,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM cand) WHERE rn = 1 ORDER BY qid""".stripMargin),
     // refresh: the SAME training chain over the pre-arrival subset
     // (frozen index), arrivals assigned by the same argmax window
     "q_index_refresh" ->

@@ -67,6 +67,64 @@ object StreamingIndex {
     }
   }
 
+  /** s_ann_serve — the SERVING path of the ANN deployment: arriving
+    * query vectors (the shared recall panel as a stream) probe the
+    * TRAINED index and emit their nearest neighbor. The centroid set
+    * is collected to the driver and inlined as a LITERAL array — ≤
+    * nlist ≈ 64 rows, the one collect a real ANN service performs
+    * (centroids live in serving RAM; the corpus does not) — so the
+    * probe (argmax cosine over the literal, cos DESC / centroid_id ASC
+    * ties via the Long.MaxValue−id trick) is pure MAP-SIDE work: no
+    * join, no shuffle, no state to pick the cell. Candidates then come
+    * from ONE stream-static equi-join on the probed cell (at 100 TB
+    * the corpus is partitioned by cell, so a probe reads one
+    * partition) and the top-1 rerank is the single stateful
+    * aggregation (max of (cos, MaxValue−vec_id) — cos DESC, vec_id ASC
+    * ties), update mode. A panel query whose probed cell holds only
+    * itself emits nothing, exactly as in the batch/oracle replay.
+    * Fully oracled: probe argmax + rerank window replay in DuckDB over
+    * the shared training CTE. */
+  def sAnnServe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val e = Tables.embeddings(s, d)
+    val n = e.count()
+    val (cen, cells) = Similarity.ivfIndex(s, d)
+    val cenRows: Seq[(Long, Seq[Double])] = cen
+      .select(col("centroid_id"), col("cvec"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val corpus = e.join(cells, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val panel = e.filter(Similarity.panelFilter(n))
+      .select(col("vec_id"), col("embedding"))
+      .as[VecEvent].collect()
+    EventPairing.withStreamingPartitions(s) {
+      val input = MemoryStream[VecEvent]
+      val probed = input.toDF()
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .withColumn("best", array_max(transform(typedlit(cenRows), c =>
+          struct(
+            Similarity.cosine(col("qvec"), c.getField("_2")).as("cos"),
+            (lit(Long.MaxValue) - c.getField("_1")).as("nid")))))
+        .select(col("qid"), col("qvec"),
+          (lit(Long.MaxValue) - col("best.nid")).as("cell"))
+      val served = probed
+        .join(corpus, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"))
+        .agg(max(struct(
+          Similarity.cosine(col("embedding"), col("qvec")).as("cos"),
+          (lit(Long.MaxValue) - col("vec_id")).as("nid"))).as("top"))
+        .select(col("qid"), (lit(Long.MaxValue) - col("top.nid")).as("vec_id"),
+          col("top.cos").as("cos_sim"))
+      val name = s"s_ann_serve_${nameCounter.incrementAndGet()}"
+      val q = served.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try { input.addData(panel.toSeq); q.processAllAvailable() } finally q.stop()
+      s.table(name).orderBy("qid")
+    }
+  }
+
   /** s_neardup_gate — streaming near-duplicate admission gate: each
     * arriving document computes its md5-MinHash band keys MAP-SIDE
     * ([[Dedup.md5BandProbes]] — the per-event form of the batch

@@ -60,6 +60,40 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(gate == expected)
   }
 
+  test("s_ann_serve: streamed top-1 matches an independent window-ranked batch replay") {
+    import org.apache.spark.sql.expressions.Window
+    val d = sf("sf0.001")
+    val e = graft.Tables.embeddings(spark, d)
+    val n = e.count()
+    val (cen, cells) = Similarity.ivfIndex(spark, d)
+    val panel = e.filter(Similarity.panelFilter(n))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // probe: cos DESC, centroid_id ASC — the window formulation, not
+    // the serve path's literal-array max-struct
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    val pr = panel.crossJoin(cen)
+      .select(col("qid"), col("qvec"), col("centroid_id"),
+        Similarity.cosine(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+      .select(col("qid"), col("qvec"), col("centroid_id").as("cell"))
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val expected = pr.join(cells, "cell").join(e, "vec_id")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.cosine(col("embedding"), col("qvec")).as("cos_sim"))
+      .withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id"), col("cos_sim"))
+      .orderBy("qid")
+      .as[(Long, Long, Double)].collect().toSeq
+    val served = SparkEntry.queries("s_ann_serve")(spark, d)
+      .select(col("qid"), col("vec_id"), col("cos_sim"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(served == expected)
+    assert(served.nonEmpty)
+  }
+
   test("q_index_refresh: frozen index, coherent counts, one extra chain across repeat calls") {
     val d = sf("sf0.001")
     Similarity.clearIndexCache()

@@ -233,7 +233,8 @@ class PlanHygieneSpec extends SparkSpec {
     operators.Similarity.clearIndexCache()
     val before = operators.Similarity.trainRuns.get()
     for (q <- Seq("q_similarity_ivf", "q_ann_recall", "q_ivf_cell_stats",
-        "q_ivfsq_recall", "q_semdedup", "q_index_persist", "s_vector_ingest"))
+        "q_ivfsq_recall", "q_semdedup", "q_index_persist", "s_vector_ingest",
+        "s_ann_serve"))
       SparkEntry.queries(q)(spark, sf("sf0.001"))
         .write.format("noop").mode("overwrite").save()
     assert(operators.Similarity.trainRuns.get() == before + 1)
