@@ -107,9 +107,9 @@ object Similarity {
     * so every consumer reads the SAME executed relations. A 100 TB
     * deployment builds its index once and serves probes against it for
     * days — retraining per query would misstate both the cost model
-    * and the operational shape — so the four index consumers
-    * ([[ivf]], [[annRecall]], [[ivfCellStats]], [[Dedup.semDedup]])
-    * share this build. Training is deterministic (fixed-point Lloyd's),
+    * and the operational shape — so every index consumer (probe,
+    * recall evals, health stats, persist, semantic dedup, streaming
+    * ingest and serving) shares this build. Training is deterministic (fixed-point Lloyd's),
     * so cached and fresh results are bit-identical and the per-query
     * DuckDB oracles (which replay the full chain each time) stay green.
     * Keyed by session because a checkpoint dies with its session; keyed

@@ -228,8 +228,8 @@ class PlanHygieneSpec extends SparkSpec {
 
   test("IVF family: ONE training chain per (session, corpus) — the shared index") {
     // build-once/probe-many is the index lifecycle a 100 TB deployment
-    // has; seven consumers retraining seven times would misstate the
-    // cost model 7×. trainRuns counts trainedCentroids executions.
+    // has; eight consumers retraining eight times would misstate the
+    // cost model 8×. trainRuns counts trainedCentroids executions.
     operators.Similarity.clearIndexCache()
     val before = operators.Similarity.trainRuns.get()
     for (q <- Seq("q_similarity_ivf", "q_ann_recall", "q_ivf_cell_stats",
