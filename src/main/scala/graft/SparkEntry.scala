@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Corpus, Dedup, Multimodal, Observe, Pairing, Relational, Similarity, Sources, Temporal, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Multimodal, Observe, Pairing, ProductQuant, Relational, Similarity, Sources, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -182,6 +182,7 @@ object SparkEntry {
     "q_ivf_cell_stats" -> (Similarity.ivfCellStats _),
     "q_index_persist" -> (Similarity.indexPersist _),
     "q_index_refresh" -> (Similarity.indexRefresh _),
+    "q_pq_recall" -> (ProductQuant.pqRecall _),
     "q_crossmodal_join" -> (Similarity.crossmodalJoin _),
     // multimodal columns
     "q_media_meta" -> (Multimodal.mediaMeta _),
@@ -1890,6 +1891,66 @@ object SparkEntry {
     "s_vector_ingest" ->
       (s"WITH $ivfIndexCte\n" +
       """SELECT vec_id, cell FROM cells ORDER BY vec_id""".stripMargin),
+    // PQ: the full pipeline — 1e6-scaled subvectors, stride-seeded
+    // per-subspace codebooks, one Lloyd's round, coding, ADC ranking —
+    // in INTEGER distances throughout, so training replays with no
+    // rounding grid at all
+    "q_pq_recall" ->
+      (s"""WITH ev AS (SELECT vec_id,
+        |             [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS xs
+        |      FROM embeddings),
+        |e AS (SELECT vec_id FROM ev),
+        |sv AS (SELECT vec_id, s AS sub, list_slice(xs, s*8 + 1, s*8 + 8) AS v
+        |       FROM ev, range(0, 8) r(s)),
+        |cb0 AS (SELECT sub, vec_id AS code, v AS c FROM sv
+        |        WHERE vec_id % (SELECT greatest(50, count(*) // 16) FROM ev) = 0),
+        |asn0 AS (SELECT sv.vec_id, sv.sub, code,
+        |                CAST(list_sum([(v[i] - c[i]) * (v[i] - c[i]) FOR i IN range(1, 9)]) AS BIGINT) AS d2
+        |         FROM sv JOIN cb0 USING (sub)),
+        |a0 AS (SELECT vec_id, sub, code FROM (
+        |        SELECT vec_id, sub, code,
+        |               row_number() OVER (PARTITION BY vec_id, sub
+        |                                  ORDER BY d2 ASC, code ASC) AS rn
+        |        FROM asn0) WHERE rn = 1),
+        |sum0 AS (SELECT sub, code, i, CAST(sum(v[i]) AS BIGINT) AS sx,
+        |                CAST(count(*) AS BIGINT) AS cnt
+        |         FROM sv JOIN a0 USING (vec_id, sub), range(1, 9) r(i)
+        |         GROUP BY 1, 2, 3),
+        |cb AS (SELECT sub, code,
+        |              list(CAST(round(CAST(sx AS DOUBLE) / cnt) AS BIGINT) ORDER BY i) AS c
+        |       FROM sum0 GROUP BY 1, 2),
+        |asn1 AS (SELECT sv.vec_id, sv.sub, code,
+        |                CAST(list_sum([(v[i] - c[i]) * (v[i] - c[i]) FOR i IN range(1, 9)]) AS BIGINT) AS d2
+        |         FROM sv JOIN cb USING (sub)),
+        |codes AS (SELECT vec_id, sub, code FROM (
+        |           SELECT vec_id, sub, code,
+        |                  row_number() OVER (PARTITION BY vec_id, sub
+        |                                     ORDER BY d2 ASC, code ASC) AS rn
+        |           FROM asn1) WHERE rn = 1),
+        |panel AS (SELECT vec_id AS qid FROM ev WHERE $panelWhereSql),
+        |psv AS (SELECT panel.qid, sv.sub, sv.v AS qv
+        |        FROM sv JOIN panel ON sv.vec_id = panel.qid),
+        |dt AS (SELECT qid, cb.sub, cb.code,
+        |              CAST(list_sum([(qv[i] - c[i]) * (qv[i] - c[i]) FOR i IN range(1, 9)]) AS BIGINT) AS dq
+        |       FROM psv JOIN cb ON psv.sub = cb.sub),
+        |adc AS (SELECT dt.qid, codes.vec_id, CAST(sum(dq) AS BIGINT) AS dist
+        |        FROM codes JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
+        |        GROUP BY 1, 2),
+        |approx AS (SELECT qid, vec_id FROM (
+        |            SELECT qid, vec_id,
+        |                   row_number() OVER (PARTITION BY qid
+        |                                      ORDER BY dist ASC, vec_id ASC) AS rn
+        |            FROM adc WHERE vec_id <> qid) WHERE rn <= 10),
+        |exd AS (SELECT psv.qid, sv.vec_id,
+        |               CAST(sum(list_sum([(sv.v[i] - qv[i]) * (sv.v[i] - qv[i]) FOR i IN range(1, 9)])) AS BIGINT) AS dist
+        |        FROM sv JOIN psv ON sv.sub = psv.sub
+        |        GROUP BY 1, 2),
+        |exact AS (SELECT qid, vec_id FROM (
+        |           SELECT qid, vec_id,
+        |                  row_number() OVER (PARTITION BY qid
+        |                                     ORDER BY dist ASC, vec_id ASC) AS rn
+        |           FROM exd WHERE vec_id <> qid) WHERE rn <= 10),
+        |""".stripMargin + recallTailSql),
     // serving: probe argmax (cos DESC, centroid_id ASC) + in-cell
     // top-1 rerank (cos DESC, vec_id ASC), replayed per panel query
     "s_ann_serve" ->

@@ -388,7 +388,7 @@ object Similarity {
     * exact side per query the micro- and macro-average coincide, and
     * the single long/long division is exact on the 1e-6 grid in any
     * engine. */
-  private def recallSummary(exact: DataFrame, approx: DataFrame): DataFrame =
+  private[operators] def recallSummary(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.join(approx, Seq("qid", "vec_id"), "left")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("nx"), count(col("hit")).as("nh"))

@@ -110,6 +110,18 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(r1.getAs[Long]("n_cells_refreshed") >= r1.getAs[Long]("n_cells_old"))
   }
 
+  test("q_pq_recall: integer-exact PQ — coding is total, codebooks bounded, panel complete") {
+    val d = sf("sf0.001")
+    val row = SparkEntry.queries("q_pq_recall")(spark, d).collect()(0)
+    // 500-vector corpus → 10-query panel (stride 50, offset 17, no
+    // seed overlaps), constant 10-deep exact side per query
+    assert(row.getAs[Long]("n_queries") == 10L)
+    assert(row.getAs[Long]("n_exact") == 100L)
+    val r = row.getAs[Double]("recall")
+    assert(r >= 0.0 && r <= 1.0)
+    assert(row.getAs[Long]("n_hit") == math.round(r * 100).toLong)
+  }
+
   test("s_neardup_gate boundary: identical docs collide both ways, sub-shingle docs absent, no self-pairs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
