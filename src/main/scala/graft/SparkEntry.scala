@@ -183,6 +183,7 @@ object SparkEntry {
     "q_index_persist" -> (Similarity.indexPersist _),
     "q_index_refresh" -> (Similarity.indexRefresh _),
     "q_pq_recall" -> (ProductQuant.pqRecall _),
+    "q_ivfpq_recall" -> (ProductQuant.ivfPqRecall _),
     "q_crossmodal_join" -> (Similarity.crossmodalJoin _),
     // multimodal columns
     "q_media_meta" -> (Multimodal.mediaMeta _),
@@ -333,6 +334,47 @@ object SparkEntry {
               |           FROM asn) WHERE rn = 1)""".stripMargin
     sb.toString
   }
+
+  /** Shared PQ-index CTE chain (q_pq_recall / q_ivfpq_recall — ONE
+    * definition so the flat-PQ and IVF-PQ oracles replay the identical
+    * training): 1e6-scaled subvectors, stride-seeded 16-code
+    * per-subspace codebooks, one Lloyd's round in INTEGER squared-L2
+    * (no rounding grid anywhere — the single mean division replays
+    * bit-identically), then the final coding. Exposes ev(vec_id, xs),
+    * sv(vec_id, sub, v), cb(sub, code, c), codes(vec_id, sub, code).
+    * Does NOT define `e` — the flat oracle derives it from ev, the
+    * composed oracle brings the float `e` from [[ivfIndexCte]]. */
+  private val pqIndexCte: String =
+    """ev AS (SELECT vec_id,
+      |             [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS xs
+      |      FROM embeddings),
+      |sv AS (SELECT vec_id, s AS sub, list_slice(xs, s*8 + 1, s*8 + 8) AS v
+      |       FROM ev, range(0, 8) r(s)),
+      |cb0 AS (SELECT sub, vec_id AS code, v AS c FROM sv
+      |        WHERE vec_id % (SELECT greatest(50, count(*) // 16) FROM ev) = 0),
+      |pasn0 AS (SELECT sv.vec_id, sv.sub, code,
+      |                CAST(list_sum([(v[i] - c[i]) * (v[i] - c[i]) FOR i IN range(1, 9)]) AS BIGINT) AS d2
+      |         FROM sv JOIN cb0 USING (sub)),
+      |pa0 AS (SELECT vec_id, sub, code FROM (
+      |        SELECT vec_id, sub, code,
+      |               row_number() OVER (PARTITION BY vec_id, sub
+      |                                  ORDER BY d2 ASC, code ASC) AS rn
+      |        FROM pasn0) WHERE rn = 1),
+      |psum0 AS (SELECT sub, code, i, CAST(sum(v[i]) AS BIGINT) AS sx,
+      |                CAST(count(*) AS BIGINT) AS cnt
+      |         FROM sv JOIN pa0 USING (vec_id, sub), range(1, 9) r(i)
+      |         GROUP BY 1, 2, 3),
+      |cb AS (SELECT sub, code,
+      |              list(CAST(round(CAST(sx AS DOUBLE) / cnt) AS BIGINT) ORDER BY i) AS c
+      |       FROM psum0 GROUP BY 1, 2),
+      |pasn1 AS (SELECT sv.vec_id, sv.sub, code,
+      |                CAST(list_sum([(v[i] - c[i]) * (v[i] - c[i]) FOR i IN range(1, 9)]) AS BIGINT) AS d2
+      |         FROM sv JOIN cb USING (sub)),
+      |codes AS (SELECT vec_id, sub, code FROM (
+      |           SELECT vec_id, sub, code,
+      |                  row_number() OVER (PARTITION BY vec_id, sub
+      |                                     ORDER BY d2 ASC, code ASC) AS rn
+      |           FROM pasn1) WHERE rn = 1)""".stripMargin
 
   /** Shared md5-MinHash band CTE (q_dedup_minhash_md5 /
     * s_neardup_gate — ONE definition so the batch sketch oracle and
@@ -1896,37 +1938,8 @@ object SparkEntry {
     // in INTEGER distances throughout, so training replays with no
     // rounding grid at all
     "q_pq_recall" ->
-      (s"""WITH ev AS (SELECT vec_id,
-        |             [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS xs
-        |      FROM embeddings),
-        |e AS (SELECT vec_id FROM ev),
-        |sv AS (SELECT vec_id, s AS sub, list_slice(xs, s*8 + 1, s*8 + 8) AS v
-        |       FROM ev, range(0, 8) r(s)),
-        |cb0 AS (SELECT sub, vec_id AS code, v AS c FROM sv
-        |        WHERE vec_id % (SELECT greatest(50, count(*) // 16) FROM ev) = 0),
-        |asn0 AS (SELECT sv.vec_id, sv.sub, code,
-        |                CAST(list_sum([(v[i] - c[i]) * (v[i] - c[i]) FOR i IN range(1, 9)]) AS BIGINT) AS d2
-        |         FROM sv JOIN cb0 USING (sub)),
-        |a0 AS (SELECT vec_id, sub, code FROM (
-        |        SELECT vec_id, sub, code,
-        |               row_number() OVER (PARTITION BY vec_id, sub
-        |                                  ORDER BY d2 ASC, code ASC) AS rn
-        |        FROM asn0) WHERE rn = 1),
-        |sum0 AS (SELECT sub, code, i, CAST(sum(v[i]) AS BIGINT) AS sx,
-        |                CAST(count(*) AS BIGINT) AS cnt
-        |         FROM sv JOIN a0 USING (vec_id, sub), range(1, 9) r(i)
-        |         GROUP BY 1, 2, 3),
-        |cb AS (SELECT sub, code,
-        |              list(CAST(round(CAST(sx AS DOUBLE) / cnt) AS BIGINT) ORDER BY i) AS c
-        |       FROM sum0 GROUP BY 1, 2),
-        |asn1 AS (SELECT sv.vec_id, sv.sub, code,
-        |                CAST(list_sum([(v[i] - c[i]) * (v[i] - c[i]) FOR i IN range(1, 9)]) AS BIGINT) AS d2
-        |         FROM sv JOIN cb USING (sub)),
-        |codes AS (SELECT vec_id, sub, code FROM (
-        |           SELECT vec_id, sub, code,
-        |                  row_number() OVER (PARTITION BY vec_id, sub
-        |                                     ORDER BY d2 ASC, code ASC) AS rn
-        |           FROM asn1) WHERE rn = 1),
+      (s"WITH $pqIndexCte,\n" +
+      s"""e AS (SELECT vec_id FROM ev),
         |panel AS (SELECT vec_id AS qid FROM ev WHERE $panelWhereSql),
         |psv AS (SELECT panel.qid, sv.sub, sv.v AS qv
         |        FROM sv JOIN panel ON sv.vec_id = panel.qid),
@@ -1935,6 +1948,46 @@ object SparkEntry {
         |       FROM psv JOIN cb ON psv.sub = cb.sub),
         |adc AS (SELECT dt.qid, codes.vec_id, CAST(sum(dq) AS BIGINT) AS dist
         |        FROM codes JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
+        |        GROUP BY 1, 2),
+        |approx AS (SELECT qid, vec_id FROM (
+        |            SELECT qid, vec_id,
+        |                   row_number() OVER (PARTITION BY qid
+        |                                      ORDER BY dist ASC, vec_id ASC) AS rn
+        |            FROM adc WHERE vec_id <> qid) WHERE rn <= 10),
+        |exd AS (SELECT psv.qid, sv.vec_id,
+        |               CAST(sum(list_sum([(sv.v[i] - qv[i]) * (sv.v[i] - qv[i]) FOR i IN range(1, 9)])) AS BIGINT) AS dist
+        |        FROM sv JOIN psv ON sv.sub = psv.sub
+        |        GROUP BY 1, 2),
+        |exact AS (SELECT qid, vec_id FROM (
+        |           SELECT qid, vec_id,
+        |                  row_number() OVER (PARTITION BY qid
+        |                                     ORDER BY dist ASC, vec_id ASC) AS rn
+        |           FROM exd WHERE vec_id <> qid) WHERE rn <= 10),
+        |""".stripMargin + recallTailSql),
+    // IVFPQ: the composed coarse+fine oracle — probe via the shared
+    // IVF CTE (float cosine, top-2 cells), rank via the shared PQ CTE
+    // (integer ADC), exact side identical to flat PQ's
+    "q_ivfpq_recall" ->
+      (s"WITH $ivfIndexCte,\n$pqIndexCte,\n" +
+      s"""panel AS (SELECT vec_id AS qid, v AS pqv FROM e
+        |          WHERE $panelWhereSql),
+        |psv AS (SELECT panel.qid, sv.sub, sv.v AS qv
+        |        FROM sv JOIN panel ON sv.vec_id = panel.qid),
+        |probed AS (SELECT qid, cell FROM (
+        |             SELECT p.qid, centroid_id AS cell,
+        |                    row_number() OVER (PARTITION BY p.qid
+        |                      ORDER BY ${cosSql("pqv", "cv")} DESC,
+        |                        centroid_id ASC) AS rn
+        |             FROM panel p, cen) WHERE rn <= 2),
+        |dt AS (SELECT qid, cb.sub, cb.code,
+        |              CAST(list_sum([(qv[i] - c[i]) * (qv[i] - c[i]) FOR i IN range(1, 9)]) AS BIGINT) AS dq
+        |       FROM psv JOIN cb ON psv.sub = cb.sub),
+        |adc AS (SELECT dt.qid, codes.vec_id, CAST(sum(dq) AS BIGINT) AS dist
+        |        FROM codes
+        |        JOIN cells ON codes.vec_id = cells.vec_id
+        |        JOIN probed pr ON cells.cell = pr.cell
+        |        JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
+        |               AND dt.qid = pr.qid
         |        GROUP BY 1, 2),
         |approx AS (SELECT qid, vec_id FROM (
         |            SELECT qid, vec_id,

@@ -40,6 +40,38 @@ object ProductQuant {
   /** Lloyd's refinement rounds per subspace codebook. */
   private[graft] val PqIters = 1
 
+  /** PQ-training-chain executions this JVM — the observable the
+    * one-training-chain-per-run plan guard asserts on (the PQ analog of
+    * [[Similarity.trainRuns]]); [[pqIndex]] is what keeps it at 1. */
+  private[graft] val pqTrainRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Materialized PQ index, keyed by (session, data dir) exactly like
+    * [[Similarity.ivfIndex]]: the trained per-subspace codebooks and
+    * the full corpus coding, each localCheckpoint'ed so every consumer
+    * (the flat-PQ eval, the composed IVF-PQ eval) reads the SAME
+    * executed relations. The 100 TB shape: codebooks are Subs·PqK tiny
+    * rows (broadcast tier), codes are the 8-bytes-per-vector relation
+    * that REPLACES the float corpus in the serving tier — both built
+    * once per corpus. Training is integer-deterministic, so cached and
+    * fresh results are bit-identical and the per-query DuckDB oracles
+    * (which replay the chain each time) stay green. */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** Test hook: drop materialized PQ indexes so a spec can measure a
+    * cold build. */
+  private[graft] def clearPqCache(): Unit = pqCache.clear()
+
+  /** The shared PQ build: (codebooks, codes). One count() (parquet
+    * metadata), one training chain, one coding pass. */
+  private[graft] def pqIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    pqCache.computeIfAbsent((s, d), { _ =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val sv = subvecs(e)
+      val cb = trainCodebooks(sv, pqStride(e.count()))
+      (cb, assignCodes(sv, cb).localCheckpoint())
+    })
+
   /** Exact integer squared L2 between two scaled-long arrays. Integer
     * adds commute, so the fold order is irrelevant — no rounding grid,
     * no Det scheme needed. */
@@ -76,6 +108,7 @@ object ProductQuant {
     * in both engines. Code identity stays the seed id, keeping argmin
     * ties stable; a code that loses all members drops out. */
   private def trainCodebooks(sv: DataFrame, stride: Long): DataFrame = {
+    pqTrainRuns.incrementAndGet()
     var cb = sv.filter(col("vec_id") % stride === 0)
       .select(col("sub"), col("vec_id").as("code"), col("v").as("c"))
     for (_ <- 1 to PqIters) {
@@ -108,8 +141,7 @@ object ProductQuant {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val n = e.count()
     val sv = subvecs(e)
-    val cb = trainCodebooks(sv, pqStride(n))
-    val codes = assignCodes(sv, cb)
+    val (cb, codes) = pqIndex(s, d)
     val panelIds = Tables.embeddings(s, d).filter(Similarity.panelFilter(n))
       .select(col("vec_id").as("qid"))
     val psv = broadcast(sv.join(panelIds, sv("vec_id") === panelIds("qid"))
@@ -120,6 +152,61 @@ object ProductQuant {
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("dist").asc, col("vec_id").asc)
     val approx = codes.join(dtable, Seq("sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dq")).as("dist"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    val exact = sv.join(psv, "sub")
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(d2(col("v"), col("qv"))).as("dist"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    Similarity.recallSummary(exact, approx)
+  }
+
+  /** q_ivfpq_recall — the COMPOSED coarse+fine deployment, FAISS's
+    * IVFPQ and the de-facto standard for billion-vector serving: the
+    * trained IVF cells bound what you READ (probe top-2 cells by float
+    * query-vs-centroid cosine — centroids stay float in an IVF-PQ
+    * index), the trained PQ codes bound what you STORE (8 bytes/vector,
+    * ranked by ADC — integer sums of 8 broadcast table lookups), and
+    * this row is the one number that says what the combination costs
+    * in quality vs [[pqRecall]]'s flat-PQ scan on the SAME exact
+    * baseline and panel. Both indexes come from their shared
+    * session-cached builds ([[Similarity.ivfIndex]], [[pqIndex]]) —
+    * build once, probe many. Scale shape: the corpus side moves only
+    * (vec_id, cell) + 8 code ints per vector, the probe prunes it to
+    * nprobe/nlist before the ADC join, and both rankings are per-qid
+    * top-k windows. Fully oracled end to end — the probe replays via
+    * the shared IVF CTE, the ADC via the shared PQ CTE, every distance
+    * an exact integer. */
+  def ivfPqRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val sv = subvecs(e)
+    val (cb, codes) = pqIndex(s, d)
+    val (cen, cells) = Similarity.ivfIndex(s, d)
+    val panel = broadcast(e.filter(Similarity.panelFilter(n))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+    val psv = broadcast(sv.join(panel, sv("vec_id") === panel("qid"))
+      .select(col("qid"), col("sub"), col("v").as("qv")))
+    val dtable = broadcast(psv.join(broadcast(cb), "sub")
+      .select(col("qid"), col("sub"), col("code"), d2(col("qv"), col("c")).as("dq")))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    val probed = panel.crossJoin(broadcast(cen))
+      .select(col("qid"), col("centroid_id"),
+        Similarity.cosine(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 2)
+      .select(col("qid"), col("centroid_id").as("cell"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    val approx = codes.join(cells, "vec_id")
+      .join(broadcast(probed), "cell")
+      .join(dtable, Seq("qid", "sub", "code"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("dq")).as("dist"))
       .filter(col("vec_id") =!= col("qid"))

@@ -122,6 +122,29 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(row.getAs[Long]("n_hit") == math.round(r * 100).toLong)
   }
 
+  test("q_ivfpq_recall: composed IVFPQ — cell pruning can only lose candidates vs flat PQ") {
+    val d = sf("sf0.001")
+    val pq = SparkEntry.queries("q_pq_recall")(spark, d).collect()(0)
+    val ivfpq = SparkEntry.queries("q_ivfpq_recall")(spark, d).collect()(0)
+    // same panel, same exact baseline — the composed index reads only
+    // nprobe/nlist of the corpus, so its hit count is bounded by the
+    // flat scan's over the full corpus
+    assert(ivfpq.getAs[Long]("n_queries") == pq.getAs[Long]("n_queries"))
+    assert(ivfpq.getAs[Long]("n_exact") == pq.getAs[Long]("n_exact"))
+    assert(ivfpq.getAs[Long]("n_hit") <= pq.getAs[Long]("n_hit"))
+    val r = ivfpq.getAs[Double]("recall")
+    assert(r >= 0.0 && r <= 1.0)
+  }
+
+  test("PQ family: ONE training chain per (session, corpus) — the shared codebooks") {
+    graft.operators.ProductQuant.clearPqCache()
+    val before = graft.operators.ProductQuant.pqTrainRuns.get()
+    for (q <- Seq("q_pq_recall", "q_ivfpq_recall"))
+      SparkEntry.queries(q)(spark, sf("sf0.001"))
+        .write.format("noop").mode("overwrite").save()
+    assert(graft.operators.ProductQuant.pqTrainRuns.get() == before + 1)
+  }
+
   test("s_neardup_gate boundary: identical docs collide both ways, sub-shingle docs absent, no self-pairs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),

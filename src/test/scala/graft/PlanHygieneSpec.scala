@@ -226,6 +226,27 @@ class PlanHygieneSpec extends SparkSpec {
     assert(operators.Similarity.ivfStride(2000L) == 50L)
   }
 
+  test("PQ family: codebook size is size-independent — stride pins the broadcast side") {
+    // same contract as nlist: the per-subspace codebook (and hence the
+    // broadcast ADC table) must not grow with the corpus
+    for (n <- Seq(1L, 500L, 3200L, 1000000L, 1000000000L, 1000000000000L)) {
+      val stride = operators.ProductQuant.pqStride(n)
+      val k = (n + stride - 1) / stride
+      assert(k <= operators.ProductQuant.PqK + 1, s"n=$n stride=$stride k=$k")
+    }
+    assert(operators.ProductQuant.pqStride(500L) == 50L)
+  }
+
+  test("q_ivfpq_recall: ADC candidates ride the probed-cell equi-join over both cached indexes") {
+    val p = plan("q_ivfpq_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    // codes ⋈ cells ⋈ probed must be equi-joins; both index relations
+    // are the session-cached checkpoints (no retraining in this plan)
+    assert(p.contains("SortMergeJoin [cell#") || p.contains("BroadcastHashJoin [cell#"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("IVF family: ONE training chain per (session, corpus) — the shared index") {
     // build-once/probe-many is the index lifecycle a 100 TB deployment
     // has; eight consumers retraining eight times would misstate the
