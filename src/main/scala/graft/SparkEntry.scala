@@ -184,6 +184,7 @@ object SparkEntry {
     "q_index_refresh" -> (Similarity.indexRefresh _),
     "q_pq_recall" -> (ProductQuant.pqRecall _),
     "q_ivfpq_recall" -> (ProductQuant.ivfPqRecall _),
+    "q_ivfpq_rerank" -> (ProductQuant.ivfPqRerank _),
     "q_crossmodal_join" -> (Similarity.crossmodalJoin _),
     // multimodal columns
     "q_media_meta" -> (Multimodal.mediaMeta _),
@@ -375,6 +376,50 @@ object SparkEntry {
       |                  row_number() OVER (PARTITION BY vec_id, sub
       |                                     ORDER BY d2 ASC, code ASC) AS rn
       |           FROM pasn1) WHERE rn = 1)""".stripMargin
+
+  /** Shared composed-ADC CTE (q_ivfpq_recall / q_ivfpq_rerank — ONE
+    * definition of the coarse+fine scoring): seed-disjoint panel over
+    * the IVF chain's float `e`, per-query subvectors, float-cosine
+    * probe of the trained centroids (top-2 cells), broadcast ADC
+    * distance table, and the cell-pruned integer candidate scores.
+    * Assumes [[ivfIndexCte]] (e, cen, cells) and [[pqIndexCte]] (sv,
+    * cb, codes) precede it. Exposes panel(qid, pqv), psv(qid, sub,
+    * qv), adc(qid, vec_id, dist). */
+  private val ivfpqAdcCte: String =
+    s"""panel AS (SELECT vec_id AS qid, v AS pqv FROM e
+      |          WHERE $panelWhereSql),
+      |psv AS (SELECT panel.qid, sv.sub, sv.v AS qv
+      |        FROM sv JOIN panel ON sv.vec_id = panel.qid),
+      |probed AS (SELECT qid, cell FROM (
+      |             SELECT p.qid, centroid_id AS cell,
+      |                    row_number() OVER (PARTITION BY p.qid
+      |                      ORDER BY ${cosSql("pqv", "cv")} DESC,
+      |                        centroid_id ASC) AS rn
+      |             FROM panel p, cen) WHERE rn <= 2),
+      |dt AS (SELECT qid, cb.sub, cb.code,
+      |              CAST(list_sum([(qv[i] - c[i]) * (qv[i] - c[i]) FOR i IN range(1, 9)]) AS BIGINT) AS dq
+      |       FROM psv JOIN cb ON psv.sub = cb.sub),
+      |adc AS (SELECT dt.qid, codes.vec_id, CAST(sum(dq) AS BIGINT) AS dist
+      |        FROM codes
+      |        JOIN cells ON codes.vec_id = cells.vec_id
+      |        JOIN probed pr ON cells.cell = pr.cell
+      |        JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
+      |               AND dt.qid = pr.qid
+      |        GROUP BY 1, 2)""".stripMargin
+
+  /** The PQ family's exact side — integer-L2 top-10 per panel query
+    * over the subvector relations (assumes sv + psv defined). */
+  private val pqExactSql: String =
+    """exd AS (SELECT psv.qid, sv.vec_id,
+      |               CAST(sum(list_sum([(sv.v[i] - qv[i]) * (sv.v[i] - qv[i]) FOR i IN range(1, 9)])) AS BIGINT) AS dist
+      |        FROM sv JOIN psv ON sv.sub = psv.sub
+      |        GROUP BY 1, 2),
+      |exact AS (SELECT qid, vec_id FROM (
+      |           SELECT qid, vec_id,
+      |                  row_number() OVER (PARTITION BY qid
+      |                                     ORDER BY dist ASC, vec_id ASC) AS rn
+      |           FROM exd WHERE vec_id <> qid) WHERE rn <= 10),
+      |""".stripMargin
 
   /** Shared md5-MinHash band CTE (q_dedup_minhash_md5 /
     * s_neardup_gate — ONE definition so the batch sketch oracle and
@@ -1954,56 +1999,39 @@ object SparkEntry {
         |                   row_number() OVER (PARTITION BY qid
         |                                      ORDER BY dist ASC, vec_id ASC) AS rn
         |            FROM adc WHERE vec_id <> qid) WHERE rn <= 10),
-        |exd AS (SELECT psv.qid, sv.vec_id,
-        |               CAST(sum(list_sum([(sv.v[i] - qv[i]) * (sv.v[i] - qv[i]) FOR i IN range(1, 9)])) AS BIGINT) AS dist
-        |        FROM sv JOIN psv ON sv.sub = psv.sub
-        |        GROUP BY 1, 2),
-        |exact AS (SELECT qid, vec_id FROM (
-        |           SELECT qid, vec_id,
-        |                  row_number() OVER (PARTITION BY qid
-        |                                     ORDER BY dist ASC, vec_id ASC) AS rn
-        |           FROM exd WHERE vec_id <> qid) WHERE rn <= 10),
-        |""".stripMargin + recallTailSql),
+        |""".stripMargin + pqExactSql + recallTailSql),
     // IVFPQ: the composed coarse+fine oracle — probe via the shared
     // IVF CTE (float cosine, top-2 cells), rank via the shared PQ CTE
     // (integer ADC), exact side identical to flat PQ's
     "q_ivfpq_recall" ->
-      (s"WITH $ivfIndexCte,\n$pqIndexCte,\n" +
-      s"""panel AS (SELECT vec_id AS qid, v AS pqv FROM e
-        |          WHERE $panelWhereSql),
-        |psv AS (SELECT panel.qid, sv.sub, sv.v AS qv
-        |        FROM sv JOIN panel ON sv.vec_id = panel.qid),
-        |probed AS (SELECT qid, cell FROM (
-        |             SELECT p.qid, centroid_id AS cell,
-        |                    row_number() OVER (PARTITION BY p.qid
-        |                      ORDER BY ${cosSql("pqv", "cv")} DESC,
-        |                        centroid_id ASC) AS rn
-        |             FROM panel p, cen) WHERE rn <= 2),
-        |dt AS (SELECT qid, cb.sub, cb.code,
-        |              CAST(list_sum([(qv[i] - c[i]) * (qv[i] - c[i]) FOR i IN range(1, 9)]) AS BIGINT) AS dq
-        |       FROM psv JOIN cb ON psv.sub = cb.sub),
-        |adc AS (SELECT dt.qid, codes.vec_id, CAST(sum(dq) AS BIGINT) AS dist
-        |        FROM codes
-        |        JOIN cells ON codes.vec_id = cells.vec_id
-        |        JOIN probed pr ON cells.cell = pr.cell
-        |        JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
-        |               AND dt.qid = pr.qid
+      (s"WITH $ivfIndexCte,\n$pqIndexCte,\n$ivfpqAdcCte,\n" +
+      """approx AS (SELECT qid, vec_id FROM (
+        |            SELECT qid, vec_id,
+        |                   row_number() OVER (PARTITION BY qid
+        |                                      ORDER BY dist ASC, vec_id ASC) AS rn
+        |            FROM adc WHERE vec_id <> qid) WHERE rn <= 10),
+        |""".stripMargin + pqExactSql + recallTailSql),
+    // IVFPQ + refine: ADC top-50 shortlist, exact integer-L2 rerank of
+    // the shortlist only, then top-10 — hits ≡ |shortlist ∩ true top-10|
+    "q_ivfpq_rerank" ->
+      (s"WITH $ivfIndexCte,\n$pqIndexCte,\n$ivfpqAdcCte,\n" +
+      """short AS (SELECT qid, vec_id FROM (
+        |           SELECT qid, vec_id,
+        |                  row_number() OVER (PARTITION BY qid
+        |                                     ORDER BY dist ASC, vec_id ASC) AS rn
+        |           FROM adc WHERE vec_id <> qid) WHERE rn <= 50),
+        |rer AS (SELECT short.qid, short.vec_id,
+        |               CAST(sum(list_sum([(sv.v[i] - qv[i]) * (sv.v[i] - qv[i]) FOR i IN range(1, 9)])) AS BIGINT) AS dist
+        |        FROM short
+        |        JOIN sv ON sv.vec_id = short.vec_id
+        |        JOIN psv ON psv.qid = short.qid AND psv.sub = sv.sub
         |        GROUP BY 1, 2),
         |approx AS (SELECT qid, vec_id FROM (
         |            SELECT qid, vec_id,
         |                   row_number() OVER (PARTITION BY qid
         |                                      ORDER BY dist ASC, vec_id ASC) AS rn
-        |            FROM adc WHERE vec_id <> qid) WHERE rn <= 10),
-        |exd AS (SELECT psv.qid, sv.vec_id,
-        |               CAST(sum(list_sum([(sv.v[i] - qv[i]) * (sv.v[i] - qv[i]) FOR i IN range(1, 9)])) AS BIGINT) AS dist
-        |        FROM sv JOIN psv ON sv.sub = psv.sub
-        |        GROUP BY 1, 2),
-        |exact AS (SELECT qid, vec_id FROM (
-        |           SELECT qid, vec_id,
-        |                  row_number() OVER (PARTITION BY qid
-        |                                     ORDER BY dist ASC, vec_id ASC) AS rn
-        |           FROM exd WHERE vec_id <> qid) WHERE rn <= 10),
-        |""".stripMargin + recallTailSql),
+        |            FROM rer) WHERE rn <= 10),
+        |""".stripMargin + pqExactSql + recallTailSql),
     // serving: probe argmax (cos DESC, centroid_id ASC) + in-cell
     // top-1 rerank (cos DESC, vec_id ASC), replayed per panel query
     "s_ann_serve" ->

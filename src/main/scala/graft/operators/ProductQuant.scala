@@ -184,6 +184,24 @@ object ProductQuant {
     * an exact integer. */
   def ivfPqRecall(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val (adc, sv, psv) = composedAdc(s, d)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    val approx = adc
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    Similarity.recallSummary(pqExact(sv, psv), approx)
+  }
+
+  /** The composed coarse+fine candidate scoring shared by
+    * [[ivfPqRecall]] and [[ivfPqRerank]]: probe the trained IVF cells
+    * (top-2 by float query-vs-centroid cosine), score every candidate
+    * in the probed cells by integer ADC. Returns (adc(qid, vec_id,
+    * dist) with self-matches removed, sv, psv) — the two subvector
+    * relations so callers can build the exact side without recomputing
+    * the projection. */
+  private def composedAdc(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val n = e.count()
     val sv = subvecs(e)
@@ -202,22 +220,61 @@ object ProductQuant {
         Similarity.cosine(col("qvec"), col("cvec")).as("cos"))
       .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 2)
       .select(col("qid"), col("centroid_id").as("cell"))
-    val wq = Window.partitionBy(col("qid"))
-      .orderBy(col("dist").asc, col("vec_id").asc)
-    val approx = codes.join(cells, "vec_id")
+    val adc = codes.join(cells, "vec_id")
       .join(broadcast(probed), "cell")
       .join(dtable, Seq("qid", "sub", "code"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("dq")).as("dist"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
-      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
-    val exact = sv.join(psv, "sub")
+    (adc, sv, psv)
+  }
+
+  /** The exact integer-L2 top-10 per panel query — the one baseline
+    * every PQ-family eval compares against. */
+  private def pqExact(sv: DataFrame, psv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    sv.join(psv, "sub")
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(d2(col("v"), col("qv"))).as("dist"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
       .select(col("qid"), col("vec_id"))
-    Similarity.recallSummary(exact, approx)
+  }
+
+  /** ADC shortlist depth for [[ivfPqRerank]] — the candidates the
+    * refine stage pays an exact distance for, per query. */
+  private[graft] val RerankR = 50
+
+  /** q_ivfpq_rerank — the full production retrieval stack: IVF probe →
+    * ADC shortlist (top-[[RerankR]]) → EXACT rerank of the shortlist →
+    * top-10. This is how a deployed IVFPQ system actually answers
+    * queries (FAISS's refine stage): the coded corpus prices the scan,
+    * and the exact distance is paid for only R candidates per query —
+    * here by joining the shortlist back to the subvector relation, R·8
+    * rows per query instead of the corpus. Recall is PROVABLY ≥ the
+    * unreranked [[ivfPqRecall]] under the shared (dist, vec_id) total
+    * order: a true-top-10 member that made the shortlist has global
+    * exact rank ≤ 10, hence rank ≤ 10 inside any subset, so the exact
+    * rerank can only ADD hits (ADC top-10 ⊆ shortlist) — spec-pinned.
+    * Equivalently: hits = |shortlist ∩ true top-10| exactly, so the
+    * row measures shortlist quality, the number a deployment tunes R
+    * against. Fully oracled (shared IVF + PQ + ADC CTEs). */
+  def ivfPqRerank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (adc, sv, psv) = composedAdc(s, d)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    val shortlist = adc
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= RerankR)
+      .select(col("qid"), col("vec_id"))
+    val approx = shortlist.join(sv, "vec_id")
+      .join(psv, Seq("qid", "sub"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(d2(col("v"), col("qv"))).as("dist"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    Similarity.recallSummary(pqExact(sv, psv), approx)
   }
 }

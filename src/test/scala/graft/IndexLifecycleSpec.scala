@@ -136,10 +136,23 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(r >= 0.0 && r <= 1.0)
   }
 
+  test("q_ivfpq_rerank: exact refine of the ADC shortlist can only add hits") {
+    val d = sf("sf0.001")
+    val adc = SparkEntry.queries("q_ivfpq_recall")(spark, d).collect()(0)
+    val rer = SparkEntry.queries("q_ivfpq_rerank")(spark, d).collect()(0)
+    // a true-top-10 member in the shortlist has global exact rank ≤ 10,
+    // hence rank ≤ 10 within the shortlist under the same total order —
+    // so the rerank keeps every ADC-top-10 hit and may add more
+    assert(rer.getAs[Long]("n_queries") == adc.getAs[Long]("n_queries"))
+    assert(rer.getAs[Long]("n_exact") == adc.getAs[Long]("n_exact"))
+    assert(rer.getAs[Long]("n_hit") >= adc.getAs[Long]("n_hit"))
+    assert(rer.getAs[Double]("recall") <= 1.0)
+  }
+
   test("PQ family: ONE training chain per (session, corpus) — the shared codebooks") {
     graft.operators.ProductQuant.clearPqCache()
     val before = graft.operators.ProductQuant.pqTrainRuns.get()
-    for (q <- Seq("q_pq_recall", "q_ivfpq_recall"))
+    for (q <- Seq("q_pq_recall", "q_ivfpq_recall", "q_ivfpq_rerank"))
       SparkEntry.queries(q)(spark, sf("sf0.001"))
         .write.format("noop").mode("overwrite").save()
     assert(graft.operators.ProductQuant.pqTrainRuns.get() == before + 1)

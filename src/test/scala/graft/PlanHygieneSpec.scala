@@ -255,7 +255,7 @@ class PlanHygieneSpec extends SparkSpec {
     val before = operators.Similarity.trainRuns.get()
     for (q <- Seq("q_similarity_ivf", "q_ann_recall", "q_ivf_cell_stats",
         "q_ivfsq_recall", "q_semdedup", "q_index_persist", "s_vector_ingest",
-        "s_ann_serve"))
+        "s_ann_serve", "q_ivfpq_recall", "q_ivfpq_rerank"))
       SparkEntry.queries(q)(spark, sf("sf0.001"))
         .write.format("noop").mode("overwrite").save()
     assert(operators.Similarity.trainRuns.get() == before + 1)
