@@ -234,6 +234,7 @@ object SparkEntry {
     "s_quality_gate" -> (graft.streaming.MoreStreaming.sQualityGate _),
     "s_update_mode" -> (graft.streaming.MoreStreaming.sUpdateMode _),
     "s_vector_ingest" -> (graft.streaming.StreamingIndex.sVectorIngest _),
+    "s_pq_ingest" -> (graft.streaming.StreamingIndex.sPqIngest _),
     "s_neardup_gate" -> (graft.streaming.StreamingIndex.sNeardupGate _),
     "s_ann_serve" -> (graft.streaming.StreamingIndex.sAnnServe _),
   )
@@ -1978,6 +1979,11 @@ object SparkEntry {
     "s_vector_ingest" ->
       (s"WITH $ivfIndexCte\n" +
       """SELECT vec_id, cell FROM cells ORDER BY vec_id""".stripMargin),
+    // streaming coder ≡ the batch coding relation, row for row
+    "s_pq_ingest" ->
+      (s"WITH $pqIndexCte\n" +
+      """SELECT vec_id, CAST(sub AS INT) AS sub, code FROM codes
+        |ORDER BY vec_id, sub""".stripMargin),
     // PQ: the full pipeline — 1e6-scaled subvectors, stride-seeded
     // per-subspace codebooks, one Lloyd's round, coding, ADC ranking —
     // in INTEGER distances throughout, so training replays with no

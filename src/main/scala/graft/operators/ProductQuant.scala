@@ -75,7 +75,7 @@ object ProductQuant {
   /** Exact integer squared L2 between two scaled-long arrays. Integer
     * adds commute, so the fold order is irrelevant — no rounding grid,
     * no Det scheme needed. */
-  private def d2(a: Column, b: Column): Column =
+  private[graft] def d2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 

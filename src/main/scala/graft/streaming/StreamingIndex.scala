@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, ProductQuant, Similarity}
 
 /** Streaming consumers of the STATIC, pre-built indexes — the ingest
   * half of the build-once/probe-many lifecycle (reference semantics:
@@ -122,6 +122,64 @@ object StreamingIndex {
         .outputMode("update").start()
       try { input.addData(panel.toSeq); q.processAllAvailable() } finally q.stop()
       s.table(name).orderBy("qid")
+    }
+  }
+
+  /** s_pq_ingest — streaming PQ coding at the ingest edge: every
+    * arriving vector is coded against the FROZEN trained codebooks
+    * ([[ProductQuant.pqIndex]] — built in batch, static here), emitting
+    * its (sub, code) rows. The codebook is collected and inlined as a
+    * LITERAL — Subs·PqK ≈ 128 tiny rows, the same serving-RAM move as
+    * [[sAnnServe]]'s centroids — so the coder is PURE MAP-SIDE
+    * expression work: no join, no shuffle, NO STATE (append mode on a
+    * stateless projection — coding is embarrassingly parallel at
+    * ingest, and the plan says so). Argmin ties replay the batch
+    * chain's (d2 ASC, code ASC) via lexicographic struct min. Oracle:
+    * the batch coding relation (`codes`) replayed in DuckDB over the
+    * shared PQ training CTE — a streamed code is correct iff it is
+    * row-identical to the batch one. */
+  /** The literal-codebook map-side coder: from a 1e6-scaled `xs`
+    * column, the [[ProductQuant.Subs]]-long code array — per subspace,
+    * lexicographic struct-min over the matching codebook entries
+    * replays the batch chain's (d2 ASC, code ASC) argmin exactly.
+    * Factored out so the tie-break is spec-pinnable with crafted
+    * codebooks. */
+  private[graft] def mapSideCodes(cbRows: Seq[(Int, Long, Seq[Long])]): org.apache.spark.sql.Column = {
+    val cbLit = typedlit(cbRows)
+    transform(sequence(lit(0), lit(ProductQuant.Subs - 1)), sb =>
+      array_min(transform(
+        filter(cbLit, e => e.getField("_1") === sb),
+        e => struct(
+          ProductQuant.d2(
+            slice(col("xs"), sb * ProductQuant.DSub + 1,
+              lit(ProductQuant.DSub)),
+            e.getField("_3")).as("d2"),
+          e.getField("_2").as("code")))).getField("code"))
+  }
+
+  def sPqIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val (cb, _) = ProductQuant.pqIndex(s, d)
+    val cbRows: Seq[(Int, Long, Seq[Long])] = cb
+      .select(col("sub").cast("int"), col("code"), col("c"))
+      .as[(Int, Long, Seq[Long])].collect().toSeq
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[VecEvent].collect()
+    EventPairing.withStreamingPartitions(s) {
+      val input = MemoryStream[VecEvent]
+      val coded = input.toDF()
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1e6).cast("long")).as("xs"))
+        .select(col("vec_id"), mapSideCodes(cbRows).as("codes"))
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      val name = s"s_pq_ingest_${nameCounter.incrementAndGet()}"
+      val q = coded.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try { input.addData(vecs.toSeq); q.processAllAvailable() } finally q.stop()
+      s.table(name).orderBy("vec_id", "sub")
     }
   }
 

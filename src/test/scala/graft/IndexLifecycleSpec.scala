@@ -158,6 +158,28 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(graft.operators.ProductQuant.pqTrainRuns.get() == before + 1)
   }
 
+  test("s_pq_ingest coder boundary: equidistant codes break to the LOWER id, exact match wins over near") {
+    import spark.implicits._
+    // one 64-dim scaled vector, all zeros except subspace 0 = [2,0,...]
+    // and subspace 1 = [5,0,...]
+    val xs: Seq[Long] = Seq.tabulate(64) {
+      case 0 => 2L case 8 => 5L case _ => 0L
+    }
+    // crafted codebooks: sub 0 has codes 7 and 9 EQUIDISTANT from
+    // xs (centroids [1,..] and [3,..], both d2=1) → lower code 7 must
+    // win, matching the batch (d2 ASC, code ASC) window; sub 1 has an
+    // exact-match code 4 ([5,0,..], d2=0) vs a near code 2 (d2=25) →
+    // nearest wins regardless of id order; other subs: single code 0
+    val cb: Seq[(Int, Long, Seq[Long])] =
+      Seq((0, 7L, 1L +: Seq.fill(7)(0L)), (0, 9L, 3L +: Seq.fill(7)(0L)),
+        (1, 2L, Seq.fill(8)(0L)), (1, 4L, 5L +: Seq.fill(7)(0L))) ++
+        (2 until 8).map(sb => (sb, 0L, Seq.fill(8)(0L)))
+    val out = Seq(Tuple1(xs)).toDF("xs")
+      .select(graft.streaming.StreamingIndex.mapSideCodes(cb).as("codes"))
+      .collect()(0).getSeq[Long](0)
+    assert(out == Seq(7L, 4L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
   test("s_neardup_gate boundary: identical docs collide both ways, sub-shingle docs absent, no self-pairs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
