@@ -185,6 +185,7 @@ object SparkEntry {
     "q_pq_recall" -> (ProductQuant.pqRecall _),
     "q_ivfpq_recall" -> (ProductQuant.ivfPqRecall _),
     "q_ivfpq_rerank" -> (ProductQuant.ivfPqRerank _),
+    "q_pq_persist" -> (ProductQuant.pqPersist _),
     "q_crossmodal_join" -> (Similarity.crossmodalJoin _),
     // multimodal columns
     "q_media_meta" -> (Multimodal.mediaMeta _),
@@ -1979,6 +1980,19 @@ object SparkEntry {
     "s_vector_ingest" ->
       (s"WITH $ivfIndexCte\n" +
       """SELECT vec_id, cell FROM cells ORDER BY vec_id""".stripMargin),
+    // the PQ durable tier verifies against the SAME training chain —
+    // all-integer, so round-trip identity needs no IEEE argument
+    "q_pq_persist" ->
+      (s"WITH $pqIndexCte,\n" +
+      """a AS (SELECT CAST(count(*) AS BIGINT) AS n_code_rows,
+        |              CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+        |              CAST(bit_xor((vec_id % 1000003) * 1009 + sub * 131 + (code % 1009)) AS BIGINT) AS code_checksum
+        |       FROM codes),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_cb_components,
+        |             CAST(sum(c[i]) AS BIGINT) AS cb_checksum
+        |      FROM cb, range(1, 9) r(i))
+        |SELECT n_code_rows, n_vecs, code_checksum, n_cb_components, cb_checksum
+        |FROM a, c""".stripMargin),
     // streaming coder ≡ the batch coding relation, row for row
     "s_pq_ingest" ->
       (s"WITH $pqIndexCte\n" +

@@ -243,6 +243,36 @@ object ProductQuant {
       .select(col("qid"), col("vec_id"))
   }
 
+  /** q_pq_persist — the durable tier of the PQ lifecycle, completing
+    * the same save → load → verify round trip [[Similarity.indexPersist]]
+    * proves for the IVF index: codebooks + codes written to parquet
+    * under the corpus's index-store directory (at 100 TB the coded
+    * corpus in object storage IS the serving dataset — 8 bytes/vector
+    * where the floats were 256), read back, and summarized FROM THE
+    * LOADED RELATIONS — row/vector counts, an order-independent
+    * overflow-free bit_xor coding checksum, and the exact integer sum
+    * of every codebook component. Strictly easier than the IVF proof:
+    * every persisted value is already a LONG, so parquet round-trip
+    * identity needs no IEEE argument at all. Oracle replays the
+    * training chain; equality proves the stored bytes carry the
+    * trained coding. */
+  def pqPersist(s: SparkSession, d: String): DataFrame = {
+    val (cb, codes) = pqIndex(s, d)
+    val root = Similarity.indexStorePath(d)
+    cb.write.mode("overwrite").parquet(s"$root/pq_codebooks.parquet")
+    codes.write.mode("overwrite").parquet(s"$root/pq_codes.parquet")
+    val lcb = s.read.parquet(s"$root/pq_codebooks.parquet")
+    val lcodes = s.read.parquet(s"$root/pq_codes.parquet")
+    val a = lcodes.agg(
+      count(lit(1)).as("n_code_rows"),
+      countDistinct(col("vec_id")).as("n_vecs"),
+      expr("bit_xor((vec_id % 1000003) * 1009 + sub * 131 + (code % 1009))")
+        .as("code_checksum"))
+    val c = lcb.select(explode(col("c")).as("x"))
+      .agg(count(lit(1)).as("n_cb_components"), sum(col("x")).as("cb_checksum"))
+    a.crossJoin(c)
+  }
+
   /** ADC shortlist depth for [[ivfPqRerank]] — the candidates the
     * refine stage pays an exact distance for, per query. */
   private[graft] val RerankR = 50

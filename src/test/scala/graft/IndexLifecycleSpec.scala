@@ -152,7 +152,8 @@ class IndexLifecycleSpec extends SparkSpec {
   test("PQ family: ONE training chain per (session, corpus) — the shared codebooks") {
     graft.operators.ProductQuant.clearPqCache()
     val before = graft.operators.ProductQuant.pqTrainRuns.get()
-    for (q <- Seq("q_pq_recall", "q_ivfpq_recall", "q_ivfpq_rerank"))
+    for (q <- Seq("q_pq_recall", "q_ivfpq_recall", "q_ivfpq_rerank",
+        "q_pq_persist", "s_pq_ingest"))
       SparkEntry.queries(q)(spark, sf("sf0.001"))
         .write.format("noop").mode("overwrite").save()
     assert(graft.operators.ProductQuant.pqTrainRuns.get() == before + 1)
