@@ -291,13 +291,18 @@ object ProductQuant {
     * Equivalently: hits = |shortlist ∩ true top-10| exactly, so the
     * row measures shortlist quality, the number a deployment tunes R
     * against. Fully oracled (shared IVF + PQ + ADC CTEs). */
-  def ivfPqRerank(s: SparkSession, d: String): DataFrame = {
+  def ivfPqRerank(s: SparkSession, d: String): DataFrame =
+    ivfPqRerankAt(s, d, RerankR)
+
+  /** [[ivfPqRerank]] at an arbitrary shortlist depth — the sweep
+    * surface behind the R operating curve (tools.RerankSweep). */
+  private[graft] def ivfPqRerankAt(s: SparkSession, d: String, r: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (adc, sv, psv) = composedAdc(s, d)
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("dist").asc, col("vec_id").asc)
     val shortlist = adc
-      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= RerankR)
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= r)
       .select(col("qid"), col("vec_id"))
     val approx = shortlist.join(sv, "vec_id")
       .join(psv, Seq("qid", "sub"))
