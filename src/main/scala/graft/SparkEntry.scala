@@ -186,6 +186,7 @@ object SparkEntry {
     "q_ivfpq_recall" -> (ProductQuant.ivfPqRecall _),
     "q_ivfpq_rerank" -> (ProductQuant.ivfPqRerank _),
     "q_pq_persist" -> (ProductQuant.pqPersist _),
+    "q_pq_refresh" -> (ProductQuant.pqRefresh _),
     "q_crossmodal_join" -> (Similarity.crossmodalJoin _),
     // multimodal columns
     "q_media_meta" -> (Multimodal.mediaMeta _),
@@ -347,10 +348,15 @@ object SparkEntry {
     * sv(vec_id, sub, v), cb(sub, code, c), codes(vec_id, sub, code).
     * Does NOT define `e` — the flat oracle derives it from ev, the
     * composed oracle brings the float `e` from [[ivfIndexCte]]. */
-  private val pqIndexCte: String =
-    """ev AS (SELECT vec_id,
+  private val pqIndexCte: String = pqIndexCteOver("embeddings")
+
+  /** [[pqIndexCte]] generalized over its source relation — the PQ
+    * refresh oracle trains the SAME chain on the pre-arrival subset
+    * (q_pq_refresh), so the training replay has one definition. */
+  private def pqIndexCteOver(src: String): String =
+    s"""ev AS (SELECT vec_id,
       |             [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS xs
-      |      FROM embeddings),
+      |      FROM $src),
       |sv AS (SELECT vec_id, s AS sub, list_slice(xs, s*8 + 1, s*8 + 8) AS v
       |       FROM ev, range(0, 8) r(s)),
       |cb0 AS (SELECT sub, vec_id AS code, v AS c FROM sv
@@ -1993,6 +1999,28 @@ object SparkEntry {
         |      FROM cb, range(1, 9) r(i))
         |SELECT n_code_rows, n_vecs, code_checksum, n_cb_components, cb_checksum
         |FROM a, c""".stripMargin),
+    // PQ refresh: frozen pre-arrival codebooks score both tiers; the
+    // distortion averages are single divisions of exact integer sums
+    "q_pq_refresh" ->
+      (s"WITH ${pqIndexCteOver("(SELECT * FROM embeddings WHERE vec_id % 5 <> 3) pre")},\n" +
+      """nev AS (SELECT vec_id,
+        |              [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS xs
+        |       FROM embeddings WHERE vec_id % 5 = 3),
+        |nsv AS (SELECT vec_id, s AS sub, list_slice(xs, s*8 + 1, s*8 + 8) AS v
+        |        FROM nev, range(0, 8) r(s)),
+        |od AS (SELECT vec_id, sub,
+        |              min(CAST(list_sum([(v[i] - c[i]) * (v[i] - c[i]) FOR i IN range(1, 9)]) AS BIGINT)) AS d2
+        |       FROM sv JOIN cb USING (sub) GROUP BY 1, 2),
+        |nd AS (SELECT vec_id, sub,
+        |              min(CAST(list_sum([(v[i] - c[i]) * (v[i] - c[i]) FOR i IN range(1, 9)]) AS BIGINT)) AS d2
+        |       FROM nsv JOIN cb USING (sub) GROUP BY 1, 2),
+        |oa AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_old,
+        |              round(CAST(sum(d2) AS DOUBLE) / count(DISTINCT vec_id), 6) AS avg_d2_old
+        |       FROM od),
+        |na AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_new,
+        |              round(CAST(sum(d2) AS DOUBLE) / count(DISTINCT vec_id), 6) AS avg_d2_new
+        |       FROM nd)
+        |SELECT n_old, avg_d2_old, n_new, avg_d2_new FROM oa, na""".stripMargin),
     // streaming coder ≡ the batch coding relation, row for row
     "s_pq_ingest" ->
       (s"WITH $pqIndexCte\n" +

@@ -243,6 +243,55 @@ object ProductQuant {
       .select(col("qid"), col("vec_id"))
   }
 
+  /** Min squared-L2 to the nearest code per (vector, subspace) — the
+    * per-subspace quantization error, an exact integer (the argmin's
+    * identity is irrelevant for distortion, so no tie-break needed). */
+  private def minD2(sv: DataFrame, cb: DataFrame): DataFrame =
+    sv.join(broadcast(cb), "sub")
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(d2(col("v"), col("c"))).as("d2"))
+
+  /** One (n, avg per-vector distortion) summary row. The sum of exact
+    * integer d2s stays within Long: unit-norm embeddings scale to
+    * |v|² ≈ 1e12, so per-vector distortion ≤ ~4e12 and the sum is
+    * < 2^63 up to ~10⁶ vectors per tier at stress scale (and the
+    * magnitude-checked bound holds far beyond); the single division
+    * and round-6 replay identically on identical inputs. */
+  private def distortion(md: DataFrame, nName: String, avgName: String): DataFrame =
+    md.agg(
+      countDistinct(col("vec_id")).as(nName),
+      round(sum(col("d2")).cast("double") / countDistinct(col("vec_id")), 6)
+        .as(avgName))
+
+  /** q_pq_refresh — the coding tier's between-retrains operation,
+    * completing the [[Similarity.indexRefresh]] symmetry: codebooks
+    * trained on the pre-arrival corpus (vec_id % 5 ≠ 3, the same split
+    * — stride seeds are multiples of 50, hence of 5, so the seed grid
+    * stays inside the pre-arrival corpus) stay FROZEN, arrivals are
+    * coded against them, and the row reports mean per-vector
+    * quantization distortion for the build-time corpus vs the
+    * arrivals. Rising arrival distortion is THE codebook-retrain
+    * trigger — the drift signal a deployed PQ store alerts on (the
+    * analog of indexRefresh's cell imbalance). Cost: one extra
+    * training chain per session (cached under a synthetic dir key) +
+    * an O(n·Subs·PqK) broadcast scoring pass. Fully oracled: the
+    * frozen chain replays via the shared PQ CTE over the filtered
+    * corpus, distortion as exact integer sums. */
+  def pqRefresh(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val old = e.filter(col("vec_id") % 5 =!= 3)
+    val (cb, _) = pqCache.computeIfAbsent((s, d + "::pre-arrival"), { _ =>
+      val sv = subvecs(old)
+      val frozen = trainCodebooks(sv, pqStride(old.count()))
+      (frozen, assignCodes(sv, frozen).localCheckpoint())
+    })
+    val oldRow = distortion(minD2(subvecs(old), cb), "n_old", "avg_d2_old")
+    val newRow = distortion(
+      minD2(subvecs(e.filter(col("vec_id") % 5 === 3)), cb),
+      "n_new", "avg_d2_new")
+    oldRow.crossJoin(newRow)
+  }
+
   /** q_pq_persist — the durable tier of the PQ lifecycle, completing
     * the same save → load → verify round trip [[Similarity.indexPersist]]
     * proves for the IVF index: codebooks + codes written to parquet

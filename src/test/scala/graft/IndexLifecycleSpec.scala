@@ -149,6 +149,21 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(rer.getAs[Double]("recall") <= 1.0)
   }
 
+  test("q_pq_refresh: 80/20 split, positive distortion, frozen chain cached across reruns") {
+    val d = sf("sf0.001")
+    val r1 = SparkEntry.queries("q_pq_refresh")(spark, d).collect()(0)
+    assert(r1.getAs[Long]("n_old") == 400L)
+    assert(r1.getAs[Long]("n_new") == 100L)
+    assert(r1.getAs[Double]("avg_d2_old") > 0.0)
+    assert(r1.getAs[Double]("avg_d2_new") > 0.0)
+    // the pre-arrival chain is cached like the IVF refresh index: a
+    // second run must not retrain
+    val before = graft.operators.ProductQuant.pqTrainRuns.get()
+    SparkEntry.queries("q_pq_refresh")(spark, d)
+      .write.format("noop").mode("overwrite").save()
+    assert(graft.operators.ProductQuant.pqTrainRuns.get() == before)
+  }
+
   test("PQ family: ONE training chain per (session, corpus) — the shared codebooks") {
     graft.operators.ProductQuant.clearPqCache()
     val before = graft.operators.ProductQuant.pqTrainRuns.get()
