@@ -237,6 +237,7 @@ object SparkEntry {
     "s_update_mode" -> (graft.streaming.MoreStreaming.sUpdateMode _),
     "s_vector_ingest" -> (graft.streaming.StreamingIndex.sVectorIngest _),
     "s_pq_ingest" -> (graft.streaming.StreamingIndex.sPqIngest _),
+    "s_ivfpq_serve" -> (graft.streaming.StreamingIndex.sIvfPqServe _),
     "s_neardup_gate" -> (graft.streaming.StreamingIndex.sNeardupGate _),
     "s_ann_serve" -> (graft.streaming.StreamingIndex.sAnnServe _),
   )
@@ -2026,6 +2027,16 @@ object SparkEntry {
       (s"WITH $pqIndexCte\n" +
       """SELECT vec_id, CAST(sub AS INT) AS sub, code FROM codes
         |ORDER BY vec_id, sub""".stripMargin),
+    // IVFPQ serving: the streamed probe + per-event ADC table + cell
+    // join + top-1 must replay the composed batch chain exactly
+    "s_ivfpq_serve" ->
+      (s"WITH $ivfIndexCte,\n$pqIndexCte,\n$ivfpqAdcCte\n" +
+      """SELECT qid, vec_id, dist FROM (
+        |  SELECT qid, vec_id, dist,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY dist ASC, vec_id ASC) AS rn
+        |  FROM adc WHERE vec_id <> qid) WHERE rn = 1
+        |ORDER BY qid""".stripMargin),
     // PQ: the full pipeline — 1e6-scaled subvectors, stride-seeded
     // per-subspace codebooks, one Lloyd's round, coding, ADC ranking —
     // in INTEGER distances throughout, so training replays with no

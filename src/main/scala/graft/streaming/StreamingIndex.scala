@@ -193,6 +193,96 @@ object StreamingIndex {
     }
   }
 
+  /** s_ivfpq_serve — the PRODUCTION IVFPQ serving topology as one
+    * streaming query, composing every piece the batch evals price:
+    * a float query vector arrives; the probe (top-2 cells, cos DESC /
+    * centroid_id ASC) runs MAP-SIDE against the literal-inlined
+    * trained centroids ([[sAnnServe]]'s serving-RAM move); the
+    * query's ADC distance table — its integer d2 to all ≤128 (sub,
+    * code) centroids, unrolled to codegen arithmetic over the literal
+    * codebook exactly like [[mapSideCodes]] — is computed ONCE per
+    * event as an array of per-subspace maps; candidates come from the
+    * stream-static equi-join on the probed cell (cell-partitioned
+    * coded corpus → one partition read per probe); and each
+    * candidate's distance is the SUM OF 8 MAP LOOKUPS against its
+    * static 8-byte code row — the corpus's floats are never touched.
+    * The top-1 rerank (dist ASC, vec_id ASC via min-of-struct) is the
+    * single stateful aggregation, update mode. Fully oracled: the
+    * shared IVF + PQ + composed-ADC CTEs replay probe, table, and
+    * ranking — every distance an exact integer. */
+  def sIvfPqServe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val e = Tables.embeddings(s, d)
+    val n = e.count()
+    val (cen, cells) = Similarity.ivfIndex(s, d)
+    val (cb, codes) = ProductQuant.pqIndex(s, d)
+    val cenRows: Seq[(Long, Seq[Double])] = cen
+      .select(col("centroid_id"), col("cvec"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val cbRows: Seq[(Int, Long, Seq[Long])] = cb
+      .select(col("sub").cast("int"), col("code"), col("c"))
+      .as[(Int, Long, Seq[Long])].collect().toSeq
+    val bySub: Map[Int, Seq[(Long, Seq[Long])]] =
+      cbRows.groupBy(_._1).map { case (sb, rs) =>
+        sb -> rs.map(r => (r._2, r._3))
+      }
+    // static serving relation: (vec_id, cell, codes_arr[8]) — the coded
+    // corpus, 8 small ints per vector plus its partition key
+    val corpus = cells.join(
+      codes.groupBy(col("vec_id"))
+        .agg(collect_list(struct(col("sub"), col("code"))).as("pv")),
+      "vec_id")
+      .select(col("vec_id"), col("cell"),
+        transform(array_sort(col("pv")), p => p.getField("code")).as("codes_arr"))
+    val panel = e.filter(Similarity.panelFilter(n))
+      .select(col("vec_id"), col("embedding"))
+      .as[VecEvent].collect()
+    EventPairing.withStreamingPartitions(s) {
+      val input = MemoryStream[VecEvent]
+      // per-event ADC table: array over subs of map(code -> integer d2),
+      // the codebook unrolled into the plan as literal arithmetic
+      val dtable = array((0 until ProductQuant.Subs).map { sb =>
+        val entries = bySub(sb)
+        map_from_arrays(
+          typedlit(entries.map(_._1)),
+          array(entries.map { case (_, c) =>
+            (0 until ProductQuant.DSub).map { i =>
+              val diff = col("xs").getItem(sb * ProductQuant.DSub + i) - lit(c(i))
+              diff * diff
+            }.reduce(_ + _)
+          }: _*))
+      }: _*)
+      val probed = input.toDF()
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1e6).cast("long")).as("xs"),
+          col("embedding").as("qvec"))
+        .withColumn("pcells", slice(array_sort(transform(typedlit(cenRows), c =>
+          struct(
+            (-Similarity.cosine(col("qvec"), c.getField("_2"))).as("negcos"),
+            c.getField("_1").as("cid")))), 1, 2))
+        .select(col("qid"), col("xs"), dtable.as("dt"),
+          explode(transform(col("pcells"), p => p.getField("cid"))).as("cell"))
+      val served = probed
+        .join(corpus, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dist",
+          (0 until ProductQuant.Subs).map { sb =>
+            element_at(col("dt").getItem(sb), col("codes_arr").getItem(sb))
+          }.reduce(_ + _))
+        .groupBy(col("qid"))
+        .agg(min(struct(col("dist"), col("vec_id"))).as("top"))
+        .select(col("qid"), col("top.vec_id").as("vec_id"),
+          col("top.dist").as("dist"))
+      val name = s"s_ivfpq_serve_${nameCounter.incrementAndGet()}"
+      val q = served.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try { input.addData(panel.toSeq); q.processAllAvailable() } finally q.stop()
+      s.table(name).orderBy("qid")
+    }
+  }
+
   /** s_neardup_gate — streaming near-duplicate admission gate: each
     * arriving document computes its md5-MinHash band keys MAP-SIDE
     * ([[Dedup.md5BandProbes]] — the per-event form of the batch
