@@ -58,9 +58,29 @@ object ProductQuant {
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]
 
+  /** Frozen pre-arrival codebooks for [[pqRefresh]] — cached SEPARATELY
+    * from [[pqCache]] because the refresh only ever reads the
+    * codebooks: caching through the (codebooks, codes) pair would
+    * eagerly code and checkpoint the whole pre-arrival corpus for a
+    * relation nothing consumes. */
+  private val pqRefreshCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
   /** Test hook: drop materialized PQ indexes so a spec can measure a
     * cold build. */
-  private[graft] def clearPqCache(): Unit = pqCache.clear()
+  private[graft] def clearPqCache(): Unit = { pqCache.clear(); pqRefreshCache.clear() }
+
+  /** The frozen pre-arrival codebook build, factored out so Bench can
+    * pre-build (and price) it next to [[pqIndex]] — the same
+    * cold-build-out-of-the-measured-rep move as
+    * [[Similarity.preArrivalIndex]]. */
+  private[graft] def preArrivalCodebooks(s: SparkSession, d: String): DataFrame =
+    pqRefreshCache.computeIfAbsent((s, d), { _ =>
+      val old = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % 5 =!= 3)
+      trainCodebooks(subvecs(old), pqStride(old.count()))
+    })
 
   /** The shared PQ build: (codebooks, codes). One count() (parquet
     * metadata), one training chain, one coding pass. */
@@ -280,11 +300,7 @@ object ProductQuant {
   def pqRefresh(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val old = e.filter(col("vec_id") % 5 =!= 3)
-    val (cb, _) = pqCache.computeIfAbsent((s, d + "::pre-arrival"), { _ =>
-      val sv = subvecs(old)
-      val frozen = trainCodebooks(sv, pqStride(old.count()))
-      (frozen, assignCodes(sv, frozen).localCheckpoint())
-    })
+    val cb = preArrivalCodebooks(s, d)
     val oldRow = distortion(minD2(subvecs(old), cb), "n_old", "avg_d2_old")
     val newRow = distortion(
       minD2(subvecs(e.filter(col("vec_id") % 5 === 3)), cb),
@@ -307,11 +323,21 @@ object ProductQuant {
     * trained coding. */
   def pqPersist(s: SparkSession, d: String): DataFrame = {
     val (cb, codes) = pqIndex(s, d)
+    val (_, cells) = Similarity.ivfIndex(s, d)
     val root = Similarity.indexStorePath(d)
     cb.write.mode("overwrite").parquet(s"$root/pq_codebooks.parquet")
-    codes.write.mode("overwrite").parquet(s"$root/pq_codes.parquet")
+    // the durable coded corpus carries its IVF cell and is PARTITIONED
+    // by it — this store IS the s_ivfpq_serve serving dataset, and the
+    // serve path's cost model ("one partition read per probe") only
+    // holds if the layout says so; repartition first so each cell
+    // writes one file (IndexLifecycleSpec pins the pruning)
+    codes.join(cells, "vec_id")
+      .repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$root/pq_codes.parquet")
     val lcb = s.read.parquet(s"$root/pq_codebooks.parquet")
     val lcodes = s.read.parquet(s"$root/pq_codes.parquet")
+      .select(col("vec_id"), col("sub"), col("code"),
+        col("cell").cast("long").as("cell"))
     val a = lcodes.agg(
       count(lit(1)).as("n_code_rows"),
       countDistinct(col("vec_id")).as("n_vecs"),

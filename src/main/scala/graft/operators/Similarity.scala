@@ -149,23 +149,42 @@ object Similarity {
     * round-trips IEEE doubles bit-exactly, so a LOADED index is
     * value-identical to the trained one — q_index_persist proves that
     * with checksums over both relations. */
-  private[graft] def indexStorePath(d: String): String =
-    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_index_store/" +
-      java.lang.Integer.toHexString(d.hashCode)
+  private[graft] def indexStorePath(d: String): String = {
+    // md5 of the full corpus path: the store outlives the JVM, so the
+    // key must be collision-resistant — a 32-bit String.hashCode would
+    // let two corpus dirs silently overwrite each other's indexes
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_index_store/$md"
+  }
 
-  /** Write the trained index to the durable store (build-side API). */
+  /** Write the trained index to the durable store (build-side API).
+    * The assignment relation is PARTITIONED BY CELL — the layout the
+    * serving tier's cost model assumes: a probe against the loaded
+    * store reads its nprobe cells' directories and nothing else
+    * (partition pruning, plan-guarded in IndexLifecycleSpec), instead
+    * of scanning every file for every query. One repartition on the
+    * cell key first, so each cell writes as one file rather than one
+    * per (shuffle partition × cell). */
   private[graft] def saveIndex(s: SparkSession, d: String): String = {
     val (cen, cells) = ivfIndex(s, d)
     val root = indexStorePath(d)
     cen.write.mode("overwrite").parquet(s"$root/centroids.parquet")
-    cells.write.mode("overwrite").parquet(s"$root/cells.parquet")
+    cells.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$root/cells.parquet")
     root
   }
 
-  /** Load (centroids, cells) from the durable store (probe-side API). */
+  /** Load (centroids, cells) from the durable store (probe-side API).
+    * The partition column comes back type-inferred (int for small cell
+    * ids); the cast restores the trained schema exactly, and — being
+    * an upcast — unwraps around comparisons, so `cell = <id>` filters
+    * still prune partitions on the loaded store. */
   private[graft] def loadIndex(s: SparkSession, root: String): (DataFrame, DataFrame) =
     (s.read.parquet(s"$root/centroids.parquet"),
-      s.read.parquet(s"$root/cells.parquet"))
+      s.read.parquet(s"$root/cells.parquet")
+        .select(col("vec_id"), col("cell").cast("long").as("cell")))
 
   /** q_index_persist — the save → load → verify round trip of the
     * durable index lifecycle: persist the trained index with
@@ -209,11 +228,21 @@ object Similarity {
     * the O(nlist) broadcast. Fully oracled: the frozen chain replays
     * via the shared training CTE over the filtered corpus, the
     * arrival assignment via the same argmax window. */
+  /** The frozen pre-arrival index [[indexRefresh]] reads — factored out
+    * so Bench can pre-build (and price) it alongside [[ivfIndex]]
+    * instead of letting the build hide inside q_index_refresh's first
+    * rep, where the cold/warm spread false-trips the contamination
+    * flag at larger scale factors. */
+  private[graft] def preArrivalIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    indexCache.computeIfAbsent((s, d + "::pre-arrival"), { _ =>
+      buildIndex(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % 5 =!= 3))
+    })
+
   def indexRefresh(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val (cen, oldCells) = indexCache.computeIfAbsent((s, d + "::pre-arrival"), { _ =>
-      buildIndex(e.filter(col("vec_id") % 5 =!= 3))
-    })
+    val (cen, oldCells) = preArrivalIndex(s, d)
     val newCells = assignCells(e.filter(col("vec_id") % 5 === 3), broadcast(cen))
     def health(cells: DataFrame, nName: String, ncName: String, imbName: String) =
       cells.groupBy(col("cell")).agg(count(lit(1)).as("sz"))

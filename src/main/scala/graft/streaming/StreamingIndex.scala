@@ -26,43 +26,80 @@ object StreamingIndex {
 
   private val nameCounter = new java.util.concurrent.atomic.AtomicInteger
 
+  /** Per-query streaming telemetry, recorded SYNCHRONOUSLY from
+    * `q.recentProgress` after each run (listener delivery is async and
+    * racy; the query object's own progress buffer is not): total state
+    * rows across the run's batches — the observable the zero-state
+    * plan guards assert on — and per-micro-batch `triggerExecution`
+    * durations for data-carrying batches, the serving-latency numbers
+    * Bench publishes (p50/p95 — latency is THE serving metric; recall
+    * alone prices an index, not a deployment). Keyed by the query's
+    * base name; durations accumulate across reps. */
+  private[graft] val stateRowsTotal =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]
+  private[graft] val stateOpNames =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]
+  private[graft] val batchDurationsMs =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[Long]]
+
+  private def record(base: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val prog = q.recentProgress
+    stateRowsTotal.merge(
+      base, prog.flatMap(_.stateOperators.map(_.numRowsTotal)).sum,
+      (a, b) => a.max(b))
+    stateOpNames.put(base,
+      prog.flatMap(_.stateOperators.map(_.operatorName)).toSet)
+    val durs = prog.filter(_.numInputRows > 0)
+      .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+    batchDurationsMs.merge(base, durs.toVector, (a, b) => a ++ b)
+  }
+
   /** One arriving vector (the embeddings row as a stream event). */
   case class VecEvent(vec_id: Long, embedding: Seq[Float])
 
   /** One arriving document (the documents row as a stream event). */
   case class DocEvent(doc_id: Long, text: String)
 
-  /** s_vector_ingest — streaming IVF cell assignment: arriving vectors
-    * join the broadcast TRAINED centroid set ([[Similarity.ivfIndex]] —
-    * the index is static; the stream flows) and each takes its
-    * argmax-cosine cell via the same max-of-(cos, id)-struct aggregate
-    * as the batch assignment, so ties break identically. Update output
-    * mode: each vector's assignment emits in the micro-batch it
-    * arrives in — the reference's forward-every-update semantics (C4)
-    * applied to index ingest. One stateful aggregation, keyed by
-    * vec_id; state is O(stream keys) and the centroid broadcast is
-    * O(nlist) regardless of corpus size. Oracle: the batch assignment
-    * chain (`cells`) replayed in DuckDB. */
+  /** s_vector_ingest — streaming IVF cell assignment: each arriving
+    * vector takes its argmax-cosine cell MAP-SIDE against the trained
+    * centroid set ([[Similarity.ivfIndex]]), collected once and inlined
+    * as a LITERAL array — ≤ nlist ≈ 64 rows, the serving-RAM move
+    * [[sAnnServe]] documents. Cell assignment is per-record stateless
+    * (the reference's own ingest, Main.java:137-141, is a stateless
+    * per-record map), so the plan is too: append mode, ZERO state, no
+    * join, no shuffle — a vector's assignment emits in the micro-batch
+    * it arrives in and nothing is retained afterwards. (The round-6
+    * form — broadcast cross-join + groupBy(vec_id) update-mode agg —
+    * kept O(every vector ever ingested) state for this same stateless
+    * computation; the zero-state plan guard pins the fix.) Ties break
+    * by max of the (cos, centroid_id) struct — higher centroid_id —
+    * exactly the batch assignment's aggregate. Oracle: the batch
+    * assignment chain (`cells`) replayed in DuckDB. */
   def sVectorIngest(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val (cen, _) = Similarity.ivfIndex(s, d)
+    val cenRows: Seq[(Long, Seq[Double])] = cen
+      .select(col("centroid_id"), col("cvec"))
+      .as[(Long, Seq[Double])].collect().toSeq
     val vecs = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
       .as[VecEvent].collect()
     EventPairing.withStreamingPartitions(s) {
       val input = MemoryStream[VecEvent]
       val assigned = input.toDF()
-        .join(broadcast(cen), lit(true))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(
-          Similarity.cosine(col("embedding"), col("cvec")).as("cos"),
-          col("centroid_id"))).as("best"))
-        .select(col("vec_id"), col("best.centroid_id").as("cell"))
+        .withColumn("best", array_max(transform(typedlit(cenRows), c =>
+          struct(
+            Similarity.cosine(col("embedding"), c.getField("_2")).as("cos"),
+            c.getField("_1").as("cid")))))
+        .select(col("vec_id"), col("best.cid").as("cell"))
       val name = s"s_vector_ingest_${nameCounter.incrementAndGet()}"
       val q = assigned.writeStream.format("memory").queryName(name)
-        .outputMode("update").start()
-      try { input.addData(vecs.toSeq); q.processAllAvailable() } finally q.stop()
+        .outputMode("append").start()
+      try {
+        input.addData(vecs.toSeq); q.processAllAvailable()
+        record("s_vector_ingest", q)
+      } finally q.stop()
       s.table(name).orderBy("vec_id")
     }
   }
@@ -80,10 +117,17 @@ object StreamingIndex {
     * the corpus is partitioned by cell, so a probe reads one
     * partition) and the top-1 rerank is the single stateful
     * aggregation (max of (cos, MaxValue−vec_id) — cos DESC, vec_id ASC
-    * ties), update mode. A panel query whose probed cell holds only
-    * itself emits nothing, exactly as in the batch/oracle replay.
-    * Fully oracled: probe argmax + rerank window replay in DuckDB over
-    * the shared training CTE. */
+    * ties), update mode. The aggregation is WINDOWED on the query's
+    * arrival stamp under a watermark, so served-query state expires
+    * once the watermark passes its window — a serving tier that never
+    * expires per-query state eventually dies (the reference's
+    * unbounded-suppress-buffer failure mode, Main.java:198); bounding
+    * it by watermark is C5/C8 applied to the serve path. The window
+    * key changes no emitted row (each qid occupies exactly one
+    * window). A panel query whose probed cell holds only itself emits
+    * nothing, exactly as in the batch/oracle replay. Fully oracled:
+    * probe argmax + rerank window replay in DuckDB over the shared
+    * training CTE. */
   def sAnnServe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
@@ -101,17 +145,21 @@ object StreamingIndex {
     EventPairing.withStreamingPartitions(s) {
       val input = MemoryStream[VecEvent]
       val probed = input.toDF()
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          // +1 day: keep every stamp strictly above the epoch-0
+          // initial watermark (see sNeardupGate)
+          timestamp_seconds(col("vec_id") + lit(86400L)).as("ts"))
+        .withWatermark("ts", "1 minute")
         .withColumn("best", array_max(transform(typedlit(cenRows), c =>
           struct(
             Similarity.cosine(col("qvec"), c.getField("_2")).as("cos"),
             (lit(Long.MaxValue) - c.getField("_1")).as("nid")))))
-        .select(col("qid"), col("qvec"),
+        .select(col("qid"), col("qvec"), col("ts"),
           (lit(Long.MaxValue) - col("best.nid")).as("cell"))
       val served = probed
         .join(corpus, Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
-        .groupBy(col("qid"))
+        .groupBy(window(col("ts"), "1 minute"), col("qid"))
         .agg(max(struct(
           Similarity.cosine(col("embedding"), col("qvec")).as("cos"),
           (lit(Long.MaxValue) - col("vec_id")).as("nid"))).as("top"))
@@ -120,7 +168,10 @@ object StreamingIndex {
       val name = s"s_ann_serve_${nameCounter.incrementAndGet()}"
       val q = served.writeStream.format("memory").queryName(name)
         .outputMode("update").start()
-      try { input.addData(panel.toSeq); q.processAllAvailable() } finally q.stop()
+      try {
+        input.addData(panel.toSeq); q.processAllAvailable()
+        record("s_ann_serve", q)
+      } finally q.stop()
       s.table(name).orderBy("qid")
     }
   }
@@ -188,7 +239,10 @@ object StreamingIndex {
       val name = s"s_pq_ingest_${nameCounter.incrementAndGet()}"
       val q = coded.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
-      try { input.addData(vecs.toSeq); q.processAllAvailable() } finally q.stop()
+      try {
+        input.addData(vecs.toSeq); q.processAllAvailable()
+        record("s_pq_ingest", q)
+      } finally q.stop()
       s.table(name).orderBy("vec_id", "sub")
     }
   }
@@ -207,7 +261,11 @@ object StreamingIndex {
     * candidate's distance is the SUM OF 8 MAP LOOKUPS against its
     * static 8-byte code row — the corpus's floats are never touched.
     * The top-1 rerank (dist ASC, vec_id ASC via min-of-struct) is the
-    * single stateful aggregation, update mode. Fully oracled: the
+    * single stateful aggregation, update mode — WINDOWED on the
+    * query's arrival stamp under a watermark like [[sAnnServe]], so
+    * per-query state expires instead of accumulating for the life of
+    * the serving process (the window key changes no emitted row: one
+    * qid, one window). Fully oracled: the
     * shared IVF + PQ + composed-ADC CTEs replay probe, table, and
     * ranking — every distance an exact integer. */
   def sIvfPqServe(s: SparkSession, d: String): DataFrame = {
@@ -257,12 +315,16 @@ object StreamingIndex {
         .select(col("vec_id").as("qid"),
           transform(col("embedding"),
             x => round(x.cast("double") * 1e6).cast("long")).as("xs"),
-          col("embedding").as("qvec"))
+          col("embedding").as("qvec"),
+          // +1 day: keep every stamp strictly above the epoch-0
+          // initial watermark (see sNeardupGate)
+          timestamp_seconds(col("vec_id") + lit(86400L)).as("ts"))
+        .withWatermark("ts", "1 minute")
         .withColumn("pcells", slice(array_sort(transform(typedlit(cenRows), c =>
           struct(
             (-Similarity.cosine(col("qvec"), c.getField("_2"))).as("negcos"),
             c.getField("_1").as("cid")))), 1, 2))
-        .select(col("qid"), col("xs"), dtable.as("dt"),
+        .select(col("qid"), col("xs"), col("ts"), dtable.as("dt"),
           explode(transform(col("pcells"), p => p.getField("cid"))).as("cell"))
       val served = probed
         .join(corpus, Seq("cell"))
@@ -271,14 +333,17 @@ object StreamingIndex {
           (0 until ProductQuant.Subs).map { sb =>
             element_at(col("dt").getItem(sb), col("codes_arr").getItem(sb))
           }.reduce(_ + _))
-        .groupBy(col("qid"))
+        .groupBy(window(col("ts"), "1 minute"), col("qid"))
         .agg(min(struct(col("dist"), col("vec_id"))).as("top"))
         .select(col("qid"), col("top.vec_id").as("vec_id"),
           col("top.dist").as("dist"))
       val name = s"s_ivfpq_serve_${nameCounter.incrementAndGet()}"
       val q = served.writeStream.format("memory").queryName(name)
         .outputMode("update").start()
-      try { input.addData(panel.toSeq); q.processAllAvailable() } finally q.stop()
+      try {
+        input.addData(panel.toSeq); q.processAllAvailable()
+        record("s_ivfpq_serve", q)
+      } finally q.stop()
       s.table(name).orderBy("qid")
     }
   }
@@ -291,8 +356,14 @@ object StreamingIndex {
     * existing doc flags the arrival as a near-dup candidate before it
     * is admitted to the corpus. Emitted rows are the (arrival,
     * existing) candidate pairs, deduplicated across bands by a
-    * streaming dropDuplicates — the one stateful operator; its state
-    * is O(candidate pairs), not O(corpus). At 100 TB the band table
+    * streaming dropDuplicatesWithinWatermark over the arrival stamp —
+    * the one stateful operator; its state is O(candidate pairs WITHIN
+    * THE WATERMARK), not O(corpus) and not O(stream lifetime): a pair
+    * seen once is suppressed for the watermark delay (band collisions
+    * of one arrival land in one micro-batch, so the dedup window only
+    * needs to span an arrival's own bands) and its state then expires
+    * — the round-6 plain dropDuplicates kept every pair forever. At
+    * 100 TB the band table
     * is the shuffled join key (band_key shards it); at test scale it
     * broadcasts. Oracle: the symmetric band-collision pairs replayed
     * in DuckDB over the same portable md5 hash family. */
@@ -314,11 +385,20 @@ object StreamingIndex {
             col("s.band_key") === col("c.band_key") &&
             col("s.doc_id") =!= col("c.doc_id"))
         .select(col("s.doc_id").as("doc_id"), col("c.doc_id").as("dup_id"))
-        .dropDuplicates("doc_id", "dup_id")
+        // +1 day: the initial watermark is epoch 0 and the late-row
+        // filter drops rows AT the watermark, so a doc_id-0 arrival
+        // stamped exactly at epoch 0 would silently vanish
+        .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("doc_id", "dup_id")
+        .select(col("doc_id"), col("dup_id"))
       val name = s"s_neardup_gate_${nameCounter.incrementAndGet()}"
       val q = gated.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
-      try { input.addData(docs.toSeq); q.processAllAvailable() } finally q.stop()
+      try {
+        input.addData(docs.toSeq); q.processAllAvailable()
+        record("s_neardup_gate", q)
+      } finally q.stop()
       s.table(name).orderBy("doc_id", "dup_id")
     }
   }

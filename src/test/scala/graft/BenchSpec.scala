@@ -41,4 +41,18 @@ class BenchSpec extends AnyFunSuite {
   test("unparseable or absent loadavg never flags by itself") {
     assert(Bench.suspectReason(None, Seq("q_agg_q1" -> Seq(0.6, 0.6))).isEmpty)
   }
+
+  test("self-healing: a spread-tripped query's median recovers the clean number") {
+    // round-4 signature: q_dedup_cluster measured [48.7, 4.7] under
+    // contamination — earlier rounds flagged such runs but still
+    // published the polluted headline. With the trip wire shared, a
+    // third rep runs and the median discards the outlier (here: a
+    // 4.9 s third rep recovers the clean ~4.8 s number).
+    assert(Bench.spreadTripped(Seq(48.7, 4.7)))
+    assert(Bench.medianOf(Seq(48.7, 4.7, 4.9)) == 4.9)
+    // clean JIT warm-up spread on short queries must NOT trigger a third
+    // rep (same bounds as the suspect flag — one rule, two uses)
+    assert(!Bench.spreadTripped(Seq(1.785, 0.545)))
+    assert(!Bench.spreadTripped(Seq(8.22, 3.88)))
+  }
 }

@@ -106,7 +106,7 @@ class IndexLifecycleSpec extends SparkSpec {
     // every vector is either pre-arrival or an arrival, and arrivals
     // can only fill cells of the frozen centroid set
     assert(r1.getAs[Long]("n_old") + r1.getAs[Long]("n_new") == 500L)
-    assert(r1.getAs[Long]("n_new") == 100L) // vec_id % 5 == 0 on 0..499
+    assert(r1.getAs[Long]("n_new") == 100L) // vec_id % 5 == 3 on 0..499
     assert(r1.getAs[Long]("n_cells_refreshed") >= r1.getAs[Long]("n_cells_old"))
   }
 
@@ -194,6 +194,66 @@ class IndexLifecycleSpec extends SparkSpec {
       .select(graft.streaming.StreamingIndex.mapSideCodes(cb).as("codes"))
       .collect()(0).getSeq[Long](0)
     assert(out == Seq(7L, 4L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("s_vector_ingest: stateless plan — zero state rows; ingest retains nothing") {
+    // cell assignment is per-record stateless; the plan must be too
+    // (the round-6 broadcast-cross-join + update-mode agg grew state
+    // with every vector ever ingested). stateRowsTotal sums
+    // numRowsTotal over every state operator of every batch: 0 means
+    // NO stateful operator ran, not just an empty store.
+    SparkEntry.queries("s_vector_ingest")(spark, sf("sf0.001"))
+      .write.format("noop").mode("overwrite").save()
+    assert(graft.streaming.StreamingIndex.stateRowsTotal.get("s_vector_ingest") == 0L)
+    assert(graft.streaming.StreamingIndex.stateOpNames.get("s_vector_ingest").isEmpty)
+  }
+
+  test("serve/gate state is WATERMARK-BOUNDED: windowed aggs and watermarked dedup") {
+    for (q <- Seq("s_ann_serve", "s_ivfpq_serve", "s_neardup_gate"))
+      SparkEntry.queries(q)(spark, sf("sf0.001"))
+        .write.format("noop").mode("overwrite").save()
+    // the serve paths' only state is the windowed per-(window, qid)
+    // top-1 aggregation — expires when the watermark passes the window
+    assert(graft.streaming.StreamingIndex.stateOpNames.get("s_ann_serve")
+      == Set("stateStoreSave"))
+    assert(graft.streaming.StreamingIndex.stateOpNames.get("s_ivfpq_serve")
+      == Set("stateStoreSave"))
+    // the gate dedups within the watermark, not forever
+    assert(graft.streaming.StreamingIndex.stateOpNames.get("s_neardup_gate")
+      == Set("dedupeWithinWatermark"))
+  }
+
+  test("durable store layout: a single-cell probe against the LOADED store prunes partitions") {
+    val d = sf("sf0.001")
+    val root = Similarity.saveIndex(spark, d)
+    val (_, lcells) = Similarity.loadIndex(spark, root)
+    val aCell = lcells.orderBy("cell").select("cell").as[Long].head(1).head
+    // the equality filter must reach the scan as a PARTITION filter
+    // (file-listing pruning — at 100 TB this is "read one directory,
+    // not the corpus"); the cast-to-long in loadIndex must not block it
+    val p = lcells.filter(col("cell") === aCell)
+      .queryExecution.executedPlan.toString()
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined, p)
+    // and the loaded rows for that cell match the trained assignment
+    val trained = Similarity.ivfIndex(spark, d)._2
+      .filter(col("cell") === aCell).orderBy("vec_id")
+      .as[(Long, Long)].collect().toSeq
+    val loaded = lcells.filter(col("cell") === aCell)
+      .select("vec_id", "cell").orderBy("vec_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(loaded == trained)
+  }
+
+  test("durable PQ store layout: the coded corpus is cell-partitioned and prunes") {
+    val d = sf("sf0.001")
+    SparkEntry.queries("q_pq_persist")(spark, d)
+      .write.format("noop").mode("overwrite").save()
+    val root = Similarity.indexStorePath(d)
+    val lcodes = spark.read.parquet(s"$root/pq_codes.parquet")
+    val aCell = lcodes.orderBy("cell").select(col("cell").cast("long")).as[Long].head(1).head
+    val p = lcodes.filter(col("cell") === aCell)
+      .queryExecution.executedPlan.toString()
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined, p)
   }
 
   test("s_neardup_gate boundary: identical docs collide both ways, sub-shingle docs absent, no self-pairs") {
