@@ -175,6 +175,8 @@ object SparkEntry {
     "q_similarity_lsh" -> (Similarity.lsh _),
     "q_similarity_ivf" -> (Similarity.ivf _),
     "q_knn_join" -> (Similarity.knnJoin _),
+    "q_knn_join_cell" -> (Similarity.knnJoinCell _),
+    "q_knn_join_recall" -> (Similarity.knnJoinRecall _),
     "q_ann_recall" -> (Similarity.annRecall _),
     "q_sq_recall" -> (Similarity.sqRecall _),
     "q_lsh_recall" -> (Similarity.lshRecall _),
@@ -2194,6 +2196,41 @@ object SparkEntry {
         |  FROM dots)
         |SELECT vec_id, neighbor, cos_sim, rk
         |FROM ranked WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+    "q_knn_join_cell" ->
+      s"""WITH $ivfIndexCte,
+        |cand AS (
+        |  SELECT ea.vec_id AS vec_id, eb.vec_id AS neighbor,
+        |         ${cosSql("ea.v", "eb.v")} AS cos_sim
+        |  FROM e ea JOIN cells ca ON ea.vec_id = ca.vec_id
+        |       JOIN cells cb ON ca.cell = cb.cell
+        |       JOIN e eb ON eb.vec_id = cb.vec_id AND eb.vec_id <> ea.vec_id),
+        |ranked AS (
+        |  SELECT vec_id, neighbor, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY cos_sim DESC, neighbor ASC) AS INT) AS rk
+        |  FROM cand)
+        |SELECT vec_id, neighbor, cos_sim, rk
+        |FROM ranked WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+    "q_knn_join_recall" ->
+      s"""WITH $ivfIndexCte,
+        |exact AS (SELECT vec_id, neighbor FROM (
+        |  SELECT ea.vec_id, eb.vec_id AS neighbor,
+        |         row_number() OVER (PARTITION BY ea.vec_id
+        |           ORDER BY ${cosSql("ea.v", "eb.v")} DESC, eb.vec_id ASC) AS rk
+        |  FROM e ea JOIN e eb ON ea.vec_id <> eb.vec_id) WHERE rk <= 3),
+        |celled AS (SELECT vec_id, neighbor FROM (
+        |  SELECT ea.vec_id, eb.vec_id AS neighbor,
+        |         row_number() OVER (PARTITION BY ea.vec_id
+        |           ORDER BY ${cosSql("ea.v", "eb.v")} DESC, eb.vec_id ASC) AS rk
+        |  FROM e ea JOIN cells ca ON ea.vec_id = ca.vec_id
+        |       JOIN cells cb ON ca.cell = cb.cell
+        |       JOIN e eb ON eb.vec_id = cb.vec_id AND eb.vec_id <> ea.vec_id)
+        |  WHERE rk <= 3)
+        |SELECT CAST(3 AS INTEGER) AS k, CAST(count(*) AS BIGINT) AS n_exact,
+        |       CAST(count(c.neighbor) AS BIGINT) AS n_hit,
+        |       round(CAST(count(c.neighbor) AS DOUBLE) / count(*), 6) AS recall
+        |FROM exact x LEFT JOIN celled c
+        |  ON x.vec_id = c.vec_id AND x.neighbor = c.neighbor""".stripMargin,
     "q_crossmodal_join" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,

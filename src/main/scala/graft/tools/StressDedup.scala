@@ -37,11 +37,15 @@ object StressDedup {
 
   /** Quadratic BY DESIGN — exact all-pairs baselines (the per-bucket
     * rerank shape; the banded/celled variants own the full-corpus
-    * regime) and the 7-value-key join demo. Their per-row cost grows
-    * ~K; the JSON flags them so the ratio gate reads the flag instead
-    * of red-flagging the contract. */
+    * regime), the 7-value-key join demo, and q_knn_join_recall, whose
+    * DENOMINATOR is the exact quadratic join (every recall eval pays
+    * its exact side once — the celled numerator itself is the scale
+    * path, measured unflagged as q_knn_join_cell). Their per-row cost
+    * grows ~K; the JSON flags them so the ratio gate reads the flag
+    * instead of red-flagging the contract. */
   private val QuadraticByDesign =
-    Set("q_knn_join", "q_dedup_embedding", "q_nullsafe_join")
+    Set("q_knn_join", "q_dedup_embedding", "q_nullsafe_join",
+      "q_knn_join_recall")
 
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 10

@@ -248,6 +248,58 @@ class OperatorsSpec extends SparkSpec {
     assert(rows == Seq(0L, 1L, 3L))
   }
 
+  test("knnJoinCell with one trained cell ≡ exact knnJoin (the lossless boundary)") {
+    // 30 vectors → stride = max(50, 30/64) = 50 → seed grid {0} → nlist
+    // = 1: every vector lands in the single cell, so the celled join's
+    // candidate set IS the all-pairs set and the two operators must
+    // agree row-for-row (same rounded grid, same tie order). This pins
+    // the celled variant's ranking to the exact baseline exactly where
+    // they provably coincide.
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val dir = fixtureDir("embeddings" ->
+      vecs.map { case (id, v) => (id, v, 0) }.toSeq.toDF("vec_id", "embedding", "label"))
+    val exact = operators.Similarity.knnJoin(spark, dir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val celled = operators.Similarity.knnJoinCell(spark, dir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(celled == exact)
+    // and the recall summary prices the (here: zero) loss coherently
+    val rec = operators.Similarity.knnJoinRecall(spark, dir).collect().head
+    assert(rec.getAs[Long]("n_exact") == 90L)
+    assert(rec.getAs[Long]("n_hit") == 90L)
+    assert(rec.getAs[Double]("recall") == 1.0)
+  }
+
+  test("knnJoinCell: every edge stays inside the probe's own trained cell") {
+    // real multi-cell corpus (sf0.001: 500 vecs, 10 seeds): the celled
+    // join may only ever pair cell-mates — a cross-cell edge means the
+    // cell key leaked out of the join — and each vector's ranks are
+    // consecutive from 1 over its ≤3 emitted neighbors.
+    val d = sf("sf0.001")
+    val cells = operators.Similarity.ivfIndex(spark, d)._2.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = operators.Similarity.knnJoinCell(spark, d).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(cells(r.getLong(0)) == cells(r.getLong(1)),
+        s"cross-cell edge ${r.getLong(0)}->${r.getLong(1)}")
+    val ranks = rows.groupBy(_.getLong(0))
+      .map { case (_, g) => g.map(_.getInt(3)).sorted.toSeq }
+    assert(ranks.forall(rs => rs == (1 to rs.length)))
+    // recall coherence on the same corpus: the exact edge set is the
+    // denominator, hits are the intersection — recomputed independently
+    val exactE = operators.Similarity.knnJoin(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val celledE = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rec = operators.Similarity.knnJoinRecall(spark, d).collect().head
+    assert(rec.getAs[Long]("n_exact") == exactE.size.toLong)
+    assert(rec.getAs[Long]("n_hit") == (exactE & celledE).size.toLong)
+    assert(rec.getAs[Double]("recall") ==
+      BigDecimal((exactE & celledE).size.toDouble / exactE.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   /** Rounded cosine on the 1e-6 grid — model twin of Similarity.cosine
     * (same sequential fold, same HALF_UP edge). */
   private def cos6d(a: Seq[Double], b: Seq[Double]): Double = {

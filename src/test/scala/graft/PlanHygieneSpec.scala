@@ -107,6 +107,18 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_knn_join_cell: pairwise work rides the cell key off the checkpointed index") {
+    val p = plan("q_knn_join_cell")
+    // n²/nlist, not n²: the mate join is an equi-join on the cell key
+    // against the localCheckpoint'ed shared assignment — no cartesian,
+    // no assignment nested-loop re-planned per query
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin [cell#") || p.contains("BroadcastHashJoin [cell#"), p)
+    // the rank filter prunes below the window exchange (partial top-k)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_heavy_hitters: candidate recount joins via broadcast, not a full-term shuffle") {
     val p = plan("q_heavy_hitters")
     assert(p.contains("BroadcastHashJoin"), p)
