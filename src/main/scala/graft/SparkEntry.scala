@@ -177,6 +177,8 @@ object SparkEntry {
     "q_knn_join" -> (Similarity.knnJoin _),
     "q_knn_join_cell" -> (Similarity.knnJoinCell _),
     "q_knn_join_recall" -> (Similarity.knnJoinRecall _),
+    "q_ann_filtered" -> (Similarity.annFiltered _),
+    "q_knn_classify" -> (Similarity.knnClassify _),
     "q_ann_recall" -> (Similarity.annRecall _),
     "q_sq_recall" -> (Similarity.sqRecall _),
     "q_lsh_recall" -> (Similarity.lshRecall _),
@@ -2231,6 +2233,76 @@ object SparkEntry {
         |       round(CAST(count(c.neighbor) AS DOUBLE) / count(*), 6) AS recall
         |FROM exact x LEFT JOIN celled c
         |  ON x.vec_id = c.vec_id AND x.neighbor = c.neighbor""".stripMargin,
+    "q_ann_filtered" ->
+      (s"WITH $ivfIndexCte,\n" +
+      s"""panel AS (SELECT vec_id AS qid, v AS qv FROM e
+        |          WHERE $panelWhereSql),
+        |np AS (SELECT CAST(x AS INTEGER) AS nprobe FROM (VALUES (2), (4)) t(x)),
+        |fc AS (SELECT e.vec_id, v FROM e
+        |       JOIN embeddings emb ON e.vec_id = emb.vec_id
+        |       WHERE emb.label = ${Similarity.FilterLabel}),
+        |""".stripMargin +
+      s"""exact AS (SELECT qid, vec_id FROM (
+        |            SELECT p.qid, fc.vec_id,
+        |                   row_number() OVER (PARTITION BY p.qid
+        |                     ORDER BY ${cosSql("v", "qv")} DESC,
+        |                       fc.vec_id ASC) AS rn
+        |            FROM fc, panel p WHERE fc.vec_id <> p.qid) WHERE rn <= 10),
+        |probed AS (SELECT qid, cell, prank FROM (
+        |             SELECT p.qid, centroid_id AS cell,
+        |                    row_number() OVER (PARTITION BY p.qid
+        |                      ORDER BY ${cosSql("qv", "cv")} DESC,
+        |                        centroid_id ASC) AS prank
+        |             FROM panel p, cen) WHERE prank <= 4),
+        |apr AS (SELECT nprobe, qid, vec_id FROM (
+        |          SELECT np.nprobe, pr.qid, fc.vec_id,
+        |                 row_number() OVER (PARTITION BY np.nprobe, pr.qid
+        |                   ORDER BY ${cosSql("v", "qv")} DESC,
+        |                     fc.vec_id ASC) AS rn
+        |          FROM fc JOIN cells ON fc.vec_id = cells.vec_id
+        |               JOIN probed pr ON cells.cell = pr.cell
+        |               JOIN panel p ON p.qid = pr.qid
+        |               CROSS JOIN np
+        |          WHERE pr.prank <= np.nprobe AND fc.vec_id <> pr.qid)
+        |        WHERE rn <= 10),
+        |xnp AS (SELECT np.nprobe, x.qid, x.vec_id FROM exact x CROSS JOIN np),
+        |hits AS (SELECT x.nprobe, x.qid, CAST(count(*) AS BIGINT) AS nx,
+        |                CAST(count(a.vec_id) AS BIGINT) AS nh
+        |         FROM xnp x LEFT JOIN apr a ON a.nprobe = x.nprobe
+        |              AND a.qid = x.qid AND a.vec_id = x.vec_id
+        |         GROUP BY 1, 2)
+        |SELECT nprobe, CAST(10 AS INTEGER) AS k,
+        |       CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(sum(nx) AS BIGINT) AS n_exact,
+        |       CAST(sum(nh) AS BIGINT) AS n_hit,
+        |       round(CAST(sum(nh) AS DOUBLE) / sum(nx), 6) AS recall
+        |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin),
+    "q_knn_classify" ->
+      (s"WITH $ivfIndexCte,\n" +
+      s"""lab AS (SELECT vec_id, label FROM embeddings),
+        |top AS (SELECT vec_id, label, nb_label FROM (
+        |  SELECT ea.vec_id, la.label, lb.label AS nb_label,
+        |         row_number() OVER (PARTITION BY ea.vec_id
+        |           ORDER BY ${cosSql("ea.v", "eb.v")} DESC, eb.vec_id ASC) AS rk
+        |  FROM e ea JOIN cells ca ON ea.vec_id = ca.vec_id
+        |       JOIN cells cb ON ca.cell = cb.cell
+        |       JOIN e eb ON eb.vec_id = cb.vec_id AND eb.vec_id <> ea.vec_id
+        |       JOIN lab la ON la.vec_id = ea.vec_id
+        |       JOIN lab lb ON lb.vec_id = eb.vec_id) WHERE rk <= 10),
+        |votes AS (SELECT vec_id, label, nb_label,
+        |                 CAST(count(*) AS BIGINT) AS votes
+        |          FROM top GROUP BY 1, 2, 3),
+        |pred AS (SELECT vec_id, label, nb_label FROM (
+        |           SELECT vec_id, label, nb_label,
+        |                  row_number() OVER (PARTITION BY vec_id
+        |                    ORDER BY votes DESC, nb_label ASC) AS vr
+        |           FROM votes) WHERE vr = 1)
+        |SELECT CAST(10 AS INTEGER) AS k, CAST(count(*) AS BIGINT) AS n_scored,
+        |       CAST(sum(CASE WHEN nb_label = label THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_correct,
+        |       round(CAST(sum(CASE WHEN nb_label = label THEN 1 ELSE 0 END)
+        |         AS DOUBLE) / count(*), 6) AS accuracy
+        |FROM pred""".stripMargin),
     "q_crossmodal_join" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,

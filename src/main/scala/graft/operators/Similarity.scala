@@ -795,4 +795,140 @@ object Similarity {
         count(col("hit")).as("n_hit"),
         round(count(col("hit")).cast("double") / count(lit(1)), 6).as("recall"))
   }
+
+  /** Metadata predicate for [[annFiltered]]: label = 3 — one of the 10
+    * ~uniform classes, i.e. a ~10 % selectivity filter. Fixed so the
+    * eval (and its oracle) measures one stable operating point. */
+  private[graft] val FilterLabel = 3
+
+  /** Probe widths the filtered eval compares: the family default
+    * (nprobe = 2, every other recall eval's width) vs the doubled
+    * probe — THE standard mitigation when a filter thins the probed
+    * cells. */
+  private[graft] val FilteredNprobes = Seq(2, 4)
+
+  /** q_ann_filtered — FILTERED vector search, the hard case every
+    * vector store documents (and the shape every retrieval pipeline
+    * with metadata actually runs: "nearest neighbors WHERE label =
+    * …"): recall@10 of the post-filtered IVF probe vs the filtered
+    * brute-force top-10, on the SHARED seed-disjoint panel. The
+    * filter ([[FilterLabel]], ~10 % selectivity) applies to the
+    * CORPUS side in both retrievals — exact ranks only matching
+    * vectors; the probe keeps its cells from the UNFILTERED geometry
+    * (cells are trained on everything — a filter is a query-time
+    * predicate, not an index) and the filter prunes candidates
+    * INSIDE the probed cells, before ranking: predicate pushdown into
+    * the index probe, not a post-rank discard that can return < k
+    * rows. Two summary rows price the known failure mode: with ~10 %
+    * of each cell surviving the filter, nprobe = 2 sees ~10 % of the
+    * candidates the unfiltered eval sees and recall drops; doubling
+    * the probe ([[FilteredNprobes]]) buys it back — the operating
+    * curve a deployment tunes nprobe against. At 100 TB the label
+    * filter pushes into the cell-partitioned parquet scan (a
+    * PushedFilters row, not a post-scan filter), the panel and
+    * centroid sets broadcast, and per-query rankings ride (nprobe,
+    * qid)-keyed windows — panel·(n/10) rows, CHEAPER than the
+    * unfiltered eval. Fully oracled: filter, probe, both rankings,
+    * and the per-nprobe fold replay in DuckDB over the shared IVF
+    * training CTE on the rounded-cosine grid. */
+  def annFiltered(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val eAll = Tables.embeddings(s, d)
+    val n = eAll.count()
+    val (cen, cells) = ivfIndex(s, d)
+    val panel = recallPanel(eAll, n)
+    val np = broadcast(FilteredNprobes.toDF("nprobe"))
+    val fCorpus = eAll.filter(col("label") === FilterLabel)
+      .select(col("vec_id"), col("embedding"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = fCorpus.crossJoin(panel)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qvec")).as("cos"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    val probed = panel.crossJoin(broadcast(cen))
+      .select(col("qid"), col("centroid_id"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= FilteredNprobes.max)
+      .select(col("qid"), col("centroid_id").as("cell"), col("prank"))
+    val wqn = Window.partitionBy(col("nprobe"), col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val approx = fCorpus.join(cells, "vec_id")
+      .join(broadcast(probed), "cell")
+      .join(panel, "qid")
+      .filter(col("vec_id") =!= col("qid"))
+      .crossJoin(np)
+      .filter(col("prank") <= col("nprobe"))
+      .select(col("nprobe"), col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qvec")).as("cos"))
+      .withColumn("rn", row_number().over(wqn)).filter(col("rn") <= 10)
+      .select(col("nprobe"), col("qid"), col("vec_id"), lit(1).as("hit"))
+    exact.crossJoin(np)
+      .join(approx, Seq("nprobe", "qid", "vec_id"), "left")
+      .groupBy(col("nprobe"), col("qid"))
+      .agg(count(lit(1)).as("nx"), count(col("hit")).as("nh"))
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("nx")).as("n_exact"), sum(col("nh")).as("n_hit"))
+      .select(col("nprobe"), lit(10).as("k"), col("n_queries"),
+        col("n_exact").cast("long").as("n_exact"),
+        col("n_hit").cast("long").as("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+      .orderBy("nprobe")
+  }
+
+  /** Vote depth for [[knnClassify]] — the conventional k = 10. */
+  private[graft] val ClassifyK = 10
+
+  /** q_knn_classify — kNN label propagation OFF THE SHARED INDEX: each
+    * vector takes the majority label of its top-[[ClassifyK]] cosine
+    * neighbors within its own trained IVF cell (the [[knnJoinCell]]
+    * candidate shape — n²/nlist pairs riding the cell shuffle key, no
+    * corpus broadcast), and the one summary row reports accuracy
+    * against the true labels: the EVAL a weak-labeling / auto-curation
+    * pipeline runs to decide whether neighbor labels are trustworthy
+    * enough to propagate to unlabeled data. Vote ties break (votes
+    * DESC, label ASC); neighbor ranking uses the family's (cos DESC,
+    * id ASC) on the shared 1e-6 grid; a vector alone in its cell has
+    * no electorate and is excluded from n_scored, exactly as in the
+    * oracle. Absolute accuracy on the synthetic near-orthogonal
+    * embeddings is data-limited (10 classes ⇒ ~0.1 floor) — the op's
+    * value is the deterministic, fully-oracled vote pipeline: cells,
+    * ranking, votes, tie-break, and the fold all replay in DuckDB
+    * over the shared IVF training CTE. */
+  def knnClassify(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val (_, cells) = ivfIndex(s, d)
+    val m = e.select(col("vec_id"), col("embedding"), col("label"))
+      .join(cells, Seq("vec_id"))
+    val mates = m.select(col("cell"), col("vec_id").as("neighbor"),
+      col("embedding").as("nb_vec"), col("label").as("nb_label"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor").asc)
+    val top = m.join(mates, Seq("cell"))
+      .filter(col("neighbor") =!= col("vec_id"))
+      .select(col("vec_id"), col("label"), col("nb_label"),
+        col("neighbor"),
+        cosine(col("embedding"), col("nb_vec")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= ClassifyK)
+    val wv = Window.partitionBy(col("vec_id"))
+      .orderBy(col("votes").desc, col("nb_label").asc)
+    val pred = top.groupBy(col("vec_id"), col("label"), col("nb_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
+    pred.agg(
+      lit(ClassifyK).as("k"),
+      count(lit(1)).as("n_scored"),
+      sum(when(col("nb_label") === col("label"), 1L).otherwise(0L))
+        .as("n_correct"),
+      round(sum(when(col("nb_label") === col("label"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)), 6).as("accuracy"))
+  }
 }

@@ -416,6 +416,108 @@ class OperatorsSpec extends SparkSpec {
     assert(got == ((10, 1L, 10L, 10L, 1.0)))
   }
 
+  /** Model twin of Similarity.annFiltered: shared trained centroids /
+    * panel / rounded grid; the corpus filter applies to BOTH sides,
+    * the probe keeps the unfiltered geometry, one recall per nprobe. */
+  private def filteredModel(vecs: Seq[(Long, Seq[Float], Int)]): Seq[(Int, Double)] = {
+    val plain = vecs.map { case (id, v, _) => (id, v) }
+    val cents = trainedCents(plain)
+    val cell = cellOf(plain, cents)
+    val panel = panelOf(plain)
+    val fc = vecs.filter(_._3 == operators.Similarity.FilterLabel)
+      .map { case (id, v, _) => (id, v) }
+    operators.Similarity.FilteredNprobes.map { np =>
+      var nx = 0L; var nh = 0L
+      panel.foreach { case (qid, qv) =>
+        val exact = fc.filter(_._1 != qid)
+          .map { case (id, v) => (id, cos6d(lift(v), lift(qv))) }
+          .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+        val probed = cents.map { case (cid, cv) => (cid, cos6d(lift(qv), cv)) }
+          .sortBy { case (cid, c) => (-c, cid) }.take(np).map(_._1).toSet
+        val approx = fc.filter { case (id, _) => id != qid && probed(cell(id)) }
+          .map { case (id, v) => (id, cos6d(lift(v), lift(qv))) }
+          .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+        nx += exact.size; nh += exact.intersect(approx).size
+      }
+      (np, BigDecimal(nh.toDouble / nx)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("annFiltered: one trained cell makes the filtered probe lossless at every nprobe") {
+    // 30 vectors → stride 50 → single seed {0} → one cell: the probe
+    // always covers the whole corpus, so filtered-approx ≡ filtered-
+    // exact at both widths. Panel = {17} (label 7 ≠ FilterLabel); the
+    // label-3 corpus is ids {3, 13, 23} → n_exact = 3 per row.
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq, (i % 10).toInt))
+    val dir = fixtureDir("embeddings" ->
+      vecs.toDF("vec_id", "embedding", "label"))
+    val rows = operators.Similarity.annFiltered(spark, dir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 4))
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_queries") == 1L)
+      assert(r.getAs[Long]("n_exact") == 3L)
+      assert(r.getAs[Long]("n_hit") == 3L)
+      assert(r.getAs[Double]("recall") == 1.0)
+    }
+  }
+
+  test("annFiltered: a filtered neighbor in an unprobed cell is bought back by widening the probe") {
+    // The annRecall miss fixture, labeled: the label-3 corpus is the
+    // five cell-A `high` vectors plus 70 (the cell-C vector the query
+    // ranks highly). nprobe = 2 probes A + one other but not C → 70 is
+    // the one filtered miss; nprobe = 4 ≥ ncells probes everything →
+    // lossless. The recall pair must match the model twin exactly and
+    // show a strict widening gain.
+    val high = Seq(0.95f, 0.05f, 0.1f, 0f)
+    val junk = Seq(0.3f, 0f, 0.95f, 0f)
+    val vecs: Seq[(Long, Seq[Float], Int)] =
+      Seq((0L, Seq(1f, 0f, 0f, 0f), 0),          // centroid-A seed
+        (17L, Seq(0.995f, 0.1f, 0f, 0f), 7),     // the panel query (cell A)
+        (50L, Seq(0.71f, -0.71f, 0f, 0f), 0),    // centroid-B seed
+        (100L, Seq(0f, 1f, 0f, 0f), 0),          // centroid-C seed
+        (70L, Seq(0.6f, 0.75f, 0f, 0f), 3),      // cell C, close to the query
+        (10L, Seq(0.05f, 0f, 0.998f, 0f), 0)) ++ // unlabeled distractor
+        (1L to 5L).map(i => (i, high, 3)) ++ (6L to 9L).map(i => (i, junk, 0))
+    val dir = fixtureDir("embeddings" ->
+      vecs.map { case (id, v, l) => (id, v, l) }
+        .toDF("vec_id", "embedding", "label"))
+    val want = filteredModel(vecs)
+    val got = operators.Similarity.annFiltered(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getAs[Double]("recall"))).toSeq
+    assert(got == want)
+    val byNp = got.toMap
+    assert(byNp(2) < byNp(4), s"widening must buy recall back: $got")
+    assert(byNp(4) == 1.0) // 4 ≥ ncells → every cell probed → lossless
+  }
+
+  test("knnClassify: majority vote, label-ASC tie-break, and lone-cell exclusion") {
+    // One 11-member cell (seed 0) + one lone-vector cell (seed 50):
+    // ids 1–5 carry label 2, ids 6–10 label 4, the hub (id 0, label 2)
+    // ties its electorate 5–5 → label ASC picks 2 → correct. Each
+    // label-2 member sees votes {2: 4 mates + hub = 5, 4: 5} → tie →
+    // pred 2 → correct; each label-4 member sees the same split → pred
+    // 2 → WRONG. The lone vector (id 50) has no electorate and is
+    // excluded from n_scored. So: n_scored = 11, n_correct = 6,
+    // accuracy = round(6/11, 6).
+    def near(i: Int): Seq[Float] =
+      Seq(1f, 0.01f * i, 0.005f * ((i * 7) % 11), 0f)
+    val vecs: Seq[(Long, Seq[Float], Int)] =
+      Seq((0L, Seq(1f, 0f, 0f, 0f), 2), (50L, Seq(0f, 0f, 0f, 1f), 9)) ++
+        (1L to 5L).map(i => (i, near(i.toInt), 2)) ++
+        (6L to 10L).map(i => (i, near(i.toInt), 4))
+    val dir = fixtureDir("embeddings" ->
+      vecs.toDF("vec_id", "embedding", "label"))
+    val r = operators.Similarity.knnClassify(spark, dir).collect().head
+    assert(r.getAs[Int]("k") == 10)
+    assert(r.getAs[Long]("n_scored") == 11L)
+    assert(r.getAs[Long]("n_correct") == 6L)
+    assert(r.getAs[Double]("accuracy") ==
+      BigDecimal(6.0 / 11.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   /** Model twin of Similarity.sqRecall: q_vec_quantize int8 codes
     * (HALF_UP round, clamp ±127), UNROUNDED quantized cosine (exact
     * integers → deterministic) vs the round-6 exact side. */
