@@ -224,6 +224,27 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_ann_filtered: label filter reaches the scan; candidates ride the cell equi-join") {
+    val p = plan("q_ann_filtered")
+    assert(!p.contains("CartesianProduct"), p)
+    // the metadata predicate is pushed into the parquet scan — at 100 TB
+    // the filtered eval reads ~10 % of the corpus bytes, not all of them
+    assert(p.contains("EqualTo(label,3)"), p)
+    // filtered candidates still reach each query through the probed-cell
+    // equi-join; per-(nprobe,qid) top-k prunes before the rank shuffle
+    assert(p.contains("SortMergeJoin [cell#") || p.contains("BroadcastHashJoin [cell#"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q_knn_classify: the electorate rides the cell key, never an all-pairs scan") {
+    val p = plan("q_knn_classify")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // candidate pairs come from the cell equi-join (n²/nlist pairs on the
+    // cell shuffle key, like q_knn_join_cell); top-10 prunes pre-shuffle
+    assert(p.contains("SortMergeJoin [cell#") || p.contains("BroadcastHashJoin [cell#"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("IVF family: nlist is size-independent — stride pins the broadcast side") {
     // the 100 TB contract: assignment is O(n·nlist) under an O(nlist)
     // broadcast, so nlist = ⌈n/stride⌉ must NOT grow with the corpus
