@@ -831,15 +831,27 @@ object Similarity {
     * unfiltered eval. Fully oracled: filter, probe, both rankings,
     * and the per-nprobe fold replay in DuckDB over the shared IVF
     * training CTE on the rounded-cosine grid. */
-  def annFiltered(s: SparkSession, d: String): DataFrame = {
+  def annFiltered(s: SparkSession, d: String): DataFrame =
+    annFilteredAt(s, d, Seq(FilterLabel), FilteredNprobes)
+
+  /** [[annFiltered]] with the filter's label set (selectivity) and the
+    * probe widths exposed — tools/FilteredSweep measures the
+    * selectivity × nprobe recall surface on this; the declared query
+    * stays pinned at ({3}, {2, 4}). */
+  private[graft] def annFilteredAt(s: SparkSession, d: String,
+      labels: Seq[Int], nprobes: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val eAll = Tables.embeddings(s, d)
     val n = eAll.count()
     val (cen, cells) = ivfIndex(s, d)
     val panel = recallPanel(eAll, n)
-    val np = broadcast(FilteredNprobes.toDF("nprobe"))
-    val fCorpus = eAll.filter(col("label") === FilterLabel)
+    val np = broadcast(nprobes.toDF("nprobe"))
+    // single label stays === (plans as the EqualTo pushdown the guard
+    // pins); a multi-label sweep point pushes down as In
+    val fCorpus = eAll.filter(
+      if (labels.size == 1) col("label") === labels.head
+      else col("label").isin(labels.map(Int.box): _*))
       .select(col("vec_id"), col("embedding"))
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -855,7 +867,7 @@ object Similarity {
       .select(col("qid"), col("centroid_id"),
         cosine(col("qvec"), col("cvec")).as("cos"))
       .withColumn("prank", row_number().over(wp))
-      .filter(col("prank") <= FilteredNprobes.max)
+      .filter(col("prank") <= nprobes.max)
       .select(col("qid"), col("centroid_id").as("cell"), col("prank"))
     val wqn = Window.partitionBy(col("nprobe"), col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
