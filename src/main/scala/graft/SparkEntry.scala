@@ -244,6 +244,7 @@ object SparkEntry {
     "s_ivfpq_serve" -> (graft.streaming.StreamingIndex.sIvfPqServe _),
     "s_neardup_gate" -> (graft.streaming.StreamingIndex.sNeardupGate _),
     "s_ann_serve" -> (graft.streaming.StreamingIndex.sAnnServe _),
+    "s_filtered_serve" -> (graft.streaming.StreamingIndex.sFilteredServe _),
   )
 
   /** DuckDB VALUES list kept in sync with TextAnalysis.lexicon. */
@@ -2112,6 +2113,29 @@ object SparkEntry {
         |                 JOIN e ON e.vec_id = cells.vec_id
         |                 JOIN panel ON panel.qid = pr.qid
         |         WHERE e.vec_id <> pr.qid)
+        |SELECT qid, vec_id, cos AS cos_sim FROM (
+        |  SELECT qid, vec_id, cos,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM cand) WHERE rn = 1 ORDER BY qid""".stripMargin),
+    "s_filtered_serve" ->
+      (s"WITH $ivfIndexCte,\n" +
+      s"""panel AS (SELECT vec_id AS qid, v AS qv FROM e
+        |          WHERE $panelWhereSql),
+        |pcos AS (SELECT qid, centroid_id, ${cosSql("qv", "cv")} AS cos FROM panel, cen),
+        |pr AS (SELECT qid, centroid_id AS cell FROM (
+        |        SELECT qid, centroid_id,
+        |               row_number() OVER (PARTITION BY qid
+        |                                  ORDER BY cos DESC, centroid_id ASC) AS rn
+        |        FROM pcos) WHERE rn <= 2),
+        |fc AS (SELECT e.vec_id, v FROM e
+        |       JOIN embeddings emb ON e.vec_id = emb.vec_id
+        |       WHERE emb.label = ${graft.operators.Similarity.FilterLabel}),
+        |cand AS (SELECT pr.qid, fc.vec_id, ${cosSql("v", "qv")} AS cos
+        |         FROM pr JOIN cells ON cells.cell = pr.cell
+        |                 JOIN fc ON fc.vec_id = cells.vec_id
+        |                 JOIN panel ON panel.qid = pr.qid
+        |         WHERE fc.vec_id <> pr.qid)
         |SELECT qid, vec_id, cos AS cos_sim FROM (
         |  SELECT qid, vec_id, cos,
         |         row_number() OVER (PARTITION BY qid

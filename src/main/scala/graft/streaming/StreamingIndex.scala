@@ -176,6 +176,78 @@ object StreamingIndex {
     }
   }
 
+  /** s_filtered_serve — FILTERED serving: the batch q_ann_filtered
+    * lesson applied at the serving tier. Arriving query vectors ask
+    * "nearest neighbor WHERE label = [[Similarity.FilterLabel]]" — the
+    * retrieval-with-metadata shape every production vector service
+    * exposes. Three deliberate differences from [[sAnnServe]]:
+    * (1) the static candidate relation is label-filtered BEFORE the
+    * stream ever joins it (the predicate pushes into the corpus scan —
+    * at 100 TB the serving tier's cell-partitioned store is ALSO
+    * label-pruned, reading ~10 % of the bytes); (2) the probe is
+    * WIDENED to the top-2 cells — the FilteredSweep operating surface
+    * showed one probe doubling restores the unfiltered operating point
+    * at ~10 % selectivity, so the serving plan bakes that knob-turn
+    * in (probe ties: cos DESC, centroid_id ASC, via the negated-cos
+    * sort like [[sIvfPqServe]]); (3) a query whose probed cells hold
+    * no label-matching candidate emits nothing — the
+    * empty-result-is-an-answer contract, same as the oracle replay.
+    * Everything else keeps the serve-path shape: literal-inlined
+    * centroids (map-side probe, no state to pick cells), one
+    * stream-static equi-join on the probed cell, and the top-1 rerank
+    * as the single stateful aggregation, WINDOWED under a watermark so
+    * served-query state expires ([[sAnnServe]]'s C5/C8 bound). Fully
+    * oracled: probe top-2, label filter, and rerank replay in DuckDB
+    * over the shared IVF training CTE. */
+  def sFilteredServe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val e = Tables.embeddings(s, d)
+    val n = e.count()
+    val (cen, cells) = Similarity.ivfIndex(s, d)
+    val cenRows: Seq[(Long, Seq[Double])] = cen
+      .select(col("centroid_id"), col("cvec"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val corpus = e.filter(col("label") === Similarity.FilterLabel)
+      .join(cells, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val panel = e.filter(Similarity.panelFilter(n))
+      .select(col("vec_id"), col("embedding"))
+      .as[VecEvent].collect()
+    EventPairing.withStreamingPartitions(s) {
+      val input = MemoryStream[VecEvent]
+      val probed = input.toDF()
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          // +1 day: keep every stamp strictly above the epoch-0
+          // initial watermark (see sNeardupGate)
+          timestamp_seconds(col("vec_id") + lit(86400L)).as("ts"))
+        .withWatermark("ts", "1 minute")
+        .withColumn("pcells", slice(array_sort(transform(typedlit(cenRows), c =>
+          struct(
+            (-Similarity.cosine(col("qvec"), c.getField("_2"))).as("negcos"),
+            c.getField("_1").as("cid")))), 1, 2))
+        .select(col("qid"), col("qvec"), col("ts"),
+          explode(transform(col("pcells"), p => p.getField("cid"))).as("cell"))
+      val served = probed
+        .join(corpus, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(window(col("ts"), "1 minute"), col("qid"))
+        .agg(max(struct(
+          Similarity.cosine(col("embedding"), col("qvec")).as("cos"),
+          (lit(Long.MaxValue) - col("vec_id")).as("nid"))).as("top"))
+        .select(col("qid"), (lit(Long.MaxValue) - col("top.nid")).as("vec_id"),
+          col("top.cos").as("cos_sim"))
+      val name = s"s_filtered_serve_${nameCounter.incrementAndGet()}"
+      val q = served.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        input.addData(panel.toSeq); q.processAllAvailable()
+        record("s_filtered_serve", q)
+      } finally q.stop()
+      s.table(name).orderBy("qid")
+    }
+  }
+
   /** s_pq_ingest — streaming PQ coding at the ingest edge: every
     * arriving vector is coded against the FROZEN trained codebooks
     * ([[ProductQuant.pqIndex]] — built in batch, static here), emitting

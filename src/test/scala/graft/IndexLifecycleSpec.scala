@@ -94,6 +94,47 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("s_filtered_serve: streamed filtered top-1 matches the widened-probe batch replay") {
+    import org.apache.spark.sql.expressions.Window
+    val d = sf("sf0.001")
+    val e = graft.Tables.embeddings(spark, d)
+    val n = e.count()
+    val (cen, cells) = Similarity.ivfIndex(spark, d)
+    val panel = e.filter(Similarity.panelFilter(n))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // widened probe: top-2 cells (cos DESC, centroid_id ASC) — the
+    // window formulation, independent of the serve path's negated-cos
+    // literal-array sort
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    val pr = panel.crossJoin(cen)
+      .select(col("qid"), col("qvec"), col("centroid_id"),
+        Similarity.cosine(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 2)
+      .select(col("qid"), col("qvec"), col("centroid_id").as("cell"))
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val expected = pr.join(cells, "cell")
+      .join(e.filter(col("label") === Similarity.FilterLabel), "vec_id")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.cosine(col("embedding"), col("qvec")).as("cos_sim"))
+      .withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id"), col("cos_sim"))
+      .orderBy("qid")
+      .as[(Long, Long, Double)].collect().toSeq
+    val served = SparkEntry.queries("s_filtered_serve")(spark, d)
+      .select(col("qid"), col("vec_id"), col("cos_sim"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(served == expected)
+    assert(served.nonEmpty)
+    // the filter bites: the filtered top-1 is NOT simply the unfiltered
+    // one for every query (some nearest neighbor carries another label)
+    val unfiltered = SparkEntry.queries("s_ann_serve")(spark, d)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toMap
+    assert(served.exists { case (q, v, _) => unfiltered.get(q).exists(_ != v) })
+  }
+
   test("q_index_refresh: frozen index, coherent counts, one extra chain across repeat calls") {
     val d = sf("sf0.001")
     Similarity.clearIndexCache()
@@ -209,7 +250,7 @@ class IndexLifecycleSpec extends SparkSpec {
   }
 
   test("serve/gate state is WATERMARK-BOUNDED: windowed aggs and watermarked dedup") {
-    for (q <- Seq("s_ann_serve", "s_ivfpq_serve", "s_neardup_gate"))
+    for (q <- Seq("s_ann_serve", "s_ivfpq_serve", "s_filtered_serve", "s_neardup_gate"))
       SparkEntry.queries(q)(spark, sf("sf0.001"))
         .write.format("noop").mode("overwrite").save()
     // the serve paths' only state is the windowed per-(window, qid)
@@ -217,6 +258,8 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(graft.streaming.StreamingIndex.stateOpNames.get("s_ann_serve")
       == Set("stateStoreSave"))
     assert(graft.streaming.StreamingIndex.stateOpNames.get("s_ivfpq_serve")
+      == Set("stateStoreSave"))
+    assert(graft.streaming.StreamingIndex.stateOpNames.get("s_filtered_serve")
       == Set("stateStoreSave"))
     // the gate dedups within the watermark, not forever
     assert(graft.streaming.StreamingIndex.stateOpNames.get("s_neardup_gate")
