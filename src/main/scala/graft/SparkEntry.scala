@@ -179,6 +179,7 @@ object SparkEntry {
     "q_knn_join_recall" -> (Similarity.knnJoinRecall _),
     "q_ann_filtered" -> (Similarity.annFiltered _),
     "q_knn_classify" -> (Similarity.knnClassify _),
+    "q_hybrid_search" -> (Similarity.hybridSearch _),
     "q_ann_recall" -> (Similarity.annRecall _),
     "q_sq_recall" -> (Similarity.sqRecall _),
     "q_lsh_recall" -> (Similarity.lshRecall _),
@@ -2327,6 +2328,49 @@ object SparkEntry {
         |       round(CAST(sum(CASE WHEN nb_label = label THEN 1 ELSE 0 END)
         |         AS DOUBLE) / count(*), 6) AS accuracy
         |FROM pred""".stripMargin),
+    "q_hybrid_search" ->
+      (s"WITH $ivfIndexCte,\n" +
+      s"""panel AS (SELECT vec_id AS qid, v AS qv FROM e
+        |          WHERE $panelWhereSql),
+        |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |         FROM documents),
+        |qt AS (SELECT p.qid, t.tok FROM toks t JOIN panel p ON t.doc_id = p.qid),
+        |lexc AS (SELECT qt.qid, t.doc_id, CAST(count(*) AS BIGINT) AS overlap
+        |         FROM toks t JOIN qt ON t.tok = qt.tok
+        |         WHERE t.doc_id <> qt.qid GROUP BY 1, 2),
+        |lex AS (SELECT qid, doc_id, lrank FROM (
+        |          SELECT qid, doc_id,
+        |                 row_number() OVER (PARTITION BY qid
+        |                   ORDER BY overlap DESC, doc_id ASC) AS lrank
+        |          FROM lexc) WHERE lrank <= 10),
+        |probed AS (SELECT qid, cell FROM (
+        |             SELECT p.qid, centroid_id AS cell,
+        |                    row_number() OVER (PARTITION BY p.qid
+        |                      ORDER BY ${cosSql("qv", "cv")} DESC,
+        |                        centroid_id ASC) AS rn
+        |             FROM panel p, cen) WHERE rn <= 2),
+        |vecc AS (SELECT pr.qid, e.vec_id AS doc_id, ${cosSql("v", "qv")} AS cos
+        |         FROM e JOIN cells ON e.vec_id = cells.vec_id
+        |              JOIN probed pr ON cells.cell = pr.cell
+        |              JOIN panel p ON p.qid = pr.qid
+        |         WHERE e.vec_id <> pr.qid),
+        |vec AS (SELECT qid, doc_id, vrank FROM (
+        |          SELECT qid, doc_id,
+        |                 row_number() OVER (PARTITION BY qid
+        |                   ORDER BY cos DESC, doc_id ASC) AS vrank
+        |          FROM vecc) WHERE vrank <= 10),
+        |fused AS (SELECT coalesce(l.qid, v.qid) AS qid,
+        |                 coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |                 coalesce(CAST(1 AS DOUBLE) / (60 + l.lrank), 0)
+        |                   + coalesce(CAST(1 AS DOUBLE) / (60 + v.vrank), 0) AS rrf
+        |          FROM lex l FULL OUTER JOIN vec v
+        |            ON l.qid = v.qid AND l.doc_id = v.doc_id),
+        |r AS (SELECT qid, doc_id, rrf,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY rrf DESC, doc_id ASC) AS rk
+        |      FROM fused)
+        |SELECT qid, doc_id, round(rrf, 6) AS rrf, CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin),
     "q_crossmodal_join" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,

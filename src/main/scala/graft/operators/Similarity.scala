@@ -895,6 +895,82 @@ object Similarity {
       .orderBy("nprobe")
   }
 
+  /** RRF smoothing constant — the standard k = 60 (Cormack et al.,
+    * SIGIR 2009): rank r contributes 1/(60 + r). */
+  private[graft] val RrfK = 60
+
+  /** q_hybrid_search — hybrid lexical + vector retrieval with
+    * reciprocal-rank fusion: the RAG-pipeline retrieval shape
+    * (rerankers consume exactly this fused shortlist). For each query
+    * document on the SHARED panel (doc_id ≡ vec_id — the crossmodal
+    * contract q_crossmodal_join pins):
+    *  - LEXICAL leg: candidates sharing ≥1 distinct token, scored by
+    *    distinct-token overlap COUNT (an exact integer — the
+    *    deterministic stand-in for BM25's float; q_tfidf owns weighted
+    *    scoring), top-10 by (overlap DESC, doc ASC). The join is
+    *    posting-list-shaped: query tokens × the token-keyed corpus —
+    *    an equi-join on the token (the inverted-index key at 100 TB;
+    *    one side is the ~20-query panel, so the join is bounded by the
+    *    panel's posting lists, never corpus×corpus — stop-token skew
+    *    is the q_boiler_ngrams/q_ccnet_bucket family's job upstream).
+    *  - VECTOR leg: top-10 cosine within the top-2 probed IVF cells
+    *    (the [[annRecall]] probe shape off the shared index).
+    *  - FUSION: RRF — score = Σ_legs 1/([[RrfK]] + rank), absent leg
+    *    contributes 0; top-5 by (rrf DESC, doc ASC). Both engines
+    *    compute 1/(60+r) as one IEEE division of exact ints and one
+    *    addition in fixed order → bit-identical, ranked UNROUNDED,
+    *    rounded to the 1e-6 grid only at the output edge.
+    * A query absent from both legs emits nothing. Fully oracled:
+    * tokenization, both rankings, and the fusion replay in DuckDB
+    * over the shared IVF training CTE. */
+  def hybridSearch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val n = e.count()
+    val (cen, cells) = ivfIndex(s, d)
+    val panel = recallPanel(e, n)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val qtok = toks.join(panel.select(col("qid")), col("doc_id") === col("qid"))
+      .select(col("qid"), col("tok"))
+    val wl = Window.partitionBy(col("qid"))
+      .orderBy(col("overlap").desc, col("doc_id").asc)
+    val lex = toks.join(broadcast(qtok), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("lrank", row_number().over(wl)).filter(col("lrank") <= 10)
+      .select(col("qid"), col("doc_id"), col("lrank"))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    val probed = panel.crossJoin(broadcast(cen))
+      .select(col("qid"), col("centroid_id"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 2)
+      .select(col("qid"), col("centroid_id").as("cell"))
+    val wv = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    val vec = e.join(cells, "vec_id")
+      .join(broadcast(probed), "cell")
+      .join(panel, "qid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        cosine(col("embedding"), col("qvec")).as("cos"))
+      .withColumn("vrank", row_number().over(wv)).filter(col("vrank") <= 10)
+      .select(col("qid"), col("doc_id"), col("vrank"))
+    val fused = lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("lrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vrank")), lit(0.0))).as("rrf"))
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rk", row_number().over(wf)).filter(col("rk") <= 5)
+      .select(col("qid"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** Vote depth for [[knnClassify]] — the conventional k = 10. */
   private[graft] val ClassifyK = 10
 

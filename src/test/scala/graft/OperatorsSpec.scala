@@ -493,6 +493,51 @@ class OperatorsSpec extends SparkSpec {
     assert(byNp(4) == 1.0) // 4 ≥ ncells → every cell probed → lossless
   }
 
+  test("hybridSearch: RRF fuses both legs, dedups across them, ties break doc-ASC") {
+    // 30 ids, one trained cell (seed {0}), panel = {17}. Lexical:
+    // doc 5 shares all 3 query tokens (lrank 1), doc 7 two (lrank 2),
+    // doc 11 one (lrank 3); every other text is token-disjoint. Vector:
+    // doc 5 is ALSO the nearest vector (vrank 1), doc 9 second; all
+    // remaining vectors are orthogonal to the query (cos 0 ties →
+    // vrank by id ASC: 0,1,2,3,4,6,7,8 take vranks 3–10, so doc 7
+    // carries vrank 9 on top of lrank 2). Expected fused top-5:
+    //   5  → 1/61 + 1/61   (both legs, the full-outer dedup)
+    //   7  → 1/62 + 1/69   (lex 2 + vec 9)
+    //   9  → 1/62          (vector only)
+    //   0  → 1/63 (vec 3) and 11 → 1/63 (lex 3) TIE → doc ASC
+    val texts: Seq[(Long, String)] = (0L until 30L).map {
+      case 17L => 17L -> "alpha beta gamma"
+      case 5L  => 5L -> "alpha beta gamma"
+      case 7L  => 7L -> "alpha beta q7"
+      case 11L => 11L -> "alpha q11a q11b"
+      case i   => i -> s"u${i}a u${i}b u${i}c"
+    }
+    val vecs: Seq[(Long, Seq[Float])] = (0L until 30L).map {
+      case 17L => 17L -> Seq(1f, 0f, 0f, 0f)
+      case 5L  => 5L -> Seq(0.99f, 0.1f, 0f, 0f)
+      case 9L  => 9L -> Seq(0.9f, 0.3f, 0f, 0f)
+      case i   => i -> Seq(0f, 1f, 0f, 0f)
+    }
+    val dir = fixtureDir(
+      "documents" -> texts.map { case (id, t) =>
+        (id, t, "en", "src0", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> vecs.map { case (id, v) => (id, v, 0) }
+        .toDF("vec_id", "embedding", "label"))
+    def rrf(ranks: Int*): Double = {
+      val raw = ranks.map(r => 1.0 / (60 + r)).sum
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = operators.Similarity.hybridSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == Seq(
+      (17L, 5L, rrf(1, 1), 1),
+      (17L, 7L, rrf(2, 9), 2),
+      (17L, 9L, rrf(2), 3),
+      (17L, 0L, rrf(3), 4),
+      (17L, 11L, rrf(3), 5)))
+  }
+
   test("knnClassify: majority vote, label-ASC tie-break, and lone-cell exclusion") {
     // One 11-member cell (seed 0) + one lone-vector cell (seed 50):
     // ids 1–5 carry label 2, ids 6–10 label 4, the hub (id 0, label 2)
