@@ -245,6 +245,17 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_hybrid_search: lexical leg is a token equi-join against the broadcast panel") {
+    val p = plan("q_hybrid_search")
+    assert(!p.contains("CartesianProduct"), p)
+    // candidates reach the fusion through equi-joins only: token for
+    // the lexical leg (the inverted-index key at scale), cell for the
+    // vector leg — never a corpus×corpus scan
+    assert(p.contains("BroadcastHashJoin [tok#") || p.contains("SortMergeJoin [tok#"), p)
+    assert(p.contains("SortMergeJoin [cell#") || p.contains("BroadcastHashJoin [cell#"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("IVF family: nlist is size-independent — stride pins the broadcast side") {
     // the 100 TB contract: assignment is O(n·nlist) under an O(nlist)
     // broadcast, so nlist = ⌈n/stride⌉ must NOT grow with the corpus
