@@ -2262,7 +2262,8 @@ object SparkEntry {
       (s"WITH $ivfIndexCte,\n" +
       s"""panel AS (SELECT vec_id AS qid, v AS qv FROM e
         |          WHERE $panelWhereSql),
-        |np AS (SELECT CAST(x AS INTEGER) AS nprobe FROM (VALUES (2), (4)) t(x)),
+        |np AS (SELECT CAST(x AS INTEGER) AS nprobe FROM (VALUES ${
+          Similarity.FilteredNprobes.map(n => s"($n)").mkString(", ")}) t(x)),
         |fc AS (SELECT e.vec_id, v FROM e
         |       JOIN embeddings emb ON e.vec_id = emb.vec_id
         |       WHERE emb.label = ${Similarity.FilterLabel}),
@@ -2278,7 +2279,7 @@ object SparkEntry {
         |                    row_number() OVER (PARTITION BY p.qid
         |                      ORDER BY ${cosSql("qv", "cv")} DESC,
         |                        centroid_id ASC) AS prank
-        |             FROM panel p, cen) WHERE prank <= 4),
+        |             FROM panel p, cen) WHERE prank <= ${Similarity.FilteredNprobes.max}),
         |apr AS (SELECT nprobe, qid, vec_id FROM (
         |          SELECT np.nprobe, pr.qid, fc.vec_id,
         |                 row_number() OVER (PARTITION BY np.nprobe, pr.qid

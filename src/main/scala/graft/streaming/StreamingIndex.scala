@@ -42,6 +42,13 @@ object StreamingIndex {
   private[graft] val batchDurationsMs =
     new java.util.concurrent.ConcurrentHashMap[String, Vector[Long]]
 
+  /** Executed physical plan of the LAST micro-batch per query, captured
+    * from the runtime's `lastExecution` — the observable the join-shape
+    * guards assert on (a streaming DF can't be `.explain`ed standalone;
+    * the plan that matters is the one the micro-batch actually ran). */
+  private[graft] val lastExec =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.execution.SparkPlan]
+
   private def record(base: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val prog = q.recentProgress
     stateRowsTotal.merge(
@@ -52,6 +59,33 @@ object StreamingIndex {
     val durs = prog.filter(_.numInputRows > 0)
       .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
     batchDurationsMs.merge(base, durs.toVector, (a, b) => a ++ b)
+    q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        Option(w.streamingQuery.lastExecution)
+          .foreach(e => lastExec.put(base, e.executedPlan))
+      case _ => ()
+    }
+  }
+
+  /** Corpus-size ceiling (in documents) under which [[sNeardupGate]]
+    * broadcasts the band sketch. Arithmetic: each doc contributes
+    * k/4 = 4 band rows of ~90 B (doc_id + band + the 4-minhash decimal
+    * band_key string) ≈ 360 B/doc, so 1M docs ≈ 360 MB of sketch —
+    * about the most a serving executor should pin. Above it the hint
+    * is withheld and the join shuffles on band_key (the sketch shards
+    * across the cluster like any keyed table). Overridable per-session
+    * via conf `graft.neardup.broadcastMaxDocs` (the spec knob). */
+  private[graft] val NeardupBroadcastMaxDocs = 1L << 20
+
+  /** The band-index join side for [[sNeardupGate]], broadcast only
+    * when the corpus is small enough to pin per-executor — the size
+    * gate the ngram prefix-filter note in [[Dedup.ngramJaccard]]
+    * applies to candidate generation, applied here to the join hint. */
+  private[graft] def neardupIndexSide(
+      s: SparkSession, corpus: DataFrame, nDocs: Long): DataFrame = {
+    val limit = s.conf.getOption("graft.neardup.broadcastMaxDocs")
+      .map(_.toLong).getOrElse(NeardupBroadcastMaxDocs)
+    if (nDocs <= limit) broadcast(corpus) else corpus
   }
 
   /** One arriving vector (the embeddings row as a stream event). */
@@ -434,11 +468,15 @@ object StreamingIndex {
     * seen once is suppressed for the watermark delay (band collisions
     * of one arrival land in one micro-batch, so the dedup window only
     * needs to span an arrival's own bands) and its state then expires
-    * — the round-6 plain dropDuplicates kept every pair forever. At
-    * 100 TB the band table
-    * is the shuffled join key (band_key shards it); at test scale it
-    * broadcasts. Oracle: the symmetric band-collision pairs replayed
-    * in DuckDB over the same portable md5 hash family. */
+    * — the round-6 plain dropDuplicates kept every pair forever. The
+    * band-index join side is SIZE-GATED ([[neardupIndexSide]]): under
+    * [[NeardupBroadcastMaxDocs]] corpus docs the sketch broadcasts
+    * (every executor screens arrivals with zero per-batch shuffle); at
+    * 100 TB the hint is withheld and the plan degrades to a shuffled
+    * equi-join sharded by band_key — an unconditional broadcast would
+    * ship the whole corpus sketch to every executor, an OOM rather
+    * than a plan choice. Oracle: the symmetric band-collision pairs
+    * replayed in DuckDB over the same portable md5 hash family. */
   def sNeardupGate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
@@ -452,7 +490,7 @@ object StreamingIndex {
       val probes = Dedup.md5BandProbes(
         input.toDF().select(col("doc_id"), split(col("text"), " ").as("tk")), k)
       val gated = probes.as("s")
-        .join(broadcast(corpus).as("c"),
+        .join(neardupIndexSide(s, corpus, docs.length.toLong).as("c"),
           col("s.band") === col("c.band") &&
             col("s.band_key") === col("c.band_key") &&
             col("s.doc_id") =!= col("c.doc_id"))

@@ -313,4 +313,44 @@ class IndexLifecycleSpec extends SparkSpec {
       .select("doc_id", "dup_id").as[(Long, Long)].collect().toSeq
     assert(gate == Seq((1L, 2L), (2L, 1L)))
   }
+
+  test("s_neardup_gate: band-index broadcast is SIZE-GATED — above threshold the corpus is never the build side") {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // the corpus sketch is a localCheckpoint'ed relation — it shows up
+    // in the executed plan as the one RDD scan; "corpus broadcast" ≡
+    // that scan sits under a broadcast join's BUILD side
+    def corpusIsBuildSide(p: SparkPlan): Boolean = p.collect {
+      case b: BroadcastHashJoinExec =>
+        val build = b.buildSide match {
+          case BuildLeft => b.left
+          case BuildRight => b.right
+        }
+        build.collectFirst { case r: RDDScanExec => r }.isDefined
+    }.exists(identity)
+    val d = sf("sf0.001")
+    // test scale sits under the 1M-doc ceiling: the sketch broadcasts
+    // and every executor screens arrivals with zero per-batch shuffle
+    val small = SparkEntry.queries("s_neardup_gate")(spark, d)
+      .select("doc_id", "dup_id").as[(Long, Long)].collect().toSeq
+    val smallPlan = graft.streaming.StreamingIndex.lastExec.get("s_neardup_gate")
+    assert(corpusIsBuildSide(smallPlan), smallPlan.toString)
+    // force the 100 TB branch: above the ceiling the hint must be
+    // WITHHELD — an unconditional broadcast ships the whole corpus
+    // sketch to every executor (an OOM, not a plan choice). The
+    // planner may still broadcast the tiny per-batch STREAM side
+    // (scale-correct: arrivals travel, the sharded corpus stays put);
+    // what must never happen above threshold is the corpus being built
+    spark.conf.set("graft.neardup.broadcastMaxDocs", "0")
+    try {
+      val big = SparkEntry.queries("s_neardup_gate")(spark, d)
+        .select("doc_id", "dup_id").as[(Long, Long)].collect().toSeq
+      val bigPlan = graft.streaming.StreamingIndex.lastExec.get("s_neardup_gate")
+      assert(!corpusIsBuildSide(bigPlan), bigPlan.toString)
+      // the plan choice changes no emitted row
+      assert(big == small)
+      assert(big.nonEmpty)
+    } finally spark.conf.unset("graft.neardup.broadcastMaxDocs")
+  }
 }
