@@ -116,7 +116,17 @@ object MoreStreaming {
   /** s_dedup — streaming exact dedup: dropDuplicatesWithinWatermark
     * keeps one state entry per (user, type) key and expires it with the
     * watermark — the unbounded-stream form of `SELECT DISTINCT`. Only
-    * the key columns are emitted, so the result is order-independent. */
+    * the key columns are emitted, so the result is order-independent.
+    *
+    * Deliberately fed as ONE burst, unlike the StreamingIndex rigs'
+    * staggered feeds: the events table spans ~30 days and many keys
+    * recur more than the 1-hour delay apart, so under a multi-batch
+    * feed an expired key re-emits — correct within-watermark semantics,
+    * but WHICH keys re-emit depends on chunk boundaries, and the
+    * deterministic DISTINCT oracle can't replay that. Watermark
+    * eviction is instead observed on the staggered serve rigs, whose
+    * id-derived stamps make expiry deterministic
+    * (IndexLifecycleSpec's state-decay test). */
   def sDedup(s: SparkSession, d: String): DataFrame = {
     val (events, maxTs) = keyedEvents(s, d)
     run(s, "s_dedup")(

@@ -49,6 +49,18 @@ object StreamingIndex {
   private[graft] val lastExec =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.execution.SparkPlan]
 
+  /** Per-BATCH total state rows (in batch order) and total rows REMOVED
+    * by watermark eviction across the run — the observables that turn
+    * "state is watermark-bounded" from an operator-name claim into a
+    * measurement: removed > 0 means eviction actually fired, and a
+    * series whose max stays below the lifetime group count (and decays
+    * from its peak once the watermark overtakes old windows) means
+    * state is bounded by the watermark lag, not by stream lifetime. */
+  private[graft] val stateRowsSeries =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[Long]]
+  private[graft] val stateRowsRemoved =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]
+
   private def record(base: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val prog = q.recentProgress
     stateRowsTotal.merge(
@@ -56,6 +68,11 @@ object StreamingIndex {
       (a, b) => a.max(b))
     stateOpNames.put(base,
       prog.flatMap(_.stateOperators.map(_.operatorName)).toSet)
+    stateRowsSeries.put(base,
+      prog.map(_.stateOperators.map(_.numRowsTotal).sum).toVector)
+    stateRowsRemoved.merge(
+      base, prog.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum,
+      (a, b) => a.max(b))
     val durs = prog.filter(_.numInputRows > 0)
       .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
     batchDurationsMs.merge(base, durs.toVector, (a, b) => a ++ b)
@@ -64,6 +81,33 @@ object StreamingIndex {
         Option(w.streamingQuery.lastExecution)
           .foreach(e => lastExec.put(base, e.executedPlan))
       case _ => ()
+    }
+  }
+
+  /** Number of staggered micro-batches each rig's feed is split into.
+    * A single `addData` burst makes every latency metric a one-sample
+    * "distribution" and leaves watermark eviction unobservable (the
+    * watermark only moves BETWEEN batches); ten batches with advancing
+    * stamps make `serve_latency_ms` a real p50/p95 and let the
+    * state-decay spec watch rows actually leave the store. */
+  private val StaggerChunks = 10
+
+  /** Feed `events` — already sorted so their event-time stamps are
+    * non-decreasing — in [[StaggerChunks]] micro-batches, draining the
+    * query between adds so each chunk is its own batch and the
+    * watermark advances between chunks. Ascending stamps mean no chunk
+    * ever lands behind the previous chunk's watermark, so nothing is
+    * late-dropped and the emitted rows are identical to the
+    * single-burst feed (each group's inputs still arrive in one batch:
+    * the serve/gate rigs derive stamps from the event's own id, so one
+    * event = one group). */
+  private def feedStaggered[A](
+      input: MemoryStream[A], events: Seq[A],
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val size = math.max(1, math.ceil(events.size.toDouble / StaggerChunks).toInt)
+    events.grouped(size).foreach { g =>
+      input.addData(g)
+      q.processAllAvailable()
     }
   }
 
@@ -131,7 +175,7 @@ object StreamingIndex {
       val q = assigned.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try {
-        input.addData(vecs.toSeq); q.processAllAvailable()
+        feedStaggered(input, vecs.toSeq.sortBy(_.vec_id), q)
         record("s_vector_ingest", q)
       } finally q.stop()
       s.table(name).orderBy("vec_id")
@@ -203,7 +247,7 @@ object StreamingIndex {
       val q = served.writeStream.format("memory").queryName(name)
         .outputMode("update").start()
       try {
-        input.addData(panel.toSeq); q.processAllAvailable()
+        feedStaggered(input, panel.toSeq.sortBy(_.vec_id), q)
         record("s_ann_serve", q)
       } finally q.stop()
       s.table(name).orderBy("qid")
@@ -275,7 +319,7 @@ object StreamingIndex {
       val q = served.writeStream.format("memory").queryName(name)
         .outputMode("update").start()
       try {
-        input.addData(panel.toSeq); q.processAllAvailable()
+        feedStaggered(input, panel.toSeq.sortBy(_.vec_id), q)
         record("s_filtered_serve", q)
       } finally q.stop()
       s.table(name).orderBy("qid")
@@ -346,7 +390,7 @@ object StreamingIndex {
       val q = coded.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try {
-        input.addData(vecs.toSeq); q.processAllAvailable()
+        feedStaggered(input, vecs.toSeq.sortBy(_.vec_id), q)
         record("s_pq_ingest", q)
       } finally q.stop()
       s.table(name).orderBy("vec_id", "sub")
@@ -447,7 +491,7 @@ object StreamingIndex {
       val q = served.writeStream.format("memory").queryName(name)
         .outputMode("update").start()
       try {
-        input.addData(panel.toSeq); q.processAllAvailable()
+        feedStaggered(input, panel.toSeq.sortBy(_.vec_id), q)
         record("s_ivfpq_serve", q)
       } finally q.stop()
       s.table(name).orderBy("qid")
@@ -506,7 +550,7 @@ object StreamingIndex {
       val q = gated.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try {
-        input.addData(docs.toSeq); q.processAllAvailable()
+        feedStaggered(input, docs.toSeq.sortBy(_.doc_id), q)
         record("s_neardup_gate", q)
       } finally q.stop()
       s.table(name).orderBy("doc_id", "dup_id")

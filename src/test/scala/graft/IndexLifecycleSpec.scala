@@ -266,6 +266,29 @@ class IndexLifecycleSpec extends SparkSpec {
       == Set("dedupeWithinWatermark"))
   }
 
+  test("serve state EXPIRES under the staggered feed: eviction observed, store bounded, peak decays") {
+    // the staggered feed advances the watermark between micro-batches,
+    // so the windowed per-qid top-1 state must actually LEAVE the store
+    // as the watermark overtakes old windows — measured, not inferred
+    // from the operator name (the O12/O16 discipline,
+    // OrderProcessor.java:161-206)
+    for (q <- Seq("s_ann_serve", "s_ivfpq_serve", "s_filtered_serve"))
+      SparkEntry.queries(q)(spark, sf("sf0.001"))
+        .write.format("noop").mode("overwrite").save()
+    for (q <- Seq("s_ann_serve", "s_ivfpq_serve", "s_filtered_serve")) {
+      val removed = graft.streaming.StreamingIndex.stateRowsRemoved.get(q)
+      val series = graft.streaming.StreamingIndex.stateRowsSeries.get(q)
+      // eviction fired at least once
+      assert(removed > 0, s"$q: no state rows were ever evicted ($series)")
+      // the store never accumulates the run's full group count: its
+      // peak stays below the served-query total (panel has 10 windows
+      // at sf0.001), bounded by the watermark lag instead
+      assert(series.max < 10, s"$q: state accumulated to ${series.max} ($series)")
+      // and the final batches hold LESS than the peak — rows left
+      assert(series.last < series.max, s"$q: no decay from peak ($series)")
+    }
+  }
+
   test("durable store layout: a single-cell probe against the LOADED store prunes partitions") {
     val d = sf("sf0.001")
     val root = Similarity.saveIndex(spark, d)
