@@ -971,6 +971,94 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** q_hybrid_weighted — [[hybridSearch]] with the WEIGHTED lexical leg
+    * RAG stacks actually deploy (BM25-ish × vector): a third RRF leg
+    * ranks candidates by summed inverse document frequency of the
+    * shared tokens, so rare shared terms outvote stop-ish ones — the
+    * raw-overlap leg counts "the" and "quantum" alike; this leg does
+    * not. Determinism: each token's idf = ln(N/df) enters as the
+    * 1e-6 fixed-point long floor(ln·1e6 + 0.5) (the q_quality_logit
+    * lnfp discipline — one libm call per DISTINCT query token, then
+    * integer arithmetic), so the per-candidate score is a sum of exact
+    * longs — order-independent, replayed bit-identically in DuckDB —
+    * and ranking needs no rounding grid at all. Scale shape: df is one
+    * token-keyed agg over the corpus (the inverted index's df stat);
+    * the idf weights attach to the PANEL's tokens (≈20 queries' worth
+    * — broadcastable at any corpus size), so the weighted leg is the
+    * same panel-bounded posting-list join as the count leg with one
+    * integer column along for the ride. FUSION: RRF over three legs —
+    * score = Σ 1/([[RrfK]] + rank), absent leg contributes 0 — each
+    * term one IEEE division of exact ints, summed in fixed leg order →
+    * bit-identical cross-engine; top-5 by (rrf DESC, doc ASC), rounded
+    * to the 1e-6 grid only at the output edge. Fully oracled. */
+  def hybridWeighted(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val n = e.count()
+    val (cen, cells) = ivfIndex(s, d)
+    val panel = recallPanel(e, n)
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val qtok = toks.join(panel.select(col("qid")), col("doc_id") === col("qid"))
+      .select(col("qid"), col("tok"))
+    // count leg (q_hybrid_search's lexical leg, unchanged)
+    val wl = Window.partitionBy(col("qid"))
+      .orderBy(col("overlap").desc, col("doc_id").asc)
+    val lex = toks.join(broadcast(qtok), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("lrank", row_number().over(wl)).filter(col("lrank") <= 10)
+      .select(col("qid"), col("doc_id"), col("lrank"))
+    // weighted leg: idf_fp per query token (fixed-point long), summed
+    val dfT = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val qtokIdf = qtok.join(dfT, "tok").crossJoin(broadcast(nDocs))
+      .select(col("qid"), col("tok"),
+        floor(log(col("n_docs").cast("double") / col("df")) * 1e6 + 0.5)
+          .cast("long").as("idf_fp"))
+    val ww = Window.partitionBy(col("qid"))
+      .orderBy(col("w_fp").desc, col("doc_id").asc)
+    val wlex = toks.join(broadcast(qtokIdf), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("idf_fp")).as("w_fp"))
+      .withColumn("wrank", row_number().over(ww)).filter(col("wrank") <= 10)
+      .select(col("qid"), col("doc_id"), col("wrank"))
+    // vector leg (the shared-index probe shape, unchanged)
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    val probed = panel.crossJoin(broadcast(cen))
+      .select(col("qid"), col("centroid_id"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 2)
+      .select(col("qid"), col("centroid_id").as("cell"))
+    val wv = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    val vec = e.join(cells, "vec_id")
+      .join(broadcast(probed), "cell")
+      .join(panel, "qid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        cosine(col("embedding"), col("qvec")).as("cos"))
+      .withColumn("vrank", row_number().over(wv)).filter(col("vrank") <= 10)
+      .select(col("qid"), col("doc_id"), col("vrank"))
+    val fused = lex
+      .join(wlex, Seq("qid", "doc_id"), "full_outer")
+      .join(vec, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("lrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("wrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vrank")), lit(0.0))).as("rrf"))
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rk", row_number().over(wf)).filter(col("rk") <= 5)
+      .select(col("qid"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** Vote depth for [[knnClassify]] — the conventional k = 10. */
   private[graft] val ClassifyK = 10
 

@@ -538,6 +538,54 @@ class OperatorsSpec extends SparkSpec {
       (17L, 11L, rrf(3), 5)))
   }
 
+  test("hybridWeighted: rare shared token outvotes common-token overlaps via idf") {
+    // 30 ids, one trained cell (seed {0}), panel = {17}. Query text:
+    // "c1 c2 r1". Nine docs ({5, 20–27}) share BOTH common tokens
+    // (df(c1)=df(c2)=11 → idf_fp=1003302 each, w=2006604); doc 7 shares
+    // only the RARE r1 (df=2 → idf_fp=2708050). The count leg ranks the
+    // overlap-2 pack first (l1–l9, doc ASC) and doc 7 LAST (l10); the
+    // weighted leg inverts that — doc 7 w1, the pack w2–w10 — which is
+    // the whole point of the idf leg. Vector: doc 5 nearest (v1), doc 9
+    // second, remaining cos-0 ties take v3–v10 (docs 0,1,2,3,4,6,7,8 →
+    // doc 7 carries v9). Expected fused top-5:
+    //   5  → 1/61 + 1/62 + 1/61   (l1, w2, v1)
+    //   7  → 1/70 + 1/61 + 1/69   (l10, w1, v9 — rescued by the idf leg)
+    //   20 → 1/62 + 1/63          (l2, w3)
+    //   21 → 1/63 + 1/64          (l3, w4)
+    //   22 → 1/64 + 1/65          (l4, w5)
+    val texts: Seq[(Long, String)] = (0L until 30L).map {
+      case 17L => 17L -> "c1 c2 r1"
+      case 5L  => 5L -> "c1 c2 u5"
+      case 7L  => 7L -> "r1 u7a u7b"
+      case i if i >= 20L && i <= 27L => i -> s"c1 c2 pad$i"
+      case i   => i -> s"u${i}a u${i}b u${i}c"
+    }
+    val vecs: Seq[(Long, Seq[Float])] = (0L until 30L).map {
+      case 17L => 17L -> Seq(1f, 0f, 0f, 0f)
+      case 5L  => 5L -> Seq(0.99f, 0.1f, 0f, 0f)
+      case 9L  => 9L -> Seq(0.9f, 0.3f, 0f, 0f)
+      case i   => i -> Seq(0f, 1f, 0f, 0f)
+    }
+    val dir = fixtureDir(
+      "documents" -> texts.map { case (id, t) =>
+        (id, t, "en", "src0", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> vecs.map { case (id, v) => (id, v, 0) }
+        .toDF("vec_id", "embedding", "label"))
+    def rrf(ranks: Int*): Double = {
+      val raw = ranks.map(r => 1.0 / (60 + r)).sum
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = operators.Similarity.hybridWeighted(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == Seq(
+      (17L, 5L, rrf(1, 2, 1), 1),
+      (17L, 7L, rrf(10, 1, 9), 2),
+      (17L, 20L, rrf(2, 3), 3),
+      (17L, 21L, rrf(3, 4), 4),
+      (17L, 22L, rrf(4, 5), 5)))
+  }
+
   test("knnClassify: majority vote, label-ASC tie-break, and lone-cell exclusion") {
     // One 11-member cell (seed 0) + one lone-vector cell (seed 50):
     // ids 1–5 carry label 2, ids 6–10 label 4, the hub (id 0, label 2)

@@ -256,6 +256,18 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_hybrid_weighted: both lexical legs stay token equi-joins; no corpus cross") {
+    val p = plan("q_hybrid_weighted")
+    assert(!p.contains("CartesianProduct"), p)
+    // the idf weights ride the panel's broadcast posting lists — the
+    // weighted leg must not introduce a corpus-wide join shape beyond
+    // the token key (count leg), token key (weighted leg), cell key
+    // (vector leg)
+    assert(p.contains("BroadcastHashJoin [tok#") || p.contains("SortMergeJoin [tok#"), p)
+    assert(p.contains("SortMergeJoin [cell#") || p.contains("BroadcastHashJoin [cell#"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("IVF family: nlist is size-independent — stride pins the broadcast side") {
     // the 100 TB contract: assignment is O(n·nlist) under an O(nlist)
     // broadcast, so nlist = ⌈n/stride⌉ must NOT grow with the corpus
