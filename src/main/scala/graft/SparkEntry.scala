@@ -176,6 +176,7 @@ object SparkEntry {
     "q_similarity_ivf" -> (Similarity.ivf _),
     "q_knn_join" -> (Similarity.knnJoin _),
     "q_knn_join_cell" -> (Similarity.knnJoinCell _),
+    "q_knn_join_salted" -> (Similarity.knnJoinSalted _),
     "q_knn_join_recall" -> (Similarity.knnJoinRecall _),
     "q_ann_filtered" -> (Similarity.annFiltered _),
     "q_knn_classify" -> (Similarity.knnClassify _),
@@ -509,6 +510,25 @@ object SparkEntry {
 
   /** DuckDB equivalents for the hash-compare (driver-run). Omitted keys
     * (approximate / non-SQL-expressible ops) get a rows-only check. */
+  /** Shared by q_knn_join_cell and q_knn_join_salted: the salted
+    * variant is the same celled top-k under the same total order —
+    * only the physical tiling differs. */
+  private val knnJoinCellSql: String =
+    s"""WITH $ivfIndexCte,
+      |cand AS (
+      |  SELECT ea.vec_id AS vec_id, eb.vec_id AS neighbor,
+      |         ${cosSql("ea.v", "eb.v")} AS cos_sim
+      |  FROM e ea JOIN cells ca ON ea.vec_id = ca.vec_id
+      |       JOIN cells cb ON ca.cell = cb.cell
+      |       JOIN e eb ON eb.vec_id = cb.vec_id AND eb.vec_id <> ea.vec_id),
+      |ranked AS (
+      |  SELECT vec_id, neighbor, cos_sim,
+      |         CAST(row_number() OVER (PARTITION BY vec_id
+      |           ORDER BY cos_sim DESC, neighbor ASC) AS INT) AS rk
+      |  FROM cand)
+      |SELECT vec_id, neighbor, cos_sim, rk
+      |FROM ranked WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_rekey_project" ->
       """SELECT CAST(user_id AS VARCHAR) AS key, event_id, event_type,
@@ -2224,21 +2244,10 @@ object SparkEntry {
         |  FROM dots)
         |SELECT vec_id, neighbor, cos_sim, rk
         |FROM ranked WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
-    "q_knn_join_cell" ->
-      s"""WITH $ivfIndexCte,
-        |cand AS (
-        |  SELECT ea.vec_id AS vec_id, eb.vec_id AS neighbor,
-        |         ${cosSql("ea.v", "eb.v")} AS cos_sim
-        |  FROM e ea JOIN cells ca ON ea.vec_id = ca.vec_id
-        |       JOIN cells cb ON ca.cell = cb.cell
-        |       JOIN e eb ON eb.vec_id = cb.vec_id AND eb.vec_id <> ea.vec_id),
-        |ranked AS (
-        |  SELECT vec_id, neighbor, cos_sim,
-        |         CAST(row_number() OVER (PARTITION BY vec_id
-        |           ORDER BY cos_sim DESC, neighbor ASC) AS INT) AS rk
-        |  FROM cand)
-        |SELECT vec_id, neighbor, cos_sim, rk
-        |FROM ranked WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
+    "q_knn_join_cell" -> knnJoinCellSql,
+    // identical semantics by construction (the salted tiling is an
+    // execution-shape change only) — the ONE oracle covers both plans
+    "q_knn_join_salted" -> knnJoinCellSql,
     "q_knn_join_recall" ->
       s"""WITH $ivfIndexCte,
         |exact AS (SELECT vec_id, neighbor FROM (

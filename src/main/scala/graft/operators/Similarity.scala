@@ -659,6 +659,41 @@ object Similarity {
   /** Neighbors kept per vector in [[knnJoin]]. */
   private val KnnK = 3
 
+  /** Per-tile exact top-k: stream probe rows against a materialized
+    * build block (id, vec, precomputed norm), keeping a k-slot
+    * insertion buffer under the family's total order — cos (rounded to
+    * the shared 1e-6 grid at compare time) DESC, neighbor id ASC — so
+    * merging per-tile winners under the same order is lossless. Task
+    * memory is O(|block| + k); self-pairs are skipped here, matching
+    * every oracle's `a.vec_id <> b.vec_id`. Shared by [[knnJoin]]'s
+    * hash tiles and [[knnJoinSalted]]'s per-cell tiles. */
+  private def tileTopK(
+      ps: Iterator[(Long, Array[Float])],
+      block: Array[(Long, Array[Float], Double)],
+      k: Int): Iterator[(Long, Long, Double)] =
+    ps.flatMap { case (ida, va) =>
+      val na = Dedup.normD(va)
+      // insertion into a k-slot buffer ordered by (cos desc, id asc)
+      val top = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      var j = 0
+      while (j < block.length) {
+        val (idb, vb, nrm) = block(j)
+        if (idb != ida) {
+          val c = Dedup.round6(Dedup.dotD(va, vb) / (na * nrm))
+          if (top.length < k || c > top.last._2 ||
+              (c == top.last._2 && idb < top.last._1)) {
+            var pos = top.length
+            while (pos > 0 && (c > top(pos - 1)._2 ||
+                (c == top(pos - 1)._2 && idb < top(pos - 1)._1))) pos -= 1
+            top.insert(pos, (idb, c))
+            if (top.length > k) top.remove(k)
+          }
+        }
+        j += 1
+      }
+      top.iterator.map { case (idb, c) => (ida, idb, c) }
+    }
+
   /** q_knn_join — batch kNN self-join: the top-[[KnnK]] cosine
     * neighbors for EVERY vector at once (semantic dedup / retrieval
     * ground-truth construction — the batch dual of [[knn]]'s single
@@ -702,28 +737,7 @@ object Similarity {
     val local = probe.groupByKey(_._1).cogroup(build.groupByKey(_._1)) {
       case (_, ps, bs) =>
         val block = bs.map { case (_, id, v) => (id, v, Dedup.normD(v)) }.toArray
-        ps.flatMap { case (_, ida, va) =>
-          val na = Dedup.normD(va)
-          // insertion into a k-slot buffer ordered by (cos desc, id asc)
-          val top = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-          var j = 0
-          while (j < block.length) {
-            val (idb, vb, nrm) = block(j)
-            if (idb != ida) {
-              val c = Dedup.round6(Dedup.dotD(va, vb) / (na * nrm))
-              if (top.length < k || c > top.last._2 ||
-                  (c == top.last._2 && idb < top.last._1)) {
-                var pos = top.length
-                while (pos > 0 && (c > top(pos - 1)._2 ||
-                    (c == top(pos - 1)._2 && idb < top(pos - 1)._1))) pos -= 1
-                top.insert(pos, (idb, c))
-                if (top.length > k) top.remove(k)
-              }
-            }
-            j += 1
-          }
-          top.iterator.map { case (idb, c) => (ida, idb, c) }
-        }
+        tileTopK(ps.map { case (_, id, v) => (id, v) }, block, k)
     }.toDF("vec_id", "neighbor", "cos_sim")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
@@ -772,6 +786,91 @@ object Similarity {
       .filter(col("rk") <= KnnK)
       .select(col("vec_id"), col("neighbor"), col("cos_sim"), col("rk"))
       .orderBy("vec_id", "rk")
+  }
+
+  /** Rows per tile block for [[knnJoinSalted]] — conf-overridable
+    * (`spark.graft.knn.cellBlockRows`) so a spec can force multi-block
+    * tiling on a tiny fixture; defaults to [[Dedup.tileRows]], the
+    * family's ~2 MB block budget. */
+  private[graft] def cellBlockRows(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.knn.cellBlockRows")
+      .map(_.toLong).getOrElse(Dedup.tileRows)
+
+  /** q_knn_join_salted — [[knnJoinCell]] made SKEW-ROBUST: identical
+    * result (same cells, same total order, same oracle SQL), but the
+    * within-cell all-pairs work executes as (cell, probe-block,
+    * build-block) TILES instead of one shuffled equi-join task per
+    * cell. Why it exists: [[knnJoinCell]]'s shuffle key is the bare
+    * cell id, so a pathological cell — real embedding corpora cluster;
+    * think every empty/boilerplate document embedding to one direction
+    * — serializes its |cell|² compares into ONE task (tools/SkewStress
+    * measures exactly this cliff). Here each vector hashes into one of
+    * nb_c blocks — 1 below the block budget (a balanced corpus pays
+    * ZERO replication and plans like the plain celled join), else
+    * max(⌈|cell|/[[cellBlockRows]]⌉, ⌈√cores⌉) so an oversized cell
+    * both bounds tile memory AND spreads over every core — and probe
+    * rows visit every build
+    * block of their OWN cell and vice versa, so a giant cell's work
+    * spreads over nb_c² bounded tiles — the salted-join treatment
+    * (`Scale.scala`'s q_salted_join) applied to the cell key, with the
+    * [[knnJoin]] two-level top-k bounding task memory at O(block + k)
+    * and the post-tile shuffle at |cell|·nb_c·k rows, never the
+    * compared pairs. Per-cell block counts come from one count-by-cell
+    * over the checkpointed assignment (≤ nlist rows, broadcast).
+    * Tile-local selection uses [[tileTopK]]'s total order (round-6 cos
+    * DESC, id ASC), so the window merge is exact and the result is
+    * row-identical to [[knnJoinCell]] — both share one oracle. */
+  def knnJoinSalted(s: SparkSession, d: String): DataFrame =
+    celledTopK(s, d, KnnK).orderBy("vec_id", "rk")
+
+  /** The salted celled candidate generator behind [[knnJoinSalted]]
+    * (k = [[KnnK]]) and [[knnClassify]] (k = [[ClassifyK]]): top-k
+    * cosine cellmates per vector as (vec_id, neighbor, cos_sim, rk).
+    * Cells at or under the block budget keep nb = 1 (no replication,
+    * one tile — the balanced-corpus fast path); a cell that tiles at
+    * all gets nb = max(⌈|cell|/B⌉, ⌈√parallelism⌉) blocks, the
+    * [[knnJoin]] precedent applied per cell — a giant cell must yield
+    * enough nb² tiles to feed every core, not just bound tile MEMORY
+    * (measured in SKEW_STRESS.json: at nb = 2 the 90 %-hot cell left
+    * 28 of 32 cores idle). */
+  private def celledTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val (_, cells) = ivfIndex(s, d)
+    val bsz = cellBlockRows(s)
+    val minNb = math.ceil(math.sqrt(s.sparkContext.defaultParallelism.toDouble)).toInt
+    val nbPerCell = cells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("sz"))
+      .select(col("cell"),
+        when(col("sz") <= bsz, lit(1)).otherwise(greatest(
+          ceil(col("sz").cast("double") / bsz).cast("int"), lit(minNb)))
+          .as("nb"))
+    val m = e.join(cells, Seq("vec_id"))
+      .join(broadcast(nbPerCell), Seq("cell"))
+      .select(col("cell"), col("nb"), col("vec_id"), col("embedding"))
+      .as[(Long, Int, Long, Array[Float])]
+    // probe rows visit every build block of their cell; build rows
+    // every probe block — tile key (cell, i, j)
+    val probe = m.flatMap { case (cell, nb, id, v) =>
+      val b = Math.floorMod(java.lang.Long.hashCode(id), nb)
+      Iterator.range(0, nb).map(j => ((cell, b, j), id, v))
+    }
+    val build = m.flatMap { case (cell, nb, id, v) =>
+      val b = Math.floorMod(java.lang.Long.hashCode(id), nb)
+      Iterator.range(0, nb).map(i => ((cell, i, b), id, v))
+    }
+    val local = probe.groupByKey(_._1).cogroup(build.groupByKey(_._1)) {
+      case (_, ps, bs) =>
+        val block = bs.map { case (_, id, v) => (id, v, Dedup.normD(v)) }.toArray
+        tileTopK(ps.map { case (_, id, v) => (id, v) }, block, k)
+    }.toDF("vec_id", "neighbor", "cos_sim")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor").asc)
+    local
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("neighbor"), col("cos_sim"), col("rk"))
   }
 
   /** q_knn_join_recall — prices what [[knnJoinCell]]'s cell confinement
@@ -1064,9 +1163,10 @@ object Similarity {
 
   /** q_knn_classify — kNN label propagation OFF THE SHARED INDEX: each
     * vector takes the majority label of its top-[[ClassifyK]] cosine
-    * neighbors within its own trained IVF cell (the [[knnJoinCell]]
-    * candidate shape — n²/nlist pairs riding the cell shuffle key, no
-    * corpus broadcast), and the one summary row reports accuracy
+    * neighbors within its own trained IVF cell (the [[celledTopK]]
+    * SALTED candidate shape — n²/nlist pairs over bounded per-cell
+    * tiles, so a hot cell spreads instead of serializing into one
+    * task, no corpus broadcast), and the one summary row reports accuracy
     * against the true labels: the EVAL a weak-labeling / auto-curation
     * pipeline runs to decide whether neighbor labels are trustworthy
     * enough to propagate to unlabeled data. Vote ties break (votes
@@ -1080,20 +1180,16 @@ object Similarity {
     * over the shared IVF training CTE. */
   def knnClassify(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.embeddings(s, d)
-    val (_, cells) = ivfIndex(s, d)
-    val m = e.select(col("vec_id"), col("embedding"), col("label"))
-      .join(cells, Seq("vec_id"))
-    val mates = m.select(col("cell"), col("vec_id").as("neighbor"),
-      col("embedding").as("nb_vec"), col("label").as("nb_label"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor").asc)
-    val top = m.join(mates, Seq("cell"))
-      .filter(col("neighbor") =!= col("vec_id"))
-      .select(col("vec_id"), col("label"), col("nb_label"),
-        col("neighbor"),
-        cosine(col("embedding"), col("nb_vec")).as("cos_sim"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= ClassifyK)
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    // candidates come from the SALTED celled generator (round 8): the
+    // bare-cell equi-join shape serialized a 90 %-hot cell's electorate
+    // into one task (SKEW_STRESS.json's 37× cliff); the tiled shape
+    // degrades by Σnb² instead. Labels rejoin on the bounded n·k
+    // candidate set, not inside the pairing.
+    val top = celledTopK(s, d, ClassifyK)
+      .join(labels, Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("neighbor"),
+        col("label").as("nb_label")), Seq("neighbor"))
     val wv = Window.partitionBy(col("vec_id"))
       .orderBy(col("votes").desc, col("nb_label").asc)
     val pred = top.groupBy(col("vec_id"), col("label"), col("nb_label"))

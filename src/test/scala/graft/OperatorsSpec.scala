@@ -300,6 +300,49 @@ class OperatorsSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("knnJoinSalted ≡ knnJoinCell row-for-row, also under forced multi-block tiling") {
+    import spark.implicits._
+    val d = sf("sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val celled = rows(operators.Similarity.knnJoinCell(spark, d))
+    // default block budget: every sf0.001 cell fits one block → nb=1,
+    // zero replication, and the tiled result must still be identical
+    assert(rows(operators.Similarity.knnJoinSalted(spark, d)) == celled)
+    // forced tiny blocks: every real cell splits into several tiles —
+    // the two-level top-k merge must stay lossless
+    spark.conf.set("spark.graft.knn.cellBlockRows", "7")
+    try assert(rows(operators.Similarity.knnJoinSalted(spark, d)) == celled)
+    finally spark.conf.unset("spark.graft.knn.cellBlockRows")
+  }
+
+  test("knnJoinSalted: a corpus collapsed into one giant cell tiles losslessly") {
+    // the SkewStress pathology in miniature: 54 of 60 vectors share ONE
+    // embedding (the empty-document direction), so training's tie-break
+    // (higher centroid id wins on equal cosine) funnels them into a
+    // single cell; with an 8-row block budget that cell tiles 7×7 and
+    // the salted result must still equal the single-task celled plan,
+    // massive cosine ties (all 1.0, rank by id) included.
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val u = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val vecs = (0L until 60L).map { i =>
+      if (i % 10L != 0L) (i, u, 0)
+      else (i, Array.fill(8)(rnd.nextGaussian().toFloat), 1)
+    }
+    val dir = fixtureDir("embeddings" ->
+      vecs.toSeq.toDF("vec_id", "embedding", "label"))
+    val cellSizes = operators.Similarity.ivfIndex(spark, dir)._2
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    assert(cellSizes.max >= 54L, cellSizes.toSeq) // the skew materialized
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val celled = rows(operators.Similarity.knnJoinCell(spark, dir))
+    spark.conf.set("spark.graft.knn.cellBlockRows", "8")
+    try assert(rows(operators.Similarity.knnJoinSalted(spark, dir)) == celled)
+    finally spark.conf.unset("spark.graft.knn.cellBlockRows")
+  }
+
   /** Rounded cosine on the 1e-6 grid — model twin of Similarity.cosine
     * (same sequential fold, same HALF_UP edge). */
   private def cos6d(a: Seq[Double], b: Seq[Double]): Double = {

@@ -119,6 +119,19 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_knn_join_salted: per-cell tiles cogroup on the salted key, block counts broadcast") {
+    val p = plan("q_knn_join_salted")
+    // the within-cell pairing is a cogroup on (cell, i, j) — bounded
+    // tiles, per-tile top-k — NOT a row-producing equi-join on the bare
+    // cell (that single-task shape is exactly what this variant fixes)
+    assert(p.contains("CoGroup"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the ≤nlist-row per-cell block-count relation rides a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the rank filter prunes below the window exchange (partial top-k)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_heavy_hitters: candidate recount joins via broadcast, not a full-term shuffle") {
     val p = plan("q_heavy_hitters")
     assert(p.contains("BroadcastHashJoin"), p)
@@ -236,12 +249,14 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
-  test("q_knn_classify: the electorate rides the cell key, never an all-pairs scan") {
+  test("q_knn_classify: the electorate rides the salted cell tiles, never an all-pairs scan") {
     val p = plan("q_knn_classify")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // candidate pairs come from the cell equi-join (n²/nlist pairs on the
-    // cell shuffle key, like q_knn_join_cell); top-10 prunes pre-shuffle
-    assert(p.contains("SortMergeJoin [cell#") || p.contains("BroadcastHashJoin [cell#"), p)
+    // candidate pairs come from the SALTED tiled generator (round 8 —
+    // a hot cell spreads over nb² tiles instead of one task), so the
+    // pairing plans as a cogroup; labels rejoin on the bounded n·k
+    // candidate set; top-10 still prunes pre-shuffle
+    assert(p.contains("CoGroup"), p)
     assert(p.contains("WindowGroupLimit"), p)
   }
 
