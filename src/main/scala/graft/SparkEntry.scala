@@ -248,6 +248,7 @@ object SparkEntry {
     "s_neardup_gate" -> (graft.streaming.StreamingIndex.sNeardupGate _),
     "s_ann_serve" -> (graft.streaming.StreamingIndex.sAnnServe _),
     "s_filtered_serve" -> (graft.streaming.StreamingIndex.sFilteredServe _),
+    "s_index_swap" -> (graft.streaming.StreamingIndex.sIndexSwap _),
   )
 
   /** DuckDB VALUES list kept in sync with TextAnalysis.lexicon. */
@@ -316,35 +317,35 @@ object SparkEntry {
     * refresh oracle trains the SAME chain on the pre-arrival corpus
     * subset (q_index_refresh), so the training replay has exactly one
     * definition. */
-  private def ivfIndexCteOver(src: String): String = {
+  private def ivfIndexCteOver(src: String, sfx: String = ""): String = {
     val iters = graft.operators.Similarity.IvfIters
     val sb = new StringBuilder
-    sb ++= s"""e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM $src),
-              |cen0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e
-              |         WHERE vec_id % (SELECT greatest(50, count(*) // 64) FROM e) = 0),
+    sb ++= s"""e$sfx AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM $src),
+              |cen${sfx}0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e$sfx
+              |         WHERE vec_id % (SELECT greatest(50, count(*) // 64) FROM e$sfx) = 0),
               |""".stripMargin
     for (t <- 0 until iters) {
-      sb ++= s"""asn$t AS (SELECT e.vec_id, centroid_id, ${cosSql("v", "cv")} AS cos FROM e, cen$t),
-                |cell$t AS (SELECT vec_id, centroid_id AS cell FROM (
+      sb ++= s"""asn$sfx$t AS (SELECT e$sfx.vec_id, centroid_id, ${cosSql("v", "cv")} AS cos FROM e$sfx, cen$sfx$t),
+                |cell$sfx$t AS (SELECT vec_id, centroid_id AS cell FROM (
                 |            SELECT vec_id, centroid_id,
                 |                   row_number() OVER (PARTITION BY vec_id
                 |                                      ORDER BY cos DESC, centroid_id DESC) AS rn
-                |            FROM asn$t) WHERE rn = 1),
-                |sum$t AS (SELECT cell, i, sum(CAST(round(v[i] * 1000000.0) AS BIGINT)) AS sx,
+                |            FROM asn$sfx$t) WHERE rn = 1),
+                |sum$sfx$t AS (SELECT cell, i, sum(CAST(round(v[i] * 1000000.0) AS BIGINT)) AS sx,
                 |                 CAST(count(*) AS BIGINT) AS cnt
-                |          FROM e JOIN cell$t USING (vec_id), range(1, 65) r(i)
+                |          FROM e$sfx JOIN cell$sfx$t USING (vec_id), range(1, 65) r(i)
                 |          GROUP BY cell, i),
-                |cen${t + 1} AS (SELECT cell AS centroid_id, list(sx / (1000000.0 * cnt) ORDER BY i) AS cv
-                |          FROM sum$t GROUP BY cell),
+                |cen$sfx${t + 1} AS (SELECT cell AS centroid_id, list(sx / (1000000.0 * cnt) ORDER BY i) AS cv
+                |          FROM sum$sfx$t GROUP BY cell),
                 |""".stripMargin
     }
-    sb ++= s"""cen AS (SELECT centroid_id, cv FROM cen$iters),
-              |asn AS (SELECT e.vec_id, centroid_id, ${cosSql("v", "cv")} AS cos FROM e, cen),
-              |cells AS (SELECT vec_id, centroid_id AS cell FROM (
+    sb ++= s"""cen$sfx AS (SELECT centroid_id, cv FROM cen$sfx$iters),
+              |asn$sfx AS (SELECT e$sfx.vec_id, centroid_id, ${cosSql("v", "cv")} AS cos FROM e$sfx, cen$sfx),
+              |cells$sfx AS (SELECT vec_id, centroid_id AS cell FROM (
               |           SELECT vec_id, centroid_id,
               |                  row_number() OVER (PARTITION BY vec_id
               |                                     ORDER BY cos DESC, centroid_id DESC) AS rn
-              |           FROM asn) WHERE rn = 1)""".stripMargin
+              |           FROM asn$sfx) WHERE rn = 1)""".stripMargin
     sb.toString
   }
 
@@ -2163,6 +2164,52 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY qid
         |                            ORDER BY cos DESC, vec_id ASC) AS rn
         |  FROM cand) WHERE rn = 1 ORDER BY qid""".stripMargin),
+    // the refresh→serve handoff: BOTH training chains replay in one
+    // query (the pre-arrival chain under suffixed CTE names), each
+    // panel half served by its own index's probe + rerank
+    "s_index_swap" ->
+      (s"WITH ${ivfIndexCteOver("(SELECT * FROM embeddings WHERE vec_id % 5 <> 3) pre", "_pre")},\n" +
+      s"$ivfIndexCte,\n" +
+      s"""panel AS (SELECT vec_id AS qid, v AS qv FROM e
+        |          WHERE $panelWhereSql),
+        |pp AS (SELECT qid, qv, row_number() OVER (ORDER BY qid) AS pos FROM panel),
+        |p1 AS (SELECT qid, qv FROM pp WHERE pos % 2 = 1),
+        |p2 AS (SELECT qid, qv FROM pp WHERE pos % 2 = 0),
+        |pc1 AS (SELECT qid, centroid_id, ${cosSql("qv", "cv")} AS cos FROM p1, cen_pre),
+        |pr1 AS (SELECT qid, centroid_id AS cell FROM (
+        |        SELECT qid, centroid_id,
+        |               row_number() OVER (PARTITION BY qid
+        |                                  ORDER BY cos DESC, centroid_id ASC) AS rn
+        |        FROM pc1) WHERE rn = 1),
+        |cand1 AS (SELECT pr1.qid, e_pre.vec_id, ${cosSql("v", "qv")} AS cos
+        |          FROM pr1 JOIN cells_pre ON cells_pre.cell = pr1.cell
+        |               JOIN e_pre ON e_pre.vec_id = cells_pre.vec_id
+        |               JOIN p1 ON p1.qid = pr1.qid
+        |          WHERE e_pre.vec_id <> pr1.qid),
+        |r1 AS (SELECT 1 AS version, qid, vec_id, cos AS cos_sim FROM (
+        |        SELECT qid, vec_id, cos,
+        |               row_number() OVER (PARTITION BY qid
+        |                                  ORDER BY cos DESC, vec_id ASC) AS rn
+        |        FROM cand1) WHERE rn = 1),
+        |pc2 AS (SELECT qid, centroid_id, ${cosSql("qv", "cv")} AS cos FROM p2, cen),
+        |pr2 AS (SELECT qid, centroid_id AS cell FROM (
+        |        SELECT qid, centroid_id,
+        |               row_number() OVER (PARTITION BY qid
+        |                                  ORDER BY cos DESC, centroid_id ASC) AS rn
+        |        FROM pc2) WHERE rn = 1),
+        |cand2 AS (SELECT pr2.qid, e.vec_id, ${cosSql("v", "qv")} AS cos
+        |          FROM pr2 JOIN cells ON cells.cell = pr2.cell
+        |               JOIN e ON e.vec_id = cells.vec_id
+        |               JOIN p2 ON p2.qid = pr2.qid
+        |          WHERE e.vec_id <> pr2.qid),
+        |r2 AS (SELECT 2 AS version, qid, vec_id, cos AS cos_sim FROM (
+        |        SELECT qid, vec_id, cos,
+        |               row_number() OVER (PARTITION BY qid
+        |                                  ORDER BY cos DESC, vec_id ASC) AS rn
+        |        FROM cand2) WHERE rn = 1)
+        |SELECT version, qid, vec_id, cos_sim
+        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |ORDER BY version, qid""".stripMargin),
     // refresh: the SAME training chain over the pre-arrival subset
     // (frozen index), arrivals assigned by the same argmax window
     "q_index_refresh" ->

@@ -326,6 +326,96 @@ object StreamingIndex {
     }
   }
 
+  /** s_index_swap — the refresh→serve HANDOFF, the last edge of the
+    * index lifecycle: a serving query answers live traffic off index
+    * v1 (the FROZEN pre-arrival build [[Similarity.preArrivalIndex]] —
+    * the index a deployment serves from while arrivals accumulate),
+    * then at a batch boundary the deployment hot-swaps to index v2
+    * (the full retrained [[Similarity.ivfIndex]]) by RESTARTING the
+    * serving query with the new centroid literal and candidate
+    * relation — exactly how a literal-inlined-centroid serving tier
+    * upgrades (the centroids are compiled INTO the plan, so a new
+    * index IS a new plan; the stop/start is the swap, and the output
+    * sink — a topic in production, two unioned memory tables here —
+    * keeps accumulating across it). The panel splits by alternating
+    * qid-rank position: odd positions arrive before the swap and are
+    * answered by v1 (whose candidate set holds ONLY pre-arrival
+    * vectors — an arrival cannot be retrieved before the index absorbs
+    * it), even positions arrive after and are answered by v2 (arrivals
+    * now retrievable, centroids retrained). Continuity = no query is
+    * lost or double-answered
+    * across the swap, and each side is bit-pinned to its own index's
+    * batch replay — both training chains replayed in ONE DuckDB oracle
+    * (the suffixed CTE instantiation). Each phase keeps the full
+    * serve-path shape: map-side literal-centroid probe, one
+    * stream-static equi-join on the probed cell, windowed top-1 under
+    * a 1-minute watermark (state expires; C5/C8 as in [[sAnnServe]]).
+    * A query alone in its probed cell emits nothing, per the oracle. */
+  def sIndexSwap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val n = e.count()
+    val panel = e.filter(Similarity.panelFilter(n))
+      .select(col("vec_id"), col("embedding"))
+      .as[VecEvent].collect()
+    val (cenA, cellsA) = Similarity.preArrivalIndex(s, d)
+    val (cenB, cellsB) = Similarity.ivfIndex(s, d)
+    // cellsA only holds pre-arrival ids, so the v1 candidate relation
+    // is the pre-arrival corpus by construction
+    def corpusOf(cells: DataFrame) = e.join(cells, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+
+    def servePhase(version: Int, cen: DataFrame, corpus: DataFrame,
+        queries: Seq[VecEvent]): DataFrame = {
+      implicit val sqlCtx = s.sqlContext
+      val cenRows: Seq[(Long, Seq[Double])] = cen
+        .select(col("centroid_id"), col("cvec"))
+        .as[(Long, Seq[Double])].collect().toSeq
+      EventPairing.withStreamingPartitions(s) {
+        val input = MemoryStream[VecEvent]
+        val probed = input.toDF()
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            // +1 day: keep every stamp strictly above the epoch-0
+            // initial watermark (see sNeardupGate)
+            timestamp_seconds(col("vec_id") + lit(86400L)).as("ts"))
+          .withWatermark("ts", "1 minute")
+          .withColumn("best", array_max(transform(typedlit(cenRows), c =>
+            struct(
+              Similarity.cosine(col("qvec"), c.getField("_2")).as("cos"),
+              (lit(Long.MaxValue) - c.getField("_1")).as("nid")))))
+          .select(col("qid"), col("qvec"), col("ts"),
+            (lit(Long.MaxValue) - col("best.nid")).as("cell"))
+        val served = probed
+          .join(corpus, Seq("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy(window(col("ts"), "1 minute"), col("qid"))
+          .agg(max(struct(
+            Similarity.cosine(col("embedding"), col("qvec")).as("cos"),
+            (lit(Long.MaxValue) - col("vec_id")).as("nid"))).as("top"))
+          .select(col("qid"), (lit(Long.MaxValue) - col("top.nid")).as("vec_id"),
+            col("top.cos").as("cos_sim"))
+        val name = s"s_index_swap_${nameCounter.incrementAndGet()}"
+        val q = served.writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          feedStaggered(input, queries.sortBy(_.vec_id), q)
+          record("s_index_swap", q)
+        } finally q.stop()
+        s.table(name).select(lit(version).as("version"),
+          col("qid"), col("vec_id"), col("cos_sim"))
+      }
+    }
+    // the arrival timeline: alternating panel positions (by qid rank)
+    // land before/after the swap — qid PARITY would not do (the panel
+    // grid is stride-spaced, so its ids can share one parity)
+    val ordered = panel.toSeq.sortBy(_.vec_id).zipWithIndex
+    val v1 = servePhase(1, cenA, corpusOf(cellsA),
+      ordered.filter(_._2 % 2 == 0).map(_._1))
+    val v2 = servePhase(2, cenB, corpusOf(cellsB),
+      ordered.filter(_._2 % 2 == 1).map(_._1))
+    v1.unionByName(v2).orderBy("version", "qid")
+  }
+
   /** s_pq_ingest — streaming PQ coding at the ingest edge: every
     * arriving vector is coded against the FROZEN trained codebooks
     * ([[ProductQuant.pqIndex]] — built in batch, static here), emitting

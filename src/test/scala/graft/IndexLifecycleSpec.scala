@@ -376,4 +376,29 @@ class IndexLifecycleSpec extends SparkSpec {
       assert(big.nonEmpty)
     } finally spark.conf.unset("graft.neardup.broadcastMaxDocs")
   }
+
+  test("s_index_swap: continuity across the hot-swap — no query lost, v1 blind to arrivals") {
+    val d = sf("sf0.001")
+    val rows = SparkEntry.queries("s_index_swap")(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty)
+    // continuity: every answered query is answered EXACTLY once across
+    // the restart — the swap neither drops nor double-serves a qid
+    val perQid = rows.groupBy(_._2).view.mapValues(_.size)
+    assert(perQid.values.forall(_ == 1), perQid.toMap)
+    // the panel split is the arrival timeline: alternating qid-rank
+    // positions land pre-/post-swap — both sides actually served, on
+    // disjoint query sets
+    assert(rows.exists(_._1 == 1) && rows.exists(_._1 == 2))
+    val q1 = rows.filter(_._1 == 1).map(_._2).toSet
+    val q2 = rows.filter(_._1 == 2).map(_._2).toSet
+    assert((q1 & q2).isEmpty)
+    // v1 serves the FROZEN pre-arrival index: an arrival (vec_id % 5
+    // = 3) cannot be retrieved before the index absorbs it
+    assert(rows.filter(_._1 == 1).forall(_._3 % 5 != 3))
+    // both phases keep the watermark-bounded serve shape (the swap
+    // must not regress the C5/C8 state bound)
+    assert(graft.streaming.StreamingIndex.stateOpNames.get("s_index_swap")
+      == Set("stateStoreSave"))
+  }
 }
