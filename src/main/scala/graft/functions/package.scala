@@ -28,6 +28,11 @@ package object functions {
   def md5hash60(s: Column): Column =
     toColumn(Md5Hash60(toExpr(s)))
 
+  /** One-pass k-component portable-md5 MinHash signature of a token
+    * array ([[MinhashSig60]]). */
+  def minhash_sig60(tokens: Column, k: Int): Column =
+    toColumn(MinhashSig60(toExpr(tokens), k))
+
   /** 8-bin byte-value histogram of a binary column ([[ByteHistogram]]). */
   def byte_histogram(payload: Column): Column =
     toColumn(ByteHistogram(toExpr(payload)))

@@ -145,7 +145,7 @@ object Dedup {
   /** The raw (doc_id, shingle-text) stream — md5-family input (the
     * xxhash64 path hashes at the shingle edge instead; this one keeps
     * the text because the portable hash salts it with #a/#b). */
-  private def md5Shingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def md5Shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), explode(shinglesOf(col("tk"))).as("sh"))
@@ -158,9 +158,11 @@ object Dedup {
     * (DuckDB) and never wraps in engines that don't (JVM). The native
     * md5hash60 expression is value-identical to
     * conv(substring(md5(s),1,15),16,10) minus the hex round trip.
-    * Shared by [[minhashLshMd5]] and [[minhashAccuracy]] so the sketch
-    * and its quality eval cannot drift apart. */
-  private def md5MinhashSig(sh: DataFrame, k: Int): DataFrame = {
+    * Round 8: retained as the DECLARATIVE MODEL TWIN of the one-pass
+    * native [[md5SigOf]] that now feeds every *_md5 consumer — a spec
+    * pins the two row-identical, which is what lets the native loop
+    * carry the family's DuckDB oracles unchanged. */
+  private[graft] def md5MinhashSig(sh: DataFrame, k: Int): DataFrame = {
     def hex60(suffix: String): Column =
       graft.functions.md5hash60(concat(col("sh"), lit(suffix)))
     val hashed = sh.select(col("doc_id"), hex60("#a").as("h1"), hex60("#b").as("h2"))
@@ -169,6 +171,25 @@ object Dedup {
       .agg(min(phash(0)).as("m0"),
         (1 until k).map(j => min(phash(j)).as(s"m$j")): _*)
   }
+
+  /** (doc_id, m0..m{k-1}) signatures via the native ONE-PASS
+    * [[graft.functions.MinhashSig60]] expression — value-identical to
+    * [[md5MinhashSig]] over [[md5Shingles]] (the model twin a spec
+    * pins), but with no shingle explode and no groupBy: at 100 TB the
+    * exploded form SHUFFLES every (doc, shingle) row to re-group what
+    * the document row already held — the sketch build's dominant data
+    * movement — while this is a stateless map over documents (and the
+    * codegen'd loop profiled ~2.4× faster than the interpreted
+    * higher-order-function form the streaming probe used). Docs with
+    * < 3 tokens drop, matching the exploded form's empty groupBy. */
+  private[graft] def md5SigOf(s: SparkSession, d: String, k: Int): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        graft.functions.minhash_sig60(col("tk"), k).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .select(col("doc_id") +:
+        (0 until k).map(j => col("sig").getItem(j).as(s"m$j")): _*)
 
   /** LSH bands over a k-component signature: k/4 bands × 4 rows, band
     * key = the joined "m_i:…" string (portable — no second-level hash). */
@@ -204,37 +225,33 @@ object Dedup {
   private[graft] def md5BandIndex(s: SparkSession, d: String, k: Int): DataFrame =
     bandCache.computeIfAbsent((s, d, k), { _ =>
       bandBuilds.incrementAndGet()
-      md5SigBands(md5MinhashSig(md5Shingles(s, d), k), k).localCheckpoint()
+      md5SigBands(md5SigOf(s, d, k), k).localCheckpoint()
     })
 
   /** Per-document band keys computed MAP-SIDE from a (doc_id, tk
-    * token-array) relation — the per-event form of [[md5MinhashSig]]
+    * token-array) relation — the per-event form of the batch sketch
     * for streams, where exploding shingles into a groupBy would cost a
-    * shuffle per micro-batch: the same Kirsch–Mitzenmacher h_j = h1 +
-    * j·(h2 >> 4) per shingle, with min taken by array_min over the
-    * in-row shingle array (≡ groupBy-min over exploded rows, duplicate
-    * shingles and all), then the bands via [[md5SigBands]] VERBATIM —
-    * one band construction, so the batch sketch and the streaming gate
-    * cannot drift. The (h1, h2) struct array is materialized as a
-    * column first: higher-order lambdas evaluate with no
-    * common-subexpression elimination, so an inline subtree would
-    * re-md5 every shingle k times. Docs with no shingle (< 3 tokens)
-    * drop out, as they do from the batch sketch. */
+    * shuffle per micro-batch. Round 8: the signature comes from the
+    * native one-pass [[graft.functions.MinhashSig60]] (the earlier
+    * `transform` + k × `array_min(transform)` form evaluated its
+    * higher-order lambdas interpreted — ProfileNeardup measured it as
+    * 6.4 s of the 10 s gate at sf0.1, ~2.4× the codegen'd cost of the
+    * same hashes), then the bands via [[md5SigBands]] VERBATIM — one
+    * band construction shared with the batch index, so the sketch and
+    * the streaming gate cannot drift. Docs with no shingle (< 3
+    * tokens) drop out, as they do from the batch sketch. */
   private[graft] def md5BandProbes(docs: DataFrame, k: Int): DataFrame = {
-    val hs = docs.select(col("doc_id"),
-      transform(shinglesOf(col("tk")), x => struct(
-        graft.functions.md5hash60(concat(x, lit("#a"))).as("h1"),
-        graft.functions.md5hash60(concat(x, lit("#b"))).as("h2"))).as("hs"))
-      .filter(size(col("hs")) > 0)
-    def mj(j: Int): Column = array_min(transform(col("hs"), h =>
-      h.getField("h1") + lit(j.toLong) * shiftright(h.getField("h2"), 4)))
+    val sig = docs.select(col("doc_id"),
+      graft.functions.minhash_sig60(col("tk"), k).as("sig"))
+      .filter(size(col("sig")) > 0)
     md5SigBands(
-      hs.select(col("doc_id") +: (0 until k).map(j => mj(j).as(s"m$j")): _*), k)
+      sig.select(col("doc_id") +:
+        (0 until k).map(j => col("sig").getItem(j).as(s"m$j")): _*), k)
   }
 
   def minhashLshMd5(s: SparkSession, d: String): DataFrame = {
     val k = 16
-    val bands = md5SigBands(md5MinhashSig(md5Shingles(s, d), k), k)
+    val bands = md5SigBands(md5SigOf(s, d, k), k)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
@@ -259,7 +276,7 @@ object Dedup {
   def minhashAccuracy(s: SparkSession, d: String): DataFrame = {
     val k = 16
     val sh = md5Shingles(s, d)
-    val sig = md5MinhashSig(sh, k)
+    val sig = md5SigOf(s, d, k)
     val bands = md5SigBands(sig, k)
     val cand = bands.as("a")
       .join(bands.as("b"),

@@ -56,6 +56,24 @@ class OperatorsSpec extends SparkSpec {
     assert(truth.subsetOf(cand))
   }
 
+  test("native MinhashSig60 ≡ the declarative md5 chain, row for row (incl. shingle-less docs)") {
+    // the one-pass native signature must reproduce the exploded
+    // md5hash60 + groupBy-min chain EXACTLY — same shingles, same
+    // Kirsch–Mitzenmacher arithmetic, same dropped <3-token docs —
+    // because the whole *_md5 family's DuckDB oracles replay the
+    // declarative form. docsDir includes an empty/short doc (id 4),
+    // pinning the empty-signature edge; sf0.001 pins organic text.
+    for (d <- Seq(docsDir, sf("sf0.001"))) {
+      def key(r: org.apache.spark.sql.Row) =
+        (0 until r.length).map(r.get).mkString("|")
+      val native = Dedup.md5SigOf(spark, d, 16).collect().map(key).sorted
+      val twin = Dedup.md5MinhashSig(Dedup.md5Shingles(spark, d), 16)
+        .collect().map(key).sorted
+      assert(native.nonEmpty)
+      assert(native.toSeq == twin.toSeq)
+    }
+  }
+
   test("simhash pairs identical docs at hamming 0") {
     val rows = Dedup.simhash(spark, docsDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
