@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Corpus, Dedup, Multimodal, Observe, Pairing, ProductQuant, Relational, Similarity, Sources, Temporal, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Multimodal, Observe, Pairing, ProductQuant, Relational, Similarity, Sources, Temporal, TextAnalysis, Tpch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,6 +50,14 @@ object SparkEntry {
     "q_tpch_q6" -> (Relational.tpchQ6 _),
     "q_tpch_q3" -> (Relational.tpchQ3 _),
     "q_tpch_q5" -> (Relational.tpchQ5 _),
+    "q_tpch_q2" -> (Tpch.q2Shape _),
+    "q_tpch_q4" -> (Tpch.q4Shape _),
+    "q_tpch_q7" -> (Tpch.q7 _),
+    "q_tpch_q10" -> (Tpch.q10 _),
+    "q_tpch_q12" -> (Tpch.q12Shape _),
+    "q_tpch_q14" -> (Tpch.q14 _),
+    "q_tpch_q18" -> (Tpch.q18 _),
+    "q_tpch_q19" -> (Tpch.q19 _),
     "q_nullsafe_join" -> (Relational.nullsafeJoin _),
     "q_pagerank" -> (graft.operators.Graph.pagerank _),
     "q_anomaly_zscore" -> (graft.operators.Analytics.anomalyZscore _),
@@ -899,6 +907,98 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q2" ->
+      """WITH offers AS (
+        |  SELECT p_partkey, p_brand, p_size, l_suppkey, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO' AND p_size <= 10)
+        |SELECT DISTINCT p_partkey, p_brand, p_size, s_suppkey, s_name,
+        |       l_extendedprice AS min_price
+        |FROM offers o JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE l_extendedprice = (SELECT min(l_extendedprice) FROM offers m
+        |                         WHERE m.p_partkey = o.p_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |             l_extendedprice, l_discount
+        |      FROM lineitem
+        |      JOIN orders   ON l_orderkey = o_orderkey
+        |      JOIN supplier ON l_suppkey = s_suppkey
+        |      JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l_shipdate < TIMESTAMP '1998-01-01'
+        |        AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |          OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT promo_revenue, total_revenue,
+        |       promo_revenue * 100.0 / total_revenue AS promo_share_pct
+        |FROM (SELECT
+        |  CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))
+        |        ELSE CAST(0 AS DECIMAL(25,8)) END) AS DECIMAL(38,6)) AS DOUBLE) AS promo_revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01')""".stripMargin,
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey AS b_orderkey,
+        |         CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum_qty > 180.0)
+        |SELECT c_custkey, c_name, o_orderkey, epoch_ms(o_orderdate) AS orderdate_ms,
+        |       o_totalprice, sum_qty
+        |FROM orders JOIN big ON o_orderkey = b_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1.0 AND 20.0)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10.0 AND 30.0)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20.0 AND 40.0)""".stripMargin,
     "q_nullsafe_join" ->
       """WITH l AS (SELECT o_orderkey AS k_l,
         |                  CASE WHEN o_orderkey % 7 = 0 THEN NULL

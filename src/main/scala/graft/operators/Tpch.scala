@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import Det._
+
+/** The TPC-H optimizer-showcase pack (SURVEY.md §2.3, extending the
+  * Q1/Q3/Q5/Q6 family in [[Relational]]): the classic decision-support
+  * queries adapted to the driver's slimmed star (no partsupp table; no
+  * commitdate/receiptdate/shipmode/container columns), each kept for the
+  * DISTINCT Catalyst feature it exercises rather than for benchmark
+  * fidelity:
+  *
+  *   - Q2 shape  — correlated-min decorrelation (scalar subquery → agg+join)
+  *   - Q4 shape  — EXISTS → left-semi with a non-equi conjunct
+  *   - Q7        — OR'd nation-pair filter over a two-branch snowflake
+  *   - Q10       — returned-item revenue top-k over a 4-table join
+  *   - Q12 shape — conditional two-way classification agg over a fact join
+  *   - Q14       — promo revenue share (conditional numerator, one scan)
+  *   - Q18       — HAVING-subquery large orders joined back to the fact
+  *   - Q19       — disjunctive conjunct groups, CNF common-factor pushdown
+  *
+  * Scale rules as everywhere in this library: dims broadcast, the fact
+  * shuffles at most once on its join key, aggregates are partial by
+  * construction, revenue sums ride the exact-decimal [[Det]] scheme so
+  * rankings are engine-independent, and every sort is terminal.
+  *
+  * Reference mapping: the reference pipeline (Main.java:120-205) is one
+  * fixed topology; this pack is part of the generalized relational surface
+  * a user migrating OFF it onto a warehouse-shaped engine expects to run.
+  */
+object Tpch {
+
+  private def ts(d: String) = lit(d).cast("timestamp")
+
+  /** q_tpch_q2 — Q2's optimizer lesson on the slimmed star: a correlated
+    * scalar subquery ("the min unit price offered for this part") that
+    * Catalyst decorrelates into an aggregate + equi-join instead of a
+    * per-row re-scan. With no partsupp table, lineitem plays the
+    * part-supplier offer relation: for PROMO parts of size ≤ 10, find the
+    * (part, supplier) pairs achieving the per-part MINIMUM l_extendedprice.
+    * The min is computed over the stored doubles and compared by EQUALITY
+    * (no arithmetic), so cross-engine determinism needs no fixed point.
+    * Plan: part filter pushed to its scan, part broadcasts into lineitem,
+    * one shuffle on l_partkey for the min, the min relation (part-count
+    * sized) broadcasts back — the fact never shuffles twice. */
+  def q2Shape(s: SparkSession, d: String): DataFrame = {
+    val offers = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_type") === "PROMO" && col("p_size") <= 10)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"),
+        col("l_suppkey"), col("l_extendedprice"))
+    val minPrice = offers.groupBy(col("p_partkey").as("m_partkey"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    offers
+      .join(broadcast(minPrice),
+        col("p_partkey") === col("m_partkey") &&
+          col("l_extendedprice") === col("min_price"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      // a part can have several offers AT the min (same supplier twice or
+      // price ties) — the contract is the distinct winner set
+      .select(col("p_partkey"), col("p_brand"), col("p_size"),
+        col("s_suppkey"), col("s_name"), col("min_price"))
+      .distinct()
+      .orderBy(col("p_partkey").asc, col("s_suppkey").asc)
+  }
+
+  /** q_tpch_q4 — Q4's shape (order priority checking): how many orders per
+    * priority had at least one LATE line (shipped > 30 days after the order
+    * date — the commitdate/receiptdate lateness rewritten onto available
+    * columns). The EXISTS subquery is expressed as a LEFT SEMI join whose
+    * condition mixes the equi key with a non-equi cross-side predicate
+    * (l_shipdate > o_orderdate + 30d): Catalyst keeps the equi part as the
+    * hash key and evaluates the band residual inside the join — no
+    * nested-loop fallback, and the semi form never duplicates orders with
+    * many late lines. One shuffle each side on the order key. */
+  def q4Shape(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1997-01-01") &&
+        col("o_orderdate") < ts("1997-07-01"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "leftsemi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** q_tpch_q7 — Q7 (volume shipping): revenue flowing between two specific
+    * nations in either direction, by supplier nation × customer nation ×
+    * ship year. The join is a TWO-BRANCH snowflake off the fact (supplier →
+    * nation on one side, orders → customer → nation on the other) with the
+    * OR'd pair predicate ((N1,N2) or (N2,N1)) evaluated AFTER both branches
+    * resolve — exactly the filter Catalyst cannot push below the join, so
+    * the plan shows dims broadcast, one fact shuffle on l_orderkey, and the
+    * pair filter as a post-join codegen'd filter. Year extraction is integer
+    * (cast to int for Spark/DuckDB agreement). */
+  def q7(s: SparkSession, d: String): DataFrame = {
+    val sn = broadcast(Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cn = broadcast(Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(dsumExact(dprod(col("l_extendedprice"),
+        lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** q_tpch_q10 — Q10 (returned item reporting): the top-20 customers by
+    * revenue LOST to returns (l_returnflag = 'R') for orders placed in one
+    * quarter. Classic funnel: both fact filters pushed to their scans, the
+    * one real shuffle is lineitem⋈orders on the order key, customer and
+    * nation broadcast, and the final rollup is customer-cardinality. The
+    * top-20 ranking rides the exact-decimal revenue with the key as
+    * tie-break, so it cannot flip between engines. */
+  def q10(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1997-07-01") &&
+          col("o_orderdate") < ts("1997-10-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsumExact(dprod(col("l_extendedprice"),
+        lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+
+  /** q_tpch_q12 — Q12's shape (shipping classification): per line status
+    * (the slimmed star's stand-in for shipmode), how many LATE-shipped 1997
+    * lines belong to critical-priority orders vs not — the two-way
+    * conditional-count aggregate over a single fact⋈orders join that Q12
+    * exists to exercise (CASE folding into partial aggregation; one
+    * shuffle). The lateness band predicate reuses the q4 residual shape. */
+  def q12Shape(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+
+  /** q_tpch_q14 — Q14 (promotion effect): the share of one month's revenue
+    * carried by PROMO parts — a conditional numerator and unconditional
+    * denominator from ONE scan of the filtered fact (no second pass), part
+    * broadcast in for the type flag. Both sums are exact decimal; only the
+    * final share divides the two exact doubles (single IEEE op, identical
+    * everywhere). The CASE's zero branch is typed to the product's decimal
+    * so the sum never widens through double. */
+  def q14(s: SparkSession, d: String): DataFrame = {
+    val rev = dprod(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1997-09-01") &&
+        col("l_shipdate") < ts("1997-10-01"))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsumExact(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast(DecimalType(25, 8)))).as("promo_revenue"),
+        dsumExact(rev).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (col("promo_revenue") * 100.0 / col("total_revenue")).as("promo_share_pct"))
+  }
+
+  /** q_tpch_q18 — Q18 (large volume customers): orders whose total quantity
+    * exceeds 180, joined back to orders+customer for the report, top-10 by
+    * order value. The HAVING subquery becomes an aggregate on the fact's
+    * natural key (one shuffle, map-side partial sums) whose survivor set is
+    * TINY at any scale — it broadcasts back into orders, so the second join
+    * costs no fact shuffle. Quantity sums ride the fixed-point scheme;
+    * the top-10 ties break on the key. */
+  def q18(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("b_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 180.0)
+    Tables.orders(s, d)
+      .join(broadcast(big), col("o_orderkey") === col("b_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        millis(col("o_orderdate")).as("orderdate_ms"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** q_tpch_q19 — Q19 (discounted revenue, the DISJUNCTIVE-pushdown
+    * showcase): three OR'd conjunct groups over brand × size × quantity.
+    * Catalyst's CNF conversion extracts the cross-group common factors —
+    * the scan shows l_quantity ∈ [1,40] and p_size ∈ [1,50] pushed as
+    * range filters and p_brand IN (…) pushed to the part scan — while the
+    * per-group brand↔quantity coupling stays a post-join residual. Part
+    * broadcasts; one filtered fact scan, zero shuffles before the global
+    * agg. */
+  def q19(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1.0, 20.0)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10.0, 30.0)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20.0, 40.0)))
+      .agg(dsumExact(dprod(col("l_extendedprice"),
+        lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+}

@@ -97,6 +97,45 @@ class PlanHygieneSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
   }
 
+  test("q_tpch_q19: disjunctive conjunct groups — common factors pushed to both scans") {
+    val p = plan("q_tpch_q19")
+    // per-side OR projections reach BOTH scans: the fact scan carries the
+    // disjunction of quantity bands, the part scan the brand×size groups —
+    // at 100 TB each side's row-group stats prune on its own envelope
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"), p)
+    assert(p.contains("EqualTo(p_brand,Brand#1)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_tpch_q4: EXISTS plans as a LEFT SEMI hash join with the band residual inside") {
+    val p = plan("q_tpch_q4")
+    // the equi key stays the hash key; the 30-day lateness predicate is a
+    // join residual, not a nested-loop fallback — and the semi form never
+    // duplicates an order with many late lines
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the orders date window is pushed to the scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("q_tpch_q18: HAVING survivors broadcast back — the fact shuffles once") {
+    val p = plan("q_tpch_q18")
+    // one shuffle for the per-order quantity rollup; the survivor set and
+    // customer both broadcast into orders
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+  }
+
+  test("q_tpch_q7: both snowflake branches broadcast; pair filter stays post-join") {
+    val p = plan("q_tpch_q7")
+    // supplier→nation and customer→nation resolve broadcast-side; the OR'd
+    // nation-pair predicate cannot push below the join and must remain a
+    // codegen'd Filter above it
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("NATION_1"), p)
+  }
+
   test("q_knn_join: shuffle carries per-tile top-k, never the n² pairs") {
     val p = plan("q_knn_join")
     assert(p.contains("CoGroup"), p)
