@@ -191,6 +191,9 @@ object SparkEntry {
     "q_hybrid_search" -> (Similarity.hybridSearch _),
     "q_hybrid_weighted" -> (Similarity.hybridWeighted _),
     "q_ann_recall" -> (Similarity.annRecall _),
+    "q_range_search" -> (Similarity.rangeSearch _),
+    "q_srp_recall" -> (Similarity.srpRecall _),
+    "q_mmr_rerank" -> (Similarity.mmrRerank _),
     "q_sq_recall" -> (Similarity.sqRecall _),
     "q_lsh_recall" -> (Similarity.lshRecall _),
     "q_ivfsq_recall" -> (Similarity.ivfSqRecall _),
@@ -1999,6 +2002,129 @@ object SparkEntry {
         |                    JOIN panel p ON p.qid = pr.qid
         |             WHERE e.vec_id <> pr.qid) WHERE rn <= 10),
         |""".stripMargin + recallTailSql),
+    "q_range_search" ->
+      (s"WITH $ivfIndexCte,\n" +
+      s"""panel AS (SELECT vec_id AS qid, v AS qv FROM e
+        |          WHERE $panelWhereSql),
+        |exact AS (SELECT p.qid, e.vec_id FROM e, panel p
+        |          WHERE e.vec_id <> p.qid
+        |            AND round(list_dot_product(v, qv)
+        |              / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+        |                >= CAST(${graft.operators.Similarity.RangeTau} AS DOUBLE)),
+        |probed AS (SELECT qid, cell FROM (
+        |             SELECT p.qid, centroid_id AS cell,
+        |                    row_number() OVER (PARTITION BY p.qid
+        |                      ORDER BY round(list_dot_product(qv, cv)
+        |                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) DESC,
+        |                        centroid_id ASC) AS rn
+        |             FROM panel p, cen) WHERE rn <= 2),
+        |found AS (SELECT pr.qid, e.vec_id
+        |          FROM e JOIN cells ON e.vec_id = cells.vec_id
+        |                 JOIN probed pr ON cells.cell = pr.cell
+        |                 JOIN panel p ON p.qid = pr.qid
+        |          WHERE e.vec_id <> pr.qid
+        |            AND round(list_dot_product(v, qv)
+        |              / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+        |                >= CAST(${graft.operators.Similarity.RangeTau} AS DOUBLE)),
+        |hits AS (SELECT x.qid, CAST(count(*) AS BIGINT) AS nx,
+        |                CAST(count(f.vec_id) AS BIGINT) AS nh
+        |         FROM exact x LEFT JOIN found f ON f.qid = x.qid AND f.vec_id = x.vec_id
+        |         GROUP BY x.qid)
+        |SELECT CAST(${graft.operators.Similarity.RangeTau} AS DOUBLE) AS tau,
+        |       CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(sum(nx) AS BIGINT) AS n_exact, CAST(sum(nh) AS BIGINT) AS n_found,
+        |       round(CAST(sum(nh) AS DOUBLE) / sum(nx), 6) AS range_recall
+        |FROM hits""".stripMargin),
+    "q_srp_recall" ->
+      (s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |ev AS (SELECT vec_id,
+        |              [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS xs
+        |       FROM embeddings),
+        |panel AS (SELECT vec_id AS qid, v AS qv FROM e
+        |          WHERE $panelWhereSql),
+        |proj AS (SELECT vec_id,
+        |                [CAST(list_sum([CASE WHEN (i * 31 + j * 17) % 101 >= 51
+        |                                     THEN xs[i + 1] ELSE -xs[i + 1] END
+        |                                FOR i IN range(0, 64)]) AS BIGINT)
+        |                 FOR j IN range(0, ${graft.operators.Similarity.SrpDims})] AS p
+        |         FROM ev),
+        |exact AS (SELECT qid, vec_id FROM (
+        |            SELECT p.qid, e.vec_id,
+        |                   row_number() OVER (PARTITION BY p.qid
+        |                     ORDER BY round(list_dot_product(v, qv)
+        |                       / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
+        |                       e.vec_id ASC) AS rn
+        |            FROM e, panel p WHERE e.vec_id <> p.qid) WHERE rn <= 10),
+        |pq AS (SELECT qid, p AS q FROM proj JOIN panel ON vec_id = qid),
+        |approx AS (SELECT qid, vec_id FROM (
+        |             SELECT pq.qid, c.vec_id,
+        |                    row_number() OVER (PARTITION BY pq.qid
+        |                      ORDER BY round(CAST(list_sum([c.p[k] * pq.q[k] FOR k IN range(1, ${graft.operators.Similarity.SrpDims + 1})]) AS DOUBLE)
+        |                        / (sqrt(CAST(list_sum([c.p[k] * c.p[k] FOR k IN range(1, ${graft.operators.Similarity.SrpDims + 1})]) AS DOUBLE))
+        |                         * sqrt(CAST(list_sum([pq.q[k] * pq.q[k] FOR k IN range(1, ${graft.operators.Similarity.SrpDims + 1})]) AS DOUBLE))), 6) DESC,
+        |                        c.vec_id ASC) AS rn
+        |             FROM proj c, pq WHERE c.vec_id <> pq.qid) WHERE rn <= 10),
+        |hits AS (SELECT x.qid, CAST(count(*) AS BIGINT) AS nx,
+        |                CAST(count(a.vec_id) AS BIGINT) AS nh
+        |         FROM exact x LEFT JOIN approx a ON a.qid = x.qid AND a.vec_id = x.vec_id
+        |         GROUP BY x.qid)
+        |SELECT ${graft.operators.Similarity.SrpDims} AS proj_dims, 10 AS k,
+        |       CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(sum(nx) AS BIGINT) AS n_exact, CAST(sum(nh) AS BIGINT) AS n_hit,
+        |       round(CAST(sum(nh) AS DOUBLE) / sum(nx), 6) AS recall
+        |FROM hits""".stripMargin),
+    "q_mmr_rerank" -> {
+      val lam = graft.operators.Similarity.MmrLambda
+      val mu = graft.operators.Similarity.MmrMu
+      val sl = graft.operators.Similarity.MmrShortlist
+      val cos = "round(list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s))), 6)"
+      val head =
+        s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+          |panel AS (SELECT vec_id AS qid, v AS qv FROM e
+          |          WHERE $panelWhereSql),
+          |sl AS (SELECT qid, vec_id, rel FROM (
+          |         SELECT p.qid, e.vec_id,
+          |                ${cos.format("v", "qv", "v", "v", "qv", "qv")} AS rel,
+          |                row_number() OVER (PARTITION BY p.qid
+          |                  ORDER BY ${cos.format("v", "qv", "v", "v", "qv", "qv")} DESC,
+          |                    e.vec_id ASC) AS rn
+          |         FROM e, panel p WHERE e.vec_id <> p.qid) WHERE rn <= $sl),
+          |sims AS (SELECT s1.qid, s1.vec_id AS a, s2.vec_id AS b,
+          |                ${cos.format("ea.v", "eb.v", "ea.v", "ea.v", "eb.v", "eb.v")} AS sim
+          |         FROM sl s1 JOIN sl s2 ON s1.qid = s2.qid AND s1.vec_id <> s2.vec_id
+          |         JOIN e ea ON ea.vec_id = s1.vec_id
+          |         JOIN e eb ON eb.vec_id = s2.vec_id),
+          |acc1 AS (SELECT qid, 1 AS pos, vec_id, $lam * rel AS score FROM (
+          |           SELECT qid, vec_id, rel,
+          |                  row_number() OVER (PARTITION BY qid
+          |                    ORDER BY rel DESC, vec_id ASC) AS rn
+          |           FROM sl) WHERE rn = 1),
+          |""".stripMargin
+      val rounds = (2 to graft.operators.Similarity.MmrK).map { t =>
+        s"""sel$t AS (SELECT qid, $t AS pos, vec_id, score FROM (
+          |          SELECT c.qid, c.vec_id, $lam * c.rel - $mu * m.maxsim AS score,
+          |                 row_number() OVER (PARTITION BY c.qid
+          |                   ORDER BY ($lam * c.rel - $mu * m.maxsim) DESC,
+          |                     c.vec_id ASC) AS rn
+          |          FROM sl c
+          |          JOIN (SELECT s.qid, s.a AS vec_id, max(s.sim) AS maxsim
+          |                FROM sims s JOIN acc${t - 1} p
+          |                  ON s.qid = p.qid AND s.b = p.vec_id
+          |                GROUP BY 1, 2) m
+          |            ON c.qid = m.qid AND c.vec_id = m.vec_id
+          |          WHERE NOT EXISTS (SELECT 1 FROM acc${t - 1} p
+          |                            WHERE p.qid = c.qid AND p.vec_id = c.vec_id))
+          |         WHERE rn = 1),
+          |acc$t AS (SELECT qid, pos, vec_id, score FROM acc${t - 1}
+          |          UNION ALL SELECT qid, pos, vec_id, score FROM sel$t),
+          |""".stripMargin
+      }.mkString
+      // strip the final trailing ",\n" before the terminal SELECT
+      head + rounds.stripSuffix(",\n") + "\n" +
+        s"""SELECT qid, pos, vec_id, round(score, 6) AS score
+          |FROM acc${graft.operators.Similarity.MmrK}
+          |ORDER BY qid, pos""".stripMargin
+    },
     "q_sq_recall" ->
       ("""WITH t AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
         |             greatest(list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]), 1e-30) AS max_abs

@@ -1203,4 +1203,208 @@ object Similarity {
       round(sum(when(col("nb_label") === col("label"), 1L).otherwise(0L))
         .cast("double") / count(lit(1)), 6).as("accuracy"))
   }
+
+  /** Radius for [[rangeSearch]] — on the synthetic near-orthogonal
+    * embeddings 0.3 admits a real but bounded neighborhood (33–307
+    * matches across the driver's scale factors; 0.5 admits none). */
+  private[graft] val RangeTau = 0.3
+
+  /** q_range_search — RANGE (radius) retrieval off the shared index:
+    * "every vector with cosine ≥ τ of the query", the retrieval shape
+    * near-duplicate sweeps and contamination scans run (top-k bounds
+    * the COUNT; range bounds the SIMILARITY — a dedup wants all docs
+    * above the bar, however many there are). Per panel query the probe
+    * visits the top-2 trained cells and keeps in-cell candidates on
+    * the τ bar; the eval row prices what the cell bound costs against
+    * the exact τ-neighborhood (range_recall = found/exact — the
+    * index-shopping number for radius workloads, next to
+    * [[annRecall]]'s top-k row). Cost shape: the probe side is
+    * cells-join + broadcast(panel ∪ probed) — candidate work is
+    * panel·(2n/nlist), never panel·n; the exact side is the same
+    * eval-on-a-slice pass every recall row in this family pays.
+    * Fully oracled over the shared IVF training CTE on the rounded
+    * grid (a threshold COMPARE of two 1e-6-rounded doubles cannot
+    * flip cross-engine). */
+  def rangeSearch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val n = e.count()
+    val (cen, cells) = ivfIndex(s, d)
+    val panel = recallPanel(e, n)
+    val exact = e.crossJoin(panel)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qvec")).as("cos"))
+      .filter(col("cos") >= RangeTau)
+      .select(col("qid"), col("vec_id"))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    val probed = panel.crossJoin(broadcast(cen))
+      .select(col("qid"), col("centroid_id"),
+        cosine(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 2)
+      .select(col("qid"), col("centroid_id").as("cell"))
+    val found = e.join(cells, "vec_id")
+      .join(broadcast(probed), "cell")
+      .join(panel, "qid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qvec")).as("cos"))
+      .filter(col("cos") >= RangeTau)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    exact.join(found, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("nx"), count(col("hit")).as("nh"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("nx")).as("n_exact"), sum(col("nh")).as("n_found"))
+      .select(lit(RangeTau).as("tau"), col("n_queries"),
+        col("n_exact"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_exact"), 6)
+          .as("range_recall"))
+  }
+
+  /** Projected dimensionality for [[srpRecall]] (64 → 16, a 4× cut). */
+  private[graft] val SrpDims = 16
+
+  /** The ±1 sign matrix for [[srpRecall]] — the SAME rational residue
+    * family as [[plane]] (sign of ((i·31 + j·17) mod 101) − 50.5), so
+    * the projection replays in ANY engine: +1 iff the residue ≥ 51. */
+  private[graft] def srpSign(i: Int, j: Int): Long =
+    if ((i * 31 + j * 17) % 101 >= 51) 1L else -1L
+
+  /** q_srp_recall — signed-random-projection (Johnson–Lindenstrauss)
+    * dimensionality reduction as a retrieval tier: project 64-d → 16-d
+    * with a deterministic ±1 matrix, rank by PROJECTED cosine, report
+    * recall@10 vs the exact float ranking on the shared panel — the
+    * fourth compression row (next to SQ / PQ / IVF-SQ) on the same
+    * scorecard, pricing a 4× dimension cut. All projection arithmetic
+    * is EXACT integer: components enter as round(v·1e6) longs, each
+    * projected coordinate is a ±sum of 64 longs, and the projected
+    * dot is a sum of 16 long products (≤6.6e16, well inside int64) —
+    * so both engines rank identical values and the 1e-6 output grid
+    * carries no drift at all. At scale the projection is one map-side
+    * pass (the 16×64 sign matrix is a literal), storage drops 4×, and
+    * every downstream ANN op runs on the short vectors. */
+  def srpRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val n = e.count()
+    val panel = recallPanel(e, n)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = e.crossJoin(panel)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qvec")).as("cos"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    // the projection: xs = round(v_i·1e6) exact longs; p_j = Σ ±xs_i.
+    // The sign matrix unrolls into a literal sum per output coordinate
+    // (no lambda interpretation on the corpus pass).
+    def proj(vec: Column): Column = array(
+      (0 until SrpDims).map { j =>
+        (0 until 64).map { i =>
+          val x = round(element_at(vec, i + 1).cast("double") * 1e6)
+            .cast("long")
+          if (srpSign(i, j) > 0) x else -x
+        }.reduce(_ + _)
+      }: _*)
+    val pc = e.select(col("vec_id"), proj(col("embedding")).as("p"))
+    val pq = panel.select(col("qid"), proj(col("qvec")).as("pq"))
+    // projected dot = Σ of 16 exact long products; norms likewise —
+    // the single long→double conversion and sqrt are IEEE-identical
+    // everywhere, then the 1e-6 grid rounds a drift-free value.
+    def ldot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val approx = pc.crossJoin(broadcast(pq))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(ldot(col("p"), col("pq")).cast("double") /
+          (sqrt(ldot(col("p"), col("p")).cast("double")) *
+            sqrt(ldot(col("pq"), col("pq")).cast("double"))), 6).as("cos"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    recallSummary(exact, approx)
+      .select(lit(SrpDims).as("proj_dims"), col("k"), col("n_queries"),
+        col("n_exact"), col("n_hit"), col("recall"))
+  }
+
+  /** MMR weights and selection depth for [[mmrRerank]]. λ and μ = 1−λ
+    * are SEPARATE literals (not computed from each other): 1.0 − 0.7
+    * is 0.30000000000000004 in IEEE — both engines must score with the
+    * same 0.3 bit pattern or the greedy argmax could flip. */
+  private[graft] val MmrLambda = 0.7
+  private[graft] val MmrMu = 0.3
+  private[graft] val MmrK = 5
+  private[graft] val MmrShortlist = 20
+
+  /** q_mmr_rerank — Maximal Marginal Relevance diversification
+    * (Carbonell–Goldstein '98), the re-rank every RAG shortlist runs so
+    * the k passages sent to the model aren't five copies of the same
+    * paragraph: greedily pick argmax λ·rel(c) − (1−λ)·max_{s∈S}
+    * sim(c,s) from the top-[[MmrShortlist]] exact shortlist, k=
+    * [[MmrK]] rounds. Implementation is FULLY DECLARATIVE (the
+    * q_bpe_merges precedent): the shortlist and its in-shortlist
+    * pairwise sims materialize once (localCheckpoint — every greedy
+    * round reads the same executed relations), then each round is an
+    * anti-join (drop selected) + max-sim join + per-qid argmax window —
+    * zero driver round trips. Cost shape at 100 TB: the corpus pass is
+    * the shortlist build (the family's panel·n eval slice); everything
+    * after is panel·SL² — independent of corpus size. Determinism:
+    * rel and sim live on the 1e-6 grid, scores are single IEEE
+    * mul/sub of grid values (identical everywhere), ties break
+    * (score DESC, vec_id ASC); fully oracled via [[MmrK]] chained
+    * selection CTEs in DuckDB. */
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val n = e.count()
+    val panel = recallPanel(e, n)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+    val shortlist = e.crossJoin(panel)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("embedding"),
+        cosine(col("embedding"), col("qvec")).as("rel"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= MmrShortlist)
+      .select(col("qid"), col("vec_id"), col("embedding"), col("rel"))
+      .localCheckpoint()
+    val sims = shortlist.select(col("qid"), col("vec_id").as("a"),
+        col("embedding").as("ea"))
+      .join(shortlist.select(col("qid"), col("vec_id").as("b"),
+        col("embedding").as("eb")), Seq("qid"))
+      .filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        cosine(col("ea"), col("eb")).as("sim"))
+      .localCheckpoint()
+    val sl = shortlist.select(col("qid"), col("vec_id"), col("rel"))
+    val ws = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    // round 1: no selected set — score is λ·rel alone
+    var selected = sl
+      .select(col("qid"), col("vec_id"), col("rel"),
+        (lit(MmrLambda) * col("rel")).as("score"))
+      .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
+      .select(col("qid"), lit(1).as("pos"), col("vec_id"), col("score"))
+    for (t <- 2 to MmrK) {
+      val cand = sl.join(selected.select(col("qid"), col("vec_id")),
+        Seq("qid", "vec_id"), "left_anti")
+      val scored = cand
+        .join(sims.select(col("qid"), col("a").as("vec_id"), col("b"), col("sim")),
+          Seq("qid", "vec_id"))
+        .join(selected.select(col("qid"), col("vec_id").as("b")), Seq("qid", "b"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(max(col("rel")).as("rel"), max(col("sim")).as("maxsim"))
+        .select(col("qid"), col("vec_id"), col("rel"),
+          (lit(MmrLambda) * col("rel") -
+            lit(MmrMu) * col("maxsim")).as("score"))
+      selected = selected.unionByName(
+        scored.withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
+          .select(col("qid"), lit(t).as("pos"), col("vec_id"), col("score")))
+    }
+    selected
+      .select(col("qid"), col("pos"), col("vec_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy("qid", "pos")
+  }
 }

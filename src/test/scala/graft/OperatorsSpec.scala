@@ -1006,4 +1006,83 @@ class OperatorsSpec extends SparkSpec {
     assert(!redundant(20L) && !redundant(21L))
     assert(redundant(1L) && redundant(51L) && !redundant(30L) && !redundant(0L))
   }
+
+  test("mmrRerank: greedy diversification demotes the near-dup; short shortlist stops early") {
+    // query q = e1 (id 17). A (id 1, rel .8) is picked first; B (id 2,
+    // rel .6) is a NEAR-DUP of A (sim .96) while C (id 3, rel .6) is
+    // diverse (sim .48) — plain relevance order would take B (tie on
+    // rel, id ASC), MMR must take C. D (id 4, rel 0) goes last at a
+    // NEGATIVE score (pure redundancy penalty). Only 4 candidates but
+    // k = 5 → exactly 4 rows (the short-shortlist edge).
+    val dir = fixtureDir("embeddings" -> Seq(
+      (17L, vec(1, 0, 0, 0), 0),      // the panel query (17 % 50 = 17)
+      (1L, vec(0.8, 0.6, 0, 0), 0),   // A: rel .8
+      (2L, vec(0.6, 0.8, 0, 0), 0),   // B: rel .6, sim(B,A) = .96
+      (3L, vec(0.6, 0, 0.8, 0), 0),   // C: rel .6, sim(C,A) = .48
+      (4L, vec(0, 0, 1, 0), 0),       // D: rel 0, sim(D,C) = .8
+    ).toDF("vec_id", "embedding", "label"))
+    val got = Similarity.mmrRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((17L, 1, 1L), (17L, 2, 3L), (17L, 3, 2L), (17L, 4, 4L)))
+    // hand-computed scores: .7·.8 ‖ .7·.6−.3·.48 ‖ .7·.6−.3·.96 ‖ 0−.3·.8
+    val want = Seq(0.56, 0.276, 0.132, -0.24)
+    got.map(_._4).zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 2e-6, s"$g vs $w")
+    }
+  }
+
+  test("rangeSearch: inclusive τ edge — cos exactly 0.3 is in, 0.299 is out; one cell finds all") {
+    // single-seed corpus (only id 0 ≡ 0 mod 50) trains ONE cell, so the
+    // top-2 probe covers everything and range_recall must be exactly 1;
+    // the exact neighborhood of q = e1 holds ONLY the planted τ-edge
+    // vector (rounded cos 0.3 ≥ τ); its 0.299 twin must stay outside.
+    val y3 = math.sqrt(1 - 0.09)        // unit second component for cos .3
+    val y299 = math.sqrt(1 - 0.299 * 0.299)
+    val dir = fixtureDir("embeddings" -> Seq(
+      (0L, vec(0, 0.6, 0.8, 0), 0),     // centroid seed
+      (1L, vec(0, 1, 0, 0), 0),
+      (2L, vec(0, 0, 1, 0), 0),
+      (3L, vec(0, 0, 0, 1), 0),
+      (4L, vec(0.3, y3, 0, 0), 0),      // cos vs q = 0.300000 → included
+      (5L, vec(0.299, y299, 0, 0), 0),  // cos vs q = 0.299 → excluded
+      (17L, vec(1, 0, 0, 0), 0),        // the panel query
+    ).toDF("vec_id", "embedding", "label"))
+    graft.operators.Similarity.clearIndexCache()
+    val r = Similarity.rangeSearch(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getDouble(0) == 0.3)      // tau
+    assert(r.head.getLong(1) == 1L)         // n_queries
+    assert(r.head.getLong(2) == 1L, r.head) // n_exact: the τ-edge vector only
+    assert(r.head.getLong(3) == 1L)         // n_found: one cell sees everything
+    assert(r.head.getDouble(4) == 1.0)      // range_recall
+  }
+
+  test("srpRecall: sign matrix is non-degenerate; clustered corpus survives the 4× cut") {
+    // every projected coordinate must mix both signs (a constant row
+    // would just re-scale one input pattern)
+    for (j <- 0 until Similarity.SrpDims) {
+      val signs = (0 until 64).map(i => Similarity.srpSign(i, j)).toSet
+      assert(signs == Set(1L, -1L), s"degenerate row $j")
+    }
+    // 4 tight clusters on orthogonal 64-d axes: the panel query (id 17,
+    // cluster 1) has its 9 cluster-mates as clear neighbors, and a ±1
+    // JL projection to 16 dims preserves cluster separation — so
+    // projected recall@10 must stay high where the flat-random corpus
+    // is noise-limited (the eval prices exactly this difference).
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 40L).map { id =>
+      val axis = (id / 10).toInt * 16
+      val v = Array.tabulate(64)(i =>
+        (if (i == axis) 1.0 else 0.0) + 0.05 * rnd.nextGaussian())
+      (id, v.map(_.toFloat), 0)
+    }
+    val dir = fixtureDir("embeddings" ->
+      rows.toDF("vec_id", "embedding", "label"))
+    val r = Similarity.srpRecall(spark, dir).collect().head
+    assert(r.getInt(0) == Similarity.SrpDims)
+    assert(r.getLong(2) == 1L)           // one panel query (id 17)
+    assert(r.getLong(3) == 10L)          // exact side is 10 deep
+    assert(r.getDouble(5) >= 0.8, r)     // cluster structure survives
+  }
 }
