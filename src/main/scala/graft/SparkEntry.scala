@@ -61,6 +61,8 @@ object SparkEntry {
     "q_nullsafe_join" -> (Relational.nullsafeJoin _),
     "q_pagerank" -> (graft.operators.Graph.pagerank _),
     "q_anomaly_zscore" -> (graft.operators.Analytics.anomalyZscore _),
+    "q_ewma_smooth" -> (graft.operators.Analytics.ewmaSmooth _),
+    "q_skyline" -> (graft.operators.Scale.skyline _),
     "q_funnel" -> (graft.operators.Analytics.funnel _),
     "q_retention" -> (graft.operators.Analytics.retention _),
     "q_agg_q1" -> (Relational.aggQ1 _),
@@ -1082,6 +1084,47 @@ object SparkEntry {
         |FROM events e JOIN m USING (event_type)
         |WHERE m.sd_v > 0.0 AND abs(e.value - m.mean_v) > m.sd_v * 3.0
         |ORDER BY e.event_id""".stripMargin,
+    "q_ewma_smooth" ->
+      """WITH base AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS minute,
+        |         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS svl
+        |  FROM events GROUP BY 1, 2),
+        |taps AS (
+        |  SELECT event_type, minute, svl,
+        |         svl * 128
+        |           + coalesce(lag(svl, 1) OVER w * 64, 0)
+        |           + coalesce(lag(svl, 2) OVER w * 32, 0)
+        |           + coalesce(lag(svl, 3) OVER w * 16, 0)
+        |           + coalesce(lag(svl, 4) OVER w * 8, 0)
+        |           + coalesce(lag(svl, 5) OVER w * 4, 0)
+        |           + coalesce(lag(svl, 6) OVER w * 2, 0)
+        |           + coalesce(lag(svl, 7) OVER w * 1, 0) AS num,
+        |         128 + (CASE WHEN lag(svl, 1) OVER w IS NULL THEN 0 ELSE 64 END)
+        |             + (CASE WHEN lag(svl, 2) OVER w IS NULL THEN 0 ELSE 32 END)
+        |             + (CASE WHEN lag(svl, 3) OVER w IS NULL THEN 0 ELSE 16 END)
+        |             + (CASE WHEN lag(svl, 4) OVER w IS NULL THEN 0 ELSE 8 END)
+        |             + (CASE WHEN lag(svl, 5) OVER w IS NULL THEN 0 ELSE 4 END)
+        |             + (CASE WHEN lag(svl, 6) OVER w IS NULL THEN 0 ELSE 2 END)
+        |             + (CASE WHEN lag(svl, 7) OVER w IS NULL THEN 0 ELSE 1 END) AS den
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY minute))
+        |SELECT event_type, epoch_ms(minute) AS minute_ms,
+        |       CAST(svl AS DOUBLE) / 10000.0 AS raw_value,
+        |       round(CAST(num AS DOUBLE) / CAST(den * 10000 AS DOUBLE), 6) AS ewma
+        |FROM taps ORDER BY event_type, minute_ms""".stripMargin,
+    "q_skyline" ->
+      """WITH base AS (
+        |  SELECT s_suppkey, s_name, s_acctbal,
+        |         CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS volume
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT s_suppkey, s_name, s_acctbal, volume
+        |FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM base t
+        |                  WHERE t.s_suppkey <> b.s_suppkey
+        |                    AND t.s_acctbal >= b.s_acctbal AND t.volume >= b.volume
+        |                    AND (t.s_acctbal > b.s_acctbal OR t.volume > b.volume))
+        |ORDER BY s_suppkey""".stripMargin,
     "q_agg_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_qty,

@@ -442,4 +442,44 @@ object Analytics {
         round((col("value") - col("mean_v")) / col("sd_v"), 6).as("z"))
       .orderBy("event_id")
   }
+
+  /** EWMA taps: α = 1/2 truncated at 8 samples — every weight is a
+    * power of two, so the weighted sum is EXACT integer arithmetic
+    * (weight 2^(7−k) on the 1e-4 fixed-point minute totals) and the
+    * smoother is bit-identical on any engine or partitioning. An
+    * untruncated EWMA is an order-dependent float recurrence — the
+    * 8-tap cut costs < 0.4 % of the mass (2^-8) and buys determinism
+    * plus a pure window-function form (no sequential state). */
+  private val EwmaTaps = 8
+
+  /** q_ewma_smooth — the monitoring smoother: per event type, the
+    * exponentially weighted moving average of per-MINUTE value totals
+    * (the [[anomalyZscore]] companion — z-score flags points, EWMA
+    * tracks level). Pre-aggregating to the minute grid makes the
+    * series key (event_type, minute) unique, so the lag window is
+    * deterministic without inventing a tie-break on raw events. Taps
+    * are the previous OBSERVED minutes (gaps compress — densify with
+    * the q_sequence_fill spine first if calendar-true decay matters).
+    * One keyed aggregation + one window pass; numerator and
+    * denominator are exact longs, one final double division. Leading
+    * edge: fewer-than-8 available taps renormalize over the present
+    * weights (pinned by spec). */
+  def ewmaSmooth(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("minute", col("ts")).as("minute"))
+      .agg(sum(floor(col("value") * 10000 + 0.5).cast("long")).as("svl"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+    val num = (1 until EwmaTaps).map { k =>
+      coalesce(lag(col("svl"), k).over(w) * (1L << (EwmaTaps - 1 - k)), lit(0L))
+    }.foldLeft(col("svl") * (1L << (EwmaTaps - 1)))(_ + _)
+    val den = (1 until EwmaTaps).map { k =>
+      when(lag(col("svl"), k).over(w).isNotNull,
+        lit(1L << (EwmaTaps - 1 - k))).otherwise(lit(0L))
+    }.foldLeft(lit(1L << (EwmaTaps - 1)).as("w0"))(_ + _)
+    base.select(col("event_type"), millis(col("minute")).as("minute_ms"),
+        (col("svl").cast("double") / 10000.0).as("raw_value"),
+        round(num.cast("double") / (den * 10000L).cast("double"), 6).as("ewma"))
+      .orderBy("event_type", "minute_ms")
+  }
 }

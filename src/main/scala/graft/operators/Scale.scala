@@ -311,4 +311,54 @@ object Scale {
       .filter(col("cnt") * (k + 1) > col("total"))
       .orderBy("term")
   }
+
+  /** q_skyline — the Pareto frontier (skyline) query: suppliers not
+    * DOMINATED on (account balance, shipped volume) — dominated meaning
+    * another supplier is ≥ on both axes and > on at least one. The
+    * multi-criteria shortlist shape (best trade-offs, not a single
+    * ranking) that top-k can't express.
+    *
+    * Scale shape = the [[heavyHitters]] candidate-union proof applied
+    * to dominance: a GLOBAL skyline point is undominated everywhere,
+    * so it survives ANY partition-local dominance filter → the union
+    * of per-partition skylines is a provably complete candidate set.
+    * Phase 1 is one mapPartitions sweep (sort by balance desc, keep
+    * rows at-or-above the running max volume — sound: it never drops
+    * an undominated row); phase 2 is the exact dominance anti-join on
+    * the TINY candidate set (dominance is transitive, so a dominator
+    * outside the candidates implies one inside). The full relation is
+    * scanned once; nothing quadratic ever touches it. Determinism:
+    * balance is compared as stored (no arithmetic), volume rides the
+    * fixed-point [[Det]] sum — both compare exactly in any engine;
+    * ties on both axes dominate in neither direction and co-survive
+    * (pinned by spec). Oracle: the naive NOT EXISTS dominance SQL. */
+  def skyline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.supplier(s, d)
+      .join(Tables.lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .agg(dsum(col("l_quantity")).as("volume"))
+    val cand = base.select(col("s_suppkey"), col("s_acctbal"), col("volume"))
+      .as[(Long, Double, Double)]
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy { case (_, bal, vol) => (-bal, -vol) }
+        var maxVol = Double.NegativeInfinity
+        rows.iterator.filter { case (_, _, vol) =>
+          val keep = vol >= maxVol
+          if (vol > maxVol) maxVol = vol
+          keep
+        }
+      }.toDF("a_key", "a_bal", "a_vol")
+    val other = cand.select(col("a_bal").as("b_bal"), col("a_vol").as("b_vol"),
+      col("a_key").as("b_key"))
+    val survivors = cand.join(broadcast(other),
+      col("b_key") =!= col("a_key") &&
+        col("b_bal") >= col("a_bal") && col("b_vol") >= col("a_vol") &&
+        (col("b_bal") > col("a_bal") || col("b_vol") > col("a_vol")),
+      "left_anti")
+    base.join(broadcast(survivors.select(col("a_key"))),
+        col("s_suppkey") === col("a_key"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("volume"))
+      .orderBy("s_suppkey")
+  }
 }

@@ -226,4 +226,67 @@ class AnalyticsSpec extends SparkSpec {
       assert(a90 >= p89 && a90 <= p91, s"$k p90: $a90 not in [$p89, $p91]")
     }
   }
+
+  test("ewma_smooth: leading edge renormalizes over present taps; same-minute events pre-sum") {
+    // one type, minutes 0/1/2 with per-minute totals 1.0 / 2.0 / 4.0
+    // (minute 0 arrives as two 0.5 events — the pre-aggregation must
+    // fold them before the smoother sees the series). Hand-computed
+    // α=1/2 8-tap EWMA with leading-edge renormalization:
+    //   m0: 1.0 (only its own tap)
+    //   m1: (2·128 + 1·64)/(192) · 1e-? → 3200000/1920000 = 1.666667
+    //   m2: (4·128 + 2·64 + 1·32)/224  → 6720000/2240000 = 3.0
+    val d = fixtureDir("events" -> Seq(
+      (1L, ts("2024-01-01 00:00:10"), 1L, "a", 0.5, "{}"),
+      (2L, ts("2024-01-01 00:00:40"), 2L, "a", 0.5, "{}"),
+      (3L, ts("2024-01-01 00:01:10"), 1L, "a", 2.0, "{}"),
+      (4L, ts("2024-01-01 00:02:10"), 1L, "a", 4.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = Analytics.ewmaSmooth(spark, d).collect()
+      .map(x => (x.getDouble(2), x.getDouble(3)))
+    assert(r.toSeq == Seq((1.0, 1.0), (2.0, 1.666667), (4.0, 3.0)))
+  }
+
+  test("skyline: dominated drop, ties co-survive, candidate union is complete under partitioning") {
+    // crafted suppliers: (bal, vol) frontier is {(9, 10), (5, 50),
+    // (5, 50) tie, (1, 99)}; (5, 40) is dominated by the (5, 50) pair
+    // (equal bal, higher vol) and (8, 9) by (9, 10) (both axes).
+    // Volumes come from one lineitem row each (quantity = vol).
+    val sup = Seq(
+      (1L, "s1", 1, 9.0), (2L, "s2", 1, 5.0), (3L, "s3", 1, 5.0),
+      (4L, "s4", 1, 1.0), (5L, "s5", 1, 5.0), (6L, "s6", 1, 8.0)
+    ).toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val vols = Map(1L -> 10.0, 2L -> 50.0, 3L -> 50.0, 4L -> 99.0,
+      5L -> 40.0, 6L -> 9.0)
+    val li = vols.toSeq.map { case (k, q) =>
+      (k, k, k, 1, q, 1.0, 0.0, 0.0, "N", "O", ts("2024-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val d = fixtureDir("supplier" -> sup.repartition(4), "lineitem" -> li)
+    val got = graft.operators.Scale.skyline(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 9.0, 10.0), (2L, 5.0, 50.0),
+      (3L, 5.0, 50.0), (4L, 1.0, 99.0)))
+    // completeness under partitioning, the heavy-hitters-style proof,
+    // checked against driver-side brute force on a random multi-
+    // partition corpus
+    val rnd = new scala.util.Random(5)
+    val pts = (1L to 60L).map(i => (i, rnd.nextInt(40).toDouble, rnd.nextInt(40).toDouble))
+    val sup2 = pts.map { case (i, b, _) => (i, s"s$i", 1, b) }
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val li2 = pts.map { case (i, _, v) =>
+      (i, i, i, 1, v, 1.0, 0.0, 0.0, "N", "O", ts("2024-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val d2 = fixtureDir("supplier" -> sup2.repartition(4), "lineitem" -> li2)
+    val got2 = graft.operators.Scale.skyline(spark, d2).collect()
+      .map(r => r.getLong(0)).toSet
+    val want2 = pts.filter { case (i, b, v) =>
+      !pts.exists { case (j, b2, v2) =>
+        j != i && b2 >= b && v2 >= v && (b2 > b || v2 > v)
+      }
+    }.map(_._1).toSet
+    assert(got2 == want2)
+  }
 }
