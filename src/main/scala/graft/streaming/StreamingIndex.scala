@@ -61,6 +61,12 @@ object StreamingIndex {
   private[graft] val stateRowsRemoved =
     new java.util.concurrent.ConcurrentHashMap[String, Long]
 
+  /** Full per-batch duration breakdown (queryPlanning / addBatch / …)
+    * of the last run — the profiling observable that separates plan
+    * cost from data cost per trigger (tools/ProfileServe). */
+  private[graft] val lastProgressDurations =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Map[String, Long]]]
+
   private def record(base: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val prog = q.recentProgress
     stateRowsTotal.merge(
@@ -76,6 +82,10 @@ object StreamingIndex {
     val durs = prog.filter(_.numInputRows > 0)
       .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
     batchDurationsMs.merge(base, durs.toVector, (a, b) => a ++ b)
+    lastProgressDurations.put(base, prog.filter(_.numInputRows > 0).map { p =>
+      import scala.jdk.CollectionConverters._
+      p.durationMs.asScala.map { case (k, v) => k -> v.toLong }.toMap
+    }.toSeq)
     q match {
       case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
         Option(w.streamingQuery.lastExecution)
@@ -215,8 +225,16 @@ object StreamingIndex {
     val cenRows: Seq[(Long, Seq[Double])] = cen
       .select(col("centroid_id"), col("cvec"))
       .as[(Long, Seq[Double])].collect().toSeq
+    // PIN the static serving relation: a stream-static join re-executes
+    // its static side EVERY micro-batch, so an unpinned corpus⋈cells
+    // join would re-scan and re-join per batch — ×10 under the
+    // staggered feed, and at a real serving tier ×every-trigger
+    // forever. The checkpoint is the serving-tier move (the corpus is
+    // pinned next to the index), same philosophy as the literal
+    // centroids.
     val corpus = e.join(cells, "vec_id")
       .select(col("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint()
     val panel = e.filter(Similarity.panelFilter(n))
       .select(col("vec_id"), col("embedding"))
       .as[VecEvent].collect()
@@ -286,9 +304,14 @@ object StreamingIndex {
     val cenRows: Seq[(Long, Seq[Double])] = cen
       .select(col("centroid_id"), col("cvec"))
       .as[(Long, Seq[Double])].collect().toSeq
+    // label filter applied ONCE at pin time (the predicate pushes into
+    // the corpus scan of the materialization job); the serving loop
+    // then reads the pinned label-pruned relation every batch instead
+    // of re-filtering the corpus per trigger ([[sAnnServe]]'s pin)
     val corpus = e.filter(col("label") === Similarity.FilterLabel)
       .join(cells, "vec_id")
       .select(col("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint()
     val panel = e.filter(Similarity.panelFilter(n))
       .select(col("vec_id"), col("embedding"))
       .as[VecEvent].collect()
@@ -364,6 +387,7 @@ object StreamingIndex {
     // is the pre-arrival corpus by construction
     def corpusOf(cells: DataFrame) = e.join(cells, "vec_id")
       .select(col("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint() // pinned per phase ([[sAnnServe]])
 
     def servePhase(version: Int, cen: DataFrame, corpus: DataFrame,
         queries: Seq[VecEvent]): DataFrame = {
@@ -434,29 +458,44 @@ object StreamingIndex {
     * lexicographic struct-min over the matching codebook entries
     * replays the batch chain's (d2 ASC, code ASC) argmin exactly.
     * Factored out so the tie-break is spec-pinnable with crafted
-    * codebooks. */
+    * codebooks.
+    *
+    * Expression SHAPE matters at serving cadence: the round-6 form
+    * unrolled every candidate distance into literal scalar arithmetic
+    * (~10k expression nodes) — fastest per ROW, but a micro-batch
+    * runtime re-analyzes, re-plans, and re-compiles the tree EVERY
+    * trigger (codegen's source cache does not survive the per-batch
+    * plan rebuild), which dominated the staggered drive at ~1.3 s per
+    * 200-row batch. The compact higher-order form below (codebook as a
+    * per-sub literal array, distances via zip_with/aggregate) is ~25×
+    * smaller, cuts per-batch cost ~2.5× end-to-end (ProfileServe), and
+    * at a real serving tier — thousands of triggers — is the only
+    * shape whose fixed per-trigger tax is small. Interpreted per-row
+    * evaluation costs ~1k fused ops per event: irrelevant next to the
+    * per-trigger constant. */
   private[graft] def mapSideCodes(cbRows: Seq[(Int, Long, Seq[Long])]): org.apache.spark.sql.Column = {
-    // the codebook is a PLAN-TIME constant, so each candidate distance
-    // unrolls to pure codegen arithmetic over literal centroid
-    // components — no runtime array scan, no higher-order functions
-    // (the interpreted aggregate/zip_with form measured ~2× slower,
-    // and a runtime filter over the full literal ~6×): the serving
-    // coder compiles its codebook INTO the plan
     val bySub: Map[Int, Seq[(Long, Seq[Long])]] =
       cbRows.groupBy(_._1).map { case (sb, rs) =>
         sb -> rs.map(r => (r._2, r._3))
       }
     array((0 until ProductQuant.Subs).map { sb =>
-      val cands = bySub(sb).map { case (code, c) =>
-        val dd = (0 until ProductQuant.DSub).map { i =>
-          val diff = col("xs").getItem(sb * ProductQuant.DSub + i) - lit(c(i))
-          diff * diff
-        }.reduce(_ + _)
-        struct(dd.as("d2"), lit(code).as("code"))
-      }
-      array_min(array(cands: _*)).getField("code")
+      val cands = typedlit(bySub(sb).sortBy(_._1))
+      array_min(transform(cands, c =>
+        struct(subD2(sb, c.getField("_2")).as("d2"),
+          c.getField("_1").as("code"))))
+        .getField("code")
     }: _*)
   }
+
+  /** Integer squared-L2 between subspace `sb` of the event's 1e6-scaled
+    * `xs` column and a literal centroid component array — the compact
+    * per-candidate distance both PQ serving expressions share. */
+  private def subD2(sb: Int, centroid: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(
+        slice(col("xs"), sb * ProductQuant.DSub + 1, ProductQuant.DSub),
+        centroid, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
 
   def sPqIngest(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -533,23 +572,24 @@ object StreamingIndex {
       "vec_id")
       .select(col("vec_id"), col("cell"),
         transform(array_sort(col("pv")), p => p.getField("code")).as("codes_arr"))
+      // pinned: the coded corpus is the serving dataset — rebuilding the
+      // per-vector code rows (a corpus-wide groupBy) EVERY micro-batch
+      // is the cost the pin removes ([[sAnnServe]])
+      .localCheckpoint()
     val panel = e.filter(Similarity.panelFilter(n))
       .select(col("vec_id"), col("embedding"))
       .as[VecEvent].collect()
     EventPairing.withStreamingPartitions(s) {
       val input = MemoryStream[VecEvent]
-      // per-event ADC table: array over subs of map(code -> integer d2),
-      // the codebook unrolled into the plan as literal arithmetic
+      // per-event ADC table: array over subs of map(code -> integer d2).
+      // Compact HOF form over the literal codebook — see [[mapSideCodes]]
+      // for why tree size (per-trigger replan cost), not per-row speed,
+      // is the binding constraint at serving cadence.
       val dtable = array((0 until ProductQuant.Subs).map { sb =>
-        val entries = bySub(sb)
+        val cands = typedlit(bySub(sb).sortBy(_._1))
         map_from_arrays(
-          typedlit(entries.map(_._1)),
-          array(entries.map { case (_, c) =>
-            (0 until ProductQuant.DSub).map { i =>
-              val diff = col("xs").getItem(sb * ProductQuant.DSub + i) - lit(c(i))
-              diff * diff
-            }.reduce(_ + _)
-          }: _*))
+          transform(cands, c => c.getField("_1")),
+          transform(cands, c => subD2(sb, c.getField("_2"))))
       }: _*)
       val probed = input.toDF()
         .select(col("vec_id").as("qid"),
