@@ -1299,18 +1299,25 @@ object Similarity {
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
       .select(col("qid"), col("vec_id"))
     // the projection: xs = round(v_i·1e6) exact longs; p_j = Σ ±xs_i.
-    // The sign matrix unrolls into a literal sum per output coordinate
-    // (no lambda interpretation on the corpus pass).
-    def proj(vec: Column): Column = array(
-      (0 until SrpDims).map { j =>
-        (0 until 64).map { i =>
-          val x = round(element_at(vec, i + 1).cast("double") * 1e6)
-            .cast("long")
-          if (srpSign(i, j) > 0) x else -x
-        }.reduce(_ + _)
-      }: _*)
-    val pc = e.select(col("vec_id"), proj(col("embedding")).as("p"))
-    val pq = panel.select(col("qid"), proj(col("qvec")).as("pq"))
+    // COMPACT HOF form with the sign rule evaluated arithmetically
+    // inside the lambda — the serving-expression lesson (PLANS.md,
+    // round 8) applies to batch plans too: the unrolled-literal form
+    // (16×64 scalar nodes per coordinate) spent ~5 s in
+    // analysis+codegen of the tree alone; this ~40-node tree plans
+    // instantly and the 16×64 fold over a 2k-row eval corpus is
+    // noise. xs binds as its own projection first so the fold reads a
+    // materialized row value, not a re-evaluated subtree.
+    val toXs = (vec: Column) =>
+      transform(vec, x => round(x.cast("double") * 1e6).cast("long"))
+    val projXs = (xs: Column) =>
+      transform(sequence(lit(0), lit(SrpDims - 1)), j =>
+        aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) =>
+          acc + when((i * 31 + j * 17) % 101 >= 51,
+            element_at(xs, i + 1)).otherwise(-element_at(xs, i + 1))))
+    val pc = e.select(col("vec_id"), toXs(col("embedding")).as("xs"))
+      .select(col("vec_id"), projXs(col("xs")).as("p"))
+    val pq = panel.select(col("qid"), toXs(col("qvec")).as("xs"))
+      .select(col("qid"), projXs(col("xs")).as("pq"))
     // projected dot = Σ of 16 exact long products; norms likewise —
     // the single long→double conversion and sqrt are IEEE-identical
     // everywhere, then the 1e-6 grid rounds a drift-free value.
