@@ -56,8 +56,10 @@ object SparkEntry {
     "q_tpch_q10" -> (Tpch.q10 _),
     "q_tpch_q12" -> (Tpch.q12Shape _),
     "q_tpch_q14" -> (Tpch.q14 _),
+    "q_tpch_q15" -> (Tpch.q15 _),
     "q_tpch_q18" -> (Tpch.q18 _),
     "q_tpch_q19" -> (Tpch.q19 _),
+    "q_tpch_q22" -> (Tpch.q22Shape _),
     "q_nullsafe_join" -> (Relational.nullsafeJoin _),
     "q_pagerank" -> (graft.operators.Graph.pagerank _),
     "q_anomaly_zscore" -> (graft.operators.Analytics.anomalyZscore _),
@@ -984,6 +986,30 @@ object SparkEntry {
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
         |    AND l_shipdate < TIMESTAMP '1997-10-01')""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q22" ->
+      """WITH pool AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |              WHERE c_nationkey < 10 AND c_acctbal > 0.0),
+        |a AS (SELECT CAST(sum(CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 / count(c_acctbal) AS avg_bal
+        |      FROM pool)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(sum(CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS totacctbal
+        |FROM pool, a
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_tpch_q18" ->
       """WITH big AS (
         |  SELECT l_orderkey AS b_orderkey,

@@ -36,4 +36,11 @@ package object functions {
   /** 8-bin byte-value histogram of a binary column ([[ByteHistogram]]). */
   def byte_histogram(payload: Column): Column =
     toColumn(ByteHistogram(toExpr(payload)))
+
+  /** Codegen'd PQ coder: argmin code per subspace of a 1e6-scaled long
+    * vector against a frozen codebook ([[PqEncode]]). */
+  def pq_encode(xs: Column, rows: Seq[(Int, Long, Seq[Long])], dsub: Int): Column = {
+    val (ids, offsets, cents) = PqEncode.fromRows(rows, dsub)
+    toColumn(PqEncode(toExpr(xs), ids, offsets, cents, dsub))
+  }
 }

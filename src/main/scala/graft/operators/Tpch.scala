@@ -210,6 +210,58 @@ object Tpch {
       .limit(10)
   }
 
+  /** q_tpch_q15 — Q15 (top supplier): the aggregated-VIEW + scalar-
+    * subquery pattern — revenue per supplier for one quarter, then the
+    * supplier(s) achieving the GLOBAL MAX of that derived relation.
+    * Catalyst evaluates the max as a scalar subquery over the
+    * (supplier-count-sized) revenue view and the equality filter
+    * reuses the same view — the view computes from one fact shuffle;
+    * revenue is exact decimal so the max-equality cannot drift. Ties
+    * (several suppliers at the max) all emit, as in the spec's
+    * RETURN clause. */
+  def q15(s: SparkSession, d: String): DataFrame = {
+    val revenue = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsumExact(dprod(col("l_extendedprice"),
+        lit(1.0) - col("l_discount"))).as("total_revenue"))
+    val top = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+    revenue
+      .join(broadcast(top), col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** q_tpch_q22 — Q22's shape (global sales opportunity): rich but
+    * LAPSED customers — above the average positive balance of a nation
+    * subset, with no order since 2001 (the synthetic data keeps every
+    * customer active overall, so "lapsed since a cutoff" is the
+    * non-degenerate form of the spec's "no orders"). Two classic
+    * planner moves in one query: the scalar AVG subquery computes once
+    * and broadcasts into the filter (no per-row re-evaluation), and
+    * NOT EXISTS decorrelates to a LEFT ANTI hash join against the
+    * date-pruned orders (the cutoff predicate pushes into the orders
+    * scan — the anti-join's build side is the recent slice, not the
+    * table). Grouped to the per-nation dashboard row; balance sums
+    * ride the fixed-point scheme. */
+  def q22Shape(s: SparkSession, d: String): DataFrame = {
+    val pool = Tables.customer(s, d)
+      .filter(col("c_nationkey") < 10 && col("c_acctbal") > 0.0)
+    val avgBal = pool.agg(davg(col("c_acctbal")).as("avg_bal"))
+    pool
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= ts("2001-01-01"))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   /** q_tpch_q19 — Q19 (discounted revenue, the DISJUNCTIVE-pushdown
     * showcase): three OR'd conjunct groups over brand × size × quantity.
     * Catalyst's CNF conversion extracts the cross-group common factors —

@@ -460,32 +460,21 @@ object StreamingIndex {
     * Factored out so the tie-break is spec-pinnable with crafted
     * codebooks.
     *
-    * Expression SHAPE matters at serving cadence: the round-6 form
-    * unrolled every candidate distance into literal scalar arithmetic
-    * (~10k expression nodes) — fastest per ROW, but a micro-batch
-    * runtime re-analyzes, re-plans, and re-compiles the tree EVERY
-    * trigger (codegen's source cache does not survive the per-batch
-    * plan rebuild), which dominated the staggered drive at ~1.3 s per
-    * 200-row batch. The compact higher-order form below (codebook as a
-    * per-sub literal array, distances via zip_with/aggregate) is ~25×
-    * smaller, cuts per-batch cost ~2.5× end-to-end (ProfileServe), and
-    * at a real serving tier — thousands of triggers — is the only
-    * shape whose fixed per-trigger tax is small. Interpreted per-row
-    * evaluation costs ~1k fused ops per event: irrelevant next to the
-    * per-trigger constant. */
-  private[graft] def mapSideCodes(cbRows: Seq[(Int, Long, Seq[Long])]): org.apache.spark.sql.Column = {
-    val bySub: Map[Int, Seq[(Long, Seq[Long])]] =
-      cbRows.groupBy(_._1).map { case (sb, rs) =>
-        sb -> rs.map(r => (r._2, r._3))
-      }
-    array((0 until ProductQuant.Subs).map { sb =>
-      val cands = typedlit(bySub(sb).sortBy(_._1))
-      array_min(transform(cands, c =>
-        struct(subD2(sb, c.getField("_2")).as("d2"),
-          c.getField("_1").as("code"))))
-        .getField("code")
-    }: _*)
-  }
+    * Expression SHAPE matters at serving cadence — this coder went
+    * through all three forms and the native one wins both regimes:
+    * (round 6) unrolled literal arithmetic, ~10k expression nodes —
+    * fastest per ROW but ~1.3 s of re-analysis + re-codegen EVERY
+    * trigger (a micro-batch runtime rebuilds its plan per trigger);
+    * (round 8a) compact higher-order form, ~25× smaller tree, planned
+    * instantly — but HOF lambdas evaluate INTERPRETED, and the ×10
+    * stress flagged the linear per-row cost at ratio 1.0 (74.9 s, the
+    * table's worst absolute row); (round 8b, current) the native
+    * [[graft.functions.PqEncode]] expression — ONE tree node, codebook
+    * shipped as primitive arrays through the codegen reference array,
+    * the argmin loop compiled inside whole-stage codegen. Cheap per
+    * trigger AND per row. */
+  private[graft] def mapSideCodes(cbRows: Seq[(Int, Long, Seq[Long])]): org.apache.spark.sql.Column =
+    graft.functions.pq_encode(col("xs"), cbRows, ProductQuant.DSub)
 
   /** Integer squared-L2 between subspace `sb` of the event's 1e6-scaled
     * `xs` column and a literal centroid component array — the compact

@@ -136,6 +136,24 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("NATION_1"), p)
   }
 
+  test("q_tpch_q22: NOT EXISTS decorrelates to LEFT ANTI; the scalar avg broadcasts") {
+    val p = plan("q_tpch_q22")
+    // the no-orders predicate is a hash anti-join, never a per-row
+    // subquery re-scan; the 1-row average rides a broadcast
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_tpch_q15: the revenue view computes from ONE fact shuffle; max joins back broadcast") {
+    val p = plan("q_tpch_q15")
+    // two aggregations over the same keyed view (the view and its max)
+    // may each shuffle the filtered fact once — but nothing shuffles
+    // per supplier, and both join-backs broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_knn_join: shuffle carries per-tile top-k, never the n² pairs") {
     val p = plan("q_knn_join")
     assert(p.contains("CoGroup"), p)
