@@ -338,27 +338,32 @@ object Scale {
       .join(Tables.lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"), col("s_acctbal"))
       .agg(dsum(col("l_quantity")).as("volume"))
-    val cand = base.select(col("s_suppkey"), col("s_acctbal"), col("volume"))
-      .as[(Long, Double, Double)]
+    // s_name rides through the sweep so the result needs NO rejoin to
+    // base — with the candidate set localCheckpoint'ed, the corpus is
+    // scanned exactly once (the naive plan computed base three times:
+    // both anti-join lineages plus the rejoin)
+    val cand = base
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("volume"))
+      .as[(Long, String, Double, Double)]
       .mapPartitions { it =>
-        val rows = it.toArray.sortBy { case (_, bal, vol) => (-bal, -vol) }
+        val rows = it.toArray.sortBy { case (_, _, bal, vol) => (-bal, -vol) }
         var maxVol = Double.NegativeInfinity
-        rows.iterator.filter { case (_, _, vol) =>
+        rows.iterator.filter { case (_, _, _, vol) =>
           val keep = vol >= maxVol
           if (vol > maxVol) maxVol = vol
           keep
         }
-      }.toDF("a_key", "a_bal", "a_vol")
+      }.toDF("a_key", "a_name", "a_bal", "a_vol")
+      .localCheckpoint()
     val other = cand.select(col("a_bal").as("b_bal"), col("a_vol").as("b_vol"),
       col("a_key").as("b_key"))
-    val survivors = cand.join(broadcast(other),
-      col("b_key") =!= col("a_key") &&
-        col("b_bal") >= col("a_bal") && col("b_vol") >= col("a_vol") &&
-        (col("b_bal") > col("a_bal") || col("b_vol") > col("a_vol")),
-      "left_anti")
-    base.join(broadcast(survivors.select(col("a_key"))),
-        col("s_suppkey") === col("a_key"), "left_semi")
-      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("volume"))
+    cand.join(broadcast(other),
+        col("b_key") =!= col("a_key") &&
+          col("b_bal") >= col("a_bal") && col("b_vol") >= col("a_vol") &&
+          (col("b_bal") > col("a_bal") || col("b_vol") > col("a_vol")),
+        "left_anti")
+      .select(col("a_key").as("s_suppkey"), col("a_name").as("s_name"),
+        col("a_bal").as("s_acctbal"), col("a_vol").as("volume"))
       .orderBy("s_suppkey")
   }
 }

@@ -154,6 +154,17 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_skyline: dominance runs on the checkpointed candidate union, corpus never re-scanned") {
+    val p = plan("q_skyline")
+    // the per-partition sweep's candidate set materialized once
+    // (localCheckpoint, eager) — the committed dominance plan reads the
+    // tiny ExistingRDD on both anti-join sides and never returns to the
+    // parquet corpus (the naive formulation computed base three times)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("LeftAnti"), p)
+  }
+
   test("q_knn_join: shuffle carries per-tile top-k, never the n² pairs") {
     val p = plan("q_knn_join")
     assert(p.contains("CoGroup"), p)
