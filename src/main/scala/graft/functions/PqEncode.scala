@@ -12,9 +12,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * squared-L2 argmin per subspace, ties d2 ASC then code ASC): for
   * subspace `sb`, code = argmin over the codebook entries of
   * Σ_{i<dsub} (xs[sb·dsub+i] − c_i)². The codebook rides the expression
-  * as flattened primitive arrays (`offsets` delimits each subspace's
+  * as flattened candidate layouts (`offsets` delimits each subspace's
   * candidate range in `ids`/`cents`), shipped once per task via the
   * codegen reference array — NOT inlined into the expression tree.
+  *
+  * The codebook fields are `IndexedSeq`s, NOT primitive arrays: case-
+  * class equals/hashCode over Array fields is reference identity, so
+  * two value-identical coder instances would never compare equal —
+  * safe, but it defeats Catalyst canonicalization/semanticEquals and
+  * hence common-subexpression elimination. Structural Seq equality
+  * restores them; the hot loop still runs on primitive arrays via the
+  * `@transient lazy` mirrors below (built once per task, excluded from
+  * equality).
   *
   * Why native (the [[MinhashSig60]] lesson, third instance): the
   * round-6 form unrolled the codebook into ~10k literal scalar nodes —
@@ -30,20 +39,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class PqEncode(
     child: Expression,
-    ids: Array[Long],
-    offsets: Array[Int],
-    cents: Array[Long],
+    ids: IndexedSeq[Long],
+    offsets: IndexedSeq[Int],
+    cents: IndexedSeq[Long],
     dsub: Int) extends UnaryExpression {
+
+  @transient private lazy val idsArr: Array[Long] = ids.toArray
+  @transient private lazy val offsetsArr: Array[Int] = offsets.toArray
+  @transient private lazy val centsArr: Array[Long] = cents.toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    PqEncode.evalArray(input.asInstanceOf[ArrayData], ids, offsets, cents, dsub)
+    PqEncode.evalArray(input.asInstanceOf[ArrayData], idsArr, offsetsArr, centsArr, dsub)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val idsRef = ctx.addReferenceObj("pqIds", ids, "long[]")
-    val offRef = ctx.addReferenceObj("pqOffsets", offsets, "int[]")
-    val cenRef = ctx.addReferenceObj("pqCents", cents, "long[]")
+    val idsRef = ctx.addReferenceObj("pqIds", idsArr, "long[]")
+    val offRef = ctx.addReferenceObj("pqOffsets", offsetsArr, "int[]")
+    val cenRef = ctx.addReferenceObj("pqCents", centsArr, "long[]")
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.PqEncode$$.MODULE$$.evalArray(" +
         s"$a, $idsRef, $offRef, $cenRef, $dsub);")
@@ -55,21 +68,29 @@ case class PqEncode(
 
 object PqEncode {
 
-  /** Flatten (sub, code, components) rows into the primitive layout the
+  /** Flatten (sub, code, components) rows into the layout the
     * expression carries: candidates sorted (sub ASC, code ASC) so the
-    * in-loop `<` tie-break reproduces (d2 ASC, code ASC) exactly. */
-  def fromRows(rows: Seq[(Int, Long, Seq[Long])], dsub: Int): (Array[Long], Array[Int], Array[Long]) = {
+    * in-loop `<` tie-break reproduces (d2 ASC, code ASC) exactly.
+    * Every subspace must hold at least one candidate — an empty range
+    * would make [[evalArray]] emit Long.MaxValue as that subspace's
+    * "code" (garbage, silently); the contiguity require already rejects
+    * a fully absent subspace, and the per-subspace require below
+    * rejects the zero-candidate layout a hand-built caller could pass. */
+  def fromRows(rows: Seq[(Int, Long, Seq[Long])], dsub: Int): (IndexedSeq[Long], IndexedSeq[Int], IndexedSeq[Long]) = {
+    require(rows.nonEmpty, "empty codebook")
     val sorted = rows.sortBy(r => (r._1, r._2))
     val subs = sorted.map(_._1).distinct.sorted
     require(subs == (0 until subs.length), s"non-contiguous subspaces: $subs")
     val offsets = new Array[Int](subs.length + 1)
     sorted.foreach { case (sb, _, _) => offsets(sb + 1) += 1 }
     for (i <- 1 to subs.length) offsets(i) += offsets(i - 1)
+    for (sb <- 0 until subs.length)
+      require(offsets(sb + 1) > offsets(sb), s"subspace $sb has no candidates")
     val ids = sorted.map(_._2).toArray
     val cents = sorted.flatMap { case (_, _, c) =>
       require(c.length == dsub); c
     }.toArray
-    (ids, offsets, cents)
+    (ids.toIndexedSeq, offsets.toIndexedSeq, cents.toIndexedSeq)
   }
 
   def evalArray(xs: ArrayData, ids: Array[Long], offsets: Array[Int],

@@ -325,9 +325,24 @@ object Scale {
     * Phase 1 is one mapPartitions sweep (sort by balance desc, keep
     * rows at-or-above the running max volume — sound: it never drops
     * an undominated row); phase 2 is the exact dominance anti-join on
-    * the TINY candidate set (dominance is transitive, so a dominator
-    * outside the candidates implies one inside). The full relation is
-    * scanned once; nothing quadratic ever touches it. Determinism:
+    * the candidate set. The full relation is scanned once.
+    *
+    * The candidate set is SMALL only when the two axes correlate; on
+    * ANTI-correlated data (every balance gain trades away volume)
+    * nearly every row IS a skyline point, the per-partition sweep
+    * drops nothing, and an unconditional broadcast anti-join would
+    * ship ~n rows to every executor and evaluate O(n²) dominance
+    * pairs. So phase 2 is SIZE-GATED ([[SkylineBroadcastMaxCands]],
+    * conf `graft.skyline.broadcastMaxCands`): small candidate sets
+    * take the broadcast anti-join (dominance is transitive, so a
+    * dominator outside the candidates implies one inside); large ones
+    * take an exact GLOBAL SORTED SWEEP — one total sort by (bal DESC,
+    * vol DESC) and one linear pass keeping a row iff its volume beats
+    * every strictly-higher-balance row's max AND ties its own balance
+    * group's max (the classic 2-D maxima-finding pass: O(n log n),
+    * zero broadcast, nothing quadratic even when the frontier is the
+    * whole relation). Both phases emit identical rows (spec-pinned on
+    * a crafted anti-correlated fixture). Determinism:
     * balance is compared as stored (no arithmetic), volume rides the
     * fixed-point [[Det]] sum — both compare exactly in any engine;
     * ties on both axes dominate in neither direction and co-survive
@@ -355,15 +370,51 @@ object Scale {
         }
       }.toDF("a_key", "a_name", "a_bal", "a_vol")
       .localCheckpoint()
-    val other = cand.select(col("a_bal").as("b_bal"), col("a_vol").as("b_vol"),
-      col("a_key").as("b_key"))
-    cand.join(broadcast(other),
-        col("b_key") =!= col("a_key") &&
-          col("b_bal") >= col("a_bal") && col("b_vol") >= col("a_vol") &&
-          (col("b_bal") > col("a_bal") || col("b_vol") > col("a_vol")),
-        "left_anti")
+    val limit = s.conf.getOption("graft.skyline.broadcastMaxCands")
+      .map(_.toLong).getOrElse(SkylineBroadcastMaxCands)
+    val frontier =
+      if (cand.count() <= limit) {
+        val other = cand.select(col("a_bal").as("b_bal"), col("a_vol").as("b_vol"),
+          col("a_key").as("b_key"))
+        cand.join(broadcast(other),
+          col("b_key") =!= col("a_key") &&
+            col("b_bal") >= col("a_bal") && col("b_vol") >= col("a_vol") &&
+            (col("b_bal") > col("a_bal") || col("b_vol") > col("a_vol")),
+          "left_anti")
+      } else {
+        // Exact 2-D maxima sweep over ONE totally-sorted pass. A row
+        // (b, v) is undominated iff v > max vol among bal > b (no
+        // strictly-better-balance row matches its volume) AND v equals
+        // its own balance group's max vol (an equal-balance row with
+        // more volume dominates it). Equal (b, v) pairs co-survive.
+        cand.as[(Long, String, Double, Double)]
+          .repartition(1)
+          .sortWithinPartitions(col("a_bal").desc, col("a_vol").desc)
+          .mapPartitions { it =>
+            var prevMax = Double.NegativeInfinity // max vol at bal > current group
+            var groupBal = Double.NaN
+            var groupTop = Double.NegativeInfinity
+            it.filter { case (_, _, bal, vol) =>
+              if (bal != groupBal) { // sorted: first row of a group has its max vol
+                prevMax = math.max(prevMax, groupTop)
+                groupBal = bal
+                groupTop = vol
+              }
+              vol == groupTop && groupTop > prevMax
+            }
+          }.toDF("a_key", "a_name", "a_bal", "a_vol")
+      }
+    frontier
       .select(col("a_key").as("s_suppkey"), col("a_name").as("s_name"),
         col("a_bal").as("s_acctbal"), col("a_vol").as("volume"))
       .orderBy("s_suppkey")
   }
+
+  /** Candidate-set ceiling above which [[skyline]] abandons the
+    * broadcast anti-join for the global sorted sweep: 4M rows ≈ 160 MB
+    * of (key, name, 2 doubles) — about the most a BroadcastNestedLoop
+    * build side should pin per executor, and well before the O(|cand|²)
+    * dominance evaluation dwarfs the corpus scan. Conf-overridable via
+    * `graft.skyline.broadcastMaxCands` (the spec knob). */
+  private[graft] val SkylineBroadcastMaxCands = 1L << 22
 }

@@ -1355,9 +1355,16 @@ object Similarity {
     * pairwise sims materialize once (localCheckpoint — every greedy
     * round reads the same executed relations), then each round is an
     * anti-join (drop selected) + max-sim join + per-qid argmax window —
-    * zero driver round trips. Cost shape at 100 TB: the corpus pass is
-    * the shortlist build (the family's panel·n eval slice); everything
-    * after is panel·SL² — independent of corpus size. Determinism:
+    * zero driver round trips. Each round's `selected` is
+    * localCheckpoint'ed (the q_dedup_cluster per-round precedent):
+    * round t references the previous selected THREE times (anti-join,
+    * selected-sim join, union), so an un-pinned lineage re-executes
+    * rounds 1..t−1 ~3^k times over the checkpointed bases — pure plan
+    * overhead for a panel·k-row relation; the pin makes each round read
+    * an executed ≤ panel·t-row RDD instead. Cost shape at 100 TB: the
+    * corpus pass is the shortlist build (the family's panel·n eval
+    * slice); everything after is panel·SL² — independent of corpus
+    * size. Determinism:
     * rel and sim live on the 1e-6 grid, scores are single IEEE
     * mul/sub of grid values (identical everywhere), ties break
     * (score DESC, vec_id ASC); fully oracled via [[MmrK]] chained
@@ -1393,6 +1400,7 @@ object Similarity {
         (lit(MmrLambda) * col("rel")).as("score"))
       .withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
       .select(col("qid"), lit(1).as("pos"), col("vec_id"), col("score"))
+      .localCheckpoint()
     for (t <- 2 to MmrK) {
       val cand = sl.join(selected.select(col("qid"), col("vec_id")),
         Seq("qid", "vec_id"), "left_anti")
@@ -1408,6 +1416,7 @@ object Similarity {
       selected = selected.unionByName(
         scored.withColumn("rn", row_number().over(ws)).filter(col("rn") === 1)
           .select(col("qid"), lit(t).as("pos"), col("vec_id"), col("score")))
+        .localCheckpoint()
     }
     selected
       .select(col("qid"), col("pos"), col("vec_id"),

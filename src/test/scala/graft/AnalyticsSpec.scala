@@ -289,4 +289,40 @@ class AnalyticsSpec extends SparkSpec {
     }.map(_._1).toSet
     assert(got2 == want2)
   }
+
+  test("skyline: size-gated fallback sweep is row-identical to the broadcast anti-join on anti-correlated data") {
+    // the broadcast guard's worst case: (bal, vol) perfectly anti-
+    // correlated, so EVERY undominated point is on the frontier and
+    // the candidate union is ~the whole relation — plus equal-balance
+    // ties (co-survive iff volumes tie too) and dominated-in-group
+    // rows to exercise the sweep's group logic at every edge
+    val pts = (1L to 40L).map(i => (i, i.toDouble, (41 - i).toDouble)) ++ Seq(
+      (41L, 20.0, 21.0),  // ties (20, 21): co-survives with id 20
+      (42L, 20.0, 5.0),   // equal bal, lower vol: dominated in-group
+      (43L, 10.0, 10.0))  // dominated on both axes by (20, 21)
+    val sup = pts.map { case (i, b, _) => (i, s"s$i", 1, b) }
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val li = pts.map { case (i, _, v) =>
+      (i, i, i, 1, v, 1.0, 0.0, 0.0, "N", "O", ts("2024-01-01 00:00:00"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val d = fixtureDir("supplier" -> sup.repartition(4), "lineitem" -> li)
+    def run(): Seq[(Long, Double, Double)] =
+      graft.operators.Scale.skyline(spark, d).collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSeq
+    val viaBroadcast = run()
+    spark.conf.set("graft.skyline.broadcastMaxCands", "0")
+    val viaSweep = try run()
+      finally spark.conf.unset("graft.skyline.broadcastMaxCands")
+    assert(viaSweep == viaBroadcast)
+    // and both match driver-side brute force
+    val want = pts.filter { case (i, b, v) =>
+      !pts.exists { case (j, b2, v2) =>
+        j != i && b2 >= b && v2 >= v && (b2 > b || v2 > v)
+      }
+    }.map(_._1).toSet
+    assert(viaSweep.map(_._1).toSet == want)
+    assert(viaSweep.map(_._1).contains(41L) && viaSweep.map(_._1).contains(20L))
+  }
 }
