@@ -60,6 +60,9 @@ object SparkEntry {
     "q_tpch_q18" -> (Tpch.q18 _),
     "q_tpch_q19" -> (Tpch.q19 _),
     "q_tpch_q22" -> (Tpch.q22Shape _),
+    "q_tpch_q13" -> (Tpch.q13Shape _),
+    "q_tpch_q17" -> (Tpch.q17Shape _),
+    "q_tpch_q21" -> (Tpch.q21Shape _),
     "q_nullsafe_join" -> (Relational.nullsafeJoin _),
     "q_pagerank" -> (graft.operators.Graph.pagerank _),
     "q_anomaly_zscore" -> (graft.operators.Analytics.anomalyZscore _),
@@ -1020,6 +1023,49 @@ object SparkEntry {
         |FROM orders JOIN big ON o_orderkey = b_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q17" ->
+      """WITH pl AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1' AND p_size = 5),
+        |th AS (
+        |  SELECT l_partkey AS a_partkey,
+        |         0.2 * (CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 / count(l_quantity)) AS qmax
+        |  FROM pl GROUP BY 1)
+        |SELECT CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 / 7.0 AS avg_yearly
+        |FROM pl JOIN th ON l_partkey = a_partkey
+        |WHERE l_quantity < qmax""".stripMargin,
+    "q_tpch_q21" ->
+      """WITH sg AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1, 2)
+        |SELECT s_name, CAST(sum(n_late) AS BIGINT) AS numwait
+        |FROM sg l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l1.n_late > 0
+        |  AND n_name = 'NATION_1'
+        |  AND EXISTS (SELECT 1 FROM sg l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM sg l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.n_late > 0)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
     "q_tpch_q19" ->
       """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n_lines

@@ -283,4 +283,102 @@ object Tpch {
       .agg(dsumExact(dprod(col("l_extendedprice"),
         lit(1.0) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_lines"))
+
+  /** q_tpch_q13 — Q13 (customer order-count distribution): how many
+    * customers placed exactly N qualifying orders, INCLUDING the
+    * zero-order customers the inner join would silently drop — the
+    * null-preserving outer-aggregate + histogram-of-counts shape
+    * (the comment-pattern exclusion rewritten onto o_orderpriority).
+    * The scale move: orders pre-aggregates to (custkey, count) BEFORE
+    * the outer join — the join's right side is customer-cardinality,
+    * not order-cardinality, and the count arrives map-side-combined;
+    * COALESCE(cnt, 0) then restores the spec's count(o_orderkey)=0 for
+    * never-matched customers (the LEFT OUTER's whole point). One
+    * shuffle per side on the customer key; the final histogram groups
+    * a #customers-row relation. Deterministic: counts only. */
+  def q13Shape(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    Tables.customer(s, d)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"), coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** q_tpch_q17 — Q17 (small-quantity-order revenue): average yearly
+    * revenue lost if small orders (below 20 % of a part's own average
+    * quantity) were not filled, for one brand/size group — the
+    * CORRELATED per-part AVG decorrelated by hand exactly like
+    * [[q2Shape]]'s correlated min: the per-part threshold computes
+    * once as an aggregate (one fact shuffle on l_partkey, partial
+    * map-side) and broadcasts back into the same filtered fact slice
+    * (part-count-sized — tiny at any scale), instead of re-scanning
+    * lineitem per outer row. The part filter broadcasts into the fact
+    * scan, so both passes touch only the brand/size slice. The AVG
+    * rides the fixed-point [[Det]] scheme and the 0.2× threshold is a
+    * single IEEE multiply of a deterministic value, so the `<` compare
+    * cannot flip cross-engine; the revenue sum is fixed-point with one
+    * final /7.0. */
+  def q17Shape(s: SparkSession, d: String): DataFrame = {
+    val pf = broadcast(Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#1" && col("p_size") === 5)
+      .select(col("p_partkey")))
+    val pl = Tables.lineitem(s, d)
+      .join(pf, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val th = pl.groupBy(col("l_partkey").as("a_partkey"))
+      .agg((lit(0.2) * davg(col("l_quantity"))).as("qmax"))
+    pl.join(broadcast(th),
+        col("l_partkey") === col("a_partkey") && col("l_quantity") < col("qmax"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  /** q_tpch_q21 — Q21 (suppliers who kept orders waiting): for one
+    * nation, suppliers whose LATE line was the ONLY late line of a
+    * multi-supplier finished order — the stacked EXISTS + NOT-EXISTS
+    * showcase (a LEFT SEMI and a LEFT ANTI against the SAME fact-side
+    * relation and join key, each with the `<> suppkey` residual riding
+    * the equi key). Lateness is the q4/q12 proxy (shipped > 60 days
+    * after order date — the slimmed star has no receipt/commit dates).
+    * The scale move: the fact joins orders ONCE and immediately
+    * reduces to one row per (order, supplier) carrying its late-line
+    * count — the semi/anti and the localCheckpoint pin all run on
+    * that orders-cardinality relation, never on raw lines; numwait
+    * then recovers the spec's per-LINE count as Σ n_late. Counts are
+    * longs end to end; the top-10 ties break on s_name (unique). */
+  def q21Shape(s: SparkSession, d: String): DataFrame = {
+    val sg = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        1L).otherwise(0L)).as("n_late"))
+      .localCheckpoint() // referenced three times: base, semi side, anti side
+    val late = sg.filter(col("n_late") > 0L)
+    val sn = broadcast(Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_1")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name")))
+    late
+      // EXISTS: some other supplier contributed to the same order
+      .join(sg.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")),
+        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      // NOT EXISTS: no OTHER supplier was late on that order
+      .join(late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3")),
+        col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("n_late")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(10)
+  }
 }

@@ -154,6 +154,39 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_tpch_q13: orders pre-aggregate to customer cardinality BELOW the null-preserving outer join") {
+    val p = plan("q_tpch_q13")
+    // the outer join's right input is the per-customer count relation —
+    // the HashAggregate sits in the join subtree, so the join moves
+    // #customers rows, not #orders; and the join is genuinely outer
+    // (COALESCE keeps the zero-order bucket)
+    assert(p.contains("LeftOuter"), p)
+    val joinSubtree = p.split("LeftOuter", 2)
+    assert(joinSubtree.length == 2 && joinSubtree(1).contains("HashAggregate"), p)
+    // the priority exclusion pushes to the orders scan
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"), p)
+  }
+
+  test("q_tpch_q17: the per-part AVG threshold broadcasts back — the fact never sort-merges") {
+    val p = plan("q_tpch_q17")
+    // part filter broadcast into the fact + threshold broadcast-back:
+    // three broadcast joins, zero fact-fact merges, and the brand/size
+    // predicate reaches the part scan
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("EqualTo(p_brand,Brand#1)"), p)
+  }
+
+  test("q_tpch_q21: stacked LEFT SEMI + LEFT ANTI against the checkpointed pair relation") {
+    val p = plan("q_tpch_q21")
+    // EXISTS → semi, NOT EXISTS → anti, both hash joins on the order key
+    // with the <>-supplier residual inside — never a nested-loop; both
+    // read the ONE materialized (order, supplier, n_late) relation
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("q_skyline: dominance runs on the checkpointed candidate union, corpus never re-scanned") {
     val p = plan("q_skyline")
     // the per-partition sweep's candidate set materialized once
