@@ -125,7 +125,12 @@ object EventPairing {
     val mgrKey = "spark.sql.streaming.checkpointFileManagerClass"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevMgr = s.conf.getOption(mgrKey)
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    // 4 state partitions keep the tiny test rigs' micro-batch startup
+    // cheap; a real deployment sizes this to the cluster — the skew
+    // stress (tools/NeardupSkew) overrides it to the core count so the
+    // hot-key contrast isn't artificially capped at 4-way parallelism.
+    s.conf.set("spark.sql.shuffle.partitions",
+      s.conf.getOption("graft.streaming.shufflePartitions").getOrElse("4"))
     s.conf.set(mgrKey, "org.apache.spark.sql.execution.streaming." +
       "checkpointing.FileSystemBasedCheckpointFileManager")
     try body finally {

@@ -131,15 +131,63 @@ object StreamingIndex {
     * via conf `graft.neardup.broadcastMaxDocs` (the spec knob). */
   private[graft] val NeardupBroadcastMaxDocs = 1L << 20
 
-  /** The band-index join side for [[sNeardupGate]], broadcast only
-    * when the corpus is small enough to pin per-executor — the size
-    * gate the ngram prefix-filter note in [[Dedup.ngramJaccard]]
-    * applies to candidate generation, applied here to the join hint. */
-  private[graft] def neardupIndexSide(
-      s: SparkSession, corpus: DataFrame, nDocs: Long): DataFrame = {
+  /** Salt fan-out for [[sNeardupGate]]'s above-ceiling regime (conf
+    * `graft.neardup.saltBuckets`; the default 1 DISABLES it — a
+    * measured decision, NEARDUP_SKEW.json). Near-dup corpora are
+    * Zipf-hot in band keys BY CONSTRUCTION (boilerplate documents
+    * collapse to identical signatures — finding them is the gate's
+    * job), so a band_key-PARTITIONED join would funnel each hot key's
+    * |corpus dups| × |arriving dups| pair emission through one task
+    * per band: measured 10.4 s bare → 2.6 s at R=32 on an engineered
+    * 90 %-boilerplate corpus (729M pairs, forced SMJ — a 4.0× cliff
+    * against the local ceiling of cores/bands = 8×). BUT the plan the
+    * gate actually executes above the ceiling is NOT key-partitioned:
+    * withholding the corpus hint makes the planner broadcast the tiny
+    * PER-BATCH probe side (BuildLeft — verified on the executed
+    * micro-batch), so arrivals travel, the sharded corpus stays put,
+    * and pair emission parallelism follows the corpus's STORAGE
+    * partitioning — band-key heat never concentrates into one task.
+    * On that plan the salt only bloats the broadcast table ×R and
+    * thrashes its lookups (measured 3.5 s bare → 10.3 s at R=32, same
+    * corpus). Hence default OFF; the knob exists for the one corner
+    * where BOTH sides exceed the broadcast threshold (giant backfill
+    * batches) and the join genuinely key-partitions. When enabled, the
+    * salt splits each corpus band key over R buckets
+    * (pmod(hash(doc_id), R) — doc-deterministic, so a match meets in
+    * exactly ONE bucket and output rows cannot drop or duplicate;
+    * spec-pinned) and replicates only the probe side ×R. */
+  private[graft] val NeardupSaltBuckets = 1
+
+  /** The (arrival, existing) band-collision pairs for [[sNeardupGate]]:
+    * under [[NeardupBroadcastMaxDocs]] corpus docs the sketch
+    * broadcasts (map-side probe, zero per-batch shuffle); above it the
+    * corpus hint is withheld (probe side broadcasts instead — see
+    * [[NeardupSaltBuckets]] for the measured skew story), optionally
+    * salted (both knobs conf-overridable — the spec and stress
+    * handles). All shapes emit identical rows. */
+  private[graft] def neardupCandidatePairs(
+      s: SparkSession, probes: DataFrame, corpus: DataFrame, nDocs: Long): DataFrame = {
     val limit = s.conf.getOption("graft.neardup.broadcastMaxDocs")
       .map(_.toLong).getOrElse(NeardupBroadcastMaxDocs)
-    if (nDocs <= limit) broadcast(corpus) else corpus
+    val cond = col("s.band") === col("c.band") &&
+      col("s.band_key") === col("c.band_key") &&
+      col("s.doc_id") =!= col("c.doc_id")
+    val joined = if (nDocs <= limit) {
+      probes.as("s").join(broadcast(corpus).as("c"), cond)
+    } else {
+      val r = s.conf.getOption("graft.neardup.saltBuckets")
+        .map(_.toInt).getOrElse(NeardupSaltBuckets)
+      if (r <= 1) probes.as("s").join(corpus.as("c"), cond)
+      else {
+        val salted = corpus
+          .withColumn("salt", pmod(hash(col("doc_id")), lit(r)))
+        probes
+          .withColumn("salt", explode(sequence(lit(0), lit(r - 1))))
+          .as("s")
+          .join(salted.as("c"), cond && col("s.salt") === col("c.salt"))
+      }
+    }
+    joined.select(col("s.doc_id").as("doc_id"), col("c.doc_id").as("dup_id"))
   }
 
   /** One arriving vector (the embeddings row as a stream event). */
@@ -632,14 +680,21 @@ object StreamingIndex {
     * of one arrival land in one micro-batch, so the dedup window only
     * needs to span an arrival's own bands) and its state then expires
     * — the round-6 plain dropDuplicates kept every pair forever. The
-    * band-index join side is SIZE-GATED ([[neardupIndexSide]]): under
-    * [[NeardupBroadcastMaxDocs]] corpus docs the sketch broadcasts
-    * (every executor screens arrivals with zero per-batch shuffle); at
-    * 100 TB the hint is withheld and the plan degrades to a shuffled
-    * equi-join sharded by band_key — an unconditional broadcast would
-    * ship the whole corpus sketch to every executor, an OOM rather
-    * than a plan choice. Oracle: the symmetric band-collision pairs
-    * replayed in DuckDB over the same portable md5 hash family. */
+    * band-index join side is SIZE-GATED ([[neardupCandidatePairs]]):
+    * under [[NeardupBroadcastMaxDocs]] corpus docs the sketch
+    * broadcasts (every executor screens arrivals with zero per-batch
+    * shuffle); at 100 TB the hint is withheld and the plan becomes a
+    * shuffled equi-join sharded by band_key — an unconditional
+    * broadcast would ship the whole corpus sketch to every executor,
+    * an OOM rather than a plan choice. The above-ceiling plan the
+    * micro-batch actually picks broadcasts the per-batch PROBE side
+    * into the sharded corpus, so the gate's Zipf-hot band keys (its
+    * target population is duplicate-heavy by definition) never
+    * serialize into one task — measured, with the salted fallback for
+    * the giant-batch corner where a key-partitioned join would
+    * materialize ([[NeardupSaltBuckets]], NEARDUP_SKEW.json). Oracle:
+    * the symmetric band-collision pairs replayed in DuckDB over the
+    * same portable md5 hash family. */
   def sNeardupGate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
@@ -652,12 +707,7 @@ object StreamingIndex {
       val input = MemoryStream[DocEvent]
       val probes = Dedup.md5BandProbes(
         input.toDF().select(col("doc_id"), split(col("text"), " ").as("tk")), k)
-      val gated = probes.as("s")
-        .join(neardupIndexSide(s, corpus, docs.length.toLong).as("c"),
-          col("s.band") === col("c.band") &&
-            col("s.band_key") === col("c.band_key") &&
-            col("s.doc_id") =!= col("c.doc_id"))
-        .select(col("s.doc_id").as("doc_id"), col("c.doc_id").as("dup_id"))
+      val gated = neardupCandidatePairs(s, probes, corpus, docs.length.toLong)
         // +1 day: the initial watermark is epoch 0 and the late-row
         // filter drops rows AT the watermark, so a doc_id-0 arrival
         // stamped exactly at epoch 0 would silently vanish

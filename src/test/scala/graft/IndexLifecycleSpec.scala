@@ -371,10 +371,62 @@ class IndexLifecycleSpec extends SparkSpec {
         .select("doc_id", "dup_id").as[(Long, Long)].collect().toSeq
       val bigPlan = graft.streaming.StreamingIndex.lastExec.get("s_neardup_gate")
       assert(!corpusIsBuildSide(bigPlan), bigPlan.toString)
+      // the default above-ceiling plan is UNSALTED: the probe side
+      // broadcasts into the sharded corpus, which is already skew-
+      // immune (NEARDUP_SKEW.json) — a salt would only bloat it
+      assert(!bigPlan.toString.contains("salt"), bigPlan.toString)
       // the plan choice changes no emitted row
       assert(big == small)
       assert(big.nonEmpty)
-    } finally spark.conf.unset("graft.neardup.broadcastMaxDocs")
+      // the salted shape — the giant-batch fallback — is also
+      // row-identical and carries the salt key in its executed plan
+      spark.conf.set("graft.neardup.saltBuckets", "32")
+      val salted = SparkEntry.queries("s_neardup_gate")(spark, d)
+        .select("doc_id", "dup_id").as[(Long, Long)].collect().toSeq
+      val saltedPlan = graft.streaming.StreamingIndex.lastExec.get("s_neardup_gate")
+      assert(!corpusIsBuildSide(saltedPlan), saltedPlan.toString)
+      assert(saltedPlan.toString.contains("salt"), saltedPlan.toString)
+      assert(salted == small)
+    } finally {
+      spark.conf.unset("graft.neardup.broadcastMaxDocs")
+      spark.conf.unset("graft.neardup.saltBuckets")
+    }
+  }
+
+  test("s_neardup_gate: salting is LOSSLESS on the population it exists for — a boilerplate-hot corpus") {
+    // 9 of 12 docs share one boilerplate text (identical signatures →
+    // every band key collides: the gate's target pathology); 3 are
+    // distinct. Expected pairs: each boilerplate doc against the 8
+    // other copies, both directions = 72 rows — and the broadcast,
+    // salted-shuffled, and bare-shuffled plans must all emit exactly
+    // them (a salt that dropped or duplicated a match would show here:
+    // matches must meet in exactly ONE salt bucket).
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val hotIds = (0L until 12L).filter(_ % 4 != 3)
+    val docs = (0L until 12L).map { i =>
+      val text = if (i % 4 != 3) boiler
+        else s"unique document number $i with entirely distinct words ${"xyz" + i}"
+      (i, text, "en", "src0", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = fixtureDir("documents" -> docs)
+    val want = (for {
+      a <- hotIds; b <- hotIds if a != b
+    } yield (a, b)).sorted
+    def run(): Seq[(Long, Long)] =
+      SparkEntry.queries("s_neardup_gate")(spark, dir)
+        .select("doc_id", "dup_id").as[(Long, Long)].collect().toSeq
+    assert(run() == want) // broadcast regime (12 docs < ceiling)
+    spark.conf.set("graft.neardup.broadcastMaxDocs", "0")
+    try {
+      assert(run() == want) // above-ceiling default (bare, probe-broadcast)
+      spark.conf.set("graft.neardup.saltBuckets", "5") // R ∤ and ∤ by doc count
+      assert(run() == want)
+      spark.conf.set("graft.neardup.saltBuckets", "32")
+      assert(run() == want)
+    } finally {
+      spark.conf.unset("graft.neardup.broadcastMaxDocs")
+      spark.conf.unset("graft.neardup.saltBuckets")
+    }
   }
 
   test("s_index_swap: continuity across the hot-swap — no query lost, v1 blind to arrivals") {
