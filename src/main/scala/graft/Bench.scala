@@ -105,29 +105,53 @@ object Bench {
       .map { case (name, fn) =>
       // a failed rep must NOT feed its (fast, partial) elapsed time into
       // the reported min — a broken query would masquerade as a speedup.
-      // Failures surface as null in the JSON instead.
-      def rep(): Option[Double] = {
+      // Failures surface as null in the JSON instead. Each rep also
+      // captures the rig's SERVING seconds (the data-carrying
+      // micro-batch durations StreamingIndex records for this rep) so
+      // the artifact can split MemoryStream/start-stop scaffolding
+      // (`rig_setup_sec`) from the per-batch serving work the latency
+      // percentiles price — for batch queries serve is 0 and setup is
+      // simply the elapsed time (dropped from the map below).
+      def serveBatchCounts(): Map[String, Int] = {
+        import scala.jdk.CollectionConverters._
+        graft.streaming.StreamingIndex.batchDurationsMs.asScala
+          .map { case (k, v) => k -> v.size }.toMap
+      }
+      def rep(): Option[(Double, Double)] = {
+        val before = serveBatchCounts()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          import scala.jdk.CollectionConverters._
+          val serveSec = graft.streaming.StreamingIndex.batchDurationsMs
+            .asScala.map { case (k, v) =>
+              v.drop(before.getOrElse(k, 0)).sum
+            }.sum / 1e3
+          Some((elapsed, serveSec))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
         }
       }
-      val base = (1 to reps).flatMap(_ => rep())
+      val basePairs = (1 to reps).flatMap(_ => rep())
+      val base = basePairs.map(_._1)
       // Self-HEALING, not just self-flagging: when one query trips the
       // contamination spread gate (a GC storm / competing process hit
       // one rep), take a third rep and report the MEDIAN — the outlier
       // then can't own the headline number. The per-rep list keeps all
       // samples, so suspectReason still flags the run.
-      val times = if (spreadTripped(base)) base ++ rep() else base
+      val pairs = if (spreadTripped(base)) basePairs ++ rep() else basePairs
+      val times = pairs.map(_._1)
       val value =
         if (times.isEmpty) None
         else if (spreadTripped(base)) Some(medianOf(times))
         else Some(times.min)
-      (name, value, times)
+      // setup attribution follows the best rep — the one whose elapsed
+      // time the headline reports (median-healed runs just use best)
+      val rigSetup = pairs.filter(_._2 > 0).sortBy(_._1).headOption
+        .map { case (elapsed, serve) => math.max(0.0, elapsed - serve) }
+      (name, value, times, rigSetup)
     }
     // The driver captures only the LAST 2000 characters of stdout and
     // json-parses the {"metric"...} line it finds there. With 175 queries
@@ -141,21 +165,29 @@ object Bench {
     // invalid JSON the driver can't parse.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val fullJson = results.map { case (k, v, _) =>
+    val fullJson = results.map { case (k, v, _, _) =>
         "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
       }.mkString("{", ",", "}")
     // Contamination telemetry (round 4 recorded a 5× driver-side bench
     // under external CPU load that needed a judge re-run to diagnose):
     // per-rep times expose intra-run spread, loadavg exposes competing
     // processes — either makes a polluted measurement machine-detectable.
-    val repsJson = results.map { case (k, _, ts) =>
+    val repsJson = results.map { case (k, _, ts, _) =>
         "\"" + k + "\":" + ts.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    // scaffolding vs serving, per streaming rig (see rep()): the
+    // reported elapsed minus the same rep's data-carrying batch time —
+    // MemoryStream feeding, query start/stop, checkpoint setup, the
+    // per-phase corpus pinning. serve_latency_ms prices the serving;
+    // this prices what a real deployment would pay ONCE, not per query.
+    val rigSetupJson = results.collect { case (k, _, _, Some(setup)) =>
+        "\"" + k + "\":" + f3(setup)
       }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val nFailed = results.count(_._2.isEmpty)
     val suspect = suspectReason(
       loadAtStart.split(" ").headOption.flatMap(_.toDoubleOption),
-      results.map { case (n, _, ts) => (n, ts) })
+      results.map { case (n, _, ts, _) => (n, ts) })
     val suspectJson = suspect match {
       case Some(r) => s""""suspect":true,"suspect_reason":"$r""""
       case None => """"suspect":false"""
@@ -179,7 +211,7 @@ object Bench {
         }.mkString("{", ",", "}")
     }
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$nFailed,$suspectJson,$idxJson,"serve_latency_ms":$latJson,"loadavg_start":"$loadAtStart","loadavg_end":"${loadavg()}","queries":$fullJson,"reps":$repsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$nFailed,$suspectJson,$idxJson,"serve_latency_ms":$latJson,"rig_setup_sec":$rigSetupJson,"loadavg_start":"$loadAtStart","loadavg_end":"${loadavg()}","queries":$fullJson,"reps":$repsJson,"sf":"$sfDir"}"""
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(fullOut),
@@ -202,7 +234,7 @@ object Bench {
       "q_knn_join", "q_tfidf", "q_lang_id", "q_quality_score",
       "q_pagerank", "q_winnow", "q_variant_json",
       "s_pipeline", "s_pair_match", "s_tumbling_agg", "s_sliding_agg")
-    val byName = results.map { case (n, v, _) => n -> v }.toMap
+    val byName = results.map { case (n, v, _, _) => n -> v }.toMap
     val hl = headline.flatMap(k => byName.get(k).map(v =>
         "\"" + k + "\":" + v.map(f3).getOrElse("null")))
       .mkString("{", ",", "}")

@@ -267,6 +267,7 @@ object SparkEntry {
     "s_ann_serve" -> (graft.streaming.StreamingIndex.sAnnServe _),
     "s_filtered_serve" -> (graft.streaming.StreamingIndex.sFilteredServe _),
     "s_index_swap" -> (graft.streaming.StreamingIndex.sIndexSwap _),
+    "s_swap_inflight" -> (graft.streaming.StreamingIndex.sSwapInflight _),
   )
 
   /** DuckDB VALUES list kept in sync with TextAnalysis.lexicon. */
@@ -2516,6 +2517,55 @@ object SparkEntry {
         |pp AS (SELECT qid, qv, row_number() OVER (ORDER BY qid) AS pos FROM panel),
         |p1 AS (SELECT qid, qv FROM pp WHERE pos % 2 = 1),
         |p2 AS (SELECT qid, qv FROM pp WHERE pos % 2 = 0),
+        |pc1 AS (SELECT qid, centroid_id, ${cosSql("qv", "cv")} AS cos FROM p1, cen_pre),
+        |pr1 AS (SELECT qid, centroid_id AS cell FROM (
+        |        SELECT qid, centroid_id,
+        |               row_number() OVER (PARTITION BY qid
+        |                                  ORDER BY cos DESC, centroid_id ASC) AS rn
+        |        FROM pc1) WHERE rn = 1),
+        |cand1 AS (SELECT pr1.qid, e_pre.vec_id, ${cosSql("v", "qv")} AS cos
+        |          FROM pr1 JOIN cells_pre ON cells_pre.cell = pr1.cell
+        |               JOIN e_pre ON e_pre.vec_id = cells_pre.vec_id
+        |               JOIN p1 ON p1.qid = pr1.qid
+        |          WHERE e_pre.vec_id <> pr1.qid),
+        |r1 AS (SELECT 1 AS version, qid, vec_id, cos AS cos_sim FROM (
+        |        SELECT qid, vec_id, cos,
+        |               row_number() OVER (PARTITION BY qid
+        |                                  ORDER BY cos DESC, vec_id ASC) AS rn
+        |        FROM cand1) WHERE rn = 1),
+        |pc2 AS (SELECT qid, centroid_id, ${cosSql("qv", "cv")} AS cos FROM p2, cen),
+        |pr2 AS (SELECT qid, centroid_id AS cell FROM (
+        |        SELECT qid, centroid_id,
+        |               row_number() OVER (PARTITION BY qid
+        |                                  ORDER BY cos DESC, centroid_id ASC) AS rn
+        |        FROM pc2) WHERE rn = 1),
+        |cand2 AS (SELECT pr2.qid, e.vec_id, ${cosSql("v", "qv")} AS cos
+        |          FROM pr2 JOIN cells ON cells.cell = pr2.cell
+        |               JOIN e ON e.vec_id = cells.vec_id
+        |               JOIN p2 ON p2.qid = pr2.qid
+        |          WHERE e.vec_id <> pr2.qid),
+        |r2 AS (SELECT 2 AS version, qid, vec_id, cos AS cos_sim FROM (
+        |        SELECT qid, vec_id, cos,
+        |               row_number() OVER (PARTITION BY qid
+        |                                  ORDER BY cos DESC, vec_id ASC) AS rn
+        |        FROM cand2) WHERE rn = 1)
+        |SELECT version, qid, vec_id, cos_sim
+        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |ORDER BY version, qid""".stripMargin),
+    // same two training chains as s_index_swap; the panel splits into
+    // CONTIGUOUS qid-rank thirds (1-based rank r served by v1 iff
+    // 3r <= n — mirrored verbatim in sSwapInflight): v1 answers the
+    // first third, v2 (the retrained chain, resumed from v1's
+    // checkpoint) the in-flight middle and post-swap last thirds
+    "s_swap_inflight" ->
+      (s"WITH ${ivfIndexCteOver("(SELECT * FROM embeddings WHERE vec_id % 5 <> 3) pre", "_pre")},\n" +
+      s"$ivfIndexCte,\n" +
+      s"""panel AS (SELECT vec_id AS qid, v AS qv FROM e
+        |          WHERE $panelWhereSql),
+        |pp AS (SELECT qid, qv, row_number() OVER (ORDER BY qid) AS pos,
+        |              count(*) OVER () AS np FROM panel),
+        |p1 AS (SELECT qid, qv FROM pp WHERE 3 * pos <= np),
+        |p2 AS (SELECT qid, qv FROM pp WHERE 3 * pos > np),
         |pc1 AS (SELECT qid, centroid_id, ${cosSql("qv", "cv")} AS cos FROM p1, cen_pre),
         |pr1 AS (SELECT qid, centroid_id AS cell FROM (
         |        SELECT qid, centroid_id,

@@ -440,32 +440,9 @@ object StreamingIndex {
     def servePhase(version: Int, cen: DataFrame, corpus: DataFrame,
         queries: Seq[VecEvent]): DataFrame = {
       implicit val sqlCtx = s.sqlContext
-      val cenRows: Seq[(Long, Seq[Double])] = cen
-        .select(col("centroid_id"), col("cvec"))
-        .as[(Long, Seq[Double])].collect().toSeq
       EventPairing.withStreamingPartitions(s) {
         val input = MemoryStream[VecEvent]
-        val probed = input.toDF()
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-            // +1 day: keep every stamp strictly above the epoch-0
-            // initial watermark (see sNeardupGate)
-            timestamp_seconds(col("vec_id") + lit(86400L)).as("ts"))
-          .withWatermark("ts", "1 minute")
-          .withColumn("best", array_max(transform(typedlit(cenRows), c =>
-            struct(
-              Similarity.cosine(col("qvec"), c.getField("_2")).as("cos"),
-              (lit(Long.MaxValue) - c.getField("_1")).as("nid")))))
-          .select(col("qid"), col("qvec"), col("ts"),
-            (lit(Long.MaxValue) - col("best.nid")).as("cell"))
-        val served = probed
-          .join(corpus, Seq("cell"))
-          .filter(col("vec_id") =!= col("qid"))
-          .groupBy(window(col("ts"), "1 minute"), col("qid"))
-          .agg(max(struct(
-            Similarity.cosine(col("embedding"), col("qvec")).as("cos"),
-            (lit(Long.MaxValue) - col("vec_id")).as("nid"))).as("top"))
-          .select(col("qid"), (lit(Long.MaxValue) - col("top.nid")).as("vec_id"),
-            col("top.cos").as("cos_sim"))
+        val served = serveTop1Plan(s, input.toDF(), cen, corpus)
         val name = s"s_index_swap_${nameCounter.incrementAndGet()}"
         val q = served.writeStream.format("memory").queryName(name)
           .outputMode("update").start()
@@ -486,6 +463,135 @@ object StreamingIndex {
     val v2 = servePhase(2, cenB, corpusOf(cellsB),
       ordered.filter(_._2 % 2 == 1).map(_._1))
     v1.unionByName(v2).orderBy("version", "qid")
+  }
+
+  /** The single-probe serve topology shared by [[sIndexSwap]] and
+    * [[sSwapInflight]]: map-side literal-centroid argmax probe, one
+    * stream-static equi-join on the probed cell, windowed top-1 under
+    * a 1-minute watermark. The centroids are collected and compiled
+    * INTO the plan (the serving-RAM move of [[sAnnServe]]), so a new
+    * index is literally a new plan. */
+  private def serveTop1Plan(s: SparkSession, stream: DataFrame,
+      cen: DataFrame, corpus: DataFrame): DataFrame = {
+    import s.implicits._
+    val cenRows: Seq[(Long, Seq[Double])] = cen
+      .select(col("centroid_id"), col("cvec"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val probed = stream
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        // +1 day: keep every stamp strictly above the epoch-0
+        // initial watermark (see sNeardupGate)
+        timestamp_seconds(col("vec_id") + lit(86400L)).as("ts"))
+      .withWatermark("ts", "1 minute")
+      .withColumn("best", array_max(transform(typedlit(cenRows), c =>
+        struct(
+          Similarity.cosine(col("qvec"), c.getField("_2")).as("cos"),
+          (lit(Long.MaxValue) - c.getField("_1")).as("nid")))))
+      .select(col("qid"), col("qvec"), col("ts"),
+        (lit(Long.MaxValue) - col("best.nid")).as("cell"))
+    probed
+      .join(corpus, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(window(col("ts"), "1 minute"), col("qid"))
+      .agg(max(struct(
+        Similarity.cosine(col("embedding"), col("qvec")).as("cos"),
+        (lit(Long.MaxValue) - col("vec_id")).as("nid"))).as("top"))
+      .select(col("qid"), (lit(Long.MaxValue) - col("top.nid")).as("vec_id"),
+        col("top.cos").as("cos_sim"))
+  }
+
+  /** s_swap_inflight — the swap of [[sIndexSwap]] with queries IN
+    * FLIGHT at the boundary: v1 is stopped, and while no serving query
+    * is up the middle third of the panel ARRIVES at the source; v2
+    * then restarts from v1's OWN checkpoint (same source, same offset
+    * log, new plan — the centroids are literals, so the retrained
+    * index is a new plan by construction) and resumes from the exact
+    * committed offset, drains the in-flight block, then serves the
+    * post-swap third. This pins the at-least-once story across the
+    * restart with the contract chosen here: **a query not committed by
+    * v1 when the swap begins is answered EXACTLY ONCE, by the NEW
+    * index** — Structured Streaming's offset log makes the boundary a
+    * batch boundary, v1's commits are never replayed into v2 (no
+    * double-answer), and the in-flight block cannot be lost because
+    * the source retains it past v1's last commit. The panel splits
+    * into CONTIGUOUS qid-rank thirds (not the alternating split of
+    * s_index_swap): stamps derive from vec_id and the watermark
+    * survives the restart in the checkpoint, so only a contiguous
+    * timeline keeps every arrival ahead of the carried watermark —
+    * an interleaved split would silently late-drop in-flight queries
+    * behind v1's final watermark (exactly the bug class this rig
+    * exists to pin). State schema is unchanged across the restart
+    * (same agg, same key), which is what Spark requires of a
+    * checkpoint-compatible upgrade; the upstream literal/static-side
+    * swap is the allowed kind of plan change. Oracle: v1's chain
+    * answers the first third, v2's chain the rest — both training
+    * chains replayed in one DuckDB query (the s_index_swap CTE with a
+    * thirds split). */
+  def sSwapInflight(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val e = Tables.embeddings(s, d)
+    val n = e.count()
+    val panel = e.filter(Similarity.panelFilter(n))
+      .select(col("vec_id"), col("embedding"))
+      .as[VecEvent].collect()
+    val (cenA, cellsA) = Similarity.preArrivalIndex(s, d)
+    val (cenB, cellsB) = Similarity.ivfIndex(s, d)
+    def corpusOf(cells: DataFrame) = e.join(cells, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint() // pinned per phase ([[sAnnServe]])
+    val ordered = panel.toSeq.sortBy(_.vec_id).zipWithIndex
+    val np = ordered.size
+    // contiguous rank thirds: t0 served by v1; t1 arrives during the
+    // swap window (in flight); t2 arrives after v2 is up. 1-based rank
+    // r is in t0 iff 3r <= n — mirrored verbatim in the oracle SQL.
+    val t0 = ordered.collect { case (v, i) if 3 * (i + 1) <= np => v }
+    val rest = ordered.collect { case (v, i) if 3 * (i + 1) > np => v }
+    val (t1, t2) = rest.splitAt(rest.size / 2)
+    EventPairing.withStreamingPartitions(s) {
+      val input = MemoryStream[VecEvent]
+      // ONE checkpoint across both phases — the whole point of the rig
+      // (the memory sink refuses recovery, so the sink is the
+      // production foreachBatch pattern of sForeachSink: per-phase
+      // parquet appends, read back after the drain)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_swap_inflight").toString
+      def startPhase(cen: DataFrame, corpus: DataFrame, outDir: String) =
+        serveTop1Plan(s, input.toDF(), cen, corpus)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").start()
+      def readPhase(version: Int, outDir: String): DataFrame = {
+        val parts = Option(new java.io.File(outDir)
+          .listFiles((_, nm) => nm.endsWith(".parquet"))).fold(0)(_.length)
+        if (parts == 0) Seq.empty[(Long, Long, Double)]
+          .toDF("qid", "vec_id", "cos_sim")
+          .select(lit(version).as("version"), col("qid"), col("vec_id"),
+            col("cos_sim"))
+        else s.read.parquet(outDir).select(lit(version).as("version"),
+          col("qid"), col("vec_id"), col("cos_sim"))
+      }
+      val out1 = java.nio.file.Files
+        .createTempDirectory("graft_swap_inflight_v1").toString
+      val out2 = java.nio.file.Files
+        .createTempDirectory("graft_swap_inflight_v2").toString
+      val q1 = startPhase(cenA, corpusOf(cellsA), out1)
+      try feedStaggered(input, t0, q1) finally q1.stop()
+      // the swap window: no serving query is up; these queries sit in
+      // the source past v1's last committed offset
+      input.addData(t1)
+      val q2 = startPhase(cenB, corpusOf(cellsB), out2)
+      try {
+        q2.processAllAvailable() // v2's first batches drain the in-flight block
+        feedStaggered(input, t2, q2)
+        record("s_swap_inflight", q2)
+      } finally q2.stop()
+      readPhase(1, out1).unionByName(readPhase(2, out2))
+        .orderBy("version", "qid")
+    }
   }
 
   /** s_pq_ingest — streaming PQ coding at the ingest edge: every

@@ -453,4 +453,48 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(graft.streaming.StreamingIndex.stateOpNames.get("s_index_swap")
       == Set("stateStoreSave"))
   }
+
+  test("s_swap_inflight: queries in flight at the swap are answered exactly once, by the new index") {
+    val d = sf("sf0.001")
+    val rows = SparkEntry.queries("s_swap_inflight")(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty)
+    // the panel timeline the rig feeds: contiguous qid-rank thirds —
+    // t0 drained+committed by v1, t1 arrives while NO query is up (in
+    // flight at the boundary), t2 arrives after v2 resumes
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.embeddings(spark, d)
+    val n = e.count()
+    val qids = e.filter(graft.operators.Similarity.panelFilter(n))
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+    val np = qids.size
+    val t0 = qids.zipWithIndex.collect { case (q, i) if 3 * (i + 1) <= np => q }
+    val rest = qids.zipWithIndex.collect { case (q, i) if 3 * (i + 1) > np => q }
+    val (t1, t2) = rest.splitAt(rest.size / 2)
+    assert(t0.nonEmpty && t1.nonEmpty && t2.nonEmpty) // no vacuous phase
+    // EXACTLY ONCE across the restart: no qid lost, none double-served
+    // — a restart that failed to carry v1's offsets would re-answer t0
+    // (duplicates); one that over-committed would lose the in-flight
+    // t1 block (absences). Both show here.
+    val perQid = rows.groupBy(_._2).view.mapValues(_.size)
+    assert(perQid.values.forall(_ == 1), perQid.toMap)
+    // answered queries with an oracle-visible answer are a SUBSET of
+    // the panel (a qid alone in its probed cell emits nothing); the
+    // in-flight block itself must not be lost wholesale
+    assert(rows.map(_._2).toSet.subsetOf(qids.toSet))
+    assert(t1.exists(q => rows.exists(_._2 == q)))
+    // the CONTRACT pinned: v1 answered only what it committed before
+    // the stop (t0); everything in flight or later — t1 ∪ t2 — was
+    // answered by the NEW index after the checkpoint-carried restart
+    val v1q = rows.filter(_._1 == 1).map(_._2).toSet
+    val v2q = rows.filter(_._1 == 2).map(_._2).toSet
+    assert(v1q.subsetOf(t0.toSet), (v1q -- t0).toSeq.sorted)
+    assert(v2q.subsetOf((t1 ++ t2).toSet), (v2q -- t1 -- t2).toSeq.sorted)
+    // v1 serves the FROZEN pre-arrival index (blind to arrivals);
+    // v2 is the retrained index where arrivals are retrievable
+    assert(rows.filter(_._1 == 1).forall(_._3 % 5 != 3))
+    // the serve shape survives the checkpoint-carried plan swap
+    assert(graft.streaming.StreamingIndex.stateOpNames.get("s_swap_inflight")
+      == Set("stateStoreSave"))
+  }
 }
