@@ -63,6 +63,8 @@ object SparkEntry {
     "q_tpch_q13" -> (Tpch.q13Shape _),
     "q_tpch_q17" -> (Tpch.q17Shape _),
     "q_tpch_q21" -> (Tpch.q21Shape _),
+    "q_tpch_q8" -> (Tpch.q8 _),
+    "q_tpch_q9" -> (Tpch.q9Shape _),
     "q_nullsafe_join" -> (Relational.nullsafeJoin _),
     "q_pagerank" -> (graft.operators.Graph.pagerank _),
     "q_anomaly_zscore" -> (graft.operators.Analytics.anomalyZscore _),
@@ -1044,6 +1046,40 @@ object SparkEntry {
         |SELECT CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 / 7.0 AS avg_yearly
         |FROM pl JOIN th ON l_partkey = a_partkey
         |WHERE l_quantity < qmax""".stripMargin,
+    "q_tpch_q8" ->
+      """SELECT o_year, nation_volume, total_volume,
+        |       nation_volume / total_volume AS mkt_share
+        |FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+        |             THEN CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))
+        |             ELSE CAST(0 AS DECIMAL(25,8)) END) AS DECIMAL(38,6)) AS DOUBLE) AS nation_volume,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_volume
+        |  FROM (SELECT l_extendedprice, l_discount, o_orderdate, n2.n_name AS supp_nation
+        |        FROM lineitem
+        |        JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |        JOIN orders ON l_orderkey = o_orderkey
+        |        JOIN customer ON o_custkey = c_custkey
+        |        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |        JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |        JOIN supplier ON l_suppkey = s_suppkey
+        |        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |          AND o_orderdate < TIMESTAMP '1997-01-01')
+        |  GROUP BY 1)
+        |ORDER BY o_year""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT nation, o_year,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))
+        |                     - CAST(p_retailprice AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_profit,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |             l_extendedprice, l_discount, l_quantity, p_retailprice
+        |      FROM lineitem
+        |      JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN supplier ON l_suppkey = s_suppkey
+        |      JOIN nation ON s_nationkey = n_nationkey)
+        |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin,
     "q_tpch_q21" ->
       """WITH sg AS (
         |  SELECT l_orderkey, l_suppkey,

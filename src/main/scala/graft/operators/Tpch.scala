@@ -22,6 +22,8 @@ import Det._
   *   - Q14       — promo revenue share (conditional numerator, one scan)
   *   - Q18       — HAVING-subquery large orders joined back to the fact
   *   - Q19       — disjunctive conjunct groups, CNF common-factor pushdown
+  *   - Q8        — one dimension in two broadcast roles + grouped ratio
+  *   - Q9 shape  — substring dim filter + exact-decimal profit expression
   *
   * Scale rules as everywhere in this library: dims broadcast, the fact
   * shuffles at most once on its join key, aggregates are partial by
@@ -380,5 +382,85 @@ object Tpch {
       .agg(sum(col("n_late")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name").asc)
       .limit(10)
+  }
+
+  /** q_tpch_q8 — Q8 (national market share): one supplier nation's
+    * share of a region's revenue in one part-type segment, per order
+    * year — the showcase for a dimension joined in TWO ROLES (nation
+    * keys the customer side through region AND names the supplier
+    * side; Catalyst must keep the two broadcast instances apart) and
+    * for the conditional-sum ratio (the [[q14]] promo-share move,
+    * grouped). Plan shape at 100 TB: part's type filter broadcasts
+    * into the fact scan (the biggest reducer, applied first), the one
+    * real shuffle is lineitem⋈orders on the order key, and customer→
+    * nation→region collapses to a broadcast keys-only filter dim —
+    * the region predicate never touches the fact. Both sums ride the
+    * exact-decimal scheme; their ratio is one IEEE division of two
+    * deterministic doubles ([[q14]]). */
+  def q8(s: SparkSession, d: String): DataFrame = {
+    val americaCust = broadcast(Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey")))
+    val suppNation = broadcast(Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val vol = dprod(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1995-01-01") &&
+          col("o_orderdate") < ts("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(americaCust, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(
+        dsumExact(when(col("supp_nation") === "NATION_1", vol)
+          .otherwise(lit(0).cast(DecimalType(25, 8)))).as("nation_volume"),
+        dsumExact(vol).as("total_volume"))
+      .select(col("o_year"), col("nation_volume"), col("total_volume"),
+        (col("nation_volume") / col("total_volume")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** q_tpch_q9 — Q9 shape (product-type profit): profit per supplier
+    * nation per order year over one part-name segment. The slimmed
+    * star has no partsupp, so unit cost is proxied by the part's OWN
+    * `p_retailprice` (the [[q2Shape]] adaptation convention: lineitem
+    * plays the offer relation, part carries the price book) — amount
+    * = price·(1−discount) − retail·quantity, an expression-heavy
+    * aggregate input computed entirely in exact decimal ((25,8) minus
+    * (25,8) is exact in both engines; the sum then rides
+    * [[dsumExact]]). The p_name CONTAINS filter is the spec's
+    * '%green%' lesson: a substring predicate prunes the broadcast dim
+    * (and reaches the part scan as a pushed StringContains), not the
+    * fact. One fact shuffle (lineitem⋈orders); supplier→nation
+    * broadcasts; the rollup is (nation × year)-cardinality. */
+  def q9Shape(s: SparkSession, d: String): DataFrame = {
+    val sn = broadcast(Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation")))
+    val redParts = broadcast(Tables.part(s, d)
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice")))
+    val amount = dprod(col("l_extendedprice"), lit(1.0) - col("l_discount")) -
+      dprod(col("p_retailprice"), col("l_quantity"))
+    Tables.lineitem(s, d)
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(dsumExact(amount).as("sum_profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation").asc, col("o_year").desc)
   }
 }

@@ -187,6 +187,25 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p)
   }
 
+  test("q_tpch_q8: both nation roles broadcast, segment + region filters reach their scans") {
+    val p = plan("q_tpch_q8")
+    // nation appears in TWO broadcast subtrees (customer-side region
+    // gate and supplier-side share name); the fact never sort-merges;
+    // the part-type and region predicates push to the dim scans, not
+    // the fact
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 6, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("EqualTo(p_type,ECONOMY)"), p)
+    assert(p.contains("EqualTo(r_name,AMERICA)"), p)
+  }
+
+  test("q_tpch_q9: the substring part filter pushes to the part scan as StringContains") {
+    val p = plan("q_tpch_q9")
+    assert(p.contains("StringContains(p_name,red)"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q_skyline: dominance runs on the checkpointed candidate union, corpus never re-scanned") {
     val p = plan("q_skyline")
     // the per-partition sweep's candidate set materialized once

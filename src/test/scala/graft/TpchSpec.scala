@@ -110,4 +110,75 @@ class TpchSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("s3", 2L), ("s1", 1L)))
   }
+
+  test("q8: nation's two roles stay apart — region gates the CUSTOMER, share follows the SUPPLIER") {
+    // n0 is in AMERICA (customer side qualifies), n1/n2 are not; the
+    // share nation NATION_1 is a SUPPLIER nation outside the region —
+    // a single-role nation join would zero the share or the total.
+    // Excluded by exactly one dimension each: o3 (customer region),
+    // o4 (date window), p2 line (part type).
+    val reg = Seq((0, "AMERICA"), (1, "EUROPE")).toDF("r_regionkey", "r_name")
+    val nat = Seq((0, "NATION_0", 0), (1, "NATION_1", 1), (2, "NATION_2", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val cust = Seq((1L, "c1", 0, 0.0, "SEG"), (2L, "c2", 1, 0.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val sup = Seq((1L, "s1", 1, 0.0), (2L, "s2", 2, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val part = Seq(
+      (1L, "red widget", "Brand#1", "ECONOMY", 5, 1.0),
+      (2L, "blue bolt", "Brand#1", "PROMO", 5, 1.0)
+    ).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val ord = ordersDF(Seq(
+      (1L, 1L, "O", 1.0, ts("1995-03-01 00:00:00"), "3-MEDIUM"),
+      (2L, 1L, "O", 1.0, ts("1996-03-01 00:00:00"), "3-MEDIUM"),
+      (3L, 2L, "O", 1.0, ts("1995-05-01 00:00:00"), "3-MEDIUM"),
+      (4L, 1L, "O", 1.0, ts("1997-02-01 00:00:00"), "3-MEDIUM")))
+    val li = lineitemDF(Seq(
+      (1L, 1L, 1L, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", ts("1995-03-05 00:00:00")),
+      (1L, 1L, 2L, 2, 1.0, 50.0, 0.0, 0.0, "N", "O", ts("1995-03-05 00:00:00")),
+      (2L, 1L, 1L, 1, 1.0, 30.0, 0.5, 0.0, "N", "O", ts("1996-03-05 00:00:00")),
+      (2L, 1L, 2L, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", ts("1996-03-05 00:00:00")),
+      (3L, 1L, 1L, 1, 1.0, 999.0, 0.0, 0.0, "N", "O", ts("1995-05-05 00:00:00")),
+      (4L, 1L, 1L, 1, 1.0, 999.0, 0.0, 0.0, "N", "O", ts("1997-02-05 00:00:00")),
+      (1L, 2L, 1L, 3, 1.0, 999.0, 0.0, 0.0, "N", "O", ts("1995-03-05 00:00:00"))))
+    val d = fixtureDir("region" -> reg, "nation" -> nat, "customer" -> cust,
+      "supplier" -> sup, "part" -> part, "orders" -> ord, "lineitem" -> li)
+    val got = Tpch.q8(spark, d).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1995, 100.0, 150.0, 100.0 / 150.0),
+      (1996, 15.0, 25.0, 15.0 / 25.0)))
+  }
+
+  test("q9: profit is rev minus retail*qty (negative allowed) and the name filter is SUBSTRING contains") {
+    // p2 'bored gear' contains 'red' — the spec's '%green%' is a
+    // substring, not a word match; p3 'blue bolt' is out. s2's single
+    // line loses money (1.0 revenue vs 2.0 cost) — profit may be
+    // negative and the group must still emit. Order: nation ASC,
+    // year DESC.
+    val nat = Seq((0, "NATION_0", 0), (1, "NATION_1", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val sup = Seq((1L, "s1", 0, 0.0), (2L, "s2", 1, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val part = Seq(
+      (1L, "red widget", "Brand#1", "ECONOMY", 5, 2.0),
+      (2L, "bored gear", "Brand#1", "ECONOMY", 5, 1.0),
+      (3L, "blue bolt", "Brand#1", "ECONOMY", 5, 1.0)
+    ).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val ord = ordersDF(Seq(
+      (1L, 1L, "O", 1.0, ts("1995-03-01 00:00:00"), "3-MEDIUM"),
+      (2L, 1L, "O", 1.0, ts("1996-03-01 00:00:00"), "3-MEDIUM")))
+    val li = lineitemDF(Seq(
+      (1L, 1L, 1L, 1, 3.0, 10.0, 0.1, 0.0, "N", "O", ts("1995-03-05 00:00:00")),
+      (1L, 2L, 1L, 2, 2.0, 5.0, 0.0, 0.0, "N", "O", ts("1995-03-05 00:00:00")),
+      (2L, 3L, 1L, 1, 1.0, 999.0, 0.0, 0.0, "N", "O", ts("1996-03-05 00:00:00")),
+      (2L, 1L, 2L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ts("1996-03-05 00:00:00"))))
+    val d = fixtureDir("nation" -> nat, "supplier" -> sup, "part" -> part,
+      "orders" -> ord, "lineitem" -> li)
+    val got = Tpch.q9Shape(spark, d).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSeq
+    // s1 1995: (10*0.9 - 2*3) + (5*1 - 1*2) = 3 + 3 = 6 over 2 lines
+    // s2 1996: 1 - 2 = -1
+    assert(got == Seq(("NATION_0", 1995, 6.0, 2L), ("NATION_1", 1996, -1.0, 1L)))
+  }
 }
