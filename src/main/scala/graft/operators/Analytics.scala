@@ -191,16 +191,45 @@ object Analytics {
   }
 
   /** q_gaps_islands — maximal runs of consecutive order keys among open
-    * orders (key − row_number is constant within a run). The global
-    * window sorts on one task — fine here; at 100 TB islands are found
-    * per range-partition and boundary-adjacent islands merge in a second
-    * tiny pass over first/last rows only. */
+    * orders (key − row_number is constant within a run). The classic
+    * formulation is a GLOBAL ordered window — a single-task sort of the
+    * whole relation, the serialization shape this library keeps killing
+    * ([[Scale.skyline]]'s round-9 sweep). Here row_number is computed
+    * DISTRIBUTED: range-partition by key, rank locally per range
+    * (Window.partitionBy on the partition id — each range is one
+    * group), and lift local ranks to global ones by broadcast-joining
+    * each range's row-count prefix (P scalars folded on the driver —
+    * the skyline stitch). Ranges are pinned (localCheckpoint) so the
+    * count pass and the rank pass see the SAME sampled boundaries.
+    * Islands spanning a range boundary need no merge pass at all:
+    * global rank makes `key − rn` identical on both sides, and the
+    * groupBy(grp) shuffle reunites them. Emitted rows are identical to
+    * the global-window form (spec-pinned across forced multi-range
+    * layouts). */
   def gapsIslands(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("o_orderkey"))
-    Tables.orders(s, d)
+    val keys = Tables.orders(s, d)
       .filter(col("o_orderstatus") === "O")
       .select(col("o_orderkey"))
-      .withColumn("grp", col("o_orderkey") - row_number().over(w))
+    val parts = math.max(1, s.conf.get("spark.sql.shuffle.partitions").toInt)
+    val ranged = keys.repartitionByRange(parts, col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val nP = ranged.rdd.getNumPartitions
+    var acc = 0L
+    val prefixRows = (0 until nP).map { p =>
+      val row = (p, acc)
+      acc += counts.getOrElse(p, 0L)
+      row
+    }
+    import s.implicits._
+    val prefix = prefixRows.toDF("pid", "rank_before")
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("o_orderkey"))
+    ranged
+      .withColumn("lrn", row_number().over(wLocal))
+      .join(broadcast(prefix), "pid")
+      .withColumn("grp", col("o_orderkey") - (col("rank_before") + col("lrn")))
       .groupBy(col("grp"))
       .agg(min(col("o_orderkey")).as("island_start"),
         max(col("o_orderkey")).as("island_end"),

@@ -74,6 +74,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(r == Seq((1L, 3L, 3L), (5L, 5L, 1L), (7L, 8L, 2L)))
   }
 
+  test("gaps_islands: an island spanning every range partition reunites into one row") {
+    // 60 consecutive keys force the island across all 4 test range
+    // partitions (~15 rows each): the distributed row_number's prefix
+    // stitch must make key − rn identical on every side of every
+    // boundary, or the island fragments at each range edge. Flanked by
+    // a singleton on each end so off-by-one prefix errors shift a
+    // detectable boundary.
+    val keys = Seq(1L) ++ (10L to 69L) ++ Seq(100L)
+    val d = ordersDir(keys.map(k =>
+      (k, 1L, "O", 1.0, "1995-01-01 00:00:00", "x")): _*)
+    val r = Analytics.gapsIslands(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 1L, 1L), (10L, 69L, 60L), (100L, 100L, 1L)))
+  }
+
   test("histogram: bucket edges are left-inclusive and the top bucket caps") {
     val d = ordersDir(
       (1L, 1L, "O", 0.0, "1995-01-01 00:00:00", "x"),       // bucket 0
