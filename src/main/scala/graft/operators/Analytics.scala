@@ -205,31 +205,48 @@ object Analytics {
     * global rank makes `key − rn` identical on both sides, and the
     * groupBy(grp) shuffle reunites them. Emitted rows are identical to
     * the global-window form (spec-pinned across forced multi-range
-    * layouts). */
+    * layouts). SIZE-GATED like [[Scale.skyline]]: below
+    * [[IslandsDistributedMinRows]] (conf
+    * `graft.islands.distributedMinRows`) the classic global window
+    * runs as-is — one task sorting a relation that fits one task is
+    * the cheaper plan (the stitch costs a flat ~0.5 s of shuffle +
+    * driver-fold scaffolding, measured at sf0.1); above it the single
+    * sort is the scale-killer and the stitch takes over. */
   def gapsIslands(s: SparkSession, d: String): DataFrame = {
     val keys = Tables.orders(s, d)
       .filter(col("o_orderstatus") === "O")
       .select(col("o_orderkey"))
-    val parts = math.max(1, s.conf.get("spark.sql.shuffle.partitions").toInt)
-    val ranged = keys.repartitionByRange(parts, col("o_orderkey"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val counts = ranged.groupBy(col("pid")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
-    val nP = ranged.rdd.getNumPartitions
-    var acc = 0L
-    val prefixRows = (0 until nP).map { p =>
-      val row = (p, acc)
-      acc += counts.getOrElse(p, 0L)
-      row
-    }
-    import s.implicits._
-    val prefix = prefixRows.toDF("pid", "rank_before")
-    val wLocal = Window.partitionBy(col("pid")).orderBy(col("o_orderkey"))
-    ranged
-      .withColumn("lrn", row_number().over(wLocal))
-      .join(broadcast(prefix), "pid")
-      .withColumn("grp", col("o_orderkey") - (col("rank_before") + col("lrn")))
+    val limit = s.conf.getOption("graft.islands.distributedMinRows")
+      .map(_.toLong).getOrElse(IslandsDistributedMinRows)
+    val ranked =
+      if (keys.count() < limit) {
+        keys.withColumn("rn",
+          row_number().over(Window.orderBy(col("o_orderkey"))))
+      } else {
+        val parts = math.max(1, s.conf.get("spark.sql.shuffle.partitions").toInt)
+        val ranged = keys.repartitionByRange(parts, col("o_orderkey"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint()
+        val counts = ranged.groupBy(col("pid")).count()
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+        val nP = ranged.rdd.getNumPartitions
+        var acc = 0L
+        val prefixRows = (0 until nP).map { p =>
+          val row = (p, acc)
+          acc += counts.getOrElse(p, 0L)
+          row
+        }
+        import s.implicits._
+        val prefix = prefixRows.toDF("pid", "rank_before")
+        val wLocal = Window.partitionBy(col("pid")).orderBy(col("o_orderkey"))
+        ranged
+          .withColumn("lrn", row_number().over(wLocal))
+          .join(broadcast(prefix), "pid")
+          .select(col("o_orderkey"),
+            (col("rank_before") + col("lrn")).as("rn"))
+      }
+    ranked
+      .withColumn("grp", col("o_orderkey") - col("rn"))
       .groupBy(col("grp"))
       .agg(min(col("o_orderkey")).as("island_start"),
         max(col("o_orderkey")).as("island_end"),
@@ -237,6 +254,15 @@ object Analytics {
       .select(col("island_start"), col("island_end"), col("n_orders"))
       .orderBy("island_start")
   }
+
+  /** Row ceiling under which [[gapsIslands]] keeps the classic global
+    * ordered window: ~1M (key, rank) pairs sort comfortably in one
+    * task, and the distributed stitch's flat scaffolding (range
+    * shuffle + checkpoint + P-scalar driver fold) only pays for itself
+    * once one task can no longer hold the sort. Conf-overridable via
+    * `graft.islands.distributedMinRows` (the spec knob — specs pin
+    * both branches row-identical). */
+  private[graft] val IslandsDistributedMinRows = 1L << 20
 
   /** q_hash_sample — deterministic content-hash sampling: md5 of the key
     * is engine-independent, so `md5(key) starts with hex digit 0` is the

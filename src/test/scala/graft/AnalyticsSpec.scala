@@ -80,13 +80,19 @@ class AnalyticsSpec extends SparkSpec {
     // stitch must make key − rn identical on every side of every
     // boundary, or the island fragments at each range edge. Flanked by
     // a singleton on each end so off-by-one prefix errors shift a
-    // detectable boundary.
+    // detectable boundary. The size gate is forced BOTH ways: the
+    // distributed stitch (conf 0) and the default global window must
+    // emit identical rows.
     val keys = Seq(1L) ++ (10L to 69L) ++ Seq(100L)
     val d = ordersDir(keys.map(k =>
       (k, 1L, "O", 1.0, "1995-01-01 00:00:00", "x")): _*)
-    val r = Analytics.gapsIslands(spark, d).collect()
-      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
-    assert(r == Seq((1L, 1L, 1L), (10L, 69L, 60L), (100L, 100L, 1L)))
+    def run(): Seq[(Long, Long, Long)] = Analytics.gapsIslands(spark, d)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    val want = Seq((1L, 1L, 1L), (10L, 69L, 60L), (100L, 100L, 1L))
+    assert(run() == want) // default: under the gate, global window
+    spark.conf.set("graft.islands.distributedMinRows", "0")
+    try assert(run() == want) // forced distributed stitch
+    finally spark.conf.unset("graft.islands.distributedMinRows")
   }
 
   test("histogram: bucket edges are left-inclusive and the top bucket caps") {
