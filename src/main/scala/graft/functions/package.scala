@@ -33,6 +33,11 @@ package object functions {
   def minhash_sig60(tokens: Column, k: Int): Column =
     toColumn(MinhashSig60(toExpr(tokens), k))
 
+  /** Rolling polynomial fingerprint of a string column
+    * ([[Fingerprint64]]): (h·31 + codepoint) mod 1e9+7. */
+  def fingerprint64(s: Column): Column =
+    toColumn(Fingerprint64(toExpr(s)))
+
   /** 8-bin byte-value histogram of a binary column ([[ByteHistogram]]). */
   def byte_histogram(payload: Column): Column =
     toColumn(ByteHistogram(toExpr(payload)))

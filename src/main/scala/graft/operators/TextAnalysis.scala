@@ -188,10 +188,27 @@ object TextAnalysis {
   }
 
   /** q_doc_fingerprint — polynomial rolling hash over the characters
-    * (h = h*31 + ascii, mod 1e9+7): a deterministic content fingerprint
-    * computable as a sequential fold in both engines. Collision-resistant
-    * enough for bucketing; exact dedup uses md5 (Dedup.scala). */
+    * (h = h*31 + codepoint, mod 1e9+7): a deterministic content
+    * fingerprint computable as a sequential fold in both engines.
+    * Collision-resistant enough for bucketing; exact dedup uses md5
+    * (Dedup.scala). Round 9: the fold is the native
+    * [[graft.functions.Fingerprint64]] expression — the declarative
+    * `aggregate(split(text, ""))` model twin (kept below for the spec)
+    * materialized one single-char string per character and evaluated
+    * an interpreted lambda per element; the ×10 stress flagged it at
+    * per-row ratio 0.91, the interpreted-per-row signature the
+    * MinhashSig60/PqEncode rounds established. The native loop streams
+    * the text's bytes inside whole-stage codegen. */
   def docFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      graft.functions.fingerprint64(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** The declarative model twin of [[docFingerprint]]'s fold — what the
+    * DuckDB oracle replays; the spec pins the native expression
+    * row-identical to it. */
+  private[graft] def docFingerprintModel(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
       aggregate(split(col("text"), ""), lit(0L),

@@ -147,6 +147,34 @@ class OperatorsSpec extends SparkSpec {
     assert(fp.values.forall(v => v >= 0 && v < 1000000007L))
   }
 
+  test("fingerprint: the native expression is row-identical to the declarative fold the oracle replays") {
+    // the docsDir fixture plus the organic corpus: both paths — the
+    // codegen'd Fingerprint64 byte/codepoint loop and the
+    // aggregate(split(text, '')) model twin — must agree on every row,
+    // including the edges the fast path can get wrong: empty text
+    // (split gives [""], ascii 0 → h stays 0), a multi-byte character
+    // (the code-point fallback), and a long ASCII run
+    import spark.implicits._
+    val edge = Seq(
+      (100L, "", "en", "s", 0L),
+      (101L, "café naïve", "fr", "s", 10L),
+      (102L, "a" * 5000, "en", "s", 5000L),
+      (103L, "mixed ascii then ü then more", "de", "s", 29L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dEdge = fixtureDir("documents" -> edge)
+    for (dir <- Seq(dEdge, sf("sf0.001"))) {
+      val native = TextAnalysis.docFingerprint(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val model = TextAnalysis.docFingerprintModel(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(native == model, dir)
+    }
+    // and the empty-text row really is 0 (the [""]-vs-empty-fold edge)
+    val fp = TextAnalysis.docFingerprint(spark, dEdge).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(100L) == 0L)
+  }
+
   test("media pipeline: meta, frame sampling, and the stubbed decode agree on sizes") {
     val meta = Multimodal.mediaMeta(spark, docsDir).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
