@@ -138,9 +138,12 @@ object StreamingIndex {
     * collapse to identical signatures — finding them is the gate's
     * job), so a band_key-PARTITIONED join would funnel each hot key's
     * |corpus dups| × |arriving dups| pair emission through one task
-    * per band: measured 10.4 s bare → 2.6 s at R=32 on an engineered
-    * 90 %-boilerplate corpus (729M pairs, forced SMJ — a 4.0× cliff
-    * against the local ceiling of cores/bands = 8×). BUT the plan the
+    * per band: measured 10.9 s bare → 3.0 s at R=32 on an engineered
+    * 90 %-boilerplate corpus (729M pairs, forced SMJ — a 3.7× cliff
+    * against the local ceiling of cores/bands = 8×; AQE does NOT
+    * remedy this even in batch — its input-byte heuristics are blind
+    * to output explosion and coalescing makes it 3.5× WORSE, see
+    * NEARDUP_SKEW.json and PLANS.md). BUT the plan the
     * gate actually executes above the ceiling is NOT key-partitioned:
     * withholding the corpus hint makes the planner broadcast the tiny
     * PER-BATCH probe side (BuildLeft — verified on the executed
@@ -148,7 +151,7 @@ object StreamingIndex {
     * and pair emission parallelism follows the corpus's STORAGE
     * partitioning — band-key heat never concentrates into one task.
     * On that plan the salt only bloats the broadcast table ×R and
-    * thrashes its lookups (measured 3.5 s bare → 10.3 s at R=32, same
+    * thrashes its lookups (measured 4.1 s bare → 9.4 s at R=32, same
     * corpus). Hence default OFF; the knob exists for the one corner
     * where BOTH sides exceed the broadcast threshold (giant backfill
     * batches) and the join genuinely key-partitions. When enabled, the

@@ -82,7 +82,10 @@ object NeardupSkew {
 
     val plans = Seq(
       ("broadcast", Map.empty[String, String]),
-      ("shuffled_salted", Map("graft.neardup.broadcastMaxDocs" -> "0")),
+      // saltBuckets set EXPLICITLY: the shipped default is 1 (salt
+      // off, the measured decision), so the salted regime must ask
+      ("shuffled_salted", Map("graft.neardup.broadcastMaxDocs" -> "0",
+        "graft.neardup.saltBuckets" -> "32")),
       ("shuffled_bare", Map("graft.neardup.broadcastMaxDocs" -> "0",
         "graft.neardup.saltBuckets" -> "1")))
 
@@ -156,10 +159,30 @@ object NeardupSkew {
         "spark.sql.autoBroadcastJoinThreshold" -> "-1")),
       ("smj_salted", Map("graft.neardup.broadcastMaxDocs" -> "0",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-        "graft.neardup.saltBuckets" -> "32")))
+        "graft.neardup.saltBuckets" -> "32")),
+      // the BATCH dedup family's regime: the same key-partitioned band
+      // self-join shape, but AQE is free to re-plan — its skew-join
+      // splits the hot partition (replicating the other side's chunk,
+      // valid for inner joins), which is exactly the remedy the
+      // STREAMING gate cannot get (stateful queries never re-plan;
+      // that asymmetry is the salt's whole justification)
+      ("aqe_smj_bare", Map("graft.neardup.broadcastMaxDocs" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")),
+      // isolate WHICH adaptive behavior hurts: skew-split keys on
+      // shuffle INPUT bytes (the hot band partitions are ~1 MB in,
+      // 729M pairs out — invisible), while partition COALESCING merges
+      // the small-input partitions and concentrates the hot keys into
+      // fewer tasks
+      ("aqe_nocoalesce_smj_bare", Map("graft.neardup.broadcastMaxDocs" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")))
     def timeJoin(dir: String, confs: Map[String, String]): Option[Double] = {
       val idx = graft.operators.Dedup.md5BandIndex(spark, dir, 16) // cached, pre-built
-      (confs + ("spark.sql.adaptive.enabled" -> "false"))
+      (Map("spark.sql.adaptive.enabled" -> "false") ++ confs)
         .foreach { case (k, v) => spark.conf.set(k, v) }
       try Some((1 to reps).map { _ =>
         val t0 = System.nanoTime()
