@@ -95,6 +95,17 @@ class AnalyticsSpec extends SparkSpec {
     finally spark.conf.unset("graft.islands.distributedMinRows")
   }
 
+  test("gaps_islands: empty input emits zero islands on both branches") {
+    // no open orders at all — the distributed branch's range shuffle,
+    // per-partition counts, and prefix fold must all tolerate the
+    // degenerate relation (an all-F corpus is a legal input)
+    val d = ordersDir((1L, 1L, "F", 1.0, "1995-01-01 00:00:00", "x"))
+    assert(Analytics.gapsIslands(spark, d).collect().isEmpty)
+    spark.conf.set("graft.islands.distributedMinRows", "0")
+    try assert(Analytics.gapsIslands(spark, d).collect().isEmpty)
+    finally spark.conf.unset("graft.islands.distributedMinRows")
+  }
+
   test("histogram: bucket edges are left-inclusive and the top bucket caps") {
     val d = ordersDir(
       (1L, 1L, "O", 0.0, "1995-01-01 00:00:00", "x"),       // bucket 0
@@ -345,5 +356,23 @@ class AnalyticsSpec extends SparkSpec {
     }.map(_._1).toSet
     assert(viaSweep.map(_._1).toSet == want)
     assert(viaSweep.map(_._1).contains(41L) && viaSweep.map(_._1).contains(20L))
+  }
+
+  test("skyline: empty relation emits an empty frontier on both branches") {
+    // a supplier with no lineitems joins to nothing → the candidate
+    // relation is empty; the distributed sweep's group-max, range
+    // shuffle, partition maxima, and prefix fold must all tolerate it
+    val sup = Seq((1L, "s1", 1, 10.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val li = Seq.empty[(Long, Long, Long, Int, Double, Double, Double,
+        Double, String, String, java.sql.Timestamp)]
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val d = fixtureDir("supplier" -> sup, "lineitem" -> li)
+    assert(graft.operators.Scale.skyline(spark, d).collect().isEmpty)
+    spark.conf.set("graft.skyline.broadcastMaxCands", "0")
+    try assert(graft.operators.Scale.skyline(spark, d).collect().isEmpty)
+    finally spark.conf.unset("graft.skyline.broadcastMaxCands")
   }
 }
