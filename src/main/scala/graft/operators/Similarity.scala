@@ -1090,7 +1090,14 @@ object Similarity {
     * term one IEEE division of exact ints, summed in fixed leg order →
     * bit-identical cross-engine; top-5 by (rrf DESC, doc ASC), rounded
     * to the 1e-6 grid only at the output edge. Fully oracled. */
-  def hybridWeighted(s: SparkSession, d: String): DataFrame = {
+  def hybridWeighted(s: SparkSession, d: String): DataFrame =
+    hybridWeightedAt(s, d, RrfK)
+
+  /** [[hybridWeighted]] with the RRF constant as a parameter — the
+    * knob tools/FusionSweep turns to justify the shipped [[RrfK]]
+    * (small k ≈ winner-take-all per leg; large k ≈ consensus across
+    * legs; the curve is in PLANS.md and FUSION_SWEEP.json). */
+  private[graft] def hybridWeightedAt(s: SparkSession, d: String, rrfK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d)
     val n = e.count()
@@ -1147,9 +1154,9 @@ object Similarity {
       .join(wlex, Seq("qid", "doc_id"), "full_outer")
       .join(vec, Seq("qid", "doc_id"), "full_outer")
       .select(col("qid"), col("doc_id"),
-        (coalesce(lit(1.0) / (lit(RrfK) + col("lrank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(RrfK) + col("wrank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(RrfK) + col("vrank")), lit(0.0))).as("rrf"))
+        (coalesce(lit(1.0) / (lit(rrfK) + col("lrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("wrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vrank")), lit(0.0))).as("rrf"))
     val wf = Window.partitionBy(col("qid"))
       .orderBy(col("rrf").desc, col("doc_id").asc)
     fused.withColumn("rk", row_number().over(wf)).filter(col("rk") <= 5)
