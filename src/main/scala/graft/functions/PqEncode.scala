@@ -71,11 +71,13 @@ object PqEncode {
   /** Flatten (sub, code, components) rows into the layout the
     * expression carries: candidates sorted (sub ASC, code ASC) so the
     * in-loop `<` tie-break reproduces (d2 ASC, code ASC) exactly.
-    * Every subspace must hold at least one candidate — an empty range
-    * would make [[evalArray]] emit Long.MaxValue as that subspace's
-    * "code" (garbage, silently); the contiguity require already rejects
-    * a fully absent subspace, and the per-subspace require below
-    * rejects the zero-candidate layout a hand-built caller could pass. */
+    * Every subspace holds at least one candidate BY CONSTRUCTION here:
+    * offsets are counted from the rows themselves, so a subspace with
+    * an entry in `subs` has ≥ 1 row, and a subspace with none already
+    * fails the contiguity require — an empty range (which would make
+    * [[evalArray]] emit Long.MaxValue as that subspace's "code",
+    * silently) cannot reach the expression through this constructor,
+    * the only public path to one. */
   def fromRows(rows: Seq[(Int, Long, Seq[Long])], dsub: Int): (IndexedSeq[Long], IndexedSeq[Int], IndexedSeq[Long]) = {
     require(rows.nonEmpty, "empty codebook")
     val sorted = rows.sortBy(r => (r._1, r._2))
@@ -84,8 +86,6 @@ object PqEncode {
     val offsets = new Array[Int](subs.length + 1)
     sorted.foreach { case (sb, _, _) => offsets(sb + 1) += 1 }
     for (i <- 1 to subs.length) offsets(i) += offsets(i - 1)
-    for (sb <- 0 until subs.length)
-      require(offsets(sb + 1) > offsets(sb), s"subspace $sb has no candidates")
     val ids = sorted.map(_._2).toArray
     val cents = sorted.flatMap { case (_, _, c) =>
       require(c.length == dsub); c

@@ -212,6 +212,19 @@ object StreamingIndex {
       build: => DataFrame): DataFrame =
     pinnedCache.computeIfAbsent((s, d, variant), _ => build.localCheckpoint())
 
+  /** The pinned (vec_id, embedding, cell) serving relation for a cell
+    * assignment — the ONE definition behind the "serve"/"serve_pre"
+    * cache keys shared by [[sIndexSwap]] and [[sSwapInflight]] (two
+    * local copies of the build closure feeding one cache entry would
+    * let an edit to one silently serve the other a value-different
+    * relation). */
+  private def servingCorpus(s: SparkSession, d: String,
+      cells: DataFrame, variant: String): DataFrame =
+    pinnedCorpus(s, d, variant) {
+      Tables.embeddings(s, d).join(cells, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+    }
+
   /** One arriving vector (the embeddings row as a stream event). */
   case class VecEvent(vec_id: Long, embedding: Seq[Float])
 
@@ -459,12 +472,7 @@ object StreamingIndex {
     // cellsA only holds pre-arrival ids, so the v1 candidate relation
     // is the pre-arrival corpus by construction; both versions pin
     // once per (session, corpus) and are SHARED with sSwapInflight
-    def corpusOf(cells: DataFrame, variant: String) =
-      pinnedCorpus(s, d, variant) {
-        e.join(cells, "vec_id")
-          .select(col("vec_id"), col("embedding"), col("cell"))
-      }
-
+    // ([[servingCorpus]] — one definition per cache key)
     def servePhase(version: Int, cen: DataFrame, corpus: DataFrame,
         queries: Seq[VecEvent]): DataFrame = {
       implicit val sqlCtx = s.sqlContext
@@ -486,9 +494,9 @@ object StreamingIndex {
     // land before/after the swap — qid PARITY would not do (the panel
     // grid is stride-spaced, so its ids can share one parity)
     val ordered = panel.toSeq.sortBy(_.vec_id).zipWithIndex
-    val v1 = servePhase(1, cenA, corpusOf(cellsA, "serve_pre"),
+    val v1 = servePhase(1, cenA, servingCorpus(s, d, cellsA, "serve_pre"),
       ordered.filter(_._2 % 2 == 0).map(_._1))
-    val v2 = servePhase(2, cenB, corpusOf(cellsB, "serve"),
+    val v2 = servePhase(2, cenB, servingCorpus(s, d, cellsB, "serve"),
       ordered.filter(_._2 % 2 == 1).map(_._1))
     v1.unionByName(v2).orderBy("version", "qid")
   }
@@ -565,12 +573,6 @@ object StreamingIndex {
       .as[VecEvent].collect()
     val (cenA, cellsA) = Similarity.preArrivalIndex(s, d)
     val (cenB, cellsB) = Similarity.ivfIndex(s, d)
-    // same pinned serving relations as sIndexSwap (shared cache keys)
-    def corpusOf(cells: DataFrame, variant: String) =
-      pinnedCorpus(s, d, variant) {
-        e.join(cells, "vec_id")
-          .select(col("vec_id"), col("embedding"), col("cell"))
-      }
     val ordered = panel.toSeq.sortBy(_.vec_id).zipWithIndex
     val np = ordered.size
     // contiguous rank thirds: t0 served by v1; t1 arrives during the
@@ -609,12 +611,20 @@ object StreamingIndex {
         .createTempDirectory("graft_swap_inflight_v1").toString
       val out2 = java.nio.file.Files
         .createTempDirectory("graft_swap_inflight_v2").toString
-      val q1 = startPhase(cenA, corpusOf(cellsA, "serve_pre"), out1)
-      try feedStaggered(input, t0, q1) finally q1.stop()
+      val q1 = startPhase(cenA, servingCorpus(s, d, cellsA, "serve_pre"), out1)
+      // v1's data-carrying batches enter the serving telemetry too —
+      // the rig_setup/serving split in Bench reads batchDurationsMs,
+      // and without this record the v1 phase's per-batch serving time
+      // would be misclassified as scaffolding (sIndexSwap records both
+      // phases the same way)
+      try {
+        feedStaggered(input, t0, q1)
+        record("s_swap_inflight", q1)
+      } finally q1.stop()
       // the swap window: no serving query is up; these queries sit in
       // the source past v1's last committed offset
       input.addData(t1)
-      val q2 = startPhase(cenB, corpusOf(cellsB, "serve"), out2)
+      val q2 = startPhase(cenB, servingCorpus(s, d, cellsB, "serve"), out2)
       try {
         q2.processAllAvailable() // v2's first batches drain the in-flight block
         feedStaggered(input, t2, q2)

@@ -11,11 +11,16 @@ import org.apache.spark.sql.functions._
   * [[graft.operators.Similarity.hybridWeightedAt]] and reports, per
   * setting, how the fused top-5 balances the three legs:
   *
-  *  - `sem@5`: mean |fused top-5 ∩ EXACT cosine top-5| / 5 — how much
-  *    of the true semantic neighborhood fusion keeps;
-  *  - `lex@5` / `wlex@5` / `vec@5`: mean fraction of the fused top-5
-  *    drawn from each leg's own top-5 (count-overlap, idf-weighted,
-  *    vector) — the composition the k knob actually turns.
+  *  - `sem@5`: per-query |fused ∩ EXACT cosine top-5| / 5, averaged
+  *    over the panel — how much of the true semantic neighborhood
+  *    fusion keeps;
+  *  - `lex@5`: the same per-query mean against the count-leg top-5 —
+  *    the lexical end of the composition the k knob could turn.
+  *
+  * (Two reference sets suffice: the idf-weighted leg tracks the count
+  * leg on this corpus — that correlation is itself the headline
+  * finding below — and the vector leg's presence is exactly what
+  * sem@5 measures.)
   *
   * Small k is winner-take-all per leg (a rank-1 anywhere dominates);
   * large k flattens 1/(k+r) toward leg-count consensus — docs found
@@ -85,15 +90,23 @@ object FusionSweep {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }).toMap
     val base = fusedByK(60)
+    // per-QUERY mean over the panel's qids, /5 per query — a qid whose
+    // full-outer fusion yields fewer than 5 candidates still divides
+    // by 5, so queries weigh equally and k-to-k rows share one
+    // denominator regardless of per-k row counts
+    val qids = exact5.map(_._1)
+    def meanAt5(fused: Set[(Long, Long)], ref: Set[(Long, Long)]): Double =
+      if (qids.isEmpty) 0.0
+      else qids.toSeq.map(q =>
+        fused.count(p => p._1 == q && ref.contains(p)).toDouble / 5.0)
+        .sum / qids.size
     println("| k | sem@5 | lex@5 | vs k=60 | fused rows |")
     println("|---|---|---|---|---|")
     val rows = for (k <- Seq(10, 30, 60, 120, 300)) yield {
       val fused = fusedByK(k)
-      val nQ = fused.map(_._1).size.max(1)
-      val denom = fused.size.toDouble.max(1.0)
-      val sem = fused.count(exact5.contains).toDouble / denom
-      val lex = fused.count(lex5.contains).toDouble / denom
-      val stab = (fused & base).size.toDouble / denom
+      val sem = meanAt5(fused, exact5)
+      val lex = meanAt5(fused, lex5)
+      val stab = (fused & base).size.toDouble / fused.size.toDouble.max(1.0)
       println(f"| $k | $sem%.3f | $lex%.3f | $stab%.3f | ${fused.size} |")
       (k, sem, lex, stab, fused.size)
     }
