@@ -1093,11 +1093,17 @@ object Similarity {
   def hybridWeighted(s: SparkSession, d: String): DataFrame =
     hybridWeightedAt(s, d, RrfK)
 
-  /** [[hybridWeighted]] with the RRF constant as a parameter — the
-    * knob tools/FusionSweep turns to justify the shipped [[RrfK]]
-    * (small k ≈ winner-take-all per leg; large k ≈ consensus across
-    * legs; the curve is in PLANS.md and FUSION_SWEEP.json). */
-  private[graft] def hybridWeightedAt(s: SparkSession, d: String, rrfK: Int): DataFrame = {
+  /** [[hybridWeighted]] with the fusion knobs as parameters — what
+    * tools/FusionSweep turns to justify the shipped defaults. `rrfK`
+    * is the RRF constant (small ≈ winner-take-all per leg; large ≈
+    * leg-count consensus — measured to be a no-op on membership here);
+    * `vecWeight` scales the VECTOR leg's vote (the knob that actually
+    * moves the lexical/semantic balance, because the two correlated
+    * lexical legs double-vote — see PLANS.md / FUSION_SWEEP.json). At
+    * the default 1.0 the term is left unmultiplied, so the declared
+    * query's plan and oracle are byte-identical to round 8's. */
+  private[graft] def hybridWeightedAt(s: SparkSession, d: String, rrfK: Int,
+      vecWeight: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d)
     val n = e.count()
@@ -1154,9 +1160,13 @@ object Similarity {
       .join(wlex, Seq("qid", "doc_id"), "full_outer")
       .join(vec, Seq("qid", "doc_id"), "full_outer")
       .select(col("qid"), col("doc_id"),
-        (coalesce(lit(1.0) / (lit(rrfK) + col("lrank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(rrfK) + col("wrank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(rrfK) + col("vrank")), lit(0.0))).as("rrf"))
+        {
+          val vecTerm = coalesce(lit(1.0) / (lit(rrfK) + col("vrank")), lit(0.0))
+          (coalesce(lit(1.0) / (lit(rrfK) + col("lrank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("wrank")), lit(0.0)) +
+            (if (vecWeight == 1.0) vecTerm else lit(vecWeight) * vecTerm))
+            .as("rrf")
+        })
     val wf = Window.partitionBy(col("qid"))
       .orderBy(col("rrf").desc, col("doc_id").asc)
     fused.withColumn("rk", row_number().over(wf)).filter(col("rk") <= 5)

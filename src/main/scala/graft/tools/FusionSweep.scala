@@ -113,7 +113,27 @@ object FusionSweep {
     val json = rows.map { case (k, s1, l1, st, nr) =>
       f"""{"k":$k,"sem_at5":$s1%.4f,"lex_at5":$l1%.4f,"overlap_vs_k60":$st%.4f,"n_rows":$nr}"""
     }.mkString("[", ",", "]")
-    val line = s"""{"metric":"fusion_sweep","sf":"$sfDir","rows":$json}"""
+
+    // the knob that ACTUALLY moves the balance: the vector leg's vote
+    // weight at fixed k = 60. With the two correlated lexical legs
+    // effectively double-voting, w = 2 is where the vector leg reaches
+    // parity — the curve shows where semantic docs enter the fused set
+    println("| vec weight (k=60) | sem@5 | lex@5 | fused rows |")
+    println("|---|---|---|---|")
+    val wrows = for (w <- Seq(1.0, 1.5, 2.0, 3.0, 4.0, 8.0)) yield {
+      val fused = graft.operators.Similarity
+        .hybridWeightedAt(spark, sfDir, 60, w)
+        .select(col("qid"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sem = meanAt5(fused, exact5)
+      val lex = meanAt5(fused, lex5)
+      println(f"| $w%.1f | $sem%.3f | $lex%.3f | ${fused.size} |")
+      (w, sem, lex, fused.size)
+    }
+    val wjson = wrows.map { case (w, s1, l1, nr) =>
+      f"""{"vec_weight":$w%.1f,"k":60,"sem_at5":$s1%.4f,"lex_at5":$l1%.4f,"n_rows":$nr}"""
+    }.mkString("[", ",", "]")
+    val line = s"""{"metric":"fusion_sweep","sf":"$sfDir","rows":$json,"vec_weight_rows":$wjson}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_FUSION_OUT", "FUSION_SWEEP.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
