@@ -199,6 +199,7 @@ object SparkEntry {
     "q_knn_classify" -> (Similarity.knnClassify _),
     "q_hybrid_search" -> (Similarity.hybridSearch _),
     "q_hybrid_weighted" -> (Similarity.hybridWeighted _),
+    "q_hybrid_parity" -> (Similarity.hybridParity _),
     "q_ann_recall" -> (Similarity.annRecall _),
     "q_range_search" -> (Similarity.rangeSearch _),
     "q_srp_recall" -> (Similarity.srpRecall _),
@@ -292,6 +293,81 @@ object SparkEntry {
       |  FROM pairs
       |  WHERE placed_ts IS NOT NULL AND fulfilled_ts IS NOT NULL)
       |""".stripMargin
+
+  /** Twin oracle for q_hybrid_weighted (vecVote = 1, the literature
+    * default) and q_hybrid_parity (vecVote = 2, the measured parity
+    * point from FUSION_SWEEP.json): one CTE chain, one constant
+    * scaling the vector leg's RRF vote — so the twins cannot drift
+    * from each other, the q_ann_filtered nprobe-twin discipline.
+    * Integer·double in DuckDB matches Spark's lit(2.0)·term exactly
+    * (power-of-two scaling of the same IEEE division). */
+  private def hybridWeightedOracleSql(vecVote: Int): String = {
+    val vecTerm =
+      if (vecVote == 1) "coalesce(CAST(1 AS DOUBLE) / (60 + v.vrank), 0)"
+      else s"$vecVote * coalesce(CAST(1 AS DOUBLE) / (60 + v.vrank), 0)"
+    s"WITH $ivfIndexCte,\n" +
+      s"""panel AS (SELECT vec_id AS qid, v AS qv FROM e
+        |          WHERE $panelWhereSql),
+        |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |         FROM documents),
+        |qt AS (SELECT p.qid, t.tok FROM toks t JOIN panel p ON t.doc_id = p.qid),
+        |lexc AS (SELECT qt.qid, t.doc_id, CAST(count(*) AS BIGINT) AS overlap
+        |         FROM toks t JOIN qt ON t.tok = qt.tok
+        |         WHERE t.doc_id <> qt.qid GROUP BY 1, 2),
+        |lex AS (SELECT qid, doc_id, lrank FROM (
+        |          SELECT qid, doc_id,
+        |                 row_number() OVER (PARTITION BY qid
+        |                   ORDER BY overlap DESC, doc_id ASC) AS lrank
+        |          FROM lexc) WHERE lrank <= 10),
+        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |qti AS (SELECT qt.qid, qt.tok,
+        |               CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.5)
+        |                 AS BIGINT) AS idf_fp
+        |        FROM qt JOIN dft ON qt.tok = dft.tok CROSS JOIN nd),
+        |wc AS (SELECT qti.qid, t.doc_id, CAST(sum(idf_fp) AS BIGINT) AS w_fp
+        |       FROM toks t JOIN qti ON t.tok = qti.tok
+        |       WHERE t.doc_id <> qti.qid GROUP BY 1, 2),
+        |wx AS (SELECT qid, doc_id, wrank FROM (
+        |         SELECT qid, doc_id,
+        |                row_number() OVER (PARTITION BY qid
+        |                  ORDER BY w_fp DESC, doc_id ASC) AS wrank
+        |         FROM wc) WHERE wrank <= 10),
+        |probed AS (SELECT qid, cell FROM (
+        |             SELECT p.qid, centroid_id AS cell,
+        |                    row_number() OVER (PARTITION BY p.qid
+        |                      ORDER BY ${cosSql("qv", "cv")} DESC,
+        |                        centroid_id ASC) AS rn
+        |             FROM panel p, cen) WHERE rn <= 2),
+        |vecc AS (SELECT pr.qid, e.vec_id AS doc_id, ${cosSql("v", "qv")} AS cos
+        |         FROM e JOIN cells ON e.vec_id = cells.vec_id
+        |              JOIN probed pr ON cells.cell = pr.cell
+        |              JOIN panel p ON p.qid = pr.qid
+        |         WHERE e.vec_id <> pr.qid),
+        |vec AS (SELECT qid, doc_id, vrank FROM (
+        |          SELECT qid, doc_id,
+        |                 row_number() OVER (PARTITION BY qid
+        |                   ORDER BY cos DESC, doc_id ASC) AS vrank
+        |          FROM vecc) WHERE vrank <= 10),
+        |lw AS (SELECT coalesce(l.qid, w.qid) AS qid,
+        |              coalesce(l.doc_id, w.doc_id) AS doc_id,
+        |              l.lrank AS lrank, w.wrank AS wrank
+        |       FROM lex l FULL OUTER JOIN wx w
+        |         ON l.qid = w.qid AND l.doc_id = w.doc_id),
+        |fused AS (SELECT coalesce(x.qid, v.qid) AS qid,
+        |                 coalesce(x.doc_id, v.doc_id) AS doc_id,
+        |                 coalesce(CAST(1 AS DOUBLE) / (60 + x.lrank), 0)
+        |                   + coalesce(CAST(1 AS DOUBLE) / (60 + x.wrank), 0)
+        |                   + $vecTerm AS rrf
+        |          FROM lw x FULL OUTER JOIN vec v
+        |            ON x.qid = v.qid AND x.doc_id = v.doc_id),
+        |r AS (SELECT qid, doc_id, rrf,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY rrf DESC, doc_id ASC) AS rk
+        |      FROM fused)
+        |SELECT qid, doc_id, round(rrf, 6) AS rrf, CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+  }
 
   /** Rounded cosine on the 1e-6 grid — the IVF family's comparison
     * currency (drift-proof across engines). */
@@ -2856,69 +2932,8 @@ object SparkEntry {
         |      FROM fused)
         |SELECT qid, doc_id, round(rrf, 6) AS rrf, CAST(rk AS INTEGER) AS rk
         |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin),
-    "q_hybrid_weighted" ->
-      (s"WITH $ivfIndexCte,\n" +
-      s"""panel AS (SELECT vec_id AS qid, v AS qv FROM e
-        |          WHERE $panelWhereSql),
-        |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-        |         FROM documents),
-        |qt AS (SELECT p.qid, t.tok FROM toks t JOIN panel p ON t.doc_id = p.qid),
-        |lexc AS (SELECT qt.qid, t.doc_id, CAST(count(*) AS BIGINT) AS overlap
-        |         FROM toks t JOIN qt ON t.tok = qt.tok
-        |         WHERE t.doc_id <> qt.qid GROUP BY 1, 2),
-        |lex AS (SELECT qid, doc_id, lrank FROM (
-        |          SELECT qid, doc_id,
-        |                 row_number() OVER (PARTITION BY qid
-        |                   ORDER BY overlap DESC, doc_id ASC) AS lrank
-        |          FROM lexc) WHERE lrank <= 10),
-        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY 1),
-        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-        |qti AS (SELECT qt.qid, qt.tok,
-        |               CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.5)
-        |                 AS BIGINT) AS idf_fp
-        |        FROM qt JOIN dft ON qt.tok = dft.tok CROSS JOIN nd),
-        |wc AS (SELECT qti.qid, t.doc_id, CAST(sum(idf_fp) AS BIGINT) AS w_fp
-        |       FROM toks t JOIN qti ON t.tok = qti.tok
-        |       WHERE t.doc_id <> qti.qid GROUP BY 1, 2),
-        |wx AS (SELECT qid, doc_id, wrank FROM (
-        |         SELECT qid, doc_id,
-        |                row_number() OVER (PARTITION BY qid
-        |                  ORDER BY w_fp DESC, doc_id ASC) AS wrank
-        |         FROM wc) WHERE wrank <= 10),
-        |probed AS (SELECT qid, cell FROM (
-        |             SELECT p.qid, centroid_id AS cell,
-        |                    row_number() OVER (PARTITION BY p.qid
-        |                      ORDER BY ${cosSql("qv", "cv")} DESC,
-        |                        centroid_id ASC) AS rn
-        |             FROM panel p, cen) WHERE rn <= 2),
-        |vecc AS (SELECT pr.qid, e.vec_id AS doc_id, ${cosSql("v", "qv")} AS cos
-        |         FROM e JOIN cells ON e.vec_id = cells.vec_id
-        |              JOIN probed pr ON cells.cell = pr.cell
-        |              JOIN panel p ON p.qid = pr.qid
-        |         WHERE e.vec_id <> pr.qid),
-        |vec AS (SELECT qid, doc_id, vrank FROM (
-        |          SELECT qid, doc_id,
-        |                 row_number() OVER (PARTITION BY qid
-        |                   ORDER BY cos DESC, doc_id ASC) AS vrank
-        |          FROM vecc) WHERE vrank <= 10),
-        |lw AS (SELECT coalesce(l.qid, w.qid) AS qid,
-        |              coalesce(l.doc_id, w.doc_id) AS doc_id,
-        |              l.lrank AS lrank, w.wrank AS wrank
-        |       FROM lex l FULL OUTER JOIN wx w
-        |         ON l.qid = w.qid AND l.doc_id = w.doc_id),
-        |fused AS (SELECT coalesce(x.qid, v.qid) AS qid,
-        |                 coalesce(x.doc_id, v.doc_id) AS doc_id,
-        |                 coalesce(CAST(1 AS DOUBLE) / (60 + x.lrank), 0)
-        |                   + coalesce(CAST(1 AS DOUBLE) / (60 + x.wrank), 0)
-        |                   + coalesce(CAST(1 AS DOUBLE) / (60 + v.vrank), 0) AS rrf
-        |          FROM lw x FULL OUTER JOIN vec v
-        |            ON x.qid = v.qid AND x.doc_id = v.doc_id),
-        |r AS (SELECT qid, doc_id, rrf,
-        |             row_number() OVER (PARTITION BY qid
-        |               ORDER BY rrf DESC, doc_id ASC) AS rk
-        |      FROM fused)
-        |SELECT qid, doc_id, round(rrf, 6) AS rrf, CAST(rk AS INTEGER) AS rk
-        |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin),
+    "q_hybrid_weighted" -> hybridWeightedOracleSql(vecVote = 1),
+    "q_hybrid_parity" -> hybridWeightedOracleSql(vecVote = 2),
     "q_crossmodal_join" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,

@@ -1175,6 +1175,35 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** Vector-leg vote weight for [[hybridParity]]: the MEASURED parity
+    * operating point from the round-9 fusion sweep (FUSION_SWEEP.json
+    * `vec_weight_rows`; curve recorded in PLANS.md "RRF
+    * fusion-balance"). The two correlated lexical legs double-vote, so
+    * w = 2 is exactly vote parity — the boundary where semantic
+    * neighbors first enter the fused top-5 (sem@5 0 → 0.21 at sf0.1)
+    * without handing the set to the vector leg (lex@5 stays 0.59;
+    * w ≥ 3 collapses it to 0.02). */
+  private[graft] val ParityVecWeight = 2.0
+
+  /** q_hybrid_parity — [[hybridWeighted]] at the measured PARITY
+    * operating point: identical three-leg plan, vector-leg RRF vote
+    * scaled by [[ParityVecWeight]] = 2. Shipped as a declared twin of
+    * q_hybrid_weighted (the q_ann_filtered nprobe-2-vs-4 precedent —
+    * twin rows pricing a trade) because the repo's own sweep proves
+    * the w = 1 literature default has a DEAD vector leg on this
+    * corpus: the correlated count + idf legs hold two votes each, so
+    * exact-cosine members never reach the fused top-5 (sem@5 = 0 at
+    * every k ∈ [10, 300]). At w = 2 the vector leg reaches vote
+    * parity and the fused set mixes both modalities — the operating
+    * point a RAG deployment actually wants from a "hybrid" query.
+    * Determinism: 2·(1/(k+r)) is an exact power-of-two scaling of the
+    * same IEEE division, summed in the same fixed leg order, so the
+    * oracle replays bit-identically; rounding stays at the output
+    * edge only. Fully oracled (twin CTE with the one-constant vote
+    * change); mixed-membership pinned by spec on a crafted corpus. */
+  def hybridParity(s: SparkSession, d: String): DataFrame =
+    hybridWeightedAt(s, d, RrfK, vecWeight = ParityVecWeight)
+
   /** Vote depth for [[knnClassify]] — the conventional k = 10. */
   private[graft] val ClassifyK = 10
 

@@ -675,6 +675,58 @@ class OperatorsSpec extends SparkSpec {
       (17L, 22L, rrf(4, 5), 5)))
   }
 
+  test("hybridParity: w=2 admits the exact-cosine nearest that w=1's double-voting lexical pair excludes") {
+    // 30 ids, one trained cell (seed {0}), panel = {17}. The crafted
+    // dead-leg corpus: pack docs 20–27 share both query tokens (equal
+    // idf → count and idf legs rank them IDENTICALLY, docs ASC → each
+    // holds TWO lexical votes at ranks l_i = w_i = i); doc 5 is the
+    // EXACT cosine nearest (vrank 1) but token-disjoint — one vector
+    // vote only. Orthogonal fillers 0,1,2,3,4,6,7,8,9 take the cos-0
+    // vranks 2–10 (doc ASC), so the pack holds no vector votes.
+    //   w=1 (q_hybrid_weighted): every pack doc scores 2/(60+i) ≥
+    //   2/68 > doc 5's single 1/61 → fused top-5 = pack 20–24; the
+    //   true semantic nearest NEVER surfaces (FUSION_SWEEP's sem@5=0).
+    //   w=2 (q_hybrid_parity): one vector vote now equals two lexical
+    //   votes — 2·(1/(60+v)) interleaves exactly with 2/(60+i), ties
+    //   break doc ASC: 5 (2/61, ties pack 20) enters at rk 1, fillers
+    //   0 (2/62, ties 21) and 1 (2/63, ties 22) follow. Both runs on
+    //   ONE fixture so the spec pins the transition, not two corpora.
+    val texts: Seq[(Long, String)] = (0L until 30L).map {
+      case 17L => 17L -> "c1 c2"
+      case i if i >= 20L && i <= 27L => i -> s"c1 c2 pad$i"
+      case i   => i -> s"u${i}a u${i}b u${i}c"
+    }
+    val vecs: Seq[(Long, Seq[Float])] = (0L until 30L).map {
+      case 17L => 17L -> Seq(1f, 0f, 0f, 0f)
+      case 5L  => 5L -> Seq(0.99f, 0.1f, 0f, 0f)
+      case i   => i -> Seq(0f, 1f, 0f, 0f)
+    }
+    val dir = fixtureDir(
+      "documents" -> texts.map { case (id, t) =>
+        (id, t, "en", "src0", t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> vecs.map { case (id, v) => (id, v, 0) }
+        .toDF("vec_id", "embedding", "label"))
+    def r6(raw: Double): Double =
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w1 = operators.Similarity.hybridWeighted(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(w1 == Seq(
+      (17L, 20L, r6(2.0 / 61), 1),
+      (17L, 21L, r6(2.0 / 62), 2),
+      (17L, 22L, r6(2.0 / 63), 3),
+      (17L, 23L, r6(2.0 / 64), 4),
+      (17L, 24L, r6(2.0 / 65), 5)))
+    val w2 = operators.Similarity.hybridParity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(w2 == Seq(
+      (17L, 5L, r6(2.0 / 61), 1),
+      (17L, 20L, r6(2.0 / 61), 2),
+      (17L, 0L, r6(2.0 / 62), 3),
+      (17L, 21L, r6(2.0 / 62), 4),
+      (17L, 1L, r6(2.0 / 63), 5)))
+  }
+
   test("knnClassify: majority vote, label-ASC tie-break, and lone-cell exclusion") {
     // One 11-member cell (seed 0) + one lone-vector cell (seed 50):
     // ids 1–5 carry label 2, ids 6–10 label 4, the hub (id 0, label 2)

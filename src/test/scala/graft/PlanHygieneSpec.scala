@@ -403,6 +403,14 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_hybrid_parity: the parity vote changes fusion arithmetic only — same join shapes as w=1") {
+    val p = plan("q_hybrid_parity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin [tok#") || p.contains("SortMergeJoin [tok#"), p)
+    assert(p.contains("SortMergeJoin [cell#") || p.contains("BroadcastHashJoin [cell#"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("IVF family: nlist is size-independent — stride pins the broadcast side") {
     // the 100 TB contract: assignment is O(n·nlist) under an O(nlist)
     // broadcast, so nlist = ⌈n/stride⌉ must NOT grow with the corpus
