@@ -172,6 +172,7 @@ object SparkEntry {
     "q_pmi_phrases" -> (Corpus.pmiPhrases _),
     "q_token_entropy" -> (Corpus.tokenEntropy _),
     "q_block_dedup" -> (Corpus.blockDedup _),
+    "q_substring_dedup" -> (Corpus.substringDedup _),
     "q_bpe_merges" -> (Corpus.bpeMerges _),
     "q_vocab_coverage" -> (Corpus.vocabCoverage _),
     "q_quality_logit" -> (TextAnalysis.qualityLogit _),
@@ -1993,6 +1994,50 @@ object SparkEntry {
         |                      FILTER (WHERE bdf = 1 OR b.doc_id = first_doc), '')) AS clean_md5
         |FROM b JOIN own USING (btext)
         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+    "q_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |             array_to_string(ts[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+        |      FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) - 6)]) AS i
+        |            FROM toks WHERE len(ts) >= 8)),
+        |gh AS (SELECT doc_id, pos, gtext,
+        |              list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                [CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1
+        |                 FOR c IN regexp_extract_all(substring(md5(gtext), 1, 15), '.')]),
+        |                (acc, x) -> acc * 16 + x) AS h
+        |       FROM g),
+        |hot AS (SELECT h FROM gh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |cand AS (SELECT gh.doc_id, gh.pos, gh.gtext FROM gh JOIN hot USING (h)),
+        |dup AS (SELECT gtext, min(doc_id) AS first_doc FROM cand
+        |        GROUP BY gtext HAVING count(DISTINCT doc_id) >= 2),
+        |drp AS (SELECT c.doc_id, c.pos FROM cand c JOIN dup d USING (gtext)
+        |        WHERE c.doc_id <> d.first_doc),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS tpos FROM drp, range(0, 8) r(j)),
+        |sp AS (SELECT doc_id,
+        |              CAST(sum(CASE WHEN prev IS NULL OR tpos - prev > 1
+        |                            THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        |              CAST(count(*) AS BIGINT) AS n_dropped_tokens
+        |       FROM (SELECT doc_id, tpos,
+        |                    lag(tpos) OVER (PARTITION BY doc_id ORDER BY tpos) AS prev
+        |             FROM cov)
+        |       GROUP BY doc_id),
+        |ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
+        |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM drp GROUP BY doc_id),
+        |tok AS (SELECT doc_id, i - 1 AS tpos, ts[CAST(i AS BIGINT)] AS tok
+        |        FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) + 1)]) AS i
+        |              FROM toks)),
+        |kept AS (SELECT t.doc_id, md5(string_agg(t.tok, ' ' ORDER BY t.tpos)) AS clean_md5
+        |         FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+        |         WHERE c.tpos IS NULL GROUP BY t.doc_id)
+        |SELECT d.doc_id AS doc_id,
+        |       coalesce(ng.n_grams, 0) AS n_grams,
+        |       coalesce(nd.n_dup, 0) AS n_dup,
+        |       coalesce(sp.n_spans, 0) AS n_spans,
+        |       coalesce(sp.n_dropped_tokens, 0) AS n_dropped_tokens,
+        |       coalesce(k.clean_md5, md5('')) AS clean_md5
+        |FROM documents d LEFT JOIN ng USING (doc_id) LEFT JOIN nd USING (doc_id)
+        |     LEFT JOIN sp USING (doc_id) LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_semdedup" ->
       (s"WITH $ivfIndexCte,\n" +
       """m AS (SELECT e.vec_id, cell, v FROM e JOIN cells USING (vec_id)),

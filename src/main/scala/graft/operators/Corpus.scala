@@ -700,4 +700,93 @@ object Corpus {
           x => x.getField("btext")), " ")).as("clean_md5"))
       .orderBy("doc_id")
   }
+
+  /** Window width (tokens) for [[substringDedup]] — half [[BlockW]],
+    * so spans the aligned block pass misses are caught at any offset. */
+  private val SubstrL = 8
+
+  /** q_substring_dedup — exact substring-level dedup, the tier
+    * production LLM pipelines run between aligned-block dedup and the
+    * near-dup sketches (Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better"; RefinedWeb's exact-substring
+    * pass). Their suffix-array formulation is single-machine by
+    * construction; the distributed equivalence this operator uses is
+    * that every cross-document duplicated span of ≥ [[SubstrL]]
+    * tokens contains a duplicated stride-1 [[SubstrL]]-gram, so
+    * gram-level ownership removes exactly the spans the suffix array
+    * would (at [[SubstrL]] granularity) with NOTHING pairwise: a
+    * token position is dropped iff some cross-doc-duplicated gram
+    * covering it is NOT owned by this document (ownership =
+    * lowest doc_id, the [[blockDedup]] contract — the owning doc
+    * keeps all its occurrences). Two-tier candidate shape for 100 TB:
+    * the corpus-wide shuffle carries only (doc, pos, 60-bit
+    * [[graft.functions.Md5Hash60]]) — grams whose HASH spans ≥ 2 docs
+    * (rare) are then verified on exact TEXT before any ownership
+    * decision, so hash collisions cannot fake a duplicate and the
+    * wide gram strings shuffle only inside the tiny candidate tier.
+    * Everything downstream (coverage, maximal-span merge, cleaned
+    * text) is doc-keyed. Per doc: gram/drop counts, merged maximal
+    * dropped spans, dropped-token count, and the md5 of the kept
+    * (original-order) text — the value-level oracle discipline of
+    * q_block_dedup. Boundary semantics (within-doc repeats kept in
+    * the owner, overlapping drops merging into one span, all-dropped
+    * docs hashing the empty string) pinned by CorpusSpec. */
+  def substringDedup(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val grams = toks.filter(size(col("tk")) >= SubstrL)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(tk) - ${SubstrL - 1}), " +
+            s"i -> array_join(slice(tk, i, $SubstrL), ' '))"))
+          .as(Seq("pos", "gtext")))
+      .withColumn("h", graft.functions.md5hash60(col("gtext")))
+    // tier 1: hash postings — the only corpus-wide shuffle is 8-byte keyed
+    val hot = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("hdf"))
+      .filter(col("hdf") >= 2).select(col("h"))
+    val cand = grams.join(hot, Seq("h"))
+    // tier 2: exact-text verify within the candidate tier only
+    val dup = cand.groupBy(col("gtext"))
+      .agg(countDistinct(col("doc_id")).as("gdf"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("gdf") >= 2)
+    val dropped = cand.join(dup, Seq("gtext"))
+      .filter(col("doc_id") =!= col("first_doc"))
+      .select(col("doc_id"), col("pos"))
+    val cov = dropped.select(col("doc_id"),
+      explode(sequence(col("pos"), col("pos") + SubstrL - 1)).as("tpos"))
+      .distinct()
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("tpos"))
+    val spans = cov.withColumn("prev", lag(col("tpos"), 1).over(wd))
+      .select(col("doc_id"),
+        when(col("prev").isNull || col("tpos") - col("prev") > 1, 1)
+          .otherwise(0).as("st"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("st")).as("n_spans"),
+        count(lit(1)).as("n_dropped_tokens"))
+    val nDup = dropped.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup"))
+    val nGrams = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("tpos", "tok")))
+      .join(cov, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(md5(array_join(transform(array_sort(collect_list(
+        struct(col("tpos"), col("tok")))),
+        x => x.getField("tok")), " ")).as("clean_md5"))
+    toks.select(col("doc_id"))
+      .join(nGrams, Seq("doc_id"), "left")
+      .join(nDup, Seq("doc_id"), "left")
+      .join(spans, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dropped_tokens"), lit(0L)).as("n_dropped_tokens"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
 }

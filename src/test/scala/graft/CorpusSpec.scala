@@ -348,4 +348,38 @@ class CorpusSpec extends SparkSpec {
     assert(r(5L) == ((2L, 0L, md5hex(s"$u $u"))))
     assert(r(7L) == ((2L, 2L, md5hex(""))))
   }
+
+  test("substring_dedup: any-offset drops, owner keeps repeats, overlaps merge, two spans, short doc") {
+    // Shared runs: S = 10 tokens (3 stride-1 8-grams), T = 8 tokens
+    // (1 gram). Doc 0 owns S (lowest id; holds it TWICE — both kept),
+    // doc 4 owns T. Doc 1 carries S at offset 1 — the unaligned case
+    // block dedup provably misses — its 3 S-grams drop and their
+    // overlapping covers MERGE into one 10-token span. Doc 2 is
+    // exactly S → everything drops → clean_md5 = md5(''). Doc 3 is
+    // shorter than the gram width → no grams, untouched. Doc 5 holds
+    // S and T separated by one unique token → two DISTINCT maximal
+    // spans (the island merge must not bridge the gap).
+    val sRun = (1 to 10).map(i => s"s$i").mkString(" ")
+    val tRun = (1 to 8).map(i => s"t$i").mkString(" ")
+    def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val t0 = s"$sRun u01 $sRun"
+    val t4 = s"$tRun z1 z2"
+    val d = docsDir(
+      (0L, t0, "en", "s", 1L),
+      (1L, s"v01 $sRun v02 v03", "en", "s", 1L),
+      (2L, sRun, "en", "s", 1L),
+      (3L, "w1 w2 w3", "en", "s", 1L),
+      (4L, t4, "en", "s", 1L),
+      (5L, s"$sRun y1 $tRun", "en", "s", 1L))
+    val r = Corpus.substringDedup(spark, d).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getString(5)))).toMap
+    assert(r(0L) == ((14L, 0L, 0L, 0L, md5hex(t0))))
+    assert(r(1L) == ((6L, 3L, 1L, 10L, md5hex("v01 v02 v03"))))
+    assert(r(2L) == ((3L, 3L, 1L, 10L, md5hex(""))))
+    assert(r(3L) == ((0L, 0L, 0L, 0L, md5hex("w1 w2 w3"))))
+    assert(r(4L) == ((3L, 0L, 0L, 0L, md5hex(t4))))
+    assert(r(5L) == ((12L, 4L, 2L, 18L, md5hex("y1"))))
+  }
 }
