@@ -174,7 +174,9 @@ object SparkEntry {
     "q_block_dedup" -> (Corpus.blockDedup _),
     "q_substring_dedup" -> (Corpus.substringDedup _),
     "q_bpe_merges" -> (Corpus.bpeMerges _),
+    "q_bpe_apply" -> (Corpus.bpeApply _),
     "q_vocab_coverage" -> (Corpus.vocabCoverage _),
+    "q_vocab_coverage_bpe" -> (Corpus.vocabCoverageBpe _),
     "q_quality_logit" -> (TextAnalysis.qualityLogit _),
     // deduplication
     "q_dedup_exact" -> (Dedup.exact _),
@@ -368,6 +370,39 @@ object SparkEntry {
         |      FROM fused)
         |SELECT qid, doc_id, round(rrf, 6) AS rrf, CAST(rk AS INTEGER) AS rk
         |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+  }
+
+  /** The BPE induction+application CTE chain shared by q_bpe_apply and
+    * q_vocab_coverage_bpe (mirrors Corpus.bpeChain: the same
+    * freq-weighted rule learning as the q_bpe_merges oracle, carrying
+    * each distinct word through the folds so v3(w, syms) is the
+    * word→BPE-tokens map). One definition so the two consumers cannot
+    * drift from each other or from the induction oracle. */
+  private val bpeChainCte: String = {
+    def mergeRound(i: Int): String = {
+      val prev = s"v${i - 1}"
+      s"""p$i AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |         SELECT freq,
+        |                unnest([syms[j] FOR j IN range(1, len(syms))]) AS l,
+        |                unnest([syms[j + 1] FOR j IN range(1, len(syms))]) AS r
+        |         FROM $prev WHERE len(syms) >= 2)
+        |       GROUP BY l, r),
+        |b$i AS (SELECT l, r FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |v$i AS (SELECT w, freq,
+        |              CASE WHEN b.l IS NULL THEN syms ELSE
+        |                list_reduce(list_prepend(CAST([] AS VARCHAR[]), [[s] FOR s IN syms]),
+        |                  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
+        |                              THEN acc[1:len(acc) - 1] || [acc[-1] || x[1]]
+        |                              ELSE acc || x END)
+        |              END AS syms
+        |       FROM $prev LEFT JOIN b$i b ON true)""".stripMargin
+    }
+    s"""v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
+      |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |       GROUP BY w),
+      |${mergeRound(1)},
+      |${mergeRound(2)},
+      |${mergeRound(3)}""".stripMargin
   }
 
   /** Rounded cosine on the 1e-6 grid — the IVF family's comparison
@@ -1919,6 +1954,30 @@ object SparkEntry {
         |       round(1.0 / (1.0 + exp(-CAST(z_fp AS DOUBLE) / (n_tokens * 1e7))), 6) AS p_keep,
         |       z_fp >= 0 AS keep
         |FROM g ORDER BY doc_id""".stripMargin,
+    "q_bpe_apply" ->
+      (s"WITH $bpeChainCte,\n" +
+      """wd AS (SELECT doc_id, i - 1 AS wpos, ws[CAST(i AS BIGINT)] AS w
+        |       FROM (SELECT doc_id, ws, unnest([i FOR i IN range(1, len(ws) + 1)]) AS i
+        |             FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+        |j AS (SELECT wd.doc_id, wd.wpos, v3.syms FROM wd JOIN v3 USING (w))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens,
+        |       md5(array_to_string(flatten(list(syms ORDER BY wpos)), ' ')) AS bpe_md5
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "q_vocab_coverage_bpe" ->
+      (s"WITH $bpeChainCte,\n" +
+      """bt AS (SELECT x.lang, unnest(v3.syms) AS t
+        |       FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) x
+        |       JOIN v3 USING (w)),
+        |voc AS (SELECT t, 1 AS iv FROM (
+        |          SELECT t, count(*) AS c FROM bt GROUP BY t
+        |          ORDER BY c DESC, t ASC LIMIT 32))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) FILTER (WHERE voc.iv IS NULL) AS BIGINT) AS n_oov,
+        |       round(CAST(count(*) FILTER (WHERE voc.iv IS NULL) AS DOUBLE)
+        |             / count(*), 6) AS oov_rate
+        |FROM bt LEFT JOIN voc ON bt.t = voc.t
+        |GROUP BY lang ORDER BY lang""".stripMargin),
     "q_vocab_coverage" ->
       """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
         |v AS (SELECT w, 1 AS iv FROM (

@@ -597,11 +597,24 @@ object Corpus {
     * passes the vocabulary through unchanged (pinned by spec).
     * Output: (round, left, right, pair_count) — the merge table a
     * tokenizer trainer would persist. */
-  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeChain(s, d)._1.reduce(_.unionAll(_)).orderBy("round")
+
+  /** The one BPE induction+application chain behind [[bpeMerges]],
+    * [[bpeApply]], and [[vocabCoverageBpe]]: learns [[BpeRounds]]
+    * merge rules from the word-frequency table AND carries each
+    * distinct word through the same value-greedy folds, so the final
+    * vocabulary relation (w, freq, syms) IS the word→BPE-tokens map —
+    * the rules and their application cannot drift apart, and applying
+    * the tokenizer to the corpus is a vocab-sized chain plus one
+    * word-keyed join back onto the token stream (never a per-token
+    * re-fold: at 100 TB the corpus has ~10⁹ distinct words but ~10¹³
+    * token occurrences — the fold must run on the former). */
+  private def bpeChain(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
     val vocab0 = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"), expr("split(w, '')").as("syms"))
+      .select(col("w"), col("freq"), expr("split(w, '')").as("syms"))
     // value-greedy merge: walk the symbols, joining (l, r) whenever the
     // accumulated tail equals l and the next symbol equals r
     val applyMerge = expr(
@@ -609,7 +622,7 @@ object Corpus {
         "if(size(acc) > 0 and element_at(acc, -1) = l and x = r, " +
         "concat(slice(acc, 1, size(acc) - 1), array(concat(l, r))), " +
         "concat(acc, array(x))))")
-    val (rules, _) = (1 to BpeRounds).foldLeft(
+    (1 to BpeRounds).foldLeft(
       (Seq.empty[DataFrame], vocab0)) { case ((acc, vocab), round) =>
       val pairs = vocab.filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(expr(
@@ -622,12 +635,65 @@ object Corpus {
       // LEFT join on true: an empty best (no pairs remain) must pass
       // the vocabulary through, not annihilate it
       val merged = vocab.join(broadcast(best), lit(true), "left")
-        .select(col("freq"),
+        .select(col("w"), col("freq"),
           when(col("l").isNull, col("syms")).otherwise(applyMerge).as("syms"))
       (acc :+ best.select(lit(round).as("round"), col("l").as("lhs"),
         col("r").as("rhs"), col("cnt").as("pair_count")), merged)
     }
-    rules.reduce(_.unionAll(_)).orderBy("round")
+  }
+
+  /** q_bpe_apply — the middle step of the tokenizer loop ([[bpeMerges]]
+    * induces, this APPLIES, [[vocabCoverageBpe]] evals): tokenize the
+    * whole corpus with the learned merge table and report, per
+    * document, the word count, the BPE token count, and the md5 of the
+    * full BPE token sequence in document order — so the oracle pins
+    * the actual TOKENS every downstream consumer would train on, not
+    * just their count. Shape: the [[bpeChain]] fold runs once per
+    * DISTINCT word (vocabulary-sized, the only correct cost class —
+    * token occurrences outnumber distinct words by ~10⁴ at corpus
+    * scale), then one word-keyed equi-join onto the positional token
+    * stream and one doc-keyed agg. Merge-rule ORDER is load-bearing
+    * (rule 2 can consume rule 1's output symbol); pinned by
+    * CorpusSpec on a crafted doc where swapping rounds changes the
+    * tokenization. */
+  def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val wmap = bpeChain(s, d)._2.select(col("w"), col("syms"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wpos", "w")))
+      .join(wmap, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).as("n_bpe_tokens"),
+        md5(array_join(flatten(transform(array_sort(collect_list(
+          struct(col("wpos"), col("syms")))),
+          x => x.getField("syms"))), " ")).as("bpe_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** q_vocab_coverage_bpe — [[vocabCoverage]] re-run on BPE tokens:
+    * the top-[[VocabK]] vocabulary is built over the [[bpeChain]]
+    * tokenization instead of whitespace words, and each language's
+    * token-weighted OOV rate is reported against it — the eval that
+    * shows WHY a subword tokenizer exists (merged high-frequency
+    * units enter the vocab; rare whole words stop being OOV because
+    * their pieces are covered). Same shape as the whitespace eval
+    * plus the vocab-sized word→syms join. */
+  def vocabCoverageBpe(s: SparkSession, d: String): DataFrame = {
+    val wmap = bpeChain(s, d)._2.select(col("w"), col("syms"))
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .join(wmap, Seq("w"))
+      .select(col("lang"), explode(col("syms")).as("t"))
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t").asc).limit(VocabK)
+      .select(col("t"), lit(1).as("iv"))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("iv").isNull, 1)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"))
+      .orderBy("lang")
   }
 
   /** Vocabulary size for [[vocabCoverage]]. */

@@ -349,6 +349,29 @@ class CorpusSpec extends SparkSpec {
     assert(r(7L) == ((2L, 2L, md5hex(""))))
   }
 
+  test("bpe_apply: merge rules chain in learned order; tokens join back per word occurrence") {
+    // One doc "xabc abcd abc". Learned chain: R1 (a,b) [cnt 3 beats
+    // (b,c) 3 on l ASC], R2 (ab,c) [exists ONLY because R1 already
+    // produced 'ab' — applying rounds out of order could never fire
+    // it], R3 (abc,d) [cnt-1 tie with (x,abc), 'abc' < 'x']. Final
+    // map: xabc→[x,abc], abcd→[abcd], abc→[abc] — so the doc's BPE
+    // stream is "x abc abcd abc": 3 words, 4 tokens, and the md5
+    // pins the VALUES (a tokenization that dropped R2's chaining
+    // would emit "x ab c ab c d ab c" instead).
+    def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = docsDir((1L, "xabc abcd abc", "en", "s", 1L))
+    val rules = Corpus.bpeMerges(spark, d).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2))).toSeq
+    assert(rules == Seq((1, "a", "b"), (2, "ab", "c"), (3, "abc", "d")))
+    val r = Corpus.bpeApply(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3))).toSeq
+    assert(r == Seq((1L, 3L, 4L, md5hex("x abc abcd abc"))))
+    val cov = Corpus.vocabCoverageBpe(spark, d).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3))).toSeq
+    assert(cov == Seq(("en", 4L, 0L, 0.0))) // 4 BPE tokens, all in the tiny vocab
+  }
+
   test("substring_dedup: any-offset drops, owner keeps repeats, overlaps merge, two spans, short doc") {
     // Shared runs: S = 10 tokens (3 stride-1 8-grams), T = 8 tokens
     // (1 gram). Doc 0 owns S (lowest id; holds it TWICE — both kept),
