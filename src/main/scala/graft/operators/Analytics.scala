@@ -213,9 +213,14 @@ object Analytics {
     * driver-fold scaffolding, measured at sf0.1); above it the single
     * sort is the scale-killer and the stitch takes over. */
   def gapsIslands(s: SparkSession, d: String): DataFrame = {
+    // pinned ONCE: the branch gate's count and whichever ranking pass
+    // runs both read these blocks — the filter scan happens one time
+    // (round-10 fix: the gate previously cost a full extra relation
+    // pass before any useful work)
     val keys = Tables.orders(s, d)
       .filter(col("o_orderstatus") === "O")
       .select(col("o_orderkey"))
+      .localCheckpoint()
     val limit = s.conf.getOption("graft.islands.distributedMinRows")
       .map(_.toLong).getOrElse(IslandsDistributedMinRows)
     val ranked =
@@ -223,21 +228,12 @@ object Analytics {
         keys.withColumn("rn",
           row_number().over(Window.orderBy(col("o_orderkey"))))
       } else {
-        val parts = math.max(1, s.conf.get("spark.sql.shuffle.partitions").toInt)
-        val ranged = keys.repartitionByRange(parts, col("o_orderkey"))
-          .withColumn("pid", spark_partition_id())
-          .localCheckpoint()
-        val counts = ranged.groupBy(col("pid")).count()
-          .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
-        val nP = ranged.rdd.getNumPartitions
-        var acc = 0L
-        val prefixRows = (0 until nP).map { p =>
-          val row = (p, acc)
-          acc += counts.getOrElse(p, 0L)
-          row
-        }
         import s.implicits._
-        val prefix = prefixRows.toDF("pid", "rank_before")
+        val (ranged, prefixArr) = PrefixStitch.rangePrefix[Long](
+          keys, Seq(col("o_orderkey")), count(lit(1)),
+          0L, _ + _, _.getLong(1), sortWithin = false)
+        val prefix = prefixArr.zipWithIndex
+          .map { case (v, p) => (p, v) }.toSeq.toDF("pid", "rank_before")
         val wLocal = Window.partitionBy(col("pid")).orderBy(col("o_orderkey"))
         ranged
           .withColumn("lrn", row_number().over(wLocal))

@@ -398,24 +398,14 @@ object Scale {
         // first makes the range sweep boundary-safe: no balance group
         // can straddle two range partitions.
         val g = cand.groupBy(col("a_bal")).agg(max(col("a_vol")).as("gmax"))
-        val parts = math.max(1, s.conf.get("spark.sql.shuffle.partitions").toInt)
-        val sorted = g.repartitionByRange(parts, col("a_bal").desc)
-          .sortWithinPartitions(col("a_bal").desc)
-          .withColumn("pid", spark_partition_id())
-          // pin the sampled range boundaries: the maxima pass and the
-          // sweep pass below MUST see the same partitioning
-          .localCheckpoint()
-        val maxima = sorted.groupBy(col("pid")).agg(max(col("gmax")).as("pmax"))
-          .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
-        val nP = sorted.rdd.getNumPartitions
         // strict prefix max over partitions in balance-descending order
         // — nP scalars, the only driver-side data in the sweep
-        val prefix = Array.fill(nP)(Double.NegativeInfinity)
-        var run = Double.NegativeInfinity
-        for (p <- 0 until nP) {
-          prefix(p) = run
-          run = math.max(run, maxima.getOrElse(p, Double.NegativeInfinity))
-        }
+        // (PrefixStitch pins the sampled range boundaries so the
+        // maxima pass and the sweep pass see the same partitioning)
+        val (sorted, prefix) = PrefixStitch.rangePrefix[Double](
+          g, Seq(col("a_bal").desc), max(col("gmax")),
+          Double.NegativeInfinity, math.max, _.getDouble(1),
+          sortWithin = true)
         val prefixB = s.sparkContext.broadcast(prefix)
         val survivors = sorted.as[(Double, Double, Int)]
           .mapPartitions { it =>
