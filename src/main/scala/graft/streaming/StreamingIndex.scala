@@ -158,7 +158,17 @@ object StreamingIndex {
     * salt splits each corpus band key over R buckets
     * (pmod(hash(doc_id), R) — doc-deterministic, so a match meets in
     * exactly ONE bucket and output rows cannot drop or duplicate;
-    * spec-pinned) and replicates only the probe side ×R. */
+    * spec-pinned) and replicates only the probe side ×R. Operational
+    * note for that corner: run the stage with
+    * `spark.sql.adaptive.enabled=false` — both AQE heuristics
+    * (skew-join split, partition coalescing) key on shuffle INPUT
+    * bytes, and this pathology is OUTPUT explosion, so coalescing
+    * stacks hot bands into fewer tasks and made the measured run
+    * 3.5× worse (38.6 s `hot_aqe_smj_bare` vs 10.9 s `hot_smj_bare`;
+    * NEARDUP_SKEW.json). The salt, not AQE, is the remedy here.
+    * PlanHygieneSpec guards the executed above-ceiling plan
+    * (BuildLeft probe broadcast) so a planner regression cannot
+    * silently reintroduce the key-partitioned shape. */
   private[graft] val NeardupSaltBuckets = 1
 
   /** The (arrival, existing) band-collision pairs for [[sNeardupGate]]:

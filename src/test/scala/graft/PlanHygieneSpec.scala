@@ -411,6 +411,40 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("neardup above-ceiling: the executed plan broadcasts the PROBE side (BuildLeft), never key-partitions") {
+    // NEARDUP_SKEW.json's verdict as a standing guard: above the
+    // corpus-broadcast ceiling the gate must keep the tiny per-batch
+    // probe side as the broadcast build (skew-immune — pair-emission
+    // parallelism follows the corpus's storage partitioning), not fall
+    // into a band_key-partitioned SMJ (the measured 3.7× hot-key cliff
+    // that AQE makes 3.5× WORSE). A regression here silently
+    // reintroduces the cliff at exactly the corpus sizes the ceiling
+    // exists for.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val probes = (0L until 4L).map(i => (i, (i % 2).toInt, s"k$i"))
+      .toDF("doc_id", "band", "band_key")
+    val corpus = spark.range(200000)
+      .select((col("id") + 10).as("doc_id"),
+        (col("id") % 4).cast("int").as("band"),
+        concat(lit("k"), col("id") % 1000).as("band_key"))
+    val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (512 * 1024).toString)
+    spark.conf.set("graft.neardup.broadcastMaxDocs", "0")
+    try {
+      val pairs = graft.streaming.StreamingIndex
+        .neardupCandidatePairs(spark, probes, corpus, nDocs = 200000L)
+      pairs.collect()
+      val p = pairs.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("BuildLeft"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+      spark.conf.unset("graft.neardup.broadcastMaxDocs")
+    }
+  }
+
   test("IVF family: nlist is size-independent — stride pins the broadcast side") {
     // the 100 TB contract: assignment is O(n·nlist) under an O(nlist)
     // broadcast, so nlist = ⌈n/stride⌉ must NOT grow with the corpus
