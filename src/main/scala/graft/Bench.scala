@@ -147,10 +147,20 @@ object Bench {
         if (times.isEmpty) None
         else if (spreadTripped(base)) Some(medianOf(times))
         else Some(times.min)
-      // setup attribution follows the best rep — the one whose elapsed
-      // time the headline reports (median-healed runs just use best)
-      val rigSetup = pairs.filter(_._2 > 0).sortBy(_._1).headOption
-        .map { case (elapsed, serve) => math.max(0.0, elapsed - serve) }
+      // setup attribution follows the rep whose elapsed feeds the
+      // headline: the min rep normally, and when the spread gate trips
+      // the rep closest to the reported MEDIAN — attributing from the
+      // min rep there would split a setup/serving pair out of a rep
+      // the headline doesn't price (round-10 fix)
+      val rigSetup = {
+        val served = pairs.filter(_._2 > 0)
+        val pick =
+          if (spreadTripped(base))
+            value.flatMap(v =>
+              served.sortBy(p => (math.abs(p._1 - v), p._1)).headOption)
+          else served.sortBy(_._1).headOption
+        pick.map { case (elapsed, serve) => math.max(0.0, elapsed - serve) }
+      }
       (name, value, times, rigSetup)
     }
     // The driver captures only the LAST 2000 characters of stdout and

@@ -203,34 +203,60 @@ object StreamingIndex {
     joined.select(col("s.doc_id").as("doc_id"), col("c.doc_id").as("dup_id"))
   }
 
-  /** Pinned static serving relations, keyed by (session, dir,
-    * variant): a serving tier pins its corpus relation next to the
-    * index ONCE — every restart, rep, and consumer then reads the same
-    * executed relation (the [[Similarity.ivfIndex]] philosophy applied
-    * to the stream-static join side). Re-pinning per rig invocation
-    * was pure scaffolding cost (`rig_setup_sec` in bench_full.json
-    * made it visible). Every variant is a deterministic function of
-    * (dir, index), so cached and fresh pins are value-identical and
-    * the per-query DuckDB oracles stay green. */
+  /** Pinned static serving relations, keyed by (session, dir, variant)
+    * PLUS a fingerprint of the build inputs: a serving tier pins its
+    * corpus relation next to the index ONCE — every restart, rep, and
+    * consumer then reads the same executed relation (the
+    * [[Similarity.ivfIndex]] philosophy applied to the stream-static
+    * join side). Re-pinning per rig invocation was pure scaffolding
+    * cost (`rig_setup_sec` in bench_full.json made it visible). The
+    * fingerprint carries (a) the semantic hash of any input RELATION
+    * the variant is built from — so a caller passing a different cell
+    * assignment under an existing variant string gets a fresh pin, not
+    * the cached one — and (b) an mtime stamp of the corpus dir, so a
+    * rewrite of the data at `dir` mid-session invalidates rather than
+    * silently serving stale blocks. Eviction: besides the test-only
+    * [[clearPinnedCache]], every access sweeps entries from stopped
+    * sessions and displaces same-(session, dir, variant) entries whose
+    * fingerprint no longer matches — the cache holds at most one live
+    * pin per serving variant. */
   private val pinnedCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]
+    (SparkSession, String, String), (String, DataFrame)]
 
   /** Test hook: drop pinned serving relations (cold-path measurement). */
   private[graft] def clearPinnedCache(): Unit = pinnedCache.clear()
 
-  private def pinnedCorpus(s: SparkSession, d: String, variant: String)(
-      build: => DataFrame): DataFrame =
-    pinnedCache.computeIfAbsent((s, d, variant), _ => build.localCheckpoint())
+  /** Max mtime across the corpus dir and its direct children (the
+    * per-table parquet dirs) — 0 when unlistable (non-local path). */
+  private def dirStamp(d: String): Long =
+    try {
+      val f = new java.io.File(d)
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      (f.lastModified() +: kids.map(_.lastModified())).max
+    } catch { case _: Throwable => 0L }
+
+  private def pinnedCorpus(s: SparkSession, d: String, variant: String,
+      inputFingerprint: String = "")(build: => DataFrame): DataFrame = {
+    pinnedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (s, d, variant)
+    val fp = s"$inputFingerprint@${dirStamp(d)}"
+    pinnedCache.compute(key, (_, cur) =>
+      if (cur != null && cur._1 == fp) cur
+      else (fp, build.localCheckpoint()))._2
+  }
 
   /** The pinned (vec_id, embedding, cell) serving relation for a cell
     * assignment — the ONE definition behind the "serve"/"serve_pre"
     * cache keys shared by [[sIndexSwap]] and [[sSwapInflight]] (two
     * local copies of the build closure feeding one cache entry would
     * let an edit to one silently serve the other a value-different
-    * relation). */
+    * relation). The cells plan's semantic hash is the fingerprint: a
+    * rebuilt or different assignment under the same variant string
+    * displaces the stale pin. */
   private def servingCorpus(s: SparkSession, d: String,
       cells: DataFrame, variant: String): DataFrame =
-    pinnedCorpus(s, d, variant) {
+    pinnedCorpus(s, d, variant,
+      cells.queryExecution.logical.semanticHash().toString) {
       Tables.embeddings(s, d).join(cells, "vec_id")
         .select(col("vec_id"), col("embedding"), col("cell"))
     }
@@ -599,6 +625,10 @@ object StreamingIndex {
       // parquet appends, read back after the drain)
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_swap_inflight").toString
+      val out1 = java.nio.file.Files
+        .createTempDirectory("graft_swap_inflight_v1").toString
+      val out2 = java.nio.file.Files
+        .createTempDirectory("graft_swap_inflight_v2").toString
       def startPhase(cen: DataFrame, corpus: DataFrame, outDir: String) =
         serveTop1Plan(s, input.toDF(), cen, corpus)
           .writeStream
@@ -617,33 +647,53 @@ object StreamingIndex {
         else s.read.parquet(outDir).select(lit(version).as("version"),
           col("qid"), col("vec_id"), col("cos_sim"))
       }
-      val out1 = java.nio.file.Files
-        .createTempDirectory("graft_swap_inflight_v1").toString
-      val out2 = java.nio.file.Files
-        .createTempDirectory("graft_swap_inflight_v2").toString
-      val q1 = startPhase(cenA, servingCorpus(s, d, cellsA, "serve_pre"), out1)
-      // v1's data-carrying batches enter the serving telemetry too —
-      // the rig_setup/serving split in Bench reads batchDurationsMs,
-      // and without this record the v1 phase's per-batch serving time
-      // would be misclassified as scaffolding (sIndexSwap records both
-      // phases the same way)
       try {
-        feedStaggered(input, t0, q1)
-        record("s_swap_inflight", q1)
-      } finally q1.stop()
-      // the swap window: no serving query is up; these queries sit in
-      // the source past v1's last committed offset
-      input.addData(t1)
-      val q2 = startPhase(cenB, servingCorpus(s, d, cellsB, "serve"), out2)
-      try {
-        q2.processAllAvailable() // v2's first batches drain the in-flight block
-        feedStaggered(input, t2, q2)
-        record("s_swap_inflight", q2)
-      } finally q2.stop()
-      readPhase(1, out1).unionByName(readPhase(2, out2))
-        .orderBy("version", "qid")
+        val q1 = startPhase(cenA, servingCorpus(s, d, cellsA, "serve_pre"), out1)
+        // v1's data-carrying batches enter the serving telemetry too —
+        // the rig_setup/serving split in Bench reads batchDurationsMs,
+        // and without this record the v1 phase's per-batch serving time
+        // would be misclassified as scaffolding (sIndexSwap records both
+        // phases the same way)
+        try {
+          feedStaggered(input, t0, q1)
+          record("s_swap_inflight", q1)
+        } finally q1.stop()
+        // the swap window: no serving query is up; these queries sit in
+        // the source past v1's last committed offset
+        input.addData(t1)
+        val q2 = startPhase(cenB, servingCorpus(s, d, cellsB, "serve"), out2)
+        try {
+          q2.processAllAvailable() // v2's first batches drain the in-flight block
+          feedStaggered(input, t2, q2)
+          record("s_swap_inflight", q2)
+        } finally q2.stop()
+        // pinned so the result outlives the temp sink dirs deleted below
+        readPhase(1, out1).unionByName(readPhase(2, out2))
+          .orderBy("version", "qid")
+          .localCheckpoint()
+      } finally {
+        // a multi-rep bench loop would otherwise leave three temp dirs
+        // per invocation behind for the life of the machine
+        Seq(ckpt, out1, out2).foreach(deleteRecursively)
+      }
     }
   }
+
+  /** Best-effort recursive delete of a rig's temp dir (checkpoint or
+    * parquet sink scratch) — failures are swallowed: cleanup must
+    * never fail the query that produced the result. */
+  private def deleteRecursively(path: String): Unit =
+    try {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(path)
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        val all = try walk.iterator().asScala.toSeq finally walk.close()
+        all.reverseIterator
+          .foreach(f => try Files.delete(f) catch { case _: Throwable => () })
+      }
+    } catch { case _: Throwable => () }
 
   /** s_pq_ingest — streaming PQ coding at the ingest edge: every
     * arriving vector is coded against the FROZEN trained codebooks
