@@ -177,6 +177,9 @@ object SparkEntry {
     "q_bpe_apply" -> (Corpus.bpeApply _),
     "q_vocab_coverage" -> (Corpus.vocabCoverage _),
     "q_vocab_coverage_bpe" -> (Corpus.vocabCoverageBpe _),
+    "q_seq_pack_bpe" -> (Corpus.seqPackBpe _),
+    "q_wordpiece_merges" -> (Corpus.wordpieceMerges _),
+    "q_dsir_weights" -> (Corpus.dsirWeights _),
     "q_quality_logit" -> (TextAnalysis.qualityLogit _),
     // deduplication
     "q_dedup_exact" -> (Dedup.exact _),
@@ -200,6 +203,8 @@ object SparkEntry {
     "q_knn_join_recall" -> (Similarity.knnJoinRecall _),
     "q_ann_filtered" -> (Similarity.annFiltered _),
     "q_knn_classify" -> (Similarity.knnClassify _),
+    "q_hard_negatives" -> (Similarity.hardNegatives _),
+    "q_matryoshka_recall" -> (Similarity.matryoshkaRecall _),
     "q_hybrid_search" -> (Similarity.hybridSearch _),
     "q_hybrid_weighted" -> (Similarity.hybridWeighted _),
     "q_hybrid_parity" -> (Similarity.hybridParity _),
@@ -403,6 +408,48 @@ object SparkEntry {
       |${mergeRound(1)},
       |${mergeRound(2)},
       |${mergeRound(3)}""".stripMargin
+  }
+
+  /** The WordPiece induction CTE chain (q_wordpiece_merges oracle):
+    * the [[bpeChainCte]] shape with the likelihood criterion — each
+    * round's winner maximizes cnt/(c(l)·c(r)) over the current
+    * unigram counts instead of the raw pair count. Scores are exact
+    * integers folded through identical IEEE double ops in both
+    * engines, tie-broken (l, r). */
+  private val wpChainCte: String = {
+    def wpRound(i: Int): String = {
+      val prev = s"w${i - 1}"
+      s"""wp$i AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |         SELECT freq,
+        |                unnest([syms[j] FOR j IN range(1, len(syms))]) AS l,
+        |                unnest([syms[j + 1] FOR j IN range(1, len(syms))]) AS r
+        |         FROM $prev WHERE len(syms) >= 2)
+        |       GROUP BY l, r),
+        |wu$i AS (SELECT sym, CAST(sum(freq) AS BIGINT) AS c1 FROM (
+        |         SELECT freq, unnest(syms) AS sym FROM $prev)
+        |       GROUP BY sym),
+        |ws$i AS (SELECT p.l, p.r, p.cnt,
+        |                CAST(p.cnt AS DOUBLE) /
+        |                  (CAST(ul.c1 AS DOUBLE) * CAST(ur.c1 AS DOUBLE)) AS score
+        |         FROM wp$i p JOIN wu$i ul ON ul.sym = p.l
+        |              JOIN wu$i ur ON ur.sym = p.r),
+        |wb$i AS (SELECT l, r, cnt, score FROM ws$i
+        |         ORDER BY score DESC, l ASC, r ASC LIMIT 1),
+        |w$i AS (SELECT w, freq,
+        |              CASE WHEN b.l IS NULL THEN syms ELSE
+        |                list_reduce(list_prepend(CAST([] AS VARCHAR[]), [[s] FOR s IN syms]),
+        |                  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
+        |                              THEN acc[1:len(acc) - 1] || [acc[-1] || x[1]]
+        |                              ELSE acc || x END)
+        |              END AS syms
+        |       FROM $prev LEFT JOIN wb$i b ON true)""".stripMargin
+    }
+    s"""w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
+      |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |       GROUP BY w),
+      |${wpRound(1)},
+      |${wpRound(2)},
+      |${wpRound(3)}""".stripMargin
   }
 
   /** Rounded cosine on the 1e-6 grid — the IVF family's comparison
@@ -1745,6 +1792,57 @@ object SparkEntry {
         |       CAST((end_off - n_tokens) // 256 AS BIGINT) AS first_bin,
         |       CAST((end_off - 1) // 256 AS BIGINT) AS last_bin
         |FROM c ORDER BY lang, doc_id""".stripMargin,
+    "q_seq_pack_bpe" ->
+      (s"WITH $bpeChainCte,\n" +
+      """wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sym FROM v3),
+        |t AS (SELECT d.lang, d.doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tokens
+        |      FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w
+        |            FROM documents) d
+        |      JOIN wl USING (w) GROUP BY 1, 2),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+        |      FROM t)
+        |SELECT lang, doc_id, n_tokens,
+        |       CAST(end_off - n_tokens AS BIGINT) AS start_off,
+        |       CAST((end_off - n_tokens) // 1024 AS BIGINT) AS first_bin,
+        |       CAST((end_off - 1) // 1024 AS BIGINT) AS last_bin
+        |FROM c ORDER BY lang, doc_id""".stripMargin),
+    "q_wordpiece_merges" ->
+      (s"WITH $wpChainCte\n" +
+      """SELECT * FROM (
+        |  SELECT 1 AS round, l AS lhs, r AS rhs, cnt AS pair_count,
+        |         CAST(floor(score * 1e12 + 0.5) AS BIGINT) AS score_e12 FROM wb1
+        |  UNION ALL
+        |  SELECT 2, l, r, cnt, CAST(floor(score * 1e12 + 0.5) AS BIGINT) FROM wb2
+        |  UNION ALL
+        |  SELECT 3, l, r, cnt, CAST(floor(score * 1e12 + 0.5) AS BIGINT) FROM wb3)
+        |ORDER BY round""".stripMargin),
+    "q_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           [CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1
+        |            FOR c IN regexp_extract_all(substring(md5(w), 1, 6), '.')]),
+        |           (acc, x) -> acc * 16 + x) % 256 AS b
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)),
+        |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt_r FROM toks GROUP BY b),
+        |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt_t FROM toks
+        |        WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT (SELECT CAST(sum(cnt_r) AS BIGINT) FROM raw) AS tot_r,
+        |               (SELECT CAST(coalesce(sum(cnt_t), 0) AS BIGINT) FROM tgt) AS tot_t),
+        |ratio AS (
+        |  SELECT b,
+        |         CAST(floor(ln(CAST(coalesce(cnt_t, 0) + 1 AS DOUBLE)
+        |           / (tot_t + 256)) * 1000000 + 0.5) AS BIGINT)
+        |       - CAST(floor(ln(CAST(cnt_r + 1 AS DOUBLE)
+        |           / (tot_r + 256)) * 1000000 + 0.5) AS BIGINT) AS lr_e6
+        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
+        |SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(lr_e6) AS DOUBLE) / 1000000.0 / count(*) AS dsir_logw
+        |FROM toks t JOIN ratio USING (b)
+        |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "q_inverted_index" ->
       """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
         |            FROM documents)
@@ -2993,6 +3091,63 @@ object SparkEntry {
         |       round(CAST(sum(CASE WHEN nb_label = label THEN 1 ELSE 0 END)
         |         AS DOUBLE) / count(*), 6) AS accuracy
         |FROM pred""".stripMargin),
+    "q_hard_negatives" ->
+      (s"WITH $ivfIndexCte,\n" +
+      s"""lab AS (SELECT vec_id, label FROM embeddings),
+        |cand AS (SELECT vec_id, anchor_label, neighbor, neg_label, cos_sim FROM (
+        |  SELECT ea.vec_id, la.label AS anchor_label, eb.vec_id AS neighbor,
+        |         lb.label AS neg_label, ${cosSql("ea.v", "eb.v")} AS cos_sim,
+        |         row_number() OVER (PARTITION BY ea.vec_id
+        |           ORDER BY ${cosSql("ea.v", "eb.v")} DESC, eb.vec_id ASC) AS rk
+        |  FROM e ea JOIN cells ca ON ea.vec_id = ca.vec_id
+        |       JOIN cells cb ON ca.cell = cb.cell
+        |       JOIN e eb ON eb.vec_id = cb.vec_id AND eb.vec_id <> ea.vec_id
+        |       JOIN lab la ON la.vec_id = ea.vec_id
+        |       JOIN lab lb ON lb.vec_id = eb.vec_id) WHERE rk <= 10),
+        |neg AS (SELECT vec_id, anchor_label, neighbor, neg_label, cos_sim,
+        |               CAST(row_number() OVER (PARTITION BY vec_id
+        |                 ORDER BY cos_sim DESC, neighbor ASC) AS INTEGER) AS neg_rk
+        |        FROM cand WHERE neg_label <> anchor_label)
+        |SELECT vec_id, anchor_label, neighbor, neg_label, cos_sim, neg_rk
+        |FROM neg WHERE neg_rk <= 2 ORDER BY vec_id, neg_rk""".stripMargin),
+    "q_matryoshka_recall" -> {
+      def dimCte(dims: Int): String =
+        s"""ax$dims AS (SELECT qid, vec_id FROM (
+          |  SELECT qid, vec_id,
+          |         row_number() OVER (PARTITION BY qid
+          |           ORDER BY ${cosSql(s"v[1:$dims]", s"qv[1:$dims]")} DESC,
+          |                    vec_id ASC) AS rn
+          |  FROM pairs) WHERE rn <= 10)""".stripMargin
+      def dimRow(dims: Int): String =
+        s"""SELECT $dims AS dims, 10 AS k,
+          |       CAST(count(DISTINCT x.qid) AS BIGINT) AS n_queries,
+          |       CAST(count(*) AS BIGINT) AS n_exact,
+          |       CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+          |       round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 6) AS recall
+          |FROM exact x LEFT JOIN ax$dims a
+          |  ON a.qid = x.qid AND a.vec_id = x.vec_id""".stripMargin
+      s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        |           FROM embeddings),
+        |panel AS (SELECT vec_id AS qid, v AS qv FROM e
+        |          WHERE $panelWhereSql),
+        |pairs AS (SELECT p.qid, e.vec_id, e.v, p.qv FROM e, panel p
+        |          WHERE e.vec_id <> p.qid),
+        |exact AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY ${cosSql("v", "qv")} DESC, vec_id ASC) AS rn
+        |  FROM pairs) WHERE rn <= 10),
+        |${dimCte(8)},
+        |${dimCte(16)},
+        |${dimCte(32)}
+        |SELECT * FROM (
+        |${dimRow(8)}
+        |UNION ALL
+        |${dimRow(16)}
+        |UNION ALL
+        |${dimRow(32)})
+        |ORDER BY dims""".stripMargin
+    },
     "q_hybrid_search" ->
       (s"WITH $ivfIndexCte,\n" +
       s"""panel AS (SELECT vec_id AS qid, v AS qv FROM e

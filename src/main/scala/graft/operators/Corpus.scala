@@ -615,6 +615,11 @@ object Corpus {
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(col("w"), col("freq"), expr("split(w, '')").as("syms"))
+      // pinned: every merge round's pair count, unigram count, and
+      // rewrite re-enters this relation along its own lineage path —
+      // without the pin each path replays the full corpus explode;
+      // pinned it is one corpus scan and a distinct-words relation
+      .localCheckpoint()
     // value-greedy merge: walk the symbols, joining (l, r) whenever the
     // accumulated tail equals l and the next symbol equals r
     val applyMerge = expr(
@@ -854,5 +859,163 @@ object Corpus {
         coalesce(col("n_dropped_tokens"), lit(0L)).as("n_dropped_tokens"),
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
       .orderBy("doc_id")
+  }
+
+  /** Packed-sequence token budget for the BPE tokenization: 3 merge
+    * rounds leave syms near character granularity (~4× the whitespace
+    * token count), so the BPE packer cuts at 1024 to keep bin counts
+    * comparable to [[seqPack]]'s 256-word budget. */
+  private val BpePackBudget = 1024
+
+  /** q_seq_pack_bpe — [[seqPack]] re-run on the [[bpeChain]]
+    * tokenization: the packer a trainer ACTUALLY feeds cuts on
+    * tokenizer units, not whitespace words — this closes the last
+    * whitespace-unit consumer of the tokenizer loop (induce → apply →
+    * eval → PACK). Per-doc BPE token counts come from the vocab-sized
+    * word→syms map joined onto the word stream (the [[bpeApply]]
+    * cost class: the merge fold runs per DISTINCT word, never per
+    * occurrence), then the one running-sum window partitioned by lang
+    * assigns [[BpePackBudget]]-token bins — packing stays
+    * embarrassingly parallel across languages, no global order. */
+  def seqPackBpe(s: SparkSession, d: String): DataFrame = {
+    val wmap = bpeChain(s, d)._2
+      .select(col("w"), size(col("syms")).cast("bigint").as("n_sym"))
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .join(wmap, Seq("w"))
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(sum(col("n_sym")).as("n_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        (col("end_off") - col("n_tokens")).as("start_off"),
+        floor((col("end_off") - col("n_tokens")) / BpePackBudget)
+          .as("first_bin"),
+        floor((col("end_off") - 1) / BpePackBudget).as("last_bin"))
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Feature-hash width for [[dsirWeights]]: 256 buckets — the hashed
+    * n-gram compression DSIR uses so the two distributions are
+    * fixed-size regardless of vocabulary (the bucket tables broadcast
+    * at ANY corpus scale). */
+  private val DsirB = 256
+
+  /** q_dsir_weights — Data Selection via Importance Resampling (Xie et
+    * al. 2023, public recipe): score every document by how much more
+    * likely its tokens are under a TARGET distribution than under the
+    * raw-corpus distribution, log w(doc) = Σ_tokens [ln p_tgt(h(w)) −
+    * ln p_raw(h(w))] over [[DsirB]] hashed-feature buckets with add-1
+    * smoothing — the selection signal that upsamples target-like data
+    * before training. Target here = the `lang = 'en'` slice (a real
+    * distribution shift on this corpus; the recipe is
+    * target-agnostic). Bucketing uses the portable md5 prefix (same
+    * trick as the MinHash tier) so both engines hash identically; each
+    * log term is fixed-pointed at 1e-6 ([[docPerplexity]] discipline)
+    * so the per-doc sum is order-independent and cross-engine exact.
+    * Shape: ONE grouped token pass builds both distributions (raw
+    * count + conditional target count) in a single [[DsirB]]-row
+    * table that broadcasts; the scoring pass is one map-side hash
+    * probe per token + one doc-keyed agg. */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("w").cast("binary")), 1, 6), 16, 10)
+          .cast("long") % DsirB).as("b"))
+    // ONE grouped pass builds both distributions (raw count + the
+    // conditional target count) — the token stream shuffles once for
+    // the tables and once for the scoring agg, nothing else
+    val buckets = toks.groupBy(col("b"))
+      .agg(count(lit(1)).as("cnt_r"),
+        count(when(col("lang") === "en", 1)).as("cnt_t"))
+    val totals = buckets.agg(sum(col("cnt_r")).as("tot_r"),
+      sum(col("cnt_t")).as("tot_t"))
+    val ratio = buckets.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (floor(log((col("cnt_t") + 1).cast("double") /
+          (col("tot_t") + DsirB)) * 1000000 + 0.5).cast("long") -
+          floor(log((col("cnt_r") + 1).cast("double") /
+            (col("tot_r") + DsirB)) * 1000000 + 0.5).cast("long"))
+          .as("lr_e6"))
+    toks.join(broadcast(ratio), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("lr_e6")).cast("double") / 1000000.0 / count(lit(1)))
+          .as("dsir_logw"))
+      .orderBy("doc_id")
+  }
+
+  /** Merge rounds for [[wordpieceMerges]] (matches [[bpeMerges]]'
+    * round count so the two tokenizer families are comparable). */
+  private val WpRounds = 3
+
+  /** q_wordpiece_merges — the LIKELIHOOD-scored tokenizer family next
+    * to [[bpeMerges]]' frequency-scored one (Schuster & Nakajima's
+    * WordPiece criterion, the public recipe behind BERT's tokenizer):
+    * each round merges the symbol pair maximizing score = c(l,r) /
+    * (c(l)·c(r)) — the pair whose merge most increases corpus
+    * likelihood under a unigram model — rather than the raw pair
+    * count. Same induction shape as [[bpeChain]]: pair and unigram
+    * counts are both one freq-weighted agg over the DISTINCT-word
+    * vocabulary (never the token stream), the winner broadcasts back,
+    * and the value-greedy fold rewrites the vocabulary in place.
+    * Scores are exact-integer ratios evaluated in IEEE doubles
+    * (identical in both engines), tie-broken (l, r); the emitted
+    * score is fixed-pointed at 1e-12 so the row is hash-comparable.
+    * A round with no pairs left emits nothing and passes the
+    * vocabulary through ([[bpeMerges]] contract). Rule-order
+    * dependence (round 2 can consume round 1's output symbol) and
+    * likelihood-beats-frequency are pinned by CorpusSpec. */
+  def wordpieceMerges(s: SparkSession, d: String): DataFrame = {
+    val vocab0 = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"), expr("split(w, '')").as("syms"))
+      // pinned: every merge round's pair count, unigram count, and
+      // rewrite re-enters this relation along its own lineage path —
+      // without the pin each path replays the full corpus explode;
+      // pinned it is one corpus scan and a distinct-words relation
+      .localCheckpoint()
+    val applyMerge = expr(
+      "aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
+        "if(size(acc) > 0 and element_at(acc, -1) = l and x = r, " +
+        "concat(slice(acc, 1, size(acc) - 1), array(concat(l, r))), " +
+        "concat(acc, array(x))))")
+    val rows = (1 to WpRounds).foldLeft(
+      (Seq.empty[DataFrame], vocab0)) { case ((acc, vocab), round) =>
+      val pairs = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      val uni = vocab
+        .select(col("freq"), explode(col("syms")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("freq")).as("c1"))
+      val scored = pairs
+        .join(broadcast(uni.select(col("sym").as("l"), col("c1").as("cl"))),
+          Seq("l"))
+        .join(broadcast(uni.select(col("sym").as("r"), col("c1").as("cr"))),
+          Seq("r"))
+        .select(col("l"), col("r"), col("cnt"),
+          (col("cnt").cast("double") /
+            (col("cl").cast("double") * col("cr").cast("double")))
+            .as("score"))
+      val best = scored
+        .orderBy(col("score").desc, col("l").asc, col("r").asc).limit(1)
+      val merged = vocab.join(broadcast(best), lit(true), "left")
+        .select(col("w"), col("freq"),
+          when(col("l").isNull, col("syms")).otherwise(applyMerge).as("syms"))
+      (acc :+ best.select(lit(round).as("round"), col("l").as("lhs"),
+        col("r").as("rhs"), col("cnt").as("pair_count"),
+        floor(col("score") * 1e12 + 0.5).cast("long").as("score_e12")),
+        merged)
+    }._1
+    rows.reduce(_.unionAll(_)).orderBy("round")
   }
 }

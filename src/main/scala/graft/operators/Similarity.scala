@@ -1250,6 +1250,100 @@ object Similarity {
         .cast("double") / count(lit(1)), 6).as("accuracy"))
   }
 
+  /** Hard negatives kept per anchor by [[hardNegatives]]. */
+  private[graft] val HardNegK = 2
+
+  /** q_hard_negatives — contrastive-training hard-negative mining OFF
+    * THE SHARED INDEX: for every vector, the [[HardNegK]] most similar
+    * DIFFERENT-label neighbors among its top-[[ClassifyK]] cosine
+    * cellmates — the "close in embedding space, different in class"
+    * pairs an embedding-model trainer batches as negatives (easy
+    * negatives teach nothing; the hard ones carry the gradient).
+    * Candidates come from the same SALTED celled generator as
+    * [[knnClassify]] (n²/nlist pairs over bounded per-cell tiles —
+    * never an all-pairs or a corpus broadcast), labels rejoin on the
+    * bounded n·k candidate set, and the different-label re-rank is a
+    * per-anchor row_number on the family's (cos DESC, id ASC) 1e-6
+    * grid. Mining depth is bounded by the candidate set BY DESIGN: an
+    * anchor whose 10 nearest cellmates all share its label emits
+    * fewer (or zero) rows rather than paying a wider search — at
+    * 100 TB that is the correct cost class (the miner consumes an
+    * already-built neighbor graph; it never builds its own). Fully
+    * oracled: the two-stage rank (cellmate top-10, THEN label-filter,
+    * THEN top-2) replays in DuckDB over the shared IVF training CTE. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val cand = celledTopK(s, d, ClassifyK)
+      .join(labels, Seq("vec_id"))
+      .withColumnRenamed("label", "anchor_label")
+      .join(labels.select(col("vec_id").as("neighbor"),
+        col("label").as("neg_label")), Seq("neighbor"))
+      .filter(col("neg_label") =!= col("anchor_label"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor").asc)
+    cand
+      .withColumn("neg_rk", row_number().over(w))
+      .filter(col("neg_rk") <= HardNegK)
+      .select(col("vec_id"), col("anchor_label"), col("neighbor"),
+        col("neg_label"), col("cos_sim"), col("neg_rk").cast("int").as("neg_rk"))
+      .orderBy("vec_id", "neg_rk")
+  }
+
+  /** Truncation widths [[matryoshkaRecall]] prices (the full width is
+    * the 64-dim exact side). */
+  private[graft] val MatryoshkaDims = Seq(8, 16, 32)
+
+  /** q_matryoshka_recall — prefix-truncation operating curve
+    * (Matryoshka-representation eval): recall@10 of cosine over only
+    * the first 8/16/32 embedding components against the full-64-dim
+    * exact top-10, on the family's shared stride-sampled query panel —
+    * the measurement that decides whether a deployment can serve a
+    * cheaper PREFIX of its vectors (a 4× memory/bandwidth cut with no
+    * re-embedding) the way [[sqRecall]]/[[pqRecall]] price scalar/
+    * product quantization. One curve, three rows (dims, recall) from
+    * the same panel, so the three compression families are directly
+    * comparable. Cost shape: panel·n pairs per width over a BOUNDED
+    * (~20-query) panel — the stride grows with the corpus, exactly the
+    * recall-family discipline; the full-dim exact side is computed
+    * once and shared across the three widths. Fully oracled: list
+    * slices + the rounded-cosine grid replay in DuckDB. */
+  def matryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val n = e.count()
+    val panel = recallPanel(e, n)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    // NOT checkpointed: each consumer re-derives the pairs with one
+    // map-side broadcast cross-join over the corpus scan — cheaper at
+    // any scale than materializing panel·n embedding-width rows
+    val pairs = e.crossJoin(panel)
+      .filter(col("vec_id") =!= col("qid"))
+    // pinned: the full-width exact side feeds all three truncation
+    // branches — without the pin each union branch would replay the
+    // most expensive ranking; the pinned relation is panel·10 id
+    // pairs, trivially small at any corpus scale
+    val exact = pairs
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qvec")).as("cos"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+      .localCheckpoint()
+    val perDim = MatryoshkaDims.map { dims =>
+      val approx = pairs
+        .select(col("qid"), col("vec_id"),
+          cosine(slice(col("embedding"), 1, dims),
+            slice(col("qvec"), 1, dims)).as("cos"))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+        .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+      recallSummary(exact, approx)
+        .select(lit(dims).as("dims"), col("k"), col("n_queries"),
+          col("n_exact"), col("n_hit"), col("recall"))
+    }
+    perDim.reduce(_.unionAll(_)).orderBy("dims")
+  }
+
   /** Radius for [[rangeSearch]] — on the synthetic near-orthogonal
     * embeddings 0.3 admits a real but bounded neighborhood (33–307
     * matches across the driver's scale factors; 0.5 admits none). */

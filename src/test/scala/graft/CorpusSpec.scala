@@ -405,4 +405,64 @@ class CorpusSpec extends SparkSpec {
     assert(r(4L) == ((3L, 0L, 0L, 0L, md5hex(t4))))
     assert(r(5L) == ((12L, 4L, 2L, 18L, md5hex("y1"))))
   }
+
+  test("wordpiece_merges: likelihood beats frequency; empty round passes through") {
+    // Corpus: "ab"×3, "xy"×1, "a"×5, "b"×5. Pair counts: (a,b)=3,
+    // (x,y)=1 — BPE would merge (a,b) first. WordPiece scores:
+    // (a,b) = 3/(8·8) = 0.046875 (the standalone a/b words inflate
+    // the unigrams) vs (x,y) = 1/(1·1) = 1.0 → round 1 merges the
+    // RARE-symbol pair (x,y). Round 2 then takes (a,b) (cnt 3,
+    // score_e12 = 46875000000 — 3/64 is exact in binary, so the
+    // 1e-12 fixed-point is deterministic). Round 3 has no pairs left
+    // and must emit nothing (the bpe_merges pass-through contract).
+    val d = docsDir(
+      (1L, "ab ab ab xy " + Seq.fill(5)("a").mkString(" ") + " " +
+        Seq.fill(5)("b").mkString(" "), "en", "s", 1L))
+    val r = Corpus.wordpieceMerges(spark, d).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2),
+        x.getLong(3), x.getLong(4))).toSeq
+    assert(r == Seq(
+      (1, "x", "y", 1L, 1000000000000L),
+      (2, "a", "b", 3L, 46875000000L)))
+  }
+
+  test("dsir_weights: target-like docs score positive, off-target negative, exact fixed-point") {
+    // Target = lang 'en'. Token "t" lives only in the en doc, "r" only
+    // in the de doc (md5 buckets 239 vs 176 — disjoint). With add-1
+    // smoothing over 256 buckets: raw totals 8, target totals 4, so
+    // lr(t) = fp6(ln(5/260)) − fp6(ln(5/264)) > 0 and
+    // lr(r) = fp6(ln(1/260)) − fp6(ln(5/264)) < 0 — the model twin
+    // below replays the exact double ops (same JVM libm as Spark).
+    def fp6(x: Double): Long = math.floor(x * 1000000 + 0.5).toLong
+    val lrT = fp6(math.log(5.0 / 260)) - fp6(math.log(5.0 / 264))
+    val lrR = fp6(math.log(1.0 / 260)) - fp6(math.log(5.0 / 264))
+    val d = docsDir(
+      (1L, "t t t t", "en", "s", 1L),
+      (2L, "r r r r", "de", "s", 1L))
+    val r = Corpus.dsirWeights(spark, d).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == (("en", 4L, lrT.toDouble * 4 / 1000000.0 / 4)))
+    assert(r(2L) == (("de", 4L, lrR.toDouble * 4 / 1000000.0 / 4)))
+    assert(r(1L)._3 > 0 && r(2L)._3 < 0)
+  }
+
+  test("seq_pack_bpe: packing cuts on BPE tokens — merges shrink counts, exact bin boundary, per-lang restart") {
+    // "ab" merges to one token in round 1 (the only pair in the
+    // corpus); "k" is a single symbol. So doc 1 is 1024 BPE tokens —
+    // filling bin 0 EXACTLY under the 1024 budget — doc 2 is 2 (not
+    // 4 characters: the packer must count MERGED units), doc 3
+    // starts at offset 1026, and the de doc restarts at 0.
+    val d = docsDir(
+      (1L, Seq.fill(1024)("k").mkString(" "), "en", "s", 1L),
+      (2L, "ab ab", "en", "s", 1L),
+      (3L, "k k k", "en", "s", 1L),
+      (9L, "ab k", "de", "s", 1L))
+    val r = Corpus.seqPackBpe(spark, d).collect()
+      .map(x => x.getLong(1) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    assert(r(1L) == ((1024L, 0L, 0L, 0L)))   // ends at 1024 → still bin 0
+    assert(r(2L) == ((2L, 1024L, 1L, 1L)))   // BPE count 2, not char count 4
+    assert(r(3L) == ((3L, 1026L, 1L, 1L)))
+    assert(r(9L) == ((2L, 0L, 0L, 0L)))      // per-lang restart
+  }
 }

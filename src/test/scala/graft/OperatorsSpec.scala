@@ -752,6 +752,82 @@ class OperatorsSpec extends SparkSpec {
       BigDecimal(6.0 / 11.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("hardNegatives: same-label neighbors skipped, rank re-numbers, all-same-label cell emits nothing") {
+    // Cell A (seed 0): anchor 0 (label 1) with cellmates ranked by
+    // cos DESC = ids 1,2,3,4,5 (labels 1,2,1,2,3). Hard negatives
+    // must SKIP the same-label ids 1 and 3 and renumber: (2, rk 1),
+    // (4, rk 2); id 5's label-3 row is cut by K = 2. Cell B (seed
+    // 50): every member shares label 7 → no candidate survives the
+    // label filter → anchors 50-52 emit ZERO rows (bounded-depth
+    // mining, not a widened search).
+    def near(i: Int): Seq[Float] = Seq(1f, 0.01f * i, 0f, 0f)
+    val vecs: Seq[(Long, Seq[Float], Int)] =
+      Seq((0L, Seq(1f, 0f, 0f, 0f), 1),
+        (1L, near(1), 1), (2L, near(2), 2), (3L, near(3), 1),
+        (4L, near(4), 2), (5L, near(5), 3),
+        (50L, Seq(0f, 0f, 1f, 0f), 7),
+        (51L, Seq(0f, 0.01f, 1f, 0f), 7),
+        (52L, Seq(0f, 0.02f, 1f, 0f), 7))
+    val dir = fixtureDir("embeddings" ->
+      vecs.toDF("vec_id", "embedding", "label"))
+    val rows = operators.Similarity.hardNegatives(spark, dir).collect()
+    val anchor0 = rows.filter(_.getLong(0) == 0L)
+      .map(x => (x.getLong(2), x.getInt(3), x.getInt(5))).toSeq
+    assert(anchor0 == Seq((2L, 2, 1), (4L, 2, 2)))
+    assert(rows.forall(x => x.getInt(1) != x.getInt(3))) // never same-label
+    assert(!rows.exists(x => x.getLong(0) >= 50L))       // cell B: no negatives
+  }
+
+  /** Model twin of Similarity.matryoshkaRecall: per truncation width,
+    * prefix-cosine top-10 (round-6 grid, id-ASC ties) vs the
+    * full-width exact top-10 over the shared offset panel. */
+  private def matryoshkaModel(
+      vecs: Seq[(Long, Seq[Float])]): Seq[(Int, Int, Long, Long, Long, Double)] = {
+    val panel = panelOf(vecs)
+    def top10(qid: Long, qv: Seq[Float], d: Int): Set[Long] =
+      vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos6d(lift(v).take(d), lift(qv).take(d))) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    Seq(8, 16, 32).map { dm =>
+      var nx = 0L; var nh = 0L
+      panel.foreach { case (qid, qv) =>
+        val exact = top10(qid, qv, qv.length)
+        nx += exact.size
+        nh += exact.intersect(top10(qid, qv, dm)).size
+      }
+      (dm, 10, panel.size.toLong, nx, nh,
+        BigDecimal(nh.toDouble / nx).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("matryoshkaRecall: a suffix-only friend is the prefix ranking's exact miss; wider prefixes are lossless") {
+    // 16-dim corpus, panel = {17}. Vector 3 matches the query ONLY in
+    // the suffix half (full cos 0.5, prefix-8 cos 0) — the full-width
+    // top-10 keeps it, the 8-dim ranking ranks it last. Vector 4 is
+    // the mirror impostor (prefix cos ≈ 0.99, full cos < 0): the
+    // 8-dim ranking admits it, the full ranking drops it. With 11
+    // candidates the top-10 cut excludes exactly one per ranking →
+    // recall@8 = 9/10; dims 16 and 32 cover the full width (slice
+    // caps at the array) → recall exactly 1.
+    def v(p1: Float, p2: Float, s1: Float, s2: Float): Seq[Float] =
+      Seq(p1, p2) ++ Seq.fill(6)(0f) ++ Seq(s1, s2) ++ Seq.fill(6)(0f)
+    val vecs: Seq[(Long, Seq[Float])] =
+      Seq(17L -> v(1f, 0f, 1f, 0f),
+        3L -> v(0f, 1f, 1f, 0f),
+        4L -> v(0.9f, 0.1f, -1f, 0f)) ++
+        Seq(1L, 2L, 5L, 6L, 7L, 8L, 9L, 10L, 11L).zipWithIndex.map {
+          case (id, i) => id -> v(0.5f, 0.05f * (i + 1), 0.3f, 0.02f * (i + 1))
+        }
+    val dir = fixtureDir("embeddings" ->
+      vecs.map { case (id, x) => (id, x, 0) }.toDF("vec_id", "embedding", "label"))
+    val got = operators.Similarity.matryoshkaRecall(spark, dir).collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5))).toSeq
+    val want = matryoshkaModel(vecs)
+    assert(got == want)
+    assert(want.map(_._6) == Seq(0.9, 1.0, 1.0))
+  }
+
   /** Model twin of Similarity.sqRecall: q_vec_quantize int8 codes
     * (HALF_UP round, clamp ±127), UNROUNDED quantized cosine (exact
     * integers → deterministic) vs the round-6 exact side. */
