@@ -179,6 +179,7 @@ object SparkEntry {
     "q_vocab_coverage_bpe" -> (Corpus.vocabCoverageBpe _),
     "q_seq_pack_bpe" -> (Corpus.seqPackBpe _),
     "q_wordpiece_merges" -> (Corpus.wordpieceMerges _),
+    "q_unigram_lm" -> (Corpus.unigramLm _),
     "q_dsir_weights" -> (Corpus.dsirWeights _),
     "q_quality_logit" -> (TextAnalysis.qualityLogit _),
     // deduplication
@@ -241,6 +242,7 @@ object SparkEntry {
     "q_bucketed_join" -> (graft.operators.Scale.bucketedJoin _),
     // temporal: as-of join + the full window family
     "q_asof_join" -> (Temporal.asofJoin _),
+    "q_scd2_history" -> (Temporal.scd2History _),
     "q_interpolate" -> (Temporal.interpolate _),
     "q_window_sliding" -> (Temporal.slidingWindow _),
     "q_window_session" -> (Temporal.sessionWindow _),
@@ -450,6 +452,79 @@ object SparkEntry {
       |${wpRound(1)},
       |${wpRound(2)},
       |${wpRound(3)}""".stripMargin
+  }
+
+  /** The unigram-LM (SentencePiece-style) induction CTE chain
+    * (q_unigram_lm oracle), mirroring Corpus.unigramLm: substring
+    * candidate pieces (≤4 chars, singles always kept, multi-char
+    * gated at freq 2), two Viterbi passes, one hard-EM recount with
+    * add-1 smoothing between them. The DP replays as a list_reduce
+    * whose accumulator is a LIST of [score, −len] pairs (position =
+    * len(acc)); the per-step max is a single `list_sort(...)[-1]`
+    * (lexicographic: max score, then max −len = SHORTEST last piece —
+    * the Spark side's array_max-on-struct tie rule) so the fold is
+    * order-independent and single-reference. The backtrack
+    * precomputes a pure `nxt` jump table and folds by UNCONDITIONAL
+    * prepend (0-padded), because a lambda branch that returns the
+    * accumulator unchanged is state-corrupting in DuckDB 1.0.0's
+    * vectorized executor (measured: run-to-run nondeterministic
+    * segmentations; the pure-prepend form is 5/5-run stable). */
+  private val umChainCte: String = {
+    def viterbi(lpRel: String, sfx: String): String =
+      s"""umsc$sfx AS (SELECT w, freq, list({'j': j, 'i': i, 'lp': lp} ORDER BY j, i) AS sps
+        |        FROM umsp JOIN $lpRel USING (p) GROUP BY w, freq),
+        |umdp$sfx AS (SELECT w, freq,
+        |  list_reduce(
+        |    list_prepend([[CAST(0 AS BIGINT), CAST(0 AS BIGINT)]],
+        |      list_transform(range(1, len(w) + 1),
+        |        z -> [[CAST(0 AS BIGINT), CAST(0 AS BIGINT)]])),
+        |    (acc, x) -> list_append(acc,
+        |      list_sort(list_transform(list_filter(sps, sp -> sp.i = len(acc)),
+        |        sp -> [acc[sp.j + 1][1] + sp.lp, sp.j - sp.i]))[-1])) AS dp
+        |  FROM umsc$sfx),
+        |umseg$sfx AS (SELECT w, freq, list_filter(
+        |    list_transform(range(1, len(cuts)),
+        |      k -> CASE WHEN cuts[k] < cuts[k + 1]
+        |           THEN w[cuts[k] + 1 : cuts[k + 1]] END),
+        |    x -> x IS NOT NULL) AS seg FROM (
+        |  SELECT w, freq,
+        |    list_reduce(
+        |      list_prepend([CAST(len(w) AS BIGINT)],
+        |        list_transform(range(1, len(w) + 1), z -> [CAST(0 AS BIGINT)])),
+        |      (acc, x) -> list_prepend(nxt[acc[1] + 1], acc)) AS cuts
+        |  FROM (SELECT w, freq,
+        |          list_transform(range(0, len(w) + 1),
+        |            p -> CASE WHEN p <= 0 THEN CAST(0 AS BIGINT)
+        |                 ELSE p + dp[p + 1][2] END) AS nxt
+        |        FROM umdp$sfx)))""".stripMargin
+    s"""umw AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+      |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |       WHERE len(w) >= 1 GROUP BY w),
+      |umsp AS (SELECT w, freq, sp.j AS j, sp.i AS i, sp.p AS p FROM (
+      |  SELECT w, freq, unnest(flatten([[{'j': j, 'i': j + m, 'p': w[j + 1 : j + m]}
+      |           FOR m IN range(1, least(4, len(w) - j) + 1)]
+      |           FOR j IN range(0, len(w))])) AS sp
+      |  FROM umw)),
+      |umc0 AS (SELECT p, cnt FROM (
+      |  SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM umsp GROUP BY p)
+      |  WHERE len(p) = 1 OR cnt >= 2),
+      |umlp0 AS (SELECT p,
+      |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |  - (SELECT CAST(floor(ln(CAST(sum(cnt) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |     FROM umc0) AS lp
+      |  FROM umc0),
+      |${viterbi("umlp0", "0")},
+      |umc1 AS (SELECT p, CAST(coalesce(used, 0) + 1 AS BIGINT) AS cnt
+      |         FROM umc0 LEFT JOIN (
+      |           SELECT p, CAST(sum(freq) AS BIGINT) AS used
+      |           FROM (SELECT freq, unnest(seg) AS p FROM umseg0) GROUP BY p) u
+      |         USING (p)),
+      |umlp1 AS (SELECT p,
+      |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |  - (SELECT CAST(floor(ln(CAST(sum(cnt) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |     FROM umc1) AS lp
+      |  FROM umc1),
+      |${viterbi("umlp1", "1")}""".stripMargin
   }
 
   /** Rounded cosine on the 1e-6 grid — the IVF family's comparison
@@ -1818,6 +1893,18 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 3, l, r, cnt, CAST(floor(score * 1e12 + 0.5) AS BIGINT) FROM wb3)
         |ORDER BY round""".stripMargin),
+    "q_unigram_lm" ->
+      (s"WITH $umChainCte,\n" +
+      """wd AS (SELECT doc_id, wpos, w FROM (
+        |  SELECT doc_id, i - 1 AS wpos, ws[CAST(i AS BIGINT)] AS w
+        |  FROM (SELECT doc_id, ws, unnest([i FOR i IN range(1, len(ws) + 1)]) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)))
+        |  WHERE len(w) >= 1),
+        |uj AS (SELECT wd.doc_id, wd.wpos, umseg1.seg FROM wd JOIN umseg1 USING (w))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(len(seg)) AS BIGINT) AS n_um_tokens,
+        |       md5(array_to_string(flatten(list(seg ORDER BY wpos)), ' ')) AS um_md5
+        |FROM uj GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "q_dsir_weights" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,
@@ -3296,6 +3383,24 @@ object SparkEntry {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY 1, 2""".stripMargin,
+    "q_scd2_history" ->
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+        |                  lag(event_type) OVER (PARTITION BY user_id
+        |                    ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM s
+        |      WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type,
+        |             CAST(row_number() OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS INTEGER) AS version,
+        |             ts, lead(ts) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS valid_to_ts
+        |      FROM c)
+        |SELECT user_id, version, event_type AS attr,
+        |       epoch_ms(ts) AS valid_from_ms,
+        |       epoch_ms(valid_to_ts) AS valid_to_ms,
+        |       valid_to_ts IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
     "q_interpolate" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_ms(ts) AS ts_ms, arg_min(value, event_id) AS v

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1017,5 +1017,113 @@ object Corpus {
         merged)
     }._1
     rows.reduce(_.unionAll(_)).orderBy("round")
+  }
+
+  /** Max candidate-piece length / min multi-char piece count for
+    * [[unigramLm]]. */
+  private val UmMaxP = 4
+  private val UmMinCnt = 2L
+
+  /** 1e-6 fixed-point natural log of a positive count ([[docPerplexity]]
+    * discipline: one libm call per engine on identical input). */
+  private def umLnFp(c: Column): Column =
+    floor(log(c.cast("double")) * 1000000 + 0.5).cast("long")
+
+  /** q_unigram_lm — the THIRD tokenizer family (Kudo's unigram LM, the
+    * SentencePiece model, public recipe) beside frequency-scored BPE
+    * and likelihood-scored WordPiece: candidate pieces are all
+    * ≤[[UmMaxP]]-char substrings (single chars always retained so
+    * every word stays segmentable; longer pieces gated at
+    * [[UmMinCnt]] freq-weighted occurrences), scored by corpus
+    * log-probability, and each word takes its VITERBI-best
+    * segmentation — one hard-EM round (segment under the substring
+    * counts, re-estimate piece probabilities from the chosen
+    * segmentations with add-1 smoothing over the piece universe,
+    * re-segment) instead of SentencePiece's soft-EM/pruning loop: the
+    * deterministic, fully-oracled core of the same algorithm. The DP
+    * is one `aggregate` fold per DISTINCT word (the [[bpeApply]] cost
+    * class — vocabulary-sized, never per token occurrence) whose
+    * accumulator carries (score, −len) per position: `array_max` over
+    * that struct IS the tie rule (max score, then SHORTEST last
+    * piece), exact on fixed-point-long scores; the backtrack fold
+    * rebuilds the piece sequence from the stored offsets. Output is
+    * the [[bpeApply]] contract — per doc: word count, unigram-token
+    * count, md5 of the full in-order piece stream — so the oracle
+    * pins the actual tokens (both Viterbi passes, the EM recount,
+    * and the smoothing replay in DuckDB as list_reduce folds).
+    * Tie-break, EM-changes-segmentation, and the
+    * single-char-fallback path are pinned by CorpusSpec. */
+  def unigramLm(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      // pinned like bpeChain's vocab0: spans/counts/both Viterbi
+      // passes re-enter this relation along their own lineage paths
+      .localCheckpoint()
+    val spans = words.select(col("w"), col("freq"), explode(expr(
+      s"flatten(transform(sequence(0, length(w) - 1), j -> " +
+        s"transform(sequence(1, least($UmMaxP, length(w) - j)), m -> " +
+        "struct(j AS j, j + m AS i, substring(w, j + 1, m) AS p))))")).as("sp"))
+      .select(col("w"), col("freq"),
+        col("sp.j").as("j"), col("sp.i").as("i"), col("sp.p").as("p"))
+    val cnt0 = spans.groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+      .filter(length(col("p")) === 1 || col("cnt") >= UmMinCnt)
+      // the piece UNIVERSE: round 2's smoothing denominator iterates
+      // it again — pin once (piece-vocabulary-sized)
+      .localCheckpoint()
+    val lp0 = cnt0.crossJoin(broadcast(cnt0.agg(sum(col("cnt")).as("tot"))))
+      .select(col("p"), (umLnFp(col("cnt")) - umLnFp(col("tot"))).as("lp"))
+
+    // Viterbi: dp[i] = best (score, −lastPieceLen) over spans ending
+    // at i; position = size(acc) inside the fold, so the array IS the
+    // DP table. Backtrack walks the stored −len offsets.
+    def viterbi(lp: DataFrame): DataFrame = {
+      val dpExpr = expr(
+        "aggregate(sequence(1, length(w)), " +
+          "array(named_struct('s', cast(0 as bigint), 'nm', 0)), " +
+          "(acc, z) -> concat(acc, array(array_max(" +
+          "transform(filter(sps, sp -> sp.i = size(acc)), " +
+          "sp -> named_struct('s', element_at(acc, sp.j + 1).s + sp.lp, " +
+          "'nm', sp.j - sp.i))))))")
+      val segExpr = expr(
+        "aggregate(sequence(1, length(w)), " +
+          "named_struct('pos', length(w), 'toks', cast(array() as array<string>)), " +
+          "(st, z) -> if(st.pos <= 0, st, named_struct(" +
+          "'pos', st.pos + element_at(dp, st.pos + 1).nm, " +
+          "'toks', concat(array(substring(w, " +
+          "st.pos + element_at(dp, st.pos + 1).nm + 1, " +
+          "-element_at(dp, st.pos + 1).nm)), st.toks))), " +
+          "st -> st.toks)")
+      spans.join(lp, Seq("p"))
+        .groupBy(col("w"), col("freq"))
+        .agg(collect_list(struct(col("j"), col("i"), col("lp"))).as("sps"))
+        .withColumn("dp", dpExpr)
+        .select(col("w"), col("freq"), segExpr.as("seg"))
+    }
+
+    // hard-EM round: recount pieces from the round-1 segmentations
+    // (freq-weighted), add-1 smooth over the piece universe, re-segment
+    val cnt1 = viterbi(lp0)
+      .select(col("freq"), explode(col("seg")).as("p"))
+      .groupBy(col("p")).agg(sum(col("freq")).as("used"))
+    val uni = cnt0.select(col("p")).join(cnt1, Seq("p"), "left")
+      .select(col("p"), (coalesce(col("used"), lit(0L)) + 1).as("cnt"))
+    val lp1 = uni.crossJoin(broadcast(uni.agg(sum(col("cnt")).as("tot"))))
+      .select(col("p"), (umLnFp(col("cnt")) - umLnFp(col("tot"))).as("lp"))
+
+    val wmap = viterbi(lp1).select(col("w"), col("seg"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("wpos", "w")))
+      .filter(length(col("w")) >= 1)
+      .join(wmap, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("seg"))).as("n_um_tokens"),
+        md5(array_join(flatten(transform(array_sort(collect_list(
+          struct(col("wpos"), col("seg")))),
+          x => x.getField("seg"))), " ")).as("um_md5"))
+      .orderBy("doc_id")
   }
 }

@@ -176,4 +176,33 @@ object Temporal {
           .as("v_interp"))
       .orderBy("user_id", "ts_ms")
   }
+
+  /** q_scd2_history — slowly-changing-dimension TYPE 2 history build,
+    * the warehouse-maintenance staple next to q_upsert_merge: each
+    * user's event_type stream collapses into versioned validity
+    * intervals — a new version opens exactly when the attribute
+    * CHANGES (consecutive repeats collapse; a value RE-appearing
+    * later opens a fresh version — SCD2 tracks history, not distinct
+    * values), valid_to = the next version's valid_from (half-open
+    * intervals, NULL ⇒ is_current). Change detection is one lag()
+    * and interval closing one lead(), both over (user_id | ts,
+    * event_id) — the deterministic total order; every window is
+    * partitioned by the dimension's natural key, so the build is two
+    * narrow keyed shuffles at any scale (no global sort, no
+    * self-join). Collapse/reopen/current-row/equal-ts-tie semantics
+    * pinned by TemporalSpec. */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type").as("attr"),
+        millis(col("ts")).as("valid_from_ms"),
+        millis(col("valid_to_ts")).as("valid_to_ms"),
+        col("valid_to_ts").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
 }

@@ -446,6 +446,72 @@ class CorpusSpec extends SparkSpec {
     assert(r(1L)._3 > 0 && r(2L)._3 < 0)
   }
 
+  /** Model twin of Corpus.unigramLm: substring candidates (≤4 chars,
+    * singles always kept, multi-char gated at freq 2), fp6-ln scores,
+    * Viterbi with the (max score, shortest-last-piece) tie rule, one
+    * hard-EM recount with add-1 smoothing, re-segment, then the
+    * bpeApply-shaped per-doc rollup. Same JVM libm as Spark. */
+  private def umModel(docs: Seq[(Long, String)]): Seq[(Long, Long, Long, String)] = {
+    def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val freq = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    def spans(w: String) = for {
+      j <- 0 until w.length; m <- 1 to math.min(4, w.length - j)
+    } yield (j, j + m, w.substring(j, j + m))
+    val cnt0 = freq.toSeq.flatMap { case (w, f) => spans(w).map(s => (s._3, f)) }
+      .groupBy(_._1).map { case (p, o) => p -> o.map(_._2).sum }
+      .filter { case (p, c) => p.length == 1 || c >= 2 }
+    def fp6(x: Double) = math.floor(x * 1000000 + 0.5).toLong
+    def lpOf(cnt: Map[String, Long]): Map[String, Long] = {
+      val tot = fp6(math.log(cnt.values.sum.toDouble))
+      cnt.map { case (p, c) => p -> (fp6(math.log(c.toDouble)) - tot) }
+    }
+    def viterbi(lp: Map[String, Long])(w: String): Seq[String] = {
+      val dp = new Array[(Long, Int)](w.length + 1); dp(0) = (0L, 0)
+      for (i <- 1 to w.length)
+        dp(i) = spans(w).filter(s => s._2 == i && lp.contains(s._3))
+          .map(s => (dp(s._1)._1 + lp(s._3), s._1 - s._2)).max
+      var pos = w.length; var toks = List.empty[String]
+      while (pos > 0) {
+        val m = -dp(pos)._2; toks = w.substring(pos - m, pos) :: toks; pos -= m
+      }
+      toks
+    }
+    val seg0 = { val lp = lpOf(cnt0); freq.keys.map(w => w -> viterbi(lp)(w)).toMap }
+    val used = freq.toSeq.flatMap { case (w, f) => seg0(w).map(p => (p, f)) }
+      .groupBy(_._1).map { case (p, o) => p -> o.map(_._2).sum }
+    val cnt1 = cnt0.map { case (p, _) => p -> (used.getOrElse(p, 0L) + 1L) }
+    val segF = { val lp = lpOf(cnt1); freq.keys.map(w => w -> viterbi(lp)(w)).toMap }
+    docs.map { case (id, text) =>
+      val ws = text.split(" ").zipWithIndex.filter(_._1.nonEmpty)
+      (id, ws.length.toLong, ws.map(x => segF(x._1).size.toLong).sum,
+        md5hex(ws.sortBy(_._2).flatMap(x => segF(x._1)).mkString(" ")))
+    }.sortBy(_._1)
+  }
+
+  test("unigram_lm: char fallback for unique text, dominant piece wins, model-twin exact") {
+    // doc 1: every multi-char substring of "uvt" occurs ONCE in the
+    // corpus (below the freq-2 gate) → Viterbi can only use single
+    // chars (the fallback that keeps every word segmentable). doc 2:
+    // "abcd" ×3 makes the whole-word piece cheap — one piece beats
+    // four chars. doc 3 shares 'abcd' and 'zq' across its two words,
+    // so its segmentation uses learned multi-char pieces. The model
+    // twin replays candidate gating, both Viterbi passes, and the EM
+    // recount exactly.
+    val docs = Seq(
+      (1L, "uvt"),
+      (2L, "abcd abcd abcd"),
+      (3L, "abcdzq zqx"))
+    val d = docsDir(docs.map { case (id, t) => (id, t, "en", "s", 1L) }: _*)
+    val got = Corpus.unigramLm(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3))).toSeq
+    val want = umModel(docs)
+    assert(got == want)
+    assert(want.head._3 == 3L)      // doc 1: three single-char pieces
+    assert(want(1)._3 == 3L)        // doc 2: three one-piece words
+  }
+
   test("seq_pack_bpe: packing cuts on BPE tokens — merges shrink counts, exact bin boundary, per-lang restart") {
     // "ab" merges to one token in round 1 (the only pair in the
     // corpus); "k" is a single symbol. So doc 1 is 1024 BPE tokens —

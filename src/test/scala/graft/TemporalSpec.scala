@@ -82,4 +82,26 @@ class TemporalSpec extends SparkSpec {
       (1L, 2 * H) -> 30.0))   // other endpoint
     assert(!r.keySet.exists(_._1 == 2L)) // sub-step span yields no grid
   }
+
+  test("scd2: repeats collapse, reappearing value reopens, half-open chain, equal-ts tie by event_id") {
+    // user 7: A@10, A@20 (collapse), B@30, A@40 (REOPENS — history, not
+    // distinct values), current. user 8: two values at the SAME ts —
+    // event_id breaks the tie, so X(id 20) precedes Y(id 21): two
+    // versions from one timestamp, Y's interval [100, NULL).
+    val d = fixtureDir("events" -> Seq(
+      ev(10, 10L, 7, "A"), ev(11, 20L, 7, "A"),
+      ev(12, 30L, 7, "B"), ev(13, 40L, 7, "A"),
+      ev(20, 100L, 8, "X"), ev(21, 100L, 8, "Y"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val r = Temporal.scd2History(spark, d).collect()
+      .map(x => (x.getLong(0), x.getInt(1)) ->
+        ((x.getString(2), x.getLong(3),
+          if (x.isNullAt(4)) -1L else x.getLong(4), x.getBoolean(5)))).toMap
+    assert(r((7L, 1)) == (("A", 10L, 30L, false))) // repeat at 20 collapsed
+    assert(r((7L, 2)) == (("B", 30L, 40L, false)))
+    assert(r((7L, 3)) == (("A", 40L, -1L, true)))  // reopened version, current
+    assert(r((8L, 1)) == (("X", 100L, 100L, false))) // zero-length but ordered
+    assert(r((8L, 2)) == (("Y", 100L, -1L, true)))
+    assert(r.size == 5)
+  }
 }
