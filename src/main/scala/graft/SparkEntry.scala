@@ -169,6 +169,7 @@ object SparkEntry {
     "q_ccnet_bucket" -> (Corpus.ccnetBucket _),
     "q_mix_weights" -> (Corpus.mixWeights _),
     "q_capped_sample" -> (Corpus.cappedSample _),
+    "q_weighted_sample" -> (Corpus.weightedSample _),
     "q_pmi_phrases" -> (Corpus.pmiPhrases _),
     "q_token_entropy" -> (Corpus.tokenEntropy _),
     "q_block_dedup" -> (Corpus.blockDedup _),
@@ -212,6 +213,7 @@ object SparkEntry {
     "q_ann_recall" -> (Similarity.annRecall _),
     "q_range_search" -> (Similarity.rangeSearch _),
     "q_srp_recall" -> (Similarity.srpRecall _),
+    "q_bq_recall" -> (Similarity.bqRecall _),
     "q_mmr_rerank" -> (Similarity.mmrRerank _),
     "q_sq_recall" -> (Similarity.sqRecall _),
     "q_lsh_recall" -> (Similarity.lshRecall _),
@@ -2111,6 +2113,23 @@ object SparkEntry {
         |WHERE uu < r.rate
         |GROUP BY r.lang, r.n_total, r.rate
         |ORDER BY r.lang""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH u AS (SELECT doc_id, lang, n_chars,
+        |         (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            [CAST(strpos('0123456789abcdef', ch) AS BIGINT) - 1
+        |             FOR ch IN regexp_extract_all(
+        |               substring(md5('ws#' || CAST(doc_id AS VARCHAR)), 1, 15), '.')]),
+        |            (acc, x) -> acc * 16 + x) AS DOUBLE) + 0.5)
+        |           / 1152921504606846976.0 AS uu
+        |       FROM documents WHERE n_chars > 0),
+        |k AS (SELECT doc_id, lang, n_chars,
+        |        CAST(floor(ln(uu) / CAST(n_chars AS DOUBLE) * 1e15 + 0.5) AS BIGINT) AS es_key_fp
+        |      FROM u),
+        |r AS (SELECT doc_id, lang, n_chars, es_key_fp,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY es_key_fp DESC, doc_id) AS INT) AS rk FROM k)
+        |SELECT doc_id, lang, n_chars, es_key_fp, rk FROM r WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
     "s_quality_gate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |f AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
@@ -2586,6 +2605,58 @@ object SparkEntry {
         |         FROM exact x LEFT JOIN approx a ON a.qid = x.qid AND a.vec_id = x.vec_id
         |         GROUP BY x.qid)
         |SELECT ${graft.operators.Similarity.SrpDims} AS proj_dims, 10 AS k,
+        |       CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(sum(nx) AS BIGINT) AS n_exact, CAST(sum(nh) AS BIGINT) AS n_hit,
+        |       round(CAST(sum(nh) AS DOUBLE) / sum(nx), 6) AS recall
+        |FROM hits""".stripMargin),
+    "q_bq_recall" ->
+      ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        |tx AS (SELECT vec_id,
+        |              [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS xs
+        |       FROM embeddings),
+        |td AS (SELECT d, CAST(floor(CAST(sum(xs[d]) AS DOUBLE) / count(*)) AS BIGINT) AS t
+        |       FROM tx, range(1, 65) r(d) GROUP BY d),
+        |thr AS (SELECT list(t ORDER BY d) AS ts FROM td),
+        |pc AS (SELECT vec_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           [CASE WHEN xs[j] > ts[j] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |            FOR j IN range(1, 33)]), (acc, b) -> acc * 2 + b) AS w0,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           [CASE WHEN xs[j] > ts[j] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |            FOR j IN range(33, 65)]), (acc, b) -> acc * 2 + b) AS w1
+        |       FROM tx, thr),
+        |""".stripMargin +
+      s"""panel AS (SELECT vec_id AS qid, v AS qv, w0 AS qw0, w1 AS qw1
+        |          FROM e JOIN pc USING (vec_id)
+        |          WHERE $panelWhereSql),
+        |""".stripMargin +
+      s"""exact AS (SELECT qid, vec_id FROM (
+        |            SELECT p.qid, e.vec_id,
+        |                   row_number() OVER (PARTITION BY p.qid
+        |                     ORDER BY round(list_dot_product(v, qv)
+        |                       / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
+        |                       e.vec_id ASC) AS rn
+        |            FROM e, panel p WHERE e.vec_id <> p.qid) WHERE rn <= 10),
+        |cand AS (SELECT qid, vec_id FROM (
+        |           SELECT p.qid, c.vec_id,
+        |                  row_number() OVER (PARTITION BY p.qid
+        |                    ORDER BY (bit_count(xor(c.w0, p.qw0)) + bit_count(xor(c.w1, p.qw1))) ASC,
+        |                      c.vec_id ASC) AS rn
+        |           FROM pc c, panel p WHERE c.vec_id <> p.qid)
+        |         WHERE rn <= ${graft.operators.Similarity.BqRerank}),
+        |approx AS (SELECT qid, vec_id FROM (
+        |             SELECT cd.qid, cd.vec_id,
+        |                    row_number() OVER (PARTITION BY cd.qid
+        |                      ORDER BY round(list_dot_product(e.v, p.qv)
+        |                        / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.qv, p.qv))), 6) DESC,
+        |                        cd.vec_id ASC) AS rn
+        |             FROM cand cd JOIN e ON e.vec_id = cd.vec_id
+        |             JOIN panel p ON p.qid = cd.qid) WHERE rn <= 10),
+        |hits AS (SELECT x.qid, CAST(count(*) AS BIGINT) AS nx,
+        |                CAST(count(a.vec_id) AS BIGINT) AS nh
+        |         FROM exact x LEFT JOIN approx a ON a.qid = x.qid AND a.vec_id = x.vec_id
+        |         GROUP BY x.qid)
+        |SELECT 64 AS bits, ${graft.operators.Similarity.BqRerank} AS rerank_r, 10 AS k,
         |       CAST(count(*) AS BIGINT) AS n_queries,
         |       CAST(sum(nx) AS BIGINT) AS n_exact, CAST(sum(nh) AS BIGINT) AS n_hit,
         |       round(CAST(sum(nh) AS DOUBLE) / sum(nx), 6) AS recall

@@ -515,6 +515,44 @@ object Corpus {
       .orderBy("source", "rk")
   }
 
+  /** Per-stratum sample size for [[weightedSample]]. */
+  private val WsK = 5
+
+  /** q_weighted_sample — weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis exponential keys, the one-pass distributed
+    * classic): each doc draws key = ln(u)/w — the log form of u^(1/w),
+    * same ranking, no pow — with u a deterministic md5-60 uniform
+    * ([[tempSample]]'s currency, +0.5 so u > 0) and w = n_chars, the
+    * length-proportional weight that makes doc-level sampling
+    * approximate token-level uniform sampling (the mixture-building
+    * draw). The k LARGEST keys per language are the sample; taking
+    * top-k by key IS sampling without replacement with per-draw
+    * probabilities ∝ w (Efraimidis & Spirakis 2006). Keys snap to a
+    * 1e-15 fixed-point long (one libm ln + two correctly-rounded IEEE
+    * ops on identical inputs — cross-engine exact, [[tokenEntropy]]
+    * discipline), ties broken by doc_id. Shape: one map-side key
+    * projection + one per-lang top-k window (WindowGroupLimit keeps a
+    * k-slot heap per stratum — no global sort, no driver state; the
+    * reservoir formulation needs sequential state, THIS formulation
+    * is the distributed one). Weight dominance, per-stratum cap, and
+    * the non-positive-weight gate are spec-pinned. */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val u = (graft.functions
+      .md5hash60(concat(lit("ws#"), col("doc_id").cast("string")))
+      .cast("double") + lit(0.5)) / lit(1152921504606846976.0) // 2^60
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("es_key_fp").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .filter(col("n_chars") > 0) // E-S is defined for positive weights
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("es_key_fp",
+        floor(log(u) / col("n_chars").cast("double") * lit(1e15) + lit(0.5))
+          .cast("long"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= WsK)
+      .orderBy("lang", "rk")
+  }
+
   /** q_token_entropy — Shannon entropy of each document's token
     * distribution (the Gopher-style repetition gate: low entropy =
     * degenerate repetition, entropy ≈ ln(n) = all-distinct): H =

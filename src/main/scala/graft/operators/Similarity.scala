@@ -1476,6 +1476,90 @@ object Similarity {
         col("n_exact"), col("n_hit"), col("recall"))
   }
 
+  /** Hamming-shortlist depth the [[bqRecall]] exact rescore reads. */
+  private[graft] val BqRerank = 50
+
+  /** The [[bqRecall]] binary coder — exact 1e-6 longs, per-dim
+    * corpus-MEAN threshold (strict >), bits packed msb-first into two
+    * 32-bit words by an acc·2+bit integer fold. Factored out so the
+    * spec can pin threshold strictness and packing order on crafted
+    * sign patterns. */
+  private[graft] def bqCoded(e0: DataFrame): DataFrame = {
+    val ex = e0.select(col("vec_id"), col("embedding"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+        .as("xs"))
+    // per-dim corpus mean threshold: one 64-group agg folded into a
+    // single sorted array row and broadcast (floor of ONE IEEE double
+    // division — identical cross-engine)
+    val thr = ex.select(posexplode(col("xs")).as(Seq("dim", "xv")))
+      .groupBy(col("dim"))
+      .agg(floor(sum(col("xv")).cast("double") / count(lit(1)))
+        .cast("long").as("t"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, t))), s -> s.t)")
+        .as("ts"))
+    val pack = (lo: Int, hi: Int) => expr(
+      s"""aggregate(sequence($lo, $hi), CAST(0 AS BIGINT),
+         |  (acc, j) -> acc * 2 + if(element_at(xs, j) > element_at(ts, j),
+         |                           CAST(1 AS BIGINT), CAST(0 AS BIGINT)))""".stripMargin)
+    ex.crossJoin(broadcast(thr))
+      .select(col("vec_id"), col("embedding"),
+        pack(1, 32).as("w0"), pack(33, 64).as("w1"))
+  }
+
+  /** q_bq_recall — 1-bit binary quantization + Hamming shortlist +
+    * exact rescore: the fifth compression row on the family's shared
+    * scorecard (SQ8 [[sqRecall]] = 4×, PQ = 32× with codebooks, SRP
+    * [[srpRecall]] = 4-D cut, IVF-SQ — this is the 32×-no-codebook
+    * point every modern vector store ships). Each vector compresses
+    * to ONE bit per dimension — bit_d = (x_d > mean_d), the per-dim
+    * corpus mean computed on the exact 1e-6 longs — packed into two
+    * 32-bit words (a fold of acc·2+bit: pure integer arithmetic, no
+    * 1<<63 overflow corner in either engine). Retrieval is the
+    * standard two-phase plan: rank by Hamming distance
+    * (bit_count(xor) on the packed words — 16 B/vector, the whole
+    * candidate scan is register math), keep the top-[[BqRerank]],
+    * exact-rescore those on the float vectors, report recall@10 vs
+    * the brute-force ranking on the SHARED seed-disjoint panel. All
+    * quantities are exact integers until the final rounded-cosine
+    * rescore, so both engines rank identical values. At scale: the
+    * threshold is one 64-group map-side-combined agg broadcast back;
+    * the binary codes are 32× smaller than the floats, so the
+    * shortlist scan reads 3 % of the bytes and the floats are touched
+    * for [[BqRerank]] rows per query only. Threshold strictness
+    * (> not ≥), packing order, and rescue-by-rerank are spec-pinned. */
+  def bqRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = Tables.embeddings(s, d)
+    val n = e0.count()
+    val coded = bqCoded(e0)
+    val panel = broadcast(coded.filter(panelFilter(n))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("w0").as("qw0"), col("w1").as("qw1")))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = e0.crossJoin(panel.select(col("qid"), col("qvec")))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qvec")).as("cos"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val wh = Window.partitionBy(col("qid"))
+      .orderBy(col("ham").asc, col("vec_id").asc)
+    val approx = coded.crossJoin(panel)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qvec"), col("vec_id"), col("embedding"),
+        (bit_count(col("w0").bitwiseXOR(col("qw0"))) +
+          bit_count(col("w1").bitwiseXOR(col("qw1")))).as("ham"))
+      .withColumn("hrn", row_number().over(wh)).filter(col("hrn") <= BqRerank)
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("qvec")).as("cos"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    recallSummary(exact, approx)
+      .select(lit(64).as("bits"), lit(BqRerank).as("rerank_r"), col("k"),
+        col("n_queries"), col("n_exact"), col("n_hit"), col("recall"))
+  }
+
   /** MMR weights and selection depth for [[mmrRerank]]. λ and μ = 1−λ
     * are SEPARATE literals (not computed from each other): 1.0 − 0.7
     * is 0.30000000000000004 in IEEE — both engines must score with the

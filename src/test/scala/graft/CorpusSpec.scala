@@ -531,4 +531,34 @@ class CorpusSpec extends SparkSpec {
     assert(r(3L) == ((3L, 1026L, 1L, 1L)))
     assert(r(9L) == ((2L, 0L, 0L, 0L)))      // per-lang restart
   }
+
+  test("weighted_sample: E-S keys match the driver reference exactly; cap, tie order, w<=0 gate") {
+    // driver-side replica of the operator's entire math: md5-60
+    // uniform (+0.5), ln(u)/w at 1e-15 fixed point, per-lang top-5
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def esKey(id: Long, w: Long): Long = {
+      val v = java.lang.Long.parseLong(md5hex(s"ws#$id").take(15), 16)
+      math.floor(math.log((v.toDouble + 0.5) / 1152921504606846976.0)
+        / w.toDouble * 1e15 + 0.5).toLong
+    }
+    val docs = ((1L to 9L).map(i => (i, "en", 100L + i)) ++
+      Seq((20L, "de", 7L), (21L, "de", 7000000L),
+        (30L, "fr", 0L), (31L, "fr", -4L), (32L, "fr", 9L))).toSeq
+    val d = docsDir(docs.map { case (id, l, nc) => (id, "t", l, "s", nc) }: _*)
+    val got = Corpus.weightedSample(spark, d).collect()
+      .map(x => (x.getString(1), x.getInt(4), x.getLong(0), x.getLong(2), x.getLong(3)))
+      .toSeq
+    val want = docs.filter(_._3 > 0L)
+      .map { case (id, l, nc) => (l, id, nc, esKey(id, nc)) }
+      .groupBy(_._1).toSeq.flatMap { case (l, rows) =>
+        rows.sortBy { case (_, id, _, k) => (-k, id) }.take(5).zipWithIndex
+          .map { case ((_, id, nc, k), i) => (l, i + 1, id, nc, k) }
+      }.sortBy(r => (r._1, r._2))
+    assert(got == want)
+    assert(got.count(_._1 == "en") == 5)          // cap bites at 9 docs
+    assert(got.count(_._1 == "de") == 2)          // cap is min(5, n)
+    assert(!got.exists(r => r._3 == 30L || r._3 == 31L)) // w <= 0 excluded
+  }
 }

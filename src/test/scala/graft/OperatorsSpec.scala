@@ -1241,4 +1241,54 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getLong(3) == 10L)          // exact side is 10 deep
     assert(r.getDouble(5) >= 0.8, r)     // cluster structure survives
   }
+
+  test("bqCoded: strict > threshold (identical corpus codes all-zero) and msb-first packing") {
+    import spark.implicits._
+    // three identical vectors: every dim sits exactly AT its corpus
+    // mean, so strict > codes all-zero everywhere (≥ would code
+    // all-ones — the boundary this test pins)
+    val same = Array.tabulate(64)(i => (if (i % 3 == 0) 1f else -1f))
+    val dirSame = fixtureDir("embeddings" ->
+      (0L until 3L).map(id => (id, same, 0)).toDF("vec_id", "embedding", "label"))
+    val s0 = Similarity.bqCoded(graft.Tables.embeddings(spark, dirSame))
+      .select("vec_id", "w0", "w1").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(s0 == Set((0L, 0L)))
+    // A is +1 on dim 1 only (B is −1 everywhere): the single set bit
+    // is dim 1 = the msb of w0 → w0 = 2^31, w1 = 0
+    val a = Array.tabulate(64)(i => if (i == 0) 1f else -1f)
+    val b = Array.fill(64)(-1f)
+    val dirAb = fixtureDir("embeddings" ->
+      Seq((0L, a, 0), (1L, b, 0)).toDF("vec_id", "embedding", "label"))
+    val got = Similarity.bqCoded(graft.Tables.embeddings(spark, dirAb))
+      .select("vec_id", "w0", "w1").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(0L) == ((2147483648L, 0L))) // bit for dim 1 lands msb-first
+    assert(got(1L) == ((0L, 0L)))
+  }
+
+  test("bqRecall: rerank depth >= candidate count makes the rescore exact — recall 1.0") {
+    import spark.implicits._
+    // 40 vectors (39 candidates < BqRerank = 50): the Hamming
+    // shortlist necessarily contains the exact top-10, so the float
+    // rescore must restore the brute-force ranking bit-for-bit —
+    // any loss here is a rescore bug, not quantization error.
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 40L).map { id =>
+      val axis = (id / 10).toInt * 16
+      val v = Array.tabulate(64)(i =>
+        (if (i == axis) 1.0 else 0.0) + 0.05 * rnd.nextGaussian())
+      (id, v.map(_.toFloat), 0)
+    }
+    val dir = fixtureDir("embeddings" ->
+      rows.toDF("vec_id", "embedding", "label"))
+    val r = Similarity.bqRecall(spark, dir).collect().head
+    assert(r.getInt(0) == 64)                    // bits
+    assert(r.getInt(1) == Similarity.BqRerank)   // rerank_r
+    assert(r.getInt(2) == 10)                    // k
+    assert(r.getLong(3) == 1L)                   // one panel query (id 17)
+    assert(r.getLong(4) == 10L)
+    assert(r.getLong(5) == 10L)
+    assert(r.getDouble(6) == 1.0, r)
+  }
 }
