@@ -1527,7 +1527,12 @@ object Similarity {
     * shortlist scan reads 3 % of the bytes and the floats are touched
     * for [[BqRerank]] rows per query only. Threshold strictness
     * (> not ≥), packing order, and rescue-by-rerank are spec-pinned. */
-  def bqRecall(s: SparkSession, d: String): DataFrame = {
+  def bqRecall(s: SparkSession, d: String): DataFrame =
+    bqRecallAt(s, d, BqRerank)
+
+  /** [[bqRecall]] with the rescore depth exposed (tools/BqSweep
+    * measures the recall-vs-R operating curve on this). */
+  private[graft] def bqRecallAt(s: SparkSession, d: String, rerank: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e0 = Tables.embeddings(s, d)
     val n = e0.count()
@@ -1550,13 +1555,13 @@ object Similarity {
       .select(col("qid"), col("qvec"), col("vec_id"), col("embedding"),
         (bit_count(col("w0").bitwiseXOR(col("qw0"))) +
           bit_count(col("w1").bitwiseXOR(col("qw1")))).as("ham"))
-      .withColumn("hrn", row_number().over(wh)).filter(col("hrn") <= BqRerank)
+      .withColumn("hrn", row_number().over(wh)).filter(col("hrn") <= rerank)
       .select(col("qid"), col("vec_id"),
         cosine(col("embedding"), col("qvec")).as("cos"))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
       .select(col("qid"), col("vec_id"), lit(1).as("hit"))
     recallSummary(exact, approx)
-      .select(lit(64).as("bits"), lit(BqRerank).as("rerank_r"), col("k"),
+      .select(lit(64).as("bits"), lit(rerank).as("rerank_r"), col("k"),
         col("n_queries"), col("n_exact"), col("n_hit"), col("recall"))
   }
 
