@@ -170,6 +170,7 @@ object SparkEntry {
     "q_mix_weights" -> (Corpus.mixWeights _),
     "q_capped_sample" -> (Corpus.cappedSample _),
     "q_weighted_sample" -> (Corpus.weightedSample _),
+    "q_train_shuffle" -> (Corpus.trainShuffle _),
     "q_pmi_phrases" -> (Corpus.pmiPhrases _),
     "q_token_entropy" -> (Corpus.tokenEntropy _),
     "q_block_dedup" -> (Corpus.blockDedup _),
@@ -2130,6 +2131,25 @@ object SparkEntry {
         |          ORDER BY es_key_fp DESC, doc_id) AS INT) AS rk FROM k)
         |SELECT doc_id, lang, n_chars, es_key_fp, rk FROM r WHERE rk <= 5
         |ORDER BY lang, rk""".stripMargin,
+    "q_train_shuffle" ->
+      """WITH s AS (SELECT doc_id, md5('sh#' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |sh AS (SELECT doc_id, h,
+        |         CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) % 8 AS INT) AS shard
+        |       FROM s),
+        |r AS (SELECT shard, doc_id,
+        |        CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+        |      FROM sh),
+        |p AS (SELECT shard, doc_id, pos,
+        |        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          [CAST(strpos('0123456789abcdef', ch) AS BIGINT) - 1
+        |           FOR ch IN regexp_extract_all(substring(md5(
+        |             CAST(doc_id AS VARCHAR) || '@' || CAST(pos AS VARCHAR)), 1, 15), '.')]),
+        |          (acc, x) -> acc * 16 + x) AS BIGINT) AS ph
+        |      FROM r)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min_by(doc_id, pos) AS first_doc, max_by(doc_id, pos) AS last_doc,
+        |       CAST(sum(ph) % 1152921504606846976 AS BIGINT) AS order_checksum60
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
     "s_quality_gate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |f AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,

@@ -553,6 +553,72 @@ object Corpus {
       .orderBy("lang", "rk")
   }
 
+  /** Shard count for [[trainShuffle]]. */
+  private val TsShards = 8
+
+  /** q_train_shuffle — the deterministic global shuffle + shard
+    * assignment a trainer consumes: every epoch-0 data layout job ends
+    * by (1) assigning each doc to one of [[TsShards]] shards and (2)
+    * fixing a pseudorandom WITHIN-SHARD order, both engine-, run-, and
+    * cluster-size-independent (md5 of the doc id — rand() would be
+    * none of those). The within-shard position is a GLOBAL rank over
+    * (shard, hash) computed distributed — range partition → local
+    * rank → broadcast P-scalar prefix ([[PrefixStitch]], its third
+    * consumer after gaps-islands and skyline) → minus the per-shard
+    * offset (≤[[TsShards]] broadcast scalars) — because a trainer's
+    * shuffle is exactly the global sort this library refuses to run
+    * on one task. The declared row is the EVAL of that layout: per
+    * shard, doc count, first/last doc in order, and an ORDER-SENSITIVE
+    * checksum Σ md5_60(doc_id@pos) mod 2^60 — position is baked into
+    * every term, so any permutation, drop, or duplicate changes the
+    * sum, yet the fold is commutative and map-side combinable (the
+    * [[graft.operators.Scale.tableChecksum]] discipline extended with
+    * position: order pinned WITHOUT a shard-sized ordered collect).
+    * Shard balance, rank contiguity, and permutation sensitivity are
+    * spec-pinned; the full (doc, shard, pos) relation is the
+    * operator's product for a real layout job. */
+  def trainShuffle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("sh#"), col("doc_id").cast("string")).cast("binary"))
+          .as("h"))
+      .withColumn("shard",
+        (expr("CAST(conv(substring(h, 1, 1), 16, 10) AS INT)") % TsShards)
+          .cast("int"))
+    val (ranged, prefixArr) = PrefixStitch.rangePrefix[Long](
+      hashed, Seq(col("shard"), col("h"), col("doc_id")), count(lit(1)),
+      0L, _ + _, _.getLong(1), sortWithin = false)
+    val prefix = prefixArr.zipWithIndex
+      .map { case (v, p) => (p, v) }.toSeq.toDF("pid", "rank_before")
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("shard"), col("h"), col("doc_id"))
+    val ranked = ranged
+      .withColumn("lrn", row_number().over(wLocal))
+      .join(broadcast(prefix), "pid")
+      .select(col("shard"), col("doc_id"),
+        (col("rank_before") + col("lrn")).as("grk"))
+    // per-shard offsets: ≤ TsShards scalars — running sum via the tiny
+    // self-join (no window over a single partition of the data)
+    val counts = ranked.groupBy(col("shard")).agg(count(lit(1)).as("c"))
+    val offs = counts.as("a")
+      .join(counts.as("b"), col("b.shard") < col("a.shard"), "left")
+      .groupBy(col("a.shard"), col("a.c"))
+      .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
+      .select(col("a.shard").as("shard"), col("off"))
+    ranked.join(broadcast(offs), Seq("shard"))
+      .select(col("shard"), col("doc_id"), (col("grk") - col("off")).as("pos"))
+      .withColumn("ph", graft.functions.md5hash60(
+        concat(col("doc_id").cast("string"), lit("@"), col("pos").cast("string"))))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), col("pos")).as("first_doc"),
+        max_by(col("doc_id"), col("pos")).as("last_doc"),
+        expr("CAST(sum(CAST(ph AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT)")
+          .as("order_checksum60"))
+      .orderBy("shard")
+  }
+
   /** q_token_entropy — Shannon entropy of each document's token
     * distribution (the Gopher-style repetition gate: low entropy =
     * degenerate repetition, entropy ≈ ln(n) = all-distinct): H =

@@ -561,4 +561,45 @@ class CorpusSpec extends SparkSpec {
     assert(got.count(_._1 == "de") == 2)          // cap is min(5, n)
     assert(!got.exists(r => r._3 == 30L || r._3 == 31L)) // w <= 0 excluded
   }
+
+  test("train_shuffle: matches the driver shuffle-layout reference; checksum is order-SENSITIVE") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def h60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val M = 1152921504606846976L
+    val ids = (1L to 40L)
+    val d = docsDir(ids.map(id => (id, "t", "en", "s", 1L)): _*)
+    // driver reference: shard = first md5 hex digit % 8, within-shard
+    // order by (h, doc_id), checksum = sum of md5_60("id@pos") mod 2^60
+    val byShard = ids.map { id =>
+      val h = md5hex(s"sh#$id")
+      (Integer.parseInt(h.take(1), 16) % 8, h, id)
+    }.groupBy(_._1).toSeq.map { case (sh, rows) =>
+      val ordered = rows.sortBy { case (_, h, id) => (h, id) }.map(_._3)
+      val cks = ordered.zipWithIndex
+        .map { case (id, i) => h60(s"$id@${i + 1}") % M }
+        .foldLeft(0L)((a, b) => (a + b) % M)
+      (sh, ordered.size.toLong, ordered.head, ordered.last, cks)
+    }.sortBy(_._1)
+    val got = Corpus.trainShuffle(spark, d).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toSeq
+    assert(got == byShard)
+    assert(got.map(_._2).sum == 40L) // every doc landed in exactly one shard
+    // the currency is order-SENSITIVE: swapping two positions in the
+    // reference changes the checksum (a commutative-but-positional sum)
+    val (sh0, _, _, _, cks0) = byShard.find(_._2 >= 2).get
+    val swapped = {
+      val ordered = ids.map { id =>
+        val h = md5hex(s"sh#$id")
+        (Integer.parseInt(h.take(1), 16) % 8, h, id)
+      }.filter(_._1 == sh0).sortBy { case (_, h, id) => (h, id) }.map(_._3)
+        .toArray
+      val t = ordered(0); ordered(0) = ordered(1); ordered(1) = t
+      ordered.zipWithIndex.map { case (id, i) => h60(s"$id@${i + 1}") % M }
+        .foldLeft(0L)((a, b) => (a + b) % M)
+    }
+    assert(swapped != cks0)
+  }
 }
