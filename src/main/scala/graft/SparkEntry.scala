@@ -409,7 +409,7 @@ object SparkEntry {
     }
     s"""v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
       |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-      |       GROUP BY w),
+      |       WHERE len(w) >= 1 GROUP BY w),
       |${mergeRound(1)},
       |${mergeRound(2)},
       |${mergeRound(3)}""".stripMargin
@@ -451,7 +451,7 @@ object SparkEntry {
     }
     s"""w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
       |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-      |       GROUP BY w),
+      |       WHERE len(w) >= 1 GROUP BY w),
       |${wpRound(1)},
       |${wpRound(2)},
       |${wpRound(3)}""".stripMargin

@@ -228,16 +228,12 @@ object Analytics {
         keys.withColumn("rn",
           row_number().over(Window.orderBy(col("o_orderkey"))))
       } else {
-        import s.implicits._
-        val (ranged, prefixArr) = PrefixStitch.rangePrefix[Long](
-          keys, Seq(col("o_orderkey")), count(lit(1)),
-          0L, _ + _, _.getLong(1), sortWithin = false)
-        val prefix = prefixArr.zipWithIndex
-          .map { case (v, p) => (p, v) }.toSeq.toDF("pid", "rank_before")
+        val (ranged, prefix) = PrefixStitch.rangeRank(
+          keys, Seq(col("o_orderkey")))
         val wLocal = Window.partitionBy(col("pid")).orderBy(col("o_orderkey"))
         ranged
           .withColumn("lrn", row_number().over(wLocal))
-          .join(broadcast(prefix), "pid")
+          .join(prefix, "pid")
           .select(col("o_orderkey"),
             (col("rank_before") + col("lrn")).as("rn"))
       }

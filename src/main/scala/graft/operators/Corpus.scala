@@ -578,7 +578,6 @@ object Corpus {
     * spec-pinned; the full (doc, shard, pos) relation is the
     * operator's product for a real layout job. */
   def trainShuffle(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val hashed = Tables.documents(s, d)
       .select(col("doc_id"),
         md5(concat(lit("sh#"), col("doc_id").cast("string")).cast("binary"))
@@ -586,21 +585,20 @@ object Corpus {
       .withColumn("shard",
         (expr("CAST(conv(substring(h, 1, 1), 16, 10) AS INT)") % TsShards)
           .cast("int"))
-    val (ranged, prefixArr) = PrefixStitch.rangePrefix[Long](
-      hashed, Seq(col("shard"), col("h"), col("doc_id")), count(lit(1)),
-      0L, _ + _, _.getLong(1), sortWithin = false)
-    val prefix = prefixArr.zipWithIndex
-      .map { case (v, p) => (p, v) }.toSeq.toDF("pid", "rank_before")
+    val (ranged, prefix) = PrefixStitch.rangeRank(
+      hashed, Seq(col("shard"), col("h"), col("doc_id")))
     val wLocal = Window.partitionBy(col("pid"))
       .orderBy(col("shard"), col("h"), col("doc_id"))
     val ranked = ranged
       .withColumn("lrn", row_number().over(wLocal))
-      .join(broadcast(prefix), "pid")
+      .join(prefix, "pid")
       .select(col("shard"), col("doc_id"),
         (col("rank_before") + col("lrn")).as("grk"))
     // per-shard offsets: ≤ TsShards scalars — running sum via the tiny
-    // self-join (no window over a single partition of the data)
-    val counts = ranked.groupBy(col("shard")).agg(count(lit(1)).as("c"))
+    // self-join (no window over a single partition of the data). Counts
+    // come off the PINNED ranged blocks, not `ranked`, so the offs
+    // branch does not embed the window-rank pass a second time.
+    val counts = ranged.groupBy(col("shard")).agg(count(lit(1)).as("c"))
     val offs = counts.as("a")
       .join(counts.as("b"), col("b.shard") < col("a.shard"), "left")
       .groupBy(col("a.shard"), col("a.c"))
@@ -714,23 +712,39 @@ object Corpus {
     * word-keyed join back onto the token stream (never a per-token
     * re-fold: at 100 TB the corpus has ~10⁹ distinct words but ~10¹³
     * token occurrences — the fold must run on the former). */
-  private def bpeChain(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
-    val vocab0 = Tables.documents(s, d)
+  /** The distinct-word frequency + character-split vocabulary shared
+    * by [[bpeChain]] and [[wordpieceMerges]] — ONE definition so the
+    * two induction families cannot drift. Empty words are gated out
+    * (`length(w) >= 1`, the [[unigramLm]] gate applied family-wide):
+    * consecutive/leading/trailing spaces yield "" words whose
+    * character split DIVERGES between engines (Spark split("", "") =
+    * [""], DuckDB regexp_extract_all("", '.') = []) — with the gate,
+    * "" never enters any vocabulary, so the word→syms joins drop it
+    * identically on both sides; every oracle's v0 mirrors the filter.
+    * Pinned: every merge round's pair count, unigram count, and
+    * rewrite re-enters this relation along its own lineage path —
+    * without the pin each path replays the full corpus explode;
+    * pinned it is one corpus scan and a distinct-words relation. */
+  private def charVocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(col("w"), col("freq"), expr("split(w, '')").as("syms"))
-      // pinned: every merge round's pair count, unigram count, and
-      // rewrite re-enters this relation along its own lineage path —
-      // without the pin each path replays the full corpus explode;
-      // pinned it is one corpus scan and a distinct-words relation
       .localCheckpoint()
-    // value-greedy merge: walk the symbols, joining (l, r) whenever the
-    // accumulated tail equals l and the next symbol equals r
-    val applyMerge = expr(
-      "aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
-        "if(size(acc) > 0 and element_at(acc, -1) = l and x = r, " +
-        "concat(slice(acc, 1, size(acc) - 1), array(concat(l, r))), " +
-        "concat(acc, array(x))))")
+
+  /** The value-greedy merge rewrite shared by the BPE and WordPiece
+    * folds: walk the symbols, joining (l, r) whenever the accumulated
+    * tail equals l and the next symbol equals r. */
+  private val applyMergeExpr: Column = expr(
+    "aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
+      "if(size(acc) > 0 and element_at(acc, -1) = l and x = r, " +
+      "concat(slice(acc, 1, size(acc) - 1), array(concat(l, r))), " +
+      "concat(acc, array(x))))")
+
+  private def bpeChain(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
+    val vocab0 = charVocab(s, d)
+    val applyMerge = applyMergeExpr
     (1 to BpeRounds).foldLeft(
       (Seq.empty[DataFrame], vocab0)) { case ((acc, vocab), round) =>
       val pairs = vocab.filter(size(col("syms")) >= 2)
@@ -1076,20 +1090,8 @@ object Corpus {
     * dependence (round 2 can consume round 1's output symbol) and
     * likelihood-beats-frequency are pinned by CorpusSpec. */
   def wordpieceMerges(s: SparkSession, d: String): DataFrame = {
-    val vocab0 = Tables.documents(s, d)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("w"), col("freq"), expr("split(w, '')").as("syms"))
-      // pinned: every merge round's pair count, unigram count, and
-      // rewrite re-enters this relation along its own lineage path —
-      // without the pin each path replays the full corpus explode;
-      // pinned it is one corpus scan and a distinct-words relation
-      .localCheckpoint()
-    val applyMerge = expr(
-      "aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
-        "if(size(acc) > 0 and element_at(acc, -1) = l and x = r, " +
-        "concat(slice(acc, 1, size(acc) - 1), array(concat(l, r))), " +
-        "concat(acc, array(x))))")
+    val vocab0 = charVocab(s, d) // the bpeChain vocabulary — one definition
+    val applyMerge = applyMergeExpr
     val rows = (1 to WpRounds).foldLeft(
       (Seq.empty[DataFrame], vocab0)) { case ((acc, vocab), round) =>
       val pairs = vocab.filter(size(col("syms")) >= 2)

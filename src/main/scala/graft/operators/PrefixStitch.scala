@@ -34,6 +34,23 @@ private[graft] object PrefixStitch {
     * @return the pinned relation with a `pid` column appended, and
     *         prefix(p) = fold of partitions 0 .. p-1's scalars
     */
+  /** The count/RANK specialization of [[rangePrefix]]: per-partition
+    * row counts folded into a strict-prefix sum, returned as the
+    * broadcast-ready (pid, rank_before) relation — so global rank =
+    * rank_before + local row_number. One definition of the lift both
+    * rank consumers ([[Analytics.gapsIslands]], [[Corpus.trainShuffle]])
+    * previously hand-rolled (an Int-vs-Long pid drift between two
+    * copies would produce a silently empty join). */
+  def rangeRank(df: DataFrame, keys: Seq[Column]): (DataFrame, DataFrame) = {
+    val (pinned, prefixArr) = rangePrefix[Long](
+      df, keys, count(lit(1)), 0L, _ + _, _.getLong(1), sortWithin = false)
+    val s = pinned.sparkSession
+    import s.implicits._
+    val prefix = prefixArr.zipWithIndex
+      .map { case (v, p) => (p, v) }.toSeq.toDF("pid", "rank_before")
+    (pinned, broadcast(prefix))
+  }
+
   def rangePrefix[S: ClassTag](
       df: DataFrame, keys: Seq[Column], scalarAgg: Column,
       zero: S, fold: (S, S) => S, get: Row => S,

@@ -242,7 +242,18 @@ object StreamingIndex {
     val fp = s"$inputFingerprint@${dirStamp(d)}"
     pinnedCache.compute(key, (_, cur) =>
       if (cur != null && cur._1 == fp) cur
-      else (fp, build.localCheckpoint()))._2
+      else {
+        // displacement frees the old pin's checkpoint blocks NOW
+        // rather than whenever ContextCleaner's weak refs get GC'd —
+        // a long session cycling serving variants must not stack
+        // corpus-sized block-manager entries
+        if (cur != null) cur._2.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(false)
+          case _ =>
+        }
+        (fp, build.localCheckpoint())
+      })._2
   }
 
   /** The pinned (vec_id, embedding, cell) serving relation for a cell
@@ -351,11 +362,11 @@ object StreamingIndex {
     // forever. The checkpoint is the serving-tier move (the corpus is
     // pinned next to the index), same philosophy as the literal
     // centroids — and pinned ONCE per (session, corpus), not per rig
-    // start ([[pinnedCorpus]]).
-    val corpus = pinnedCorpus(s, d, "serve") {
-      e.join(cells, "vec_id")
-        .select(col("vec_id"), col("embedding"), col("cell"))
-    }
+    // start. Routed through servingCorpus so THIS caller carries the
+    // same cells fingerprint as the swap rigs sharing the "serve"
+    // variant: identical assignment ⇒ shared pin, different ⇒ honest
+    // displacement (not the round-9 silent stale hit).
+    val corpus = servingCorpus(s, d, cells, "serve")
     val panel = e.filter(Similarity.panelFilter(n))
       .select(col("vec_id"), col("embedding"))
       .as[VecEvent].collect()
@@ -429,7 +440,8 @@ object StreamingIndex {
     // the corpus scan of the materialization job); the serving loop
     // then reads the pinned label-pruned relation every batch instead
     // of re-filtering the corpus per trigger ([[sAnnServe]]'s pin)
-    val corpus = pinnedCorpus(s, d, "filtered") {
+    val corpus = pinnedCorpus(s, d, "filtered",
+      cells.queryExecution.logical.semanticHash().toString) {
       e.filter(col("label") === Similarity.FilterLabel)
         .join(cells, "vec_id")
         .select(col("vec_id"), col("embedding"), col("cell"))
@@ -813,7 +825,9 @@ object StreamingIndex {
     // pinned: the coded corpus is the serving dataset — rebuilding the
     // per-vector code rows (a corpus-wide groupBy) EVERY micro-batch
     // is the cost the pin removes ([[sAnnServe]])
-    val corpus = pinnedCorpus(s, d, "pq_coded") {
+    val corpus = pinnedCorpus(s, d, "pq_coded",
+      cells.queryExecution.logical.semanticHash().toString + ":" +
+        codes.queryExecution.logical.semanticHash().toString) {
       cells.join(
         codes.groupBy(col("vec_id"))
           .agg(collect_list(struct(col("sub"), col("code"))).as("pv")),

@@ -372,6 +372,31 @@ class CorpusSpec extends SparkSpec {
     assert(cov == Seq(("en", 4L, 0L, 0.0))) // 4 BPE tokens, all in the tiny vocab
   }
 
+  test("bpe/wordpiece: empty words (double/leading/trailing spaces) never enter the vocabulary") {
+    // "a  b " splits to ["a", "", "b", ""] on BOTH engines, but the
+    // character split of "" DIVERGES (Spark [""] vs DuckDB []) — so
+    // the family gates empty words out of the shared vocabulary and
+    // the word→syms join drops them identically everywhere. Pins:
+    // n_words counts only the 2 real words; the BPE stream carries no
+    // "" token (md5 of "ab" after the (a,b) merge... here no pair
+    // repeats, so tokens stay single chars); the learned tables see no
+    // "" symbol.
+    def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = docsDir((1L, "a  b ", "en", "s", 1L), (2L, "a b", "en", "s", 1L))
+    val r = Corpus.bpeApply(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3))).toSeq
+    // (a,b) merges in round 1 (the only pair across both docs'
+    // distinct words? "a" and "b" are separate WORDS — no intra-word
+    // pair exists, so no merge fires and every word is one char)
+    assert(r == Seq((1L, 2L, 2L, md5hex("a b")), (2L, 2L, 2L, md5hex("a b"))))
+    val wp = Corpus.wordpieceMerges(spark, d).collect()
+    assert(!wp.exists(x => x.getString(1) == "" || x.getString(2) == ""))
+    val um = Corpus.unigramLm(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(um == Map(1L -> 2L, 2L -> 2L)) // unigram counts real words only
+  }
+
   test("substring_dedup: any-offset drops, owner keeps repeats, overlaps merge, two spans, short doc") {
     // Shared runs: S = 10 tokens (3 stride-1 8-grams), T = 8 tokens
     // (1 gram). Doc 0 owns S (lowest id; holds it TWICE — both kept),
