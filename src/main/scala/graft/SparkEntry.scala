@@ -547,7 +547,7 @@ object SparkEntry {
     * `approx(qid, vec_id)` holding the two top-10 sets. */
   private val panelWhereSql =
     """vec_id % (SELECT greatest(50, count(*) // 20) FROM e) = 17
-      |            AND vec_id % (SELECT greatest(50, count(*) // 64) FROM e) <> 0""".stripMargin
+      |            AND vec_id % (SELECT greatest(50, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), count(*) // 65536) FROM e) <> 0""".stripMargin
 
   private val recallTailSql =
     """hits AS (SELECT x.qid, CAST(count(*) AS BIGINT) AS nx,
@@ -562,7 +562,9 @@ object SparkEntry {
   /** Shared IVF-index CTE chain (q_similarity_ivf / q_ann_recall /
     * q_semdedup — ONE definition so the three oracles cannot drift from
     * each other or from Similarity.trainedCentroids): stride-seeded
-    * centroids (stride = max(50, n/64), size-independent nlist),
+    * centroids (stride = max(50, ⌊√n⌋, n/65536) — the √-law: nlist ∝ √n
+    * under a 64Ki broadcast cap; IEEE sqrt is exactly rounded in both
+    * engines for n < 2^52, so the stride replays bit-for-bit),
     * IvfIters Lloyd's rounds with scaled-long fixed-point means
     * (round(v[i]·1e6) per component — integer sums are order-exact, the
     * single double division replays bit-identically), then the final
@@ -580,7 +582,7 @@ object SparkEntry {
     val sb = new StringBuilder
     sb ++= s"""e$sfx AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM $src),
               |cen${sfx}0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e$sfx
-              |         WHERE vec_id % (SELECT greatest(50, count(*) // 64) FROM e$sfx) = 0),
+              |         WHERE vec_id % (SELECT greatest(50, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), count(*) // 65536) FROM e$sfx) = 0),
               |""".stripMargin
     for (t <- 0 until iters) {
       sb ++= s"""asn$sfx$t AS (SELECT e$sfx.vec_id, centroid_id, ${cosSql("v", "cv")} AS cos FROM e$sfx, cen$sfx$t),

@@ -28,13 +28,15 @@ object ProductQuant {
   private[graft] val Subs = 8
   private[graft] val DSub = 8
 
-  /** Codes per subspace codebook — fixed, like [[Similarity.IvfNlist]]:
+  /** Codes per subspace codebook — FIXED (unlike the √n-growing IVF
+    * nlist, a PQ codebook's size is the code width — 4 bits here):
     * the codebook broadcast is O([[Subs]]·PqK) at any corpus size. */
   private[graft] val PqK = 16L
 
   /** Codebook seed stride (every stride-th vec_id seeds a code in EVERY
-    * subspace): ⌈n/stride⌉ ≤ ~[[PqK]] codes regardless of corpus size,
-    * the same size-independence contract as [[Similarity.ivfStride]]. */
+    * subspace): ⌈n/stride⌉ ≤ ~[[PqK]] codes regardless of corpus size —
+    * here size-independence IS the contract (a PQ code is [[Subs]]×4
+    * bits by definition; only the IVF cell grid grows with n). */
   private[graft] def pqStride(n: Long): Long = math.max(50L, n / PqK)
 
   /** Lloyd's refinement rounds per subspace codebook. */

@@ -81,21 +81,33 @@ object Similarity {
       when(dot(vec, p) >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Target cell count for the IVF-family index ([[ivf]], [[annRecall]],
-    * [[Dedup.semDedup]]) — FIXED regardless of corpus size. The round-4
-    * scheme (`vec_id % 50`) grew nlist with the corpus, making the
-    * assignment crossJoin O(n²/50) and the centroid broadcast O(n) —
-    * measurably super-linear at ×10 and an executor OOM at 100 TB. */
-  private[graft] val IvfNlist = 64L
+  /** Hard ceiling on the IVF cell count — bounds the centroid broadcast
+    * (≤ 64Ki rows × 64 doubles ≈ 34 MB) no matter how large the corpus
+    * grows. Matches production guidance (FAISS recommends nlist in the
+    * 4√n–16√n band; SemDeDup ships k = 50k cells at web scale). */
+  private[graft] val IvfNlistCap = 65536L
 
   /** Centroid stride: every `stride`-th vec_id seeds a centroid, with
-    * stride = max(50, n / [[IvfNlist]]) — so nlist = ⌈n/stride⌉ never
-    * exceeds ~[[IvfNlist]]+1 at ANY corpus size (and tiny corpora keep
-    * the legacy %50 grid, so small fixtures pin the same cells).
-    * Assignment is O(n·nlist) with an O(nlist) broadcast — the IVF
-    * contract. `n` comes from the ONE count() this family takes (a
+    * stride = max(50, ⌊√n⌋, n / [[IvfNlistCap]]) — so nlist = ⌈n/stride⌉
+    * GROWS ∝ √n (capped at ~[[IvfNlistCap]]+1). The round-4 scheme
+    * (`vec_id % 50`) grew nlist linearly (O(n²/50) assignment, O(n)
+    * broadcast — an executor OOM at 100 TB); the rounds-5–10 scheme
+    * capped nlist at 64, which made every celledTopK consumer
+    * Σ|cell|² ≈ n²/64 — quadratic over a constant, and the ×10 stress
+    * showed it (q_knn_join_cell per-row ratio 0.88 vs 0.25 for its
+    * salted twin). Under the √-law the expected cell is √n rows, so
+    * celled pairwise work is Σ|cell|² ≈ n·√n — genuinely sub-quadratic —
+    * while the broadcast stays tiny (√n rows ≈ 32k at 1e9 vectors) and
+    * assignment stays the embarrassingly-parallel O(n·nlist) map pass
+    * every IVF build pays. Tiny corpora (n ≤ 2500) keep the legacy %50
+    * grid, so every small fixture and every gate-SF oracle pins the
+    * same cells as before. ⌊√n⌋ is floor(IEEE sqrt) — exactly rounded
+    * in both the JVM and libm for n < 2^52, so the DuckDB oracle's
+    * `greatest(50, floor(sqrt(n)), n // 65536)` replays it bit-for-bit.
+    * `n` comes from the ONE count() this family takes (a
     * parquet-metadata read, no scan). */
-  private[graft] def ivfStride(n: Long): Long = math.max(50L, n / IvfNlist)
+  private[graft] def ivfStride(n: Long): Long =
+    math.max(50L, math.max(math.sqrt(n.toDouble).toLong, n / IvfNlistCap))
 
   /** Training-chain executions this JVM — the observable the
     * one-training-chain-per-run plan guard asserts on. Incremented by
@@ -311,7 +323,7 @@ object Similarity {
   }
 
   /** q_similarity_ivf — IVF ANN with a TRAINED index: a SIZE-INDEPENDENT
-    * ~[[IvfNlist]] stride-seeded centroids refined by [[IvfIters]]
+    * ~√n stride-seeded centroids ([[ivfStride]]) refined by [[IvfIters]]
     * fixed-point Lloyd's rounds ([[trainedCentroids]]), each vector
     * assigned to its max-cosine centroid via a broadcast of the centroid
     * set, probe = the query's top-2 centroids, exact rerank inside the
@@ -389,8 +401,8 @@ object Similarity {
     * honest at sf0.01). The offset alone only guarantees disjointness
     * while both strides are multiples of 50 (the small-corpus regime);
     * [[recallPanel]] therefore ALSO excludes seed ids explicitly, so
-    * the guarantee holds at every corpus size — e.g. n=4288 gives
-    * ivfStride 67, panelStride 214, and vec_id 1943 = 17+9·214 = 29·67
+    * the guarantee holds at every corpus size — e.g. n=3025 gives
+    * ivfStride 55, panelStride 151, and vec_id 1980 = 17+13·151 = 36·55
     * would otherwise be both a seed and a panel query. */
   private[graft] val PanelOffset = 17L
 

@@ -1041,17 +1041,19 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("recall panel is seed-disjoint at ANY corpus size (explicit exclusion)") {
-    // n=4288: ivfStride=67, panelStride=214 — vec_id 1943 = 17+9·214 =
-    // 29·67 sits on BOTH grids; the %50-regime offset argument cannot
-    // exclude it (round-5 advice), the explicit filter must.
-    val n = 4288L
+    // n=3025 (=55²): ivfStride=⌊√3025⌋=55, panelStride=151 — vec_id
+    // 1980 = 17+13·151 = 36·55 sits on BOTH grids; the %50-regime
+    // offset argument cannot exclude it (round-5 advice), the explicit
+    // filter must. (Was n=4288/id=1943 under the pre-round-11 capped
+    // stride law.)
+    val n = 3025L
     val kept = spark.range(n).select(col("id").as("vec_id"))
       .filter(operators.Similarity.panelFilter(n))
       .collect().map(_.getLong(0)).toSeq
     assert(kept.nonEmpty)
-    assert(!kept.contains(1943L))
-    assert(kept.forall(id => id % 214 == 17 && id % 67 != 0))
-    assert((17L until n by 214).filter(_ % 67 == 0) == Seq(1943L))
+    assert(!kept.contains(1980L))
+    assert(kept.forall(id => id % 151 == 17 && id % 55 != 0))
+    assert((17L until n by 151).filter(_ % 55 == 0) == Seq(1980L))
   }
 
   test("Lloyd's rounds do not decrease the spherical k-means objective") {
@@ -1109,19 +1111,20 @@ class OperatorsSpec extends SparkSpec {
     assert(r.size == 4)
   }
 
-  test("ivf/semDedup: past the %50 grid the stride grows, nlist stays fixed") {
-    // 6400 vectors → stride = max(50, 6400/64) = 100: every cell id must
-    // be a stride-100 seed, and the cell count must stay ≤ nlist+1 —
-    // the size-independence the 100 TB broadcast contract rests on.
+  test("ivf/semDedup: past the %50 grid the stride tracks ⌊√n⌋ — cells stay √n-sized") {
+    // 6400 vectors → stride = max(50, ⌊√6400⌋) = 80: every cell id must
+    // be a stride-80 seed, and the cell count must stay ≤ ⌈n/stride⌉ —
+    // the √-law that keeps celled pairwise work at n·√n (round 11; the
+    // old capped law pinned stride 100 here and n²/64 asymptotically).
     val vecs = (0L until 6400L).map(i =>
       (i, Seq(((i % 7) + 1).toFloat, ((i % 11) + 1).toFloat,
         ((i % 13) + 1).toFloat, 1f), 0))
     val dir = fixtureDir("embeddings" -> vecs.toDF("vec_id", "embedding", "label"))
     val topk = Similarity.ivf(spark, dir).collect()
-    assert(topk.length == 10 && topk.forall(_.getLong(1) % 100L == 0L), topk.mkString(","))
+    assert(topk.length == 10 && topk.forall(_.getLong(1) % 80L == 0L), topk.mkString(","))
     val ledger = Dedup.semDedup(spark, dir).collect()
-    assert(ledger.length <= Similarity.IvfNlist + 1, ledger.length)
-    assert(ledger.forall(_.getLong(0) % 100L == 0L))
+    assert(ledger.length <= (6400L + 79L) / 80L + 1, ledger.length)
+    assert(ledger.forall(_.getLong(0) % 80L == 0L))
     assert(ledger.map(_.getLong(1)).sum == 6400L) // every vector lands in a cell
     val st = Similarity.ivfCellStats(spark, dir).collect().head
     assert(st.getLong(0) == ledger.length.toLong) // same index → same cells

@@ -445,18 +445,33 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
-  test("IVF family: nlist is size-independent — stride pins the broadcast side") {
-    // the 100 TB contract: assignment is O(n·nlist) under an O(nlist)
-    // broadcast, so nlist = ⌈n/stride⌉ must NOT grow with the corpus
+  test("IVF family: nlist follows the √-law — cells stay √n-sized, broadcast stays capped") {
+    // the 100 TB contract (round 11): nlist = ⌈n/stride⌉ grows ∝ √n so
+    // celled pairwise work is Σ|cell|² ≈ n·√n (sub-quadratic — the
+    // capped-64 law made it n²/64), while the centroid broadcast stays
+    // bounded by the hard cap at any corpus size
     for (n <- Seq(1L, 500L, 3200L, 1000000L, 1000000000L, 1000000000000L)) {
       val stride = operators.Similarity.ivfStride(n)
       val nlist = (n + stride - 1) / stride
-      assert(nlist <= operators.Similarity.IvfNlist + 1,
+      // broadcast bound: the cap term n/IvfNlistCap keeps nlist ≤ cap+1
+      assert(nlist <= operators.Similarity.IvfNlistCap + 1,
         s"n=$n stride=$stride nlist=$nlist")
+      // √-law: below the cap crossover, stride is within 1 of ⌊√n⌋ (or
+      // the legacy 50 floor), so the expected cell size is ~√n — the
+      // quantity that bounds per-cell pairwise work
+      val isqrt = math.sqrt(n.toDouble).toLong
+      assert(stride == math.max(50L, math.max(isqrt, n / operators.Similarity.IvfNlistCap)),
+        s"n=$n stride=$stride")
     }
+    // the cap engages only past n = cap² (≈ 4.3e9 vectors)
+    assert(operators.Similarity.ivfStride(1000000000000L) ==
+      1000000000000L / operators.Similarity.IvfNlistCap)
     // tiny corpora keep the legacy %50 grid (fixtures + sf oracles pin it)
     assert(operators.Similarity.ivfStride(500L) == 50L)
     assert(operators.Similarity.ivfStride(2000L) == 50L)
+    // past the grid the stride tracks ⌊√n⌋ exactly
+    assert(operators.Similarity.ivfStride(6400L) == 80L)
+    assert(operators.Similarity.ivfStride(1000000L) == 1000L)
   }
 
   test("PQ family: codebook size is size-independent — stride pins the broadcast side") {
