@@ -1885,8 +1885,9 @@ object SparkEntry {
         |      FROM t)
         |SELECT lang, doc_id, n_tokens,
         |       CAST(end_off - n_tokens AS BIGINT) AS start_off,
-        |       CAST((end_off - n_tokens) // 1024 AS BIGINT) AS first_bin,
-        |       CAST((end_off - 1) // 1024 AS BIGINT) AS last_bin
+        |""".stripMargin +
+      s"""       CAST((end_off - n_tokens) // ${Corpus.BpePackBudget} AS BIGINT) AS first_bin,
+        |       CAST((end_off - 1) // ${Corpus.BpePackBudget} AS BIGINT) AS last_bin
         |FROM c ORDER BY lang, doc_id""".stripMargin),
     "q_wordpiece_merges" ->
       (s"WITH $wpChainCte\n" +
@@ -2117,7 +2118,7 @@ object SparkEntry {
         |GROUP BY r.lang, r.n_total, r.rate
         |ORDER BY r.lang""".stripMargin,
     "q_weighted_sample" ->
-      """WITH u AS (SELECT doc_id, lang, n_chars,
+      ("""WITH u AS (SELECT doc_id, lang, n_chars,
         |         (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
         |            [CAST(strpos('0123456789abcdef', ch) AS BIGINT) - 1
         |             FOR ch IN regexp_extract_all(
@@ -2131,13 +2132,16 @@ object SparkEntry {
         |r AS (SELECT doc_id, lang, n_chars, es_key_fp,
         |        CAST(row_number() OVER (PARTITION BY lang
         |          ORDER BY es_key_fp DESC, doc_id) AS INT) AS rk FROM k)
-        |SELECT doc_id, lang, n_chars, es_key_fp, rk FROM r WHERE rk <= 5
-        |ORDER BY lang, rk""".stripMargin,
+        |""".stripMargin +
+      s"""SELECT doc_id, lang, n_chars, es_key_fp, rk FROM r WHERE rk <= ${Corpus.WsK}
+        |ORDER BY lang, rk""".stripMargin),
     "q_train_shuffle" ->
-      """WITH s AS (SELECT doc_id, md5('sh#' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      ("""WITH s AS (SELECT doc_id, md5('sh#' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
         |sh AS (SELECT doc_id, h,
-        |         CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) % 8 AS INT) AS shard
-        |       FROM s),
+        |""".stripMargin +
+      s"""         CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) % ${Corpus.TsShards} AS INT) AS shard
+        |       FROM s),""".stripMargin + "\n" +
+      """
         |r AS (SELECT shard, doc_id,
         |        CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
         |      FROM sh),
@@ -2151,7 +2155,7 @@ object SparkEntry {
         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
         |       min_by(doc_id, pos) AS first_doc, max_by(doc_id, pos) AS last_doc,
         |       CAST(sum(ph) % 1152921504606846976 AS BIGINT) AS order_checksum60
-        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin),
     "s_quality_gate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |f AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
@@ -3256,7 +3260,7 @@ object SparkEntry {
         |       JOIN cells cb ON ca.cell = cb.cell
         |       JOIN e eb ON eb.vec_id = cb.vec_id AND eb.vec_id <> ea.vec_id
         |       JOIN lab la ON la.vec_id = ea.vec_id
-        |       JOIN lab lb ON lb.vec_id = eb.vec_id) WHERE rk <= 10),
+        |       JOIN lab lb ON lb.vec_id = eb.vec_id) WHERE rk <= ${Similarity.ClassifyK}),
         |votes AS (SELECT vec_id, label, nb_label,
         |                 CAST(count(*) AS BIGINT) AS votes
         |          FROM top GROUP BY 1, 2, 3),
@@ -3265,7 +3269,7 @@ object SparkEntry {
         |                  row_number() OVER (PARTITION BY vec_id
         |                    ORDER BY votes DESC, nb_label ASC) AS vr
         |           FROM votes) WHERE vr = 1)
-        |SELECT CAST(10 AS INTEGER) AS k, CAST(count(*) AS BIGINT) AS n_scored,
+        |SELECT CAST(${Similarity.ClassifyK} AS INTEGER) AS k, CAST(count(*) AS BIGINT) AS n_scored,
         |       CAST(sum(CASE WHEN nb_label = label THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_correct,
         |       round(CAST(sum(CASE WHEN nb_label = label THEN 1 ELSE 0 END)
@@ -3283,13 +3287,13 @@ object SparkEntry {
         |       JOIN cells cb ON ca.cell = cb.cell
         |       JOIN e eb ON eb.vec_id = cb.vec_id AND eb.vec_id <> ea.vec_id
         |       JOIN lab la ON la.vec_id = ea.vec_id
-        |       JOIN lab lb ON lb.vec_id = eb.vec_id) WHERE rk <= 10),
+        |       JOIN lab lb ON lb.vec_id = eb.vec_id) WHERE rk <= ${Similarity.ClassifyK}),
         |neg AS (SELECT vec_id, anchor_label, neighbor, neg_label, cos_sim,
         |               CAST(row_number() OVER (PARTITION BY vec_id
         |                 ORDER BY cos_sim DESC, neighbor ASC) AS INTEGER) AS neg_rk
         |        FROM cand WHERE neg_label <> anchor_label)
         |SELECT vec_id, anchor_label, neighbor, neg_label, cos_sim, neg_rk
-        |FROM neg WHERE neg_rk <= 2 ORDER BY vec_id, neg_rk""".stripMargin),
+        |FROM neg WHERE neg_rk <= ${Similarity.HardNegK} ORDER BY vec_id, neg_rk""".stripMargin),
     "q_matryoshka_recall" -> {
       def dimCte(dims: Int): String =
         s"""ax$dims AS (SELECT qid, vec_id FROM (

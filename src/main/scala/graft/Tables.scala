@@ -48,4 +48,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Max mtime across a corpus dir and its direct children (the
+    * per-table parquet dirs) — 0 when unlistable (non-local path).
+    * The cheap input fingerprint every keyed pinned-relation cache
+    * (StreamingIndex.pinnedCorpus, Corpus.pinnedVocab) uses to
+    * invalidate on a mid-session rewrite of the data at `d`. */
+  private[graft] def dirStamp(d: String): Long =
+    try {
+      val f = new java.io.File(d)
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      (f.lastModified() +: kids.map(_.lastModified())).max
+    } catch { case _: Throwable => 0L }
 }

@@ -20,20 +20,6 @@ import org.apache.spark.sql.functions._
   * the prefix is stitched against phantom partitions. */
 private[graft] object PrefixStitch {
 
-  /** Range-partition `df` by `keys` into the session's shuffle-partition
-    * count, localCheckpoint, and compute the driver prefix fold of one
-    * per-partition scalar.
-    *
-    * @param scalarAgg  aggregate over each pid group (e.g. count, max)
-    * @param zero       fold identity (0 for sum, -Inf for max)
-    * @param fold       prefix combine (sum, max, …)
-    * @param get        scalar extraction from the (pid, value) agg row
-    * @param sortWithin also sort rows within each range (for callers
-    *                   whose per-partition pass streams in key order
-    *                   rather than re-sorting via a window)
-    * @return the pinned relation with a `pid` column appended, and
-    *         prefix(p) = fold of partitions 0 .. p-1's scalars
-    */
   /** The count/RANK specialization of [[rangePrefix]]: per-partition
     * row counts folded into a strict-prefix sum, returned as the
     * broadcast-ready (pid, rank_before) relation — so global rank =
@@ -51,6 +37,20 @@ private[graft] object PrefixStitch {
     (pinned, broadcast(prefix))
   }
 
+  /** Range-partition `df` by `keys` into the session's shuffle-partition
+    * count, localCheckpoint, and compute the driver prefix fold of one
+    * per-partition scalar.
+    *
+    * @param scalarAgg  aggregate over each pid group (e.g. count, max)
+    * @param zero       fold identity (0 for sum, -Inf for max)
+    * @param fold       prefix combine (sum, max, …)
+    * @param get        scalar extraction from the (pid, value) agg row
+    * @param sortWithin also sort rows within each range (for callers
+    *                   whose per-partition pass streams in key order
+    *                   rather than re-sorting via a window)
+    * @return the pinned relation with a `pid` column appended, and
+    *         prefix(p) = fold of partitions 0 .. p-1's scalars
+    */
   def rangePrefix[S: ClassTag](
       df: DataFrame, keys: Seq[Column], scalarAgg: Column,
       zero: S, fold: (S, S) => S, get: Row => S,

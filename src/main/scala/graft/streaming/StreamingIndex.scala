@@ -226,14 +226,8 @@ object StreamingIndex {
   /** Test hook: drop pinned serving relations (cold-path measurement). */
   private[graft] def clearPinnedCache(): Unit = pinnedCache.clear()
 
-  /** Max mtime across the corpus dir and its direct children (the
-    * per-table parquet dirs) — 0 when unlistable (non-local path). */
-  private def dirStamp(d: String): Long =
-    try {
-      val f = new java.io.File(d)
-      val kids = Option(f.listFiles()).getOrElse(Array.empty)
-      (f.lastModified() +: kids.map(_.lastModified())).max
-    } catch { case _: Throwable => 0L }
+  /** See [[graft.Tables.dirStamp]] — shared with Corpus.pinnedVocab. */
+  private def dirStamp(d: String): Long = graft.Tables.dirStamp(d)
 
   private def pinnedCorpus(s: SparkSession, d: String, variant: String,
       inputFingerprint: String = "")(build: => DataFrame): DataFrame = {
@@ -246,7 +240,17 @@ object StreamingIndex {
         // displacement frees the old pin's checkpoint blocks NOW
         // rather than whenever ContextCleaner's weak refs get GC'd —
         // a long session cycling serving variants must not stack
-        // corpus-sized block-manager entries
+        // corpus-sized block-manager entries.
+        // INVARIANT: a pin must not be displaced while a query over it
+        // is still running — a localCheckpoint RDD has truncated
+        // lineage, so a consumer holding the displaced DataFrame (e.g.
+        // an in-flight micro-batch under the same variant) would fail
+        // with missing-block errors rather than recompute. Callers
+        // satisfy this by stopping a variant's streaming query before
+        // rebuilding its inputs (the swap rigs restart, not overlap);
+        // a tier that needs overlapping old/new serving must pin the
+        // new relation under a NEW variant string and let the old one
+        // die with its query.
         if (cur != null) cur._2.queryExecution.analyzed.foreach {
           case lr: org.apache.spark.sql.execution.LogicalRDD =>
             lr.rdd.unpersist(false)

@@ -568,7 +568,15 @@ class CorpusSpec extends SparkSpec {
       math.floor(math.log((v.toDouble + 0.5) / 1152921504606846976.0)
         / w.toDouble * 1e15 + 0.5).toLong
     }
+    // the "it" stratum is the ulp-exposure pin (round-10 advice): at
+    // w = 1 the key is ln(u)·1e15 where one ulp of ln ≈ 0.2 grid
+    // steps — the MOST floor-flip-sensitive input the operator can
+    // see. Equality against the driver reference on six w=1 draws
+    // pins the JVM-side math exactly; the DuckDB oracle gate replays
+    // the same keys each round, so a cross-engine ln divergence would
+    // surface there first and loudest on exactly this shape.
     val docs = ((1L to 9L).map(i => (i, "en", 100L + i)) ++
+      (40L to 45L).map(i => (i, "it", 1L)) ++
       Seq((20L, "de", 7L), (21L, "de", 7000000L),
         (30L, "fr", 0L), (31L, "fr", -4L), (32L, "fr", 9L))).toSeq
     val d = docsDir(docs.map { case (id, l, nc) => (id, "t", l, "s", nc) }: _*)
@@ -584,6 +592,7 @@ class CorpusSpec extends SparkSpec {
     assert(got == want)
     assert(got.count(_._1 == "en") == 5)          // cap bites at 9 docs
     assert(got.count(_._1 == "de") == 2)          // cap is min(5, n)
+    assert(got.count(_._1 == "it") == 5)          // w=1 ulp pin: 5 of 6 kept
     assert(!got.exists(r => r._3 == 30L || r._3 == 31L)) // w <= 0 excluded
   }
 
