@@ -42,6 +42,40 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.suspectReason(None, Seq("q_agg_q1" -> Seq(0.6, 0.6))).isEmpty)
   }
 
+  test("steady contention trips the committed-baseline median gate (round-10 driver signature)") {
+    // BENCH_r10.json ran at loadavg 2.03 with BOTH reps under the same
+    // load: start-load gate (< 2.5) and spread gate (tight reps) both
+    // passed while every query sat ~1.2-4x above the committed clean
+    // run. The median-vs-baseline comparison is the one signal steady
+    // contention cannot fool.
+    val keys = (1 to 30).map(i => s"q_$i")
+    def json(vals: Map[String, Double], sf: String): String =
+      s"""{"metric":"total","queries":${
+        vals.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      },"reps":{},"sf":"$sf"}"""
+    val base = keys.map(_ -> 1.0).toMap
+    val committed = json(base, "/sf")
+    // clean re-run: +-8% host tenancy — median ~1.0, no flag
+    val clean = keys.zipWithIndex.map { case (k, i) =>
+      k -> Some(1.0 + (if (i % 2 == 0) 0.08 else -0.08)) }
+    val rClean = Bench.baselineMedianRatio(committed, "/sf", clean)
+    assert(rClean.exists(r => r > 0.9 && r < 1.1))
+    assert(Bench.suspectReason(Some(2.03), Seq("q_1" -> Seq(1.1, 1.05)), rClean).isEmpty)
+    // contaminated: uniform 1.24x inflation, tight reps, loadavg 2.03
+    val hot = keys.map(k => k -> Some(1.24)).toSeq
+    val rHot = Bench.baselineMedianRatio(committed, "/sf", hot)
+    assert(rHot.contains(1.24))
+    val flagged = Bench.suspectReason(Some(2.03), Seq("q_1" -> Seq(1.25, 1.24)), rHot)
+    assert(flagged.exists(_.contains("vs committed bench_full.json")), flagged)
+    // guards: different sf, thin intersection, absent baseline => None
+    assert(Bench.baselineMedianRatio(committed, "/other", hot).isEmpty)
+    assert(Bench.baselineMedianRatio(committed, "/sf", hot.take(5)).isEmpty)
+    assert(Bench.baselineMedianRatio("", "/sf", hot).isEmpty)
+    // sub-0.2 s baseline rows are jitter-dominated and excluded
+    val tiny = json(keys.map(_ -> 0.1).toMap, "/sf")
+    assert(Bench.baselineMedianRatio(tiny, "/sf", hot).isEmpty)
+  }
+
   test("self-healing: a spread-tripped query's median recovers the clean number") {
     // round-4 signature: q_dedup_cluster measured [48.7, 4.7] under
     // contamination — earlier rounds flagged such runs but still
