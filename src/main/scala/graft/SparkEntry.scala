@@ -171,6 +171,7 @@ object SparkEntry {
     "q_capped_sample" -> (Corpus.cappedSample _),
     "q_weighted_sample" -> (Corpus.weightedSample _),
     "q_train_shuffle" -> (Corpus.trainShuffle _),
+    "q_corpus_build" -> (Corpus.corpusBuild _),
     "q_pmi_phrases" -> (Corpus.pmiPhrases _),
     "q_token_entropy" -> (Corpus.tokenEntropy _),
     "q_block_dedup" -> (Corpus.blockDedup _),
@@ -388,7 +389,13 @@ object SparkEntry {
     * each distinct word through the folds so v3(w, syms) is the
     * word→BPE-tokens map). One definition so the two consumers cannot
     * drift from each other or from the induction oracle. */
-  private val bpeChainCte: String = {
+  private val bpeChainCte: String = bpeChainCteOver("documents")
+
+  /** [[bpeChainCte]] generalized over its source relation (any CTE
+    * with a `text` column) — the corpus-build oracle learns the SAME
+    * 3-round chain on its cleaned survivors, so the induction replay
+    * has exactly one definition. */
+  private def bpeChainCteOver(src: String): String = {
     def mergeRound(i: Int): String = {
       val prev = s"v${i - 1}"
       s"""p$i AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
@@ -408,11 +415,127 @@ object SparkEntry {
         |       FROM $prev LEFT JOIN b$i b ON true)""".stripMargin
     }
     s"""v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
-      |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $src)
       |       WHERE len(w) >= 1 GROUP BY w),
       |${mergeRound(1)},
       |${mergeRound(2)},
       |${mergeRound(3)}""".stripMargin
+  }
+
+  /** DuckDB expression for graft.functions.md5hash60($e): the first 15
+    * md5 hex digits folded into a 60-bit BIGINT. */
+  private def h60Sql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |            [CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1
+      |             FOR c IN regexp_extract_all(substring(md5($e), 1, 15), '.')]),
+      |            (acc, x) -> acc * 16 + x)""".stripMargin
+
+  /** q_corpus_build oracle — the FULL pipeline replay: gate →
+    * keep-first → Jaccard + recursive-CTE near-dup purge → gram-
+    * ownership substring clean → 3-round BPE fold over the CLEANED
+    * vocabulary ([[bpeChainCteOver]] — one definition with the
+    * standalone induction oracles) → tokenize → shard/rank/offset
+    * layout → per-shard summary with both checksums and the funnel
+    * constants. Stage fragments mirror the standalone oracles
+    * (s_quality_gate's z_fp, q_neardup_purge's cluster chain,
+    * q_substring_dedup's ownership chain, q_bpe_apply's tokenize
+    * tail, q_train_shuffle's layout) over the previous stage's CTE. */
+  private def corpusBuildSql: String = {
+    val mod = "1152921504606846976"
+    s"""WITH RECURSIVE
+      |cbt AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ts FROM documents),
+      |cbf AS (SELECT doc_id, lang, text, CAST(len(ts) AS BIGINT) AS n,
+      |             CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_cnt,
+      |             CAST(len(ts) - len(list_distinct(ts)) AS BIGINT) AS d_cnt,
+      |             CAST(floor(ln(len(ts)) * 1000000 + 0.5) AS BIGINT) AS lnfp
+      |      FROM cbt),
+      |cbg AS (SELECT doc_id, lang, text FROM cbf
+      |        WHERE -20000000 * n + 6 * n * lnfp + 30000000 * s_cnt - 10000000 * d_cnt >= 0),
+      |cbe AS (SELECT doc_id, lang, text FROM (
+      |          SELECT doc_id, lang, text,
+      |                 min(doc_id) OVER (PARTITION BY md5(text)) AS mn
+      |          FROM cbg) WHERE doc_id = mn),
+      |cbsh AS (SELECT DISTINCT doc_id,
+      |                unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+      |                        FOR i IN range(1, len(ts) - 1)]) AS shingle
+      |         FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM cbe)),
+      |cbcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM cbsh GROUP BY doc_id),
+      |cbint AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                 CAST(count(*) AS BIGINT) AS n_common
+      |          FROM cbsh a JOIN cbsh b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |cbpr AS (SELECT doc_a, doc_b
+      |         FROM cbint JOIN cbcnt ca ON ca.doc_id = doc_a
+      |                    JOIN cbcnt cb2 ON cb2.doc_id = doc_b
+      |         WHERE CAST(n_common AS DOUBLE) / (ca.n + cb2.n - n_common) >= 0.5),
+      |cbed AS (SELECT doc_a AS a, doc_b AS b FROM cbpr
+      |         UNION ALL SELECT doc_b, doc_a FROM cbpr),
+      |cbreach(doc, lbl) AS (
+      |  SELECT a, a FROM cbed
+      |  UNION
+      |  SELECT e.a, r.lbl FROM cbed e JOIN cbreach r ON r.doc = e.b),
+      |cbcomp AS (SELECT doc AS doc_id, min(lbl) AS rep FROM cbreach GROUP BY doc),
+      |cbu AS (SELECT e.doc_id, e.lang, e.text FROM cbe e LEFT JOIN cbcomp c USING (doc_id)
+      |        WHERE c.rep IS NULL OR c.rep = e.doc_id),
+      |cbtk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM cbu),
+      |cbgr AS (SELECT doc_id, i - 1 AS pos,
+      |                array_to_string(ts[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+      |         FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) - 6)]) AS i
+      |               FROM cbtk WHERE len(ts) >= 8)),
+      |cbgh AS (SELECT doc_id, pos, gtext, ${h60Sql("gtext")} AS h FROM cbgr),
+      |cbhot AS (SELECT h FROM cbgh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |cbcd AS (SELECT cbgh.doc_id, cbgh.pos, cbgh.gtext FROM cbgh JOIN cbhot USING (h)),
+      |cbdup AS (SELECT gtext, min(doc_id) AS first_doc FROM cbcd
+      |          GROUP BY gtext HAVING count(DISTINCT doc_id) >= 2),
+      |cbdr AS (SELECT c.doc_id, c.pos FROM cbcd c JOIN cbdup d USING (gtext)
+      |         WHERE c.doc_id <> d.first_doc),
+      |cbcv AS (SELECT DISTINCT doc_id, pos + j AS tpos FROM cbdr, range(0, 8) r(j)),
+      |cbtok AS (SELECT doc_id, i - 1 AS tpos, ts[CAST(i AS BIGINT)] AS tok
+      |          FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) + 1)]) AS i
+      |                FROM cbtk)),
+      |cbkept AS (SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.tpos) AS text
+      |           FROM cbtok t LEFT JOIN cbcv c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+      |           WHERE c.tpos IS NULL GROUP BY t.doc_id),
+      |cbc AS (SELECT u.doc_id, u.lang, coalesce(k.text, '') AS text
+      |        FROM cbu u LEFT JOIN cbkept k USING (doc_id)),
+      |${bpeChainCteOver("cbc")},
+      |cbwd AS (SELECT doc_id, wpos, w FROM (
+      |  SELECT doc_id, i - 1 AS wpos, ws[CAST(i AS BIGINT)] AS w
+      |  FROM (SELECT doc_id, ws, unnest([i FOR i IN range(1, len(ws) + 1)]) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM cbc)))
+      |  WHERE len(w) >= 1),
+      |cbap AS (SELECT cbwd.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |                CAST(sum(len(v3.syms)) AS BIGINT) AS n_tokens,
+      |                md5(array_to_string(flatten(list(v3.syms ORDER BY cbwd.wpos)), ' ')) AS bpe_md5
+      |         FROM cbwd JOIN v3 USING (w) GROUP BY cbwd.doc_id),
+      |cbly AS (SELECT doc_id, n_words, n_tokens, bpe_md5,
+      |                md5('sh#' || CAST(doc_id AS VARCHAR)) AS h FROM cbap),
+      |cbr AS (SELECT CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1)
+      |                 % ${graft.operators.Corpus.TsShards} AS INT) AS shard,
+      |               doc_id, n_tokens, bpe_md5, h
+      |        FROM cbly),
+      |cbr2 AS (SELECT shard, doc_id, n_tokens, bpe_md5,
+      |               CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos,
+      |               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_off
+      |         FROM cbr),
+      |cbp AS (SELECT cbr2.shard, cbr2.pos, cbr2.doc_id, cbr2.n_tokens,
+      |               (cbr2.start_off + cbr2.n_tokens - 1) // ${graft.operators.Corpus.BpePackBudget} AS last_bin,
+      |               ${h60Sql("CAST(cbr2.doc_id AS VARCHAR) || '@' || CAST(cbr2.pos AS VARCHAR)")} AS oh,
+      |               ${h60Sql("CAST(cbr2.doc_id AS VARCHAR) || '@' || CAST(cbr2.pos AS VARCHAR) || ':' || CAST(cbr2.start_off AS VARCHAR) || '#' || cbr2.bpe_md5 || '#' || md5(c.text)")} AS ch
+      |        FROM cbr2 JOIN cbc c USING (doc_id))
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(max(last_bin) + 1 AS BIGINT) AS n_bins,
+      |       min_by(doc_id, pos) AS first_doc, max_by(doc_id, pos) AS last_doc,
+      |       CAST(sum(oh) % $mod AS BIGINT) AS order_checksum60,
+      |       CAST(sum(ch) % $mod AS BIGINT) AS content_checksum60,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_input,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM cbg) AS n_gated,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM cbe) AS n_exact,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM cbu) AS n_unique
+      |FROM cbp GROUP BY shard ORDER BY shard""".stripMargin
   }
 
   /** The WordPiece induction CTE chain (q_wordpiece_merges oracle):
@@ -2156,6 +2279,7 @@ object SparkEntry {
         |       min_by(doc_id, pos) AS first_doc, max_by(doc_id, pos) AS last_doc,
         |       CAST(sum(ph) % 1152921504606846976 AS BIGINT) AS order_checksum60
         |FROM p GROUP BY shard ORDER BY shard""".stripMargin),
+    "q_corpus_build" -> corpusBuildSql,
     "s_quality_gate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |f AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,

@@ -628,6 +628,184 @@ object Corpus {
       .orderBy("shard")
   }
 
+  /** Durable store root for [[corpusBuild]]'s training-ready product —
+    * the [[Similarity.indexStorePath]] discipline (md5 of the corpus
+    * path; the store outlives the JVM). */
+  private[graft] def corpusStorePath(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_corpus_store/$md"
+  }
+
+  /** q_corpus_build — the MATERIALIZED end-to-end corpus build: the
+    * nightly job a training-data pipeline actually runs, composing the
+    * tiers this library declares as individual eval rows into ONE
+    * persisted, training-ready dataset, verified from the LOADED
+    * relations (the q_index_persist discipline applied to the
+    * pipeline's product).
+    *
+    * Stages (RefinedWeb order; every stage reads the PREVIOUS stage's
+    * pinned output — no stage sees pre-upstream rows, no stage
+    * recomputes upstream work):
+    *  1. GATE — the fastText-style quality classifier
+    *     ([[TextAnalysis.logitZ]], z_fp ≥ 0): map-side linear scan.
+    *  2. EXACT dedup, keep-first — min doc_id per md5(text) group:
+    *     one keyed window.
+    *  3. NEAR-DUP purge — n-gram-Jaccard clusters
+    *     ([[Dedup.neardupPurgeOver]]), drop everything but each
+    *     cluster's lowest SURVIVING doc (composition pin: a cluster
+    *     whose raw-corpus representative was gated out re-elects its
+    *     representative among stage-2 survivors).
+    *  4. EXACT SUBSTRING clean — [[substringCleanOver]] REWRITES each
+    *     survivor to its kept tokens (gram ownership among survivors
+    *     only: a span whose raw-corpus owner died upstream belongs to
+    *     the lowest surviving doc).
+    *  5. TOKENIZE — BPE merges learned ON THE CLEANED SURVIVORS
+    *     ([[charVocabOver]] → [[bpeChainOverVocab]]), applied per
+    *     distinct word ([[bpeTokensOver]]); survivors tokenizing to
+    *     zero tokens drop here (a real pipeline discards empty docs).
+    *  6. PACK + SHARD — md5 shard assignment + within-shard
+    *     pseudorandom order ([[trainShuffle]]'s currency) with
+    *     running TOKEN offsets and [[BpePackBudget]]-token bin spans
+    *     ([[seqPackBpe]]'s currency), ranks and offsets computed
+    *     DISTRIBUTED ([[PrefixStitch]] range partition → local
+    *     window → broadcast P-scalar prefixes — never a global sort).
+    *  7. PERSIST — parquet under [[corpusStorePath]], partitioned by
+    *     shard (one file per shard: a trainer reads its shard's
+    *     directory and nothing else).
+    *
+    * The declared row is computed FROM THE LOADED parquet: per shard,
+    * doc/token/bin counts, first/last doc in order, the
+    * order-sensitive checksum Σ md5_60(doc@pos) mod 2^60
+    * ([[trainShuffle]]'s currency), and a CONTENT checksum binding
+    * every loaded column — Σ md5_60(doc@pos:start_off#bpe_md5#md5(text))
+    * mod 2^60 — so a flipped byte in any persisted text, token stream,
+    * offset, or position changes the row. Funnel counts (input → gated
+    * → exact-deduped → near-dup-survivors) ride as constant columns:
+    * the per-stage survivor log a pipeline operator alerts on. Oracle:
+    * DuckDB replays the ENTIRE chain — gate, keep-first window,
+    * Jaccard + recursive-CTE clustering, gram ownership and text
+    * reassembly, the 3-round BPE fold over the cleaned vocabulary,
+    * tokenization, shard/rank/offset layout, and both checksums.
+    *
+    * 100 TB shape: stages 1–2 are a scan + one keyed shuffle; stage 3
+    * is the banded-pair + iterative-CC cost its standalone row prices;
+    * stage 4 two keyed shuffles of the gram relation; stage 5
+    * vocabulary-sized folds + one word-keyed join; stage 6 one range
+    * shuffle + P driver scalars; the persist writes each row once.
+    * Stage boundaries are localCheckpoint pins (a real nightly job
+    * would point them at durable storage — the final product is). */
+  def corpusBuild(s: SparkSession, d: String): DataFrame = {
+    val docs0 = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    // 1. gate
+    val (_, zFp) = TextAnalysis.logitZ
+    val gated = docs0.filter(zFp >= 0)
+    // 2. exact keep-first
+    val wExact = Window.partitionBy(md5(col("text").cast("binary")))
+    val e0 = gated
+      .withColumn("mn", min(col("doc_id")).over(wExact))
+      .filter(col("doc_id") === col("mn")).drop("mn")
+      .localCheckpoint()
+    // 3. near-dup purge among survivors
+    val survivors = Dedup.neardupPurgeOver(e0)
+      .filter(!col("purged")).select(col("doc_id"))
+    val u0 = e0.join(survivors, Seq("doc_id")).localCheckpoint()
+    // 4. substring clean (text rewrite)
+    val c0 = substringCleanOver(u0).localCheckpoint()
+    // 5. tokenizer learned on the cleaned survivors, then applied
+    val wmap = bpeChainOverVocab(charVocabOver(c0).localCheckpoint())
+      ._2.select(col("w"), col("syms"))
+    val tok = bpeTokensOver(c0, wmap)
+      .select(col("doc_id"), col("n_words"),
+        col("n_bpe_tokens").as("n_tokens"), col("bpe_md5"))
+    // 6. shard + rank + token offsets, distributed (PrefixStitch)
+    val hashed = tok
+      .withColumn("h", md5(concat(lit("sh#"), col("doc_id").cast("string")).cast("binary")))
+      .withColumn("shard",
+        (expr("CAST(conv(substring(h, 1, 1), 16, 10) AS INT)") % TsShards).cast("int"))
+    val (ranged, prefixArr) = PrefixStitch.rangePrefix[(Long, Long)](
+      hashed, Seq(col("shard"), col("h"), col("doc_id")),
+      Seq(count(lit(1)).as("c"), sum(col("n_tokens")).as("t")),
+      (0L, 0L), (a, b) => (a._1 + b._1, a._2 + b._2),
+      r => (r.getLong(1), r.getLong(2)),
+      sortWithin = false)
+    val sSpark = ranged.sparkSession
+    import sSpark.implicits._
+    val prefix = broadcast(prefixArr.zipWithIndex
+      .map { case ((c, t), p) => (p, c, t) }.toSeq
+      .toDF("pid", "rank_before", "tok_before"))
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("shard"), col("h"), col("doc_id"))
+    val ranked = ranged
+      .withColumn("lrn", row_number().over(wLocal))
+      .withColumn("ltok", sum(col("n_tokens")).over(
+        wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(prefix, "pid")
+      .select(col("shard"), col("doc_id"), col("n_words"), col("n_tokens"),
+        col("bpe_md5"),
+        (col("rank_before") + col("lrn")).as("grk"),
+        (col("tok_before") + col("ltok") - col("n_tokens")).as("gstart"))
+    // per-shard offsets: ≤ TsShards scalars via the tiny self-join
+    // (the trainShuffle idiom), computed off the PINNED ranged blocks
+    val counts = ranged.groupBy(col("shard"))
+      .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("t"))
+    val offs = counts.as("a")
+      .join(counts.as("b"), col("b.shard") < col("a.shard"), "left")
+      .groupBy(col("a.shard"), col("a.c"), col("a.t"))
+      .agg(coalesce(sum(col("b.c")), lit(0L)).as("roff"),
+        coalesce(sum(col("b.t")), lit(0L)).as("toff"))
+      .select(col("a.shard").as("shard"), col("roff"), col("toff"))
+    val laid = ranked.join(broadcast(offs), Seq("shard"))
+      .select(col("shard"), (col("grk") - col("roff")).as("pos"),
+        col("doc_id"), col("n_words"), col("n_tokens"), col("bpe_md5"),
+        (col("gstart") - col("toff")).as("start_off"))
+      .withColumn("first_bin", floor(col("start_off") / BpePackBudget))
+      .withColumn("last_bin",
+        floor((col("start_off") + col("n_tokens") - 1) / BpePackBudget))
+    // 7. persist the product, partitioned by shard, one file per shard
+    val product = c0.select(col("doc_id"), col("lang"), col("text"))
+      .join(laid, Seq("doc_id"))
+    val root = corpusStorePath(d)
+    product.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$root/corpus.parquet")
+    // the declared row: summarize the LOADED relation
+    val loaded = s.read.parquet(s"$root/corpus.parquet")
+      .select(col("shard").cast("int").as("shard"), col("pos"), col("doc_id"),
+        col("lang"), col("text"), col("n_words"), col("n_tokens"),
+        col("bpe_md5"), col("start_off"), col("first_bin"), col("last_bin"))
+    val mod = "1152921504606846976" // 2^60
+    val summary = loaded
+      .withColumn("oh", graft.functions.md5hash60(
+        concat(col("doc_id").cast("string"), lit("@"), col("pos").cast("string"))))
+      .withColumn("ch", graft.functions.md5hash60(
+        concat(col("doc_id").cast("string"), lit("@"), col("pos").cast("string"),
+          lit(":"), col("start_off").cast("string"),
+          lit("#"), col("bpe_md5"), lit("#"), md5(col("text").cast("binary")))))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (max(col("last_bin")) + 1).as("n_bins"),
+        min_by(col("doc_id"), col("pos")).as("first_doc"),
+        max_by(col("doc_id"), col("pos")).as("last_doc"),
+        expr(s"CAST(sum(CAST(oh AS DECIMAL(38,0))) % $mod AS BIGINT)")
+          .as("order_checksum60"),
+        expr(s"CAST(sum(CAST(ch AS DECIMAL(38,0))) % $mod AS BIGINT)")
+          .as("content_checksum60"))
+    // funnel constants: per-stage survivor counts, from the stage pins
+    val funnel = broadcast(docs0.agg(count(lit(1)).as("n_input"))
+      .crossJoin(gated.agg(count(lit(1)).as("n_gated")))
+      .crossJoin(e0.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(u0.agg(count(lit(1)).as("n_unique"))))
+    summary.crossJoin(funnel)
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_bins"),
+        col("first_doc"), col("last_doc"),
+        col("order_checksum60"), col("content_checksum60"),
+        col("n_input"), col("n_gated"), col("n_exact"), col("n_unique"))
+      .orderBy("shard")
+  }
+
   /** q_token_entropy — Shannon entropy of each document's token
     * distribution (the Gopher-style repetition gate: low entropy =
     * degenerate repetition, entropy ≈ ln(n) = all-distinct): H =
@@ -776,13 +954,17 @@ object Corpus {
     * explode; pinned it is one corpus scan per (session, corpus)
     * serving all five tokenizer queries. */
   private def charVocab(s: SparkSession, d: String): DataFrame =
-    pinnedVocab(s, d, "charVocab") {
-      Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) >= 1)
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .select(col("w"), col("freq"), expr("split(w, '')").as("syms"))
-    }
+    pinnedVocab(s, d, "charVocab") { charVocabOver(Tables.documents(s, d)) }
+
+  /** [[charVocab]]'s plan over an arbitrary (…, text) relation — the
+    * uncached core; the corpus-build chain learns its tokenizer on the
+    * CLEANED survivors, not the raw table. */
+  private[operators] def charVocabOver(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"), expr("split(w, '')").as("syms"))
 
   /** The value-greedy merge rewrite shared by the BPE and WordPiece
     * folds: walk the symbols, joining (l, r) whenever the accumulated
@@ -793,8 +975,13 @@ object Corpus {
       "concat(slice(acc, 1, size(acc) - 1), array(concat(l, r))), " +
       "concat(acc, array(x))))")
 
-  private def bpeChain(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
-    val vocab0 = charVocab(s, d)
+  private def bpeChain(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) =
+    bpeChainOverVocab(charVocab(s, d))
+
+  /** The BPE induction fold over an arbitrary starting vocabulary —
+    * the composable core behind [[bpeChain]] and the corpus-build
+    * chain (which folds over the cleaned survivors' vocabulary). */
+  private[operators] def bpeChainOverVocab(vocab0: DataFrame): (Seq[DataFrame], DataFrame) = {
     val applyMerge = applyMergeExpr
     (1 to BpeRounds).foldLeft(
       (Seq.empty[DataFrame], vocab0)) { case ((acc, vocab), round) =>
@@ -830,10 +1017,22 @@ object Corpus {
     * (rule 2 can consume rule 1's output symbol); pinned by
     * CorpusSpec on a crafted doc where swapping rounds changes the
     * tokenization. */
-  def bpeApply(s: SparkSession, d: String): DataFrame = {
-    val wmap = bpeChain(s, d)._2.select(col("w"), col("syms"))
-    Tables.documents(s, d)
+  def bpeApply(s: SparkSession, d: String): DataFrame =
+    bpeTokensOver(Tables.documents(s, d),
+      bpeChain(s, d)._2.select(col("w"), col("syms")))
+      .orderBy("doc_id")
+
+  /** The tokenize-the-corpus core shared by [[bpeApply]] and the
+    * corpus-build chain: per doc, word count / BPE token count / md5
+    * of the in-order token stream, from one word-keyed join of the
+    * positional word stream onto the vocab's word→syms map. The
+    * explicit empty-word filter mirrors the vocab's own gate (an ""
+    * word could never join the gated vocab anyway — the filter makes
+    * the drop visible in the plan rather than implicit in the join). */
+  private[operators] def bpeTokensOver(docs: DataFrame, wmap: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wpos", "w")))
+      .filter(length(col("w")) >= 1)
       .join(wmap, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
@@ -841,8 +1040,6 @@ object Corpus {
         md5(array_join(flatten(transform(array_sort(collect_list(
           struct(col("wpos"), col("syms")))),
           x => x.getField("syms"))), " ")).as("bpe_md5"))
-      .orderBy("doc_id")
-  }
 
   /** q_vocab_coverage_bpe — [[vocabCoverage]] re-run on BPE tokens:
     * the top-[[VocabK]] vocabulary is built over the [[bpeChain]]
@@ -945,6 +1142,62 @@ object Corpus {
     * so spans the aligned block pass misses are caught at any offset. */
   private val SubstrL = 8
 
+  /** The gram/ownership core shared by [[substringDedup]] (stats +
+    * value oracle) and [[substringCleanOver]] (the corpus-build tier
+    * that REWRITES the text): from (doc_id, tk) to (grams, dropped
+    * positions, covered token positions). ONE definition so the
+    * standalone query and the composed pipeline cannot drift. */
+  private def substringDrops(toks: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val grams = toks.filter(size(col("tk")) >= SubstrL)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(tk) - ${SubstrL - 1}), " +
+            s"i -> array_join(slice(tk, i, $SubstrL), ' '))"))
+          .as(Seq("pos", "gtext")))
+      .withColumn("h", graft.functions.md5hash60(col("gtext")))
+    // tier 1: hash postings — the only corpus-wide shuffle is 8-byte keyed
+    val hot = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("hdf"))
+      .filter(col("hdf") >= 2).select(col("h"))
+    val cand = grams.join(hot, Seq("h"))
+    // tier 2: exact-text verify within the candidate tier only
+    val dup = cand.groupBy(col("gtext"))
+      .agg(countDistinct(col("doc_id")).as("gdf"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("gdf") >= 2)
+    val dropped = cand.join(dup, Seq("gtext"))
+      .filter(col("doc_id") =!= col("first_doc"))
+      .select(col("doc_id"), col("pos"))
+    val cov = dropped.select(col("doc_id"),
+      explode(sequence(col("pos"), col("pos") + SubstrL - 1)).as("tpos"))
+      .distinct()
+    (grams, dropped, cov)
+  }
+
+  /** The corpus-build form of the exact-substring tier: REWRITE each
+    * document to its kept (original-order) tokens instead of reporting
+    * stats — (doc_id, lang, text) out, text = the cleaned join. Same
+    * [[substringDrops]] core as [[substringDedup]], so the kept token
+    * set is definitionally identical to what that query's clean_md5
+    * hashes. Docs whose every token is dropped come back with text ''
+    * (they fall out of the product at the tokenize stage — a real
+    * pipeline discards empty survivors). */
+  private[operators] def substringCleanOver(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val (_, _, cov) = substringDrops(toks)
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("tpos", "tok")))
+      .join(cov, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("tpos"), col("tok")))),
+        x => x.getField("tok")), " ").as("clean_text"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("clean_text"), lit("")).as("text"))
+  }
+
   /** q_substring_dedup — exact substring-level dedup, the tier
     * production LLM pipelines run between aligned-block dedup and the
     * near-dup sketches (Lee et al. 2022 "Deduplicating Training Data
@@ -974,29 +1227,7 @@ object Corpus {
   def substringDedup(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-    val grams = toks.filter(size(col("tk")) >= SubstrL)
-      .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(1, size(tk) - ${SubstrL - 1}), " +
-            s"i -> array_join(slice(tk, i, $SubstrL), ' '))"))
-          .as(Seq("pos", "gtext")))
-      .withColumn("h", graft.functions.md5hash60(col("gtext")))
-    // tier 1: hash postings — the only corpus-wide shuffle is 8-byte keyed
-    val hot = grams.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("hdf"))
-      .filter(col("hdf") >= 2).select(col("h"))
-    val cand = grams.join(hot, Seq("h"))
-    // tier 2: exact-text verify within the candidate tier only
-    val dup = cand.groupBy(col("gtext"))
-      .agg(countDistinct(col("doc_id")).as("gdf"),
-        min(col("doc_id")).as("first_doc"))
-      .filter(col("gdf") >= 2)
-    val dropped = cand.join(dup, Seq("gtext"))
-      .filter(col("doc_id") =!= col("first_doc"))
-      .select(col("doc_id"), col("pos"))
-    val cov = dropped.select(col("doc_id"),
-      explode(sequence(col("pos"), col("pos") + SubstrL - 1)).as("tpos"))
-      .distinct()
+    val (grams, dropped, cov) = substringDrops(toks)
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("tpos"))
     val spans = cov.withColumn("prev", lag(col("tpos"), 1).over(wd))
       .select(col("doc_id"),

@@ -51,7 +51,13 @@ object Dedup {
     * instead of ~20-byte text (collision odds at 64 bits are ~1e-8 even
     * at 1e5× this scale, and any collision only perturbs one count). */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    shingleRowsOver(Tables.documents(s, d))
+
+  /** [[shingleRows]] over an arbitrary (doc_id, text) relation — the
+    * composable core ([[graft.operators.Corpus.corpusBuild]] runs the
+    * near-dup tier on its post-gate, post-exact-dedup survivors). */
+  private def shingleRowsOver(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), explode(shinglesOf(col("tk"))).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("shingle"))
@@ -76,8 +82,14 @@ object Dedup {
     * the extra window + verify passes cost more than the saved join
     * rows; at 100 TB with real hot shingles the prefix plan wins and
     * drops in without changing the output contract. */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleSet(s, d)
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardOver(Tables.documents(s, d))
+
+  /** [[ngramJaccard]] over an arbitrary (doc_id, text) relation — the
+    * composable core behind the standalone query and
+    * [[neardupPurgeOver]]'s use inside the corpus-build chain. */
+  private[operators] def ngramJaccardOver(docs: DataFrame): DataFrame = {
+    val sh = shingleRowsOver(docs).distinct()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -398,10 +410,17 @@ object Dedup {
     * is [[dedupCluster]]'s; the ledger adds one LEFT join from the
     * corpus (singletons coalesce to themselves) and one cluster-keyed
     * size agg — both on natural keys, nothing driver-side. */
-  def neardupPurge(s: SparkSession, d: String): DataFrame = {
+  def neardupPurge(s: SparkSession, d: String): DataFrame =
+    neardupPurgeOver(Tables.documents(s, d))
+
+  /** [[neardupPurge]] over an arbitrary (doc_id, text) relation — the
+    * composable core; the corpus-build chain runs it on its post-gate,
+    * post-exact-dedup survivors, so a cluster whose lowest-id member
+    * was gated out keeps the lowest SURVIVING doc as representative. */
+  private[operators] def neardupPurgeOver(docs: DataFrame): DataFrame = {
     val comp = connectedComponents(
-      ngramJaccard(s, d).select(col("doc_a"), col("doc_b")))
-    val all = Tables.documents(s, d).select(col("doc_id"))
+      ngramJaccardOver(docs).select(col("doc_a"), col("doc_b")))
+    val all = docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_rep"), col("doc_id")).as("rep"))
     val sizes = all.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))

@@ -29,7 +29,7 @@ private[graft] object PrefixStitch {
     * copies would produce a silently empty join). */
   def rangeRank(df: DataFrame, keys: Seq[Column]): (DataFrame, DataFrame) = {
     val (pinned, prefixArr) = rangePrefix[Long](
-      df, keys, count(lit(1)), 0L, _ + _, _.getLong(1), sortWithin = false)
+      df, keys, Seq(count(lit(1))), 0L, _ + _, _.getLong(1), sortWithin = false)
     val s = pinned.sparkSession
     import s.implicits._
     val prefix = prefixArr.zipWithIndex
@@ -41,10 +41,13 @@ private[graft] object PrefixStitch {
     * count, localCheckpoint, and compute the driver prefix fold of one
     * per-partition scalar.
     *
-    * @param scalarAgg  aggregate over each pid group (e.g. count, max)
+    * @param scalarAggs aggregates over each pid group (e.g. count, max;
+    *                   kept FLAT — top-level agg columns, not a struct,
+    *                   so the P-row collect deserializes through plain
+    *                   Row access instead of a nested SafeProjection)
     * @param zero       fold identity (0 for sum, -Inf for max)
     * @param fold       prefix combine (sum, max, …)
-    * @param get        scalar extraction from the (pid, value) agg row
+    * @param get        scalar extraction from the (pid, v1, v2, …) agg row
     * @param sortWithin also sort rows within each range (for callers
     *                   whose per-partition pass streams in key order
     *                   rather than re-sorting via a window)
@@ -52,7 +55,7 @@ private[graft] object PrefixStitch {
     *         prefix(p) = fold of partitions 0 .. p-1's scalars
     */
   def rangePrefix[S: ClassTag](
-      df: DataFrame, keys: Seq[Column], scalarAgg: Column,
+      df: DataFrame, keys: Seq[Column], scalarAggs: Seq[Column],
       zero: S, fold: (S, S) => S, get: Row => S,
       sortWithin: Boolean): (DataFrame, Array[S]) = {
     val s = df.sparkSession
@@ -60,7 +63,8 @@ private[graft] object PrefixStitch {
     val base = df.repartitionByRange(parts, keys: _*)
     val ordered = if (sortWithin) base.sortWithinPartitions(keys: _*) else base
     val pinned = ordered.withColumn("pid", spark_partition_id()).localCheckpoint()
-    val scalars = pinned.groupBy(col("pid")).agg(scalarAgg.as("v"))
+    val scalars = pinned.groupBy(col("pid"))
+      .agg(scalarAggs.head, scalarAggs.tail: _*)
       .collect().map(r => (r.getInt(0), get(r))).toMap
     val nP = pinned.rdd.getNumPartitions
     val prefix = new Array[S](nP)

@@ -403,7 +403,7 @@ object Scale {
         // (PrefixStitch pins the sampled range boundaries so the
         // maxima pass and the sweep pass see the same partitioning)
         val (sorted, prefix) = PrefixStitch.rangePrefix[Double](
-          g, Seq(col("a_bal").desc), max(col("gmax")),
+          g, Seq(col("a_bal").desc), Seq(max(col("gmax"))),
           Double.NegativeInfinity, math.max, _.getDouble(1),
           sortWithin = true)
         val prefixB = s.sparkContext.broadcast(prefix)

@@ -596,6 +596,78 @@ class CorpusSpec extends SparkSpec {
     assert(!got.exists(r => r._3 == 30L || r._3 == 31L)) // w <= 0 excluded
   }
 
+  test("corpus_build: each stage sees ONLY upstream survivors; product verified from the loaded store") {
+    // Composition pins (each distinguishes the composed chain from a
+    // run of the same tier over the RAW corpus):
+    //  - X (10): near-dup of Y but GATED OUT (dup-token ratio flips the
+    //    exact z_fp gate: margin −622356 units at n=34) — so the
+    //    near-dup cluster {Y, Z} elects Y (20), not X, as representative.
+    //  - Y' (40): exact copy of Y — dies at keep-first, so n_exact = 8
+    //    and the cluster never sees it.
+    //  - P (50): near-dup of M (J = 28/36) — purged at stage 3; P also
+    //    contains the 8-gram G, so substring ownership of G falls to
+    //    the lowest SURVIVING doc Q (60), not raw-corpus-lowest P:
+    //    Q keeps G, R (70) drops exactly G's positions.
+    //  - E (80): four 8-grams lifted from M/Q/R/W — below every
+    //    near-dup threshold (J ≈ 0.1) so it SURVIVES dedup, but every
+    //    token position is covered by a lower-owner gram → cleaned to
+    //    '' → drops at the tokenize stage: n_unique = 6, Σ n_docs = 5.
+    def tkn(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val y = tkn("w", 30)
+    val g = (1 to 8).map(i => s"g$i").mkString(" ")
+    val m = tkn("b", 30)
+    val q = tkn("c", 22) + " " + g
+    val r = tkn("d", 22) + " " + g
+    val w = tkn("e", 38)
+    val e = (tkn("b", 8).split(" ") ++ tkn("c", 8).split(" ") ++
+      tkn("d", 8).split(" ") ++ tkn("e", 8).split(" ")).mkString(" ")
+    val d = docsDir(
+      (10L, y + " w0 w1 w2 w3", "en", "s", 1L),
+      (20L, y, "en", "s", 1L),
+      (30L, y + " zz", "en", "s", 1L),
+      (40L, y, "en", "s", 1L),
+      (45L, m, "en", "s", 1L),
+      (50L, m + " " + g, "en", "s", 1L),
+      (60L, q, "en", "s", 1L),
+      (70L, r, "en", "s", 1L),
+      (75L, w, "en", "s", 1L),
+      (80L, e, "en", "s", 1L))
+    val rows = Corpus.corpusBuild(spark, d).collect()
+    // funnel: 10 input → 9 gated (X out) → 8 exact (Y' out) → 6 unique
+    // (Z, P purged); constant on every shard row
+    rows.foreach { x =>
+      assert((x.getLong(8), x.getLong(9), x.getLong(10), x.getLong(11)) ==
+        ((10L, 9L, 8L, 6L)), x)
+    }
+    assert(rows.map(_.getLong(1)).sum == 5L) // E dropped at tokenize
+    // the LOADED product carries exactly the survivors, with R's text
+    // rewritten (G removed — its surviving owner is Q) and Q's intact
+    val loaded = spark.read
+      .parquet(operators.Corpus.corpusStorePath(d) + "/corpus.parquet")
+      .selectExpr("CAST(shard AS INT)", "pos", "doc_id", "text")
+      .collect()
+    val byDoc = loaded.map(x => x.getLong(2) -> x.getString(3)).toMap
+    assert(byDoc.keySet == Set(20L, 45L, 60L, 70L, 75L))
+    assert(byDoc(70L) == tkn("d", 22))
+    assert(byDoc(60L) == q)
+    assert(byDoc(45L) == m)
+    assert(byDoc(20L) == y)
+    assert(byDoc(75L) == w)
+    // summary checksums recompute from the loaded rows (driver md5
+    // reference — the q_train_shuffle currency)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def h60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val M = 1152921504606846976L
+    val wantOrder = loaded.groupBy(_.getInt(0)).map { case (sh, xs) =>
+      sh -> xs.map(x => h60(s"${x.getLong(2)}@${x.getLong(1)}") % M)
+        .foldLeft(0L)((a, b) => (a + b) % M)
+    }
+    val gotOrder = rows.map(x => x.getInt(0) -> x.getLong(6)).toMap
+    assert(gotOrder == wantOrder)
+  }
+
   test("train_shuffle: matches the driver shuffle-layout reference; checksum is order-SENSITIVE") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))

@@ -26,7 +26,7 @@ class PrefixStitchSpec extends SparkSpec {
     val vals = Seq.fill(200)(rnd.nextInt(50).toLong) // heavy duplicates
     for (parts <- Seq(1, 3, 7, 16)) withParts(parts) {
       val (pinned, prefix) = PrefixStitch.rangePrefix[Long](
-        vals.toDF("k"), Seq(col("k")), count(lit(1)),
+        vals.toDF("k"), Seq(col("k")), Seq(count(lit(1))),
         0L, _ + _, _.getLong(1), sortWithin = false)
       // prefix(p) = number of rows strictly before partition p
       val counts = pinned.groupBy(col("pid")).count()
@@ -56,7 +56,7 @@ class PrefixStitchSpec extends SparkSpec {
     val vals = Seq.fill(120)(math.floor(rnd.nextDouble() * 1000) / 10)
     for (parts <- Seq(2, 5, 11)) withParts(parts) {
       val (pinned, prefix) = PrefixStitch.rangePrefix[Double](
-        vals.toDF("v"), Seq(col("v").desc), max(col("v")),
+        vals.toDF("v"), Seq(col("v").desc), Seq(max(col("v"))),
         Double.NegativeInfinity, math.max, _.getDouble(1),
         sortWithin = true)
       val rows = pinned.collect().map(r => (r.getDouble(0), r.getInt(1)))
@@ -79,12 +79,12 @@ class PrefixStitchSpec extends SparkSpec {
   test("degenerate inputs: empty relation and single row produce coherent prefixes") {
     withParts(4) {
       val (pEmpty, prEmpty) = PrefixStitch.rangePrefix[Long](
-        Seq.empty[Long].toDF("k"), Seq(col("k")), count(lit(1)),
+        Seq.empty[Long].toDF("k"), Seq(col("k")), Seq(count(lit(1))),
         0L, _ + _, _.getLong(1), sortWithin = false)
       assert(pEmpty.count() == 0L)
       assert(prEmpty.forall(_ == 0L))
       val (pOne, prOne) = PrefixStitch.rangePrefix[Long](
-        Seq(42L).toDF("k"), Seq(col("k")), count(lit(1)),
+        Seq(42L).toDF("k"), Seq(col("k")), Seq(count(lit(1))),
         0L, _ + _, _.getLong(1), sortWithin = false)
       assert(pOne.count() == 1L)
       // monotone 0 → 1 step exactly at the row's partition
