@@ -281,6 +281,7 @@ object SparkEntry {
     "s_pq_ingest" -> (graft.streaming.StreamingIndex.sPqIngest _),
     "s_ivfpq_serve" -> (graft.streaming.StreamingIndex.sIvfPqServe _),
     "s_neardup_gate" -> (graft.streaming.StreamingIndex.sNeardupGate _),
+    "s_substring_gate" -> (graft.streaming.StreamingIndex.sSubstringGate _),
     "s_ann_serve" -> (graft.streaming.StreamingIndex.sAnnServe _),
     "s_filtered_serve" -> (graft.streaming.StreamingIndex.sFilteredServe _),
     "s_index_swap" -> (graft.streaming.StreamingIndex.sIndexSwap _),
@@ -2601,6 +2602,17 @@ object SparkEntry {
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // the exact tier of the same admission path: symmetric exact-gram
+    // collision pairs over the batch substring oracle's gram windows
+    "s_substring_gate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |             array_to_string(ts[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+        |      FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) - 6)]) AS i
+        |            FROM toks WHERE len(ts) >= 8))
+        |SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_id
+        |FROM g a JOIN g b ON a.gtext = b.gtext AND a.doc_id <> b.doc_id
+        |ORDER BY doc_id, dup_id""".stripMargin,
     "q_dedup_simhash_md5" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         |h AS (SELECT doc_id,

@@ -1147,14 +1147,48 @@ object Corpus {
     * that REWRITES the text): from (doc_id, tk) to (grams, dropped
     * positions, covered token positions). ONE definition so the
     * standalone query and the composed pipeline cannot drift. */
-  private def substringDrops(toks: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val grams = toks.filter(size(col("tk")) >= SubstrL)
+  /** The stride-1 [[SubstrL]]-gram rows of a (doc_id, tk) relation —
+    * (doc_id, pos, gtext, h) with h = the portable 60-bit md5 — ONE
+    * definition shared by [[substringDrops]] (batch dedup tiers) and
+    * the streaming admission gate's per-arrival probes
+    * ([[graft.streaming.StreamingIndex.sSubstringGate]]), so the
+    * stream and the batch tier hash and window identically. Pure
+    * map-side (transform + posexplode): per-event cost in a
+    * micro-batch, no shuffle. */
+  private[graft] def gramRows(toks: DataFrame): DataFrame =
+    toks.filter(size(col("tk")) >= SubstrL)
       .select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(1, size(tk) - ${SubstrL - 1}), " +
             s"i -> array_join(slice(tk, i, $SubstrL), ' '))"))
           .as(Seq("pos", "gtext")))
       .withColumn("h", graft.functions.md5hash60(col("gtext")))
+
+  /** Session-cached corpus gram-posting index for the streaming gate:
+    * DISTINCT (h, gtext, doc_id) — the admission tier's static side,
+    * built once per (session, corpus) and localCheckpoint'ed (the
+    * [[graft.operators.Dedup]] band-index discipline). The posting
+    * carries the gram TEXT next to its 8-byte hash so the gate's one
+    * equi-join verifies on exact text — a hash collision cannot fake
+    * a duplicate, the batch tier's contract — while h stays the
+    * leading key (at 100 TB the stored index is laid out/bucketed by
+    * the fixed-width hash; the text column rides for verification). */
+  private val gramIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
+  /** Test hook: drop cached gram indexes (cold-path measurement). */
+  private[graft] def clearGramIndexCache(): Unit = gramIndexCache.clear()
+
+  private[graft] def gramIndex(s: SparkSession, d: String): DataFrame =
+    gramIndexCache.computeIfAbsent((s, d), { _ =>
+      gramRows(Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk")))
+        .select(col("h"), col("gtext"), col("doc_id")).distinct()
+        .localCheckpoint()
+    })
+
+  private def substringDrops(toks: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val grams = gramRows(toks)
     // tier 1: hash postings — the only corpus-wide shuffle is 8-byte keyed
     val hot = grams.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("hdf"))

@@ -951,4 +951,87 @@ object StreamingIndex {
       s.table(name).orderBy("doc_id", "dup_id")
     }
   }
+
+  /** Posting-count ceiling under which [[sSubstringGate]] broadcasts
+    * the gram index. Arithmetic: a posting is (8-byte h, ~60 B gram
+    * text, 8-byte doc_id) ≈ 80 B, so 4M postings ≈ 320 MB — about the
+    * most a serving executor should pin. Above it the hint is withheld
+    * and — exactly the [[sNeardupGate]] story the NEARDUP_SKEW verdict
+    * measured — the planner broadcasts the tiny per-batch PROBE side
+    * into the sharded corpus index (BuildLeft, plan-guarded): arrivals
+    * travel, the corpus stays put, and boilerplate-hot grams (the
+    * gate's target population) never key-partition into one task.
+    * Overridable via conf `graft.substring.broadcastMaxPostings`. */
+  private[graft] val SubstringBroadcastMaxPostings = 1L << 22
+
+  /** The (arrival, existing) exact-gram collision pairs for
+    * [[sSubstringGate]]: equi-join on (h, gtext) — the 8-byte hash
+    * leads, the text column makes the match EXACT (a 60-bit collision
+    * cannot fake a duplicate; the batch tier's contract). Size-gated
+    * like [[neardupCandidatePairs]]; all shapes emit identical rows. */
+  private[graft] def substringCandidatePairs(
+      s: SparkSession, probes: DataFrame, corpus: DataFrame, nPostings: Long): DataFrame = {
+    val limit = s.conf.getOption("graft.substring.broadcastMaxPostings")
+      .map(_.toLong).getOrElse(SubstringBroadcastMaxPostings)
+    val cond = col("s.h") === col("c.h") &&
+      col("s.gtext") === col("c.gtext") &&
+      col("s.doc_id") =!= col("c.doc_id")
+    val joined =
+      if (nPostings <= limit) probes.as("s").join(broadcast(corpus).as("c"), cond)
+      else probes.as("s").join(corpus.as("c"), cond)
+    joined.select(col("s.doc_id").as("doc_id"), col("c.doc_id").as("dup_id"))
+  }
+
+  /** s_substring_gate — the EXACT-substring admission tier of the
+    * streaming ingest path, beside [[sNeardupGate]]'s sketch tier: a
+    * production pipeline screens arrivals for verbatim duplicated
+    * spans (the Lee-et-al. tier q_substring_dedup runs in batch)
+    * before admitting them to the corpus. Every arriving document
+    * computes its stride-1 8-token grams MAP-SIDE
+    * ([[graft.operators.Corpus.gramRows]] — the SAME definition the
+    * batch tiers hash with, so stream and batch cannot drift) and
+    * probes the session-cached corpus gram-posting index
+    * ([[Corpus.gramIndex]]); an exact-text gram collision with a
+    * DIFFERENT existing doc flags the arrival. Emitted rows are the
+    * (arrival, existing) candidate pairs, deduplicated across an
+    * arrival's own grams by the same watermark-bounded
+    * dropDuplicatesWithinWatermark state the near-dup gate uses
+    * (state is O(pairs within the watermark), never O(corpus)). The
+    * index side is SIZE-GATED ([[substringCandidatePairs]]): under
+    * [[SubstringBroadcastMaxPostings]] the postings broadcast (zero
+    * per-batch shuffle); above it the per-batch probe side broadcasts
+    * into the sharded index (BuildLeft — plan-guarded, the
+    * NEARDUP_SKEW-validated shape). Oracle: the symmetric exact-gram
+    * collision pairs replayed in DuckDB over the same gram windows
+    * the batch substring oracle builds. */
+  def sSubstringGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val corpus = graft.operators.Corpus.gramIndex(s, d)
+    val nPostings = corpus.count()
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[DocEvent].collect()
+    EventPairing.withStreamingPartitions(s) {
+      val input = MemoryStream[DocEvent]
+      val probes = graft.operators.Corpus.gramRows(
+        input.toDF().select(col("doc_id"), split(col("text"), " ").as("tk")))
+        .select(col("doc_id"), col("gtext"), col("h"))
+      val gated = substringCandidatePairs(s, probes, corpus, nPostings)
+        // +1 day: the initial watermark is epoch 0 and the late-row
+        // filter drops rows AT the watermark (see sNeardupGate)
+        .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("doc_id", "dup_id")
+        .select(col("doc_id"), col("dup_id"))
+      val name = s"s_substring_gate_${nameCounter.incrementAndGet()}"
+      val q = gated.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        feedStaggered(input, docs.toSeq.sortBy(_.doc_id), q)
+        record("s_substring_gate", q)
+      } finally q.stop()
+      s.table(name).orderBy("doc_id", "dup_id")
+    }
+  }
 }

@@ -445,6 +445,36 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("substring gate above-ceiling: the executed plan broadcasts the PROBE side (BuildLeft)") {
+    // the exact tier inherits the NEARDUP_SKEW verdict: above the
+    // posting-broadcast ceiling the per-batch probe side must stay the
+    // broadcast build — boilerplate-hot grams (the gate's target
+    // population) must never key-partition into one task
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val probes = (0L until 4L).map(i => (i, s"g$i", i * 7L))
+      .toDF("doc_id", "gtext", "h")
+    val corpus = spark.range(200000)
+      .select((col("id") % 7).as("h"),
+        concat(lit("g"), col("id") % 1000).as("gtext"),
+        (col("id") + 10).as("doc_id"))
+    val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (512 * 1024).toString)
+    spark.conf.set("graft.substring.broadcastMaxPostings", "0")
+    try {
+      val pairs = graft.streaming.StreamingIndex
+        .substringCandidatePairs(spark, probes, corpus, nPostings = 200000L)
+      pairs.collect()
+      val p = pairs.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("BuildLeft"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+      spark.conf.unset("graft.substring.broadcastMaxPostings")
+    }
+  }
+
   test("IVF family: nlist follows the √-law — cells stay √n-sized, broadcast stays capped") {
     // the 100 TB contract (round 11): nlist = ⌈n/stride⌉ grows ∝ √n so
     // celled pairwise work is Σ|cell|² ≈ n·√n (sub-quadratic — the
