@@ -216,6 +216,7 @@ object SparkEntry {
     "q_range_search" -> (Similarity.rangeSearch _),
     "q_srp_recall" -> (Similarity.srpRecall _),
     "q_bq_recall" -> (Similarity.bqRecall _),
+    "q_bq_persist" -> (Similarity.bqPersist _),
     "q_mmr_rerank" -> (Similarity.mmrRerank _),
     "q_sq_recall" -> (Similarity.sqRecall _),
     "q_lsh_recall" -> (Similarity.lshRecall _),
@@ -282,6 +283,7 @@ object SparkEntry {
     "s_ivfpq_serve" -> (graft.streaming.StreamingIndex.sIvfPqServe _),
     "s_neardup_gate" -> (graft.streaming.StreamingIndex.sNeardupGate _),
     "s_substring_gate" -> (graft.streaming.StreamingIndex.sSubstringGate _),
+    "s_bq_serve" -> (graft.streaming.StreamingIndex.sBqServe _),
     "s_ann_serve" -> (graft.streaming.StreamingIndex.sAnnServe _),
     "s_filtered_serve" -> (graft.streaming.StreamingIndex.sFilteredServe _),
     "s_index_swap" -> (graft.streaming.StreamingIndex.sIndexSwap _),
@@ -422,6 +424,30 @@ object SparkEntry {
       |${mergeRound(2)},
       |${mergeRound(3)}""".stripMargin
   }
+
+  /** The BQ coding CTE chain (q_bq_recall / q_bq_persist / s_bq_serve —
+    * ONE definition so the recall eval, the durable tier, and the
+    * serving oracle replay the identical coder): exact 1e-6 longs,
+    * per-dim corpus-mean thresholds (floor of one IEEE division),
+    * strict-> bits packed msb-first into two 32-bit words. Exposes
+    * e(vec_id, v), tx(vec_id, xs), td(d, t), thr(ts),
+    * pc(vec_id, w0, w1). */
+  private val bqCodedCte: String =
+    """e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+      |tx AS (SELECT vec_id,
+      |              [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS xs
+      |       FROM embeddings),
+      |td AS (SELECT d, CAST(floor(CAST(sum(xs[d]) AS DOUBLE) / count(*)) AS BIGINT) AS t
+      |       FROM tx, range(1, 65) r(d) GROUP BY d),
+      |thr AS (SELECT list(t ORDER BY d) AS ts FROM td),
+      |pc AS (SELECT vec_id,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           [CASE WHEN xs[j] > ts[j] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+      |            FOR j IN range(1, 33)]), (acc, b) -> acc * 2 + b) AS w0,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           [CASE WHEN xs[j] > ts[j] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+      |            FOR j IN range(33, 65)]), (acc, b) -> acc * 2 + b) AS w1
+      |       FROM tx, thr)""".stripMargin
 
   /** DuckDB expression for graft.functions.md5hash60($e): the first 15
     * md5 hex digits folded into a 60-bit BIGINT. */
@@ -2772,22 +2798,7 @@ object SparkEntry {
         |       round(CAST(sum(nh) AS DOUBLE) / sum(nx), 6) AS recall
         |FROM hits""".stripMargin),
     "q_bq_recall" ->
-      ("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
-        |tx AS (SELECT vec_id,
-        |              [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) FOR x IN embedding] AS xs
-        |       FROM embeddings),
-        |td AS (SELECT d, CAST(floor(CAST(sum(xs[d]) AS DOUBLE) / count(*)) AS BIGINT) AS t
-        |       FROM tx, range(1, 65) r(d) GROUP BY d),
-        |thr AS (SELECT list(t ORDER BY d) AS ts FROM td),
-        |pc AS (SELECT vec_id,
-        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |           [CASE WHEN xs[j] > ts[j] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
-        |            FOR j IN range(1, 33)]), (acc, b) -> acc * 2 + b) AS w0,
-        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |           [CASE WHEN xs[j] > ts[j] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
-        |            FOR j IN range(33, 65)]), (acc, b) -> acc * 2 + b) AS w1
-        |       FROM tx, thr),
-        |""".stripMargin +
+      (s"WITH $bqCodedCte,\n" +
       s"""panel AS (SELECT vec_id AS qid, v AS qv, w0 AS qw0, w1 AS qw1
         |          FROM e JOIN pc USING (vec_id)
         |          WHERE $panelWhereSql),
@@ -2823,6 +2834,42 @@ object SparkEntry {
         |       CAST(sum(nx) AS BIGINT) AS n_exact, CAST(sum(nh) AS BIGINT) AS n_hit,
         |       round(CAST(sum(nh) AS DOUBLE) / sum(nx), 6) AS recall
         |FROM hits""".stripMargin),
+    // the BQ durable tier verifies against the SAME coding chain —
+    // all-integer, so round-trip identity needs no IEEE argument
+    "q_bq_persist" ->
+      (s"WITH $bqCodedCte,\n" +
+      """a AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |              CAST(bit_xor((vec_id % 1000003) * 1009 + (w0 % 1009) * 31 + (w1 % 1009)) AS BIGINT) AS code_checksum
+        |       FROM pc),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_dims,
+        |             CAST(bit_xor(xor(d * 4000037, t)) AS BIGINT) AS thr_checksum
+        |      FROM td)
+        |SELECT n_vecs, code_checksum, n_dims, thr_checksum FROM a, t""".stripMargin),
+    // the BQ serving tier: Hamming-top-R shortlist, exact-rescored
+    // top-1 per panel query — the q_bq_recall cand chain's serve view
+    "s_bq_serve" ->
+      (s"WITH $bqCodedCte,\n" +
+      s"""panel AS (SELECT vec_id AS qid, v AS qv, w0 AS qw0, w1 AS qw1
+        |          FROM e JOIN pc USING (vec_id)
+        |          WHERE $panelWhereSql),
+        |cand AS (SELECT qid, vec_id FROM (
+        |           SELECT p.qid, c.vec_id,
+        |                  row_number() OVER (PARTITION BY p.qid
+        |                    ORDER BY (bit_count(xor(c.w0, p.qw0)) + bit_count(xor(c.w1, p.qw1))) ASC,
+        |                      c.vec_id ASC) AS rn
+        |           FROM pc c, panel p WHERE c.vec_id <> p.qid)
+        |         WHERE rn <= ${graft.operators.Similarity.BqRerank})
+        |SELECT qid, vec_id, cos AS cos_sim FROM (
+        |  SELECT cd.qid, cd.vec_id,
+        |         round(list_dot_product(e.v, p.qv)
+        |           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cos,
+        |         row_number() OVER (PARTITION BY cd.qid
+        |           ORDER BY round(list_dot_product(e.v, p.qv)
+        |             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.qv, p.qv))), 6) DESC,
+        |             cd.vec_id ASC) AS rn
+        |  FROM cand cd JOIN e ON e.vec_id = cd.vec_id
+        |       JOIN panel p ON p.qid = cd.qid) WHERE rn = 1
+        |ORDER BY qid""".stripMargin),
     "q_mmr_rerank" -> {
       val lam = graft.operators.Similarity.MmrLambda
       val mu = graft.operators.Similarity.MmrMu

@@ -1034,4 +1034,77 @@ object StreamingIndex {
       s.table(name).orderBy("doc_id", "dup_id")
     }
   }
+
+  /** s_bq_serve — the binary-quantization serving tier: the scorecard's
+    * best aggressive-compression point (q_bq_recall: 0.56@32×) given
+    * the lifecycle its SQ/PQ/IVF siblings already have. Arriving query
+    * vectors are CODED MAP-SIDE against the trained corpus thresholds
+    * inlined as a 64-long literal ([[Similarity.bqIndex]] — the
+    * literal-centroids discipline: thresholds live in RAM, the corpus
+    * does not) with the SAME packing fold the corpus coder uses
+    * ([[Similarity.bqPackExpr]] — query and corpus bits cannot drift).
+    * Each micro-batch then runs the standard two-phase BQ plan in a
+    * foreachBatch body (per-query retrieval is stateless across
+    * batches, so batch semantics — rank windows included — are the
+    * honest expression): Hamming shortlist by bit_count(xor) over the
+    * PINNED coded corpus (16 B/vector of register math — the tiny
+    * per-batch probe side broadcasts, the corpus stays put), keep the
+    * top-[[Similarity.BqRerank]], exact-rescore those on the float
+    * column, emit each query's top-1. Results append to a parquet
+    * sink dir and the declared row reads them back ([[sForeachSink]]'s
+    * prove-the-loop pattern). Oracle: the shared BQ coding CTE +
+    * Hamming-top-R + rescored top-1 per panel query. */
+  def sBqServe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val e = Tables.embeddings(s, d)
+    val n = e.count()
+    val (ts, coded) = Similarity.bqIndex(s, d)
+    val panel = e.filter(Similarity.panelFilter(n))
+      .select(col("vec_id"), col("embedding"))
+      .as[VecEvent].collect()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bq_serve").toString
+    EventPairing.withStreamingPartitions(s) {
+      val input = MemoryStream[VecEvent]
+      val probes = input.toDF()
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .withColumn("qxs",
+          expr("transform(qvec, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"))
+        .withColumn("qts", typedlit(ts))
+        .select(col("qid"), col("qvec"),
+          Similarity.bqPackExpr("qxs", "qts", 1, 32).as("qw0"),
+          Similarity.bqPackExpr("qxs", "qts", 33, 64).as("qw1"))
+      val q = probes.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          import org.apache.spark.sql.expressions.Window
+          val wh = Window.partitionBy(col("qid"))
+            .orderBy(col("ham").asc, col("vec_id").asc)
+          val wc = Window.partitionBy(col("qid"))
+            .orderBy(col("cos").desc, col("vec_id").asc)
+          batch.crossJoin(coded)
+            .filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("qvec"), col("vec_id"), col("embedding"),
+              (bit_count(col("w0").bitwiseXOR(col("qw0"))) +
+                bit_count(col("w1").bitwiseXOR(col("qw1")))).as("ham"))
+            .withColumn("hrn", row_number().over(wh))
+            .filter(col("hrn") <= Similarity.BqRerank)
+            .withColumn("cos", Similarity.cosine(col("embedding"), col("qvec")))
+            .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+            .select(col("qid"), col("vec_id"), col("cos").as("cos_sim"))
+            .write.mode("append").parquet(dir)
+        }
+        .outputMode("append").start()
+      try {
+        feedStaggered(input, panel.toSeq.sortBy(_.vec_id), q)
+        record("s_bq_serve", q)
+      } finally q.stop()
+      val parts = Option(new java.io.File(dir)
+        .listFiles((_, fn) => fn.endsWith(".parquet"))).fold(0)(_.length)
+      if (parts == 0) Seq.empty[(Long, Long, Double)].toDF("qid", "vec_id", "cos_sim")
+      else s.read.parquet(dir)
+        .select(col("qid"), col("vec_id"), col("cos_sim"))
+        .orderBy("qid")
+    }
+  }
 }
