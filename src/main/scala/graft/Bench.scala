@@ -75,26 +75,30 @@ object Bench {
     * genuinely changed queries move individual ratios, not the median
     * of ~100+ shared keys. */
   private[graft] def baselineMedianRatio(baselineJson: String, sfDir: String,
-      current: Seq[(String, Option[Double])]): Option[Double] = {
-    val sfRe = """"sf":"([^"]*)"""".r
-    if (!sfRe.findFirstMatchIn(baselineJson).exists(_.group(1) == sfDir)) None
-    else {
-      val tag = "\"queries\":{"
-      val qIdx = baselineJson.indexOf(tag)
-      if (qIdx < 0) None
+      current: Seq[(String, Option[Double])]): Option[Double] =
+    // any malformed/truncated baseline (Files.write is not atomic —
+    // a killed run can leave a half file) degrades to None, never to
+    // an exception that would abort the bench AFTER measuring
+    try {
+      val sfRe = """"sf":"([^"]*)"""".r
+      if (!sfRe.findFirstMatchIn(baselineJson).exists(_.group(1) == sfDir)) None
       else {
-        val end = baselineJson.indexOf('}', qIdx)
-        val seg = baselineJson.substring(qIdx + tag.length, math.max(end, qIdx))
-        val pair = """"([^"]+)":([0-9.eE+-]+)""".r
-        val base = pair.findAllMatchIn(seg)
-          .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
-        val ratios = current.collect {
-          case (n, Some(v)) if base.get(n).exists(_ >= 0.2) => v / base(n)
+        val tag = "\"queries\":{"
+        val qIdx = baselineJson.indexOf(tag)
+        val end = if (qIdx < 0) -1 else baselineJson.indexOf('}', qIdx)
+        if (end < 0) None
+        else {
+          val seg = baselineJson.substring(qIdx + tag.length, end)
+          val pair = """"([^"]+)":([0-9.eE+-]+)""".r
+          val base = pair.findAllMatchIn(seg)
+            .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
+          val ratios = current.collect {
+            case (n, Some(v)) if base.get(n).exists(_ >= 0.2) => v / base(n)
+          }
+          if (ratios.size < 20) None else Some(medianOf(ratios))
         }
-        if (ratios.size < 20) None else Some(medianOf(ratios))
       }
-    }
-  }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private[graft] def medianOf(ts: Seq[Double]): Double = {
     val s = ts.sorted
@@ -283,7 +287,14 @@ object Bench {
     }
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$nFailed,$suspectJson,$idxJson,"serve_latency_ms":$latJson,"rig_setup_sec":$rigSetupJson,"loadavg_start":"$loadAtStart","loadavg_end":"${loadavg()}","queries":$fullJson,"reps":$repsJson,"sf":"$sfDir"}"""
-    val fullOut = baselinePath
+    // A SUSPECT run must not overwrite the committed clean baseline:
+    // one contaminated driver run would otherwise poison the reference
+    // and steady contention would read ~1.0 against its own inflation
+    // on every later run — exactly the signature the median gate
+    // exists to catch. Full suspect detail still lands on disk, at a
+    // sibling path the clean file never reads.
+    val fullOut =
+      if (suspect.isDefined) baselinePath + ".suspect" else baselinePath
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(fullOut),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -449,6 +449,22 @@ object SparkEntry {
       |            FOR j IN range(33, 65)]), (acc, b) -> acc * 2 + b) AS w1
       |       FROM tx, thr)""".stripMargin
 
+  /** The quality-classifier feature+score CTE chain (s_quality_gate /
+    * q_quality_logit / q_corpus_build — ONE definition so the batch
+    * classifier, the streaming gate, and the composed pipeline replay
+    * the identical exact-integer z_fp, mirroring TextAnalysis.logitZ):
+    * over any `src` with (doc_id, lang, text), exposes
+    * `${p}f`(doc_id, lang, text, n_tokens, z_fp). */
+  private def zfpCteOver(src: String, p: String): String =
+    s"""${p}t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ts FROM $src),
+      |${p}f AS (SELECT doc_id, lang, text, CAST(len(ts) AS INT) AS n_tokens,
+      |             -20000000 * CAST(len(ts) AS BIGINT)
+      |               + 6 * CAST(len(ts) AS BIGINT)
+      |                   * CAST(floor(ln(len(ts)) * 1000000 + 0.5) AS BIGINT)
+      |               + 30000000 * CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS BIGINT)
+      |               - 10000000 * CAST(len(ts) - len(list_distinct(ts)) AS BIGINT) AS z_fp
+      |      FROM ${p}t)""".stripMargin
+
   /** DuckDB expression for graft.functions.md5hash60($e): the first 15
     * md5 hex digits folded into a 60-bit BIGINT. */
   private def h60Sql(e: String): String =
@@ -470,14 +486,8 @@ object SparkEntry {
   private def corpusBuildSql: String = {
     val mod = "1152921504606846976"
     s"""WITH RECURSIVE
-      |cbt AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ts FROM documents),
-      |cbf AS (SELECT doc_id, lang, text, CAST(len(ts) AS BIGINT) AS n,
-      |             CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_cnt,
-      |             CAST(len(ts) - len(list_distinct(ts)) AS BIGINT) AS d_cnt,
-      |             CAST(floor(ln(len(ts)) * 1000000 + 0.5) AS BIGINT) AS lnfp
-      |      FROM cbt),
-      |cbg AS (SELECT doc_id, lang, text FROM cbf
-      |        WHERE -20000000 * n + 6 * n * lnfp + 30000000 * s_cnt - 10000000 * d_cnt >= 0),
+      |${zfpCteOver("documents", "cb")},
+      |cbg AS (SELECT doc_id, lang, text FROM cbf WHERE z_fp >= 0),
       |cbe AS (SELECT doc_id, lang, text FROM (
       |          SELECT doc_id, lang, text,
       |                 min(doc_id) OVER (PARTITION BY md5(text)) AS mn
@@ -2308,33 +2318,15 @@ object SparkEntry {
         |FROM p GROUP BY shard ORDER BY shard""".stripMargin),
     "q_corpus_build" -> corpusBuildSql,
     "s_quality_gate" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |f AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
-        |             CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_cnt,
-        |             CAST(len(ts) - len(list_distinct(ts)) AS BIGINT) AS d_cnt,
-        |             CAST(floor(ln(len(ts)) * 1000000 + 0.5) AS BIGINT) AS lnfp
-        |      FROM t),
-        |g AS (SELECT doc_id, n_tokens,
-        |             -20000000 * CAST(n_tokens AS BIGINT) + 6 * n_tokens * lnfp
-        |               + 30000000 * s_cnt - 10000000 * d_cnt AS z_fp
-        |      FROM f)
-        |SELECT doc_id, n_tokens, z_fp FROM g WHERE z_fp >= 0
-        |ORDER BY doc_id""".stripMargin,
+      (s"WITH ${zfpCteOver("documents", "qg")}\n" +
+      """SELECT doc_id, n_tokens, z_fp FROM qgf WHERE z_fp >= 0
+        |ORDER BY doc_id""".stripMargin),
     "q_quality_logit" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |f AS (SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
-        |             CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_cnt,
-        |             CAST(len(ts) - len(list_distinct(ts)) AS BIGINT) AS d_cnt,
-        |             CAST(floor(ln(len(ts)) * 1000000 + 0.5) AS BIGINT) AS lnfp
-        |      FROM t),
-        |g AS (SELECT doc_id, n_tokens,
-        |             -20000000 * CAST(n_tokens AS BIGINT) + 6 * n_tokens * lnfp
-        |               + 30000000 * s_cnt - 10000000 * d_cnt AS z_fp
-        |      FROM f)
-        |SELECT doc_id, n_tokens, z_fp,
+      (s"WITH ${zfpCteOver("documents", "ql")}\n" +
+      """SELECT doc_id, n_tokens, z_fp,
         |       round(1.0 / (1.0 + exp(-CAST(z_fp AS DOUBLE) / (n_tokens * 1e7))), 6) AS p_keep,
         |       z_fp >= 0 AS keep
-        |FROM g ORDER BY doc_id""".stripMargin,
+        |FROM qlf ORDER BY doc_id""".stripMargin),
     "q_bpe_apply" ->
       (s"WITH $bpeChainCte,\n" +
       """wd AS (SELECT doc_id, i - 1 AS wpos, ws[CAST(i AS BIGINT)] AS w

@@ -52,8 +52,9 @@ object Tables {
   /** Max mtime across a corpus dir and its direct children (the
     * per-table parquet dirs) — 0 when unlistable (non-local path).
     * The cheap input fingerprint every keyed pinned-relation cache
-    * (StreamingIndex.pinnedCorpus, Corpus.pinnedVocab) uses to
-    * invalidate on a mid-session rewrite of the data at `d`. */
+    * (StreamingIndex.pinnedCorpus, Corpus.pinnedVocab/gramIndex,
+    * Similarity.bqIndex) uses to invalidate on a mid-session rewrite
+    * of the data at `d`. */
   private[graft] def dirStamp(d: String): Long =
     try {
       val f = new java.io.File(d)

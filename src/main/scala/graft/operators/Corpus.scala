@@ -1174,18 +1174,32 @@ object Corpus {
     * leading key (at 100 TB the stored index is laid out/bucketed by
     * the fixed-width hash; the text column rides for verification). */
   private val gramIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]
+    (SparkSession, String), (Long, DataFrame)]
 
   /** Test hook: drop cached gram indexes (cold-path measurement). */
   private[graft] def clearGramIndexCache(): Unit = gramIndexCache.clear()
 
-  private[graft] def gramIndex(s: SparkSession, d: String): DataFrame =
-    gramIndexCache.computeIfAbsent((s, d), { _ =>
-      gramRows(Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("tk")))
-        .select(col("h"), col("gtext"), col("doc_id")).distinct()
-        .localCheckpoint()
-    })
+  private[graft] def gramIndex(s: SparkSession, d: String): DataFrame = {
+    // the pinnedVocab discipline: dirStamp fingerprint (a mid-session
+    // rewrite of the data at `d` displaces rather than serving stale
+    // postings), eager unpersist of the displaced pin, stopped-session
+    // sweep
+    gramIndexCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val fp = Tables.dirStamp(d)
+    gramIndexCache.compute((s, d), (_, cur) =>
+      if (cur != null && cur._1 == fp) cur
+      else {
+        if (cur != null) cur._2.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(false)
+          case _ =>
+        }
+        (fp, gramRows(Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tk")))
+          .select(col("h"), col("gtext"), col("doc_id")).distinct()
+          .localCheckpoint())
+      })._2
+  }
 
   private def substringDrops(toks: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val grams = gramRows(toks)

@@ -62,10 +62,6 @@ object Dedup {
       .select(col("doc_id"), explode(shinglesOf(col("tk"))).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("shingle"))
 
-  /** Distinct (doc_id, shingle) pairs — the set view, for Jaccard. */
-  private def shingleSet(s: SparkSession, d: String): DataFrame =
-    shingleRows(s, d).distinct()
-
   /** q_dedup_ngram — n-gram Jaccard near-dup pairs (≥ 0.5): distinct
     * shingles per doc, self-join on shingle, |∩| / |∪|. Exact but
     * quadratic in co-bucketed docs — the baseline the MinHash variant

@@ -1535,18 +1535,32 @@ object Similarity {
     * coded corpus (vec_id, embedding, w0, w1). Build-once/serve-many:
     * [[bqPersist]] and the streaming Hamming serve read THIS build. */
   private val bqCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (Seq[Long], DataFrame)]
+    (SparkSession, String), (Long, Seq[Long], DataFrame)]
 
   /** Test hook: drop materialized BQ indexes. */
   private[graft] def clearBqCache(): Unit = bqCache.clear()
 
-  private[graft] def bqIndex(s: SparkSession, d: String): (Seq[Long], DataFrame) =
-    bqCache.computeIfAbsent((s, d), { _ =>
-      val e0 = Tables.embeddings(s, d)
-      val ts = bqThresholds(e0).collect().head
-        .getSeq[Long](0).toSeq
-      (ts, bqCoded(e0).localCheckpoint())
-    })
+  private[graft] def bqIndex(s: SparkSession, d: String): (Seq[Long], DataFrame) = {
+    // the pinnedVocab discipline: dirStamp fingerprint (a mid-session
+    // rewrite of the corpus displaces rather than serving stale codes),
+    // eager unpersist of the displaced pin, stopped-session sweep
+    bqCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val fp = graft.Tables.dirStamp(d)
+    val e = bqCache.compute((s, d), (_, cur) =>
+      if (cur != null && cur._1 == fp) cur
+      else {
+        if (cur != null) cur._3.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(false)
+          case _ =>
+        }
+        val e0 = Tables.embeddings(s, d)
+        val ts = bqThresholds(e0).collect().head
+          .getSeq[Long](0).toSeq
+        (fp, ts, bqCoded(e0).localCheckpoint())
+      })
+    (e._2, e._3)
+  }
 
   /** q_bq_persist — the BQ lifecycle's durable tier (the
     * [[indexPersist]]/[[ProductQuant]] q_pq_persist discipline applied
