@@ -596,6 +596,26 @@ class CorpusSpec extends SparkSpec {
     assert(!got.exists(r => r._3 == 30L || r._3 == 31L)) // w <= 0 excluded
   }
 
+  test("gramIndex: a mid-session rewrite of the corpus displaces the pin (dirStamp fingerprint)") {
+    // the round-11 review fix as a standing pin: the streaming gate's
+    // session-cached posting index must never serve stale grams after
+    // the data at `d` is rewritten — the cache key carries the dir
+    // mtime stamp and displacement rebuilds (and frees) the pin
+    val g8a = (0 until 8).map(i => s"a$i").mkString(" ")
+    val g8b = (0 until 8).map(i => s"b$i").mkString(" ")
+    val d = docsDir((1L, g8a, "en", "s", 1L))
+    val g1 = operators.Corpus.gramIndex(spark, d).collect()
+    assert(g1.length == 1 && g1.head.getString(1) == g8a)
+    Thread.sleep(1100) // dirStamp is mtime-based; coarse-granularity FS margin
+    Seq((2L, g8b, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val g2 = operators.Corpus.gramIndex(spark, d).collect()
+    assert(g2.length == 1 && g2.head.getString(1) == g8b, g2.mkString(","))
+    // unchanged data: the pin is reused, not rebuilt (same stamp)
+    assert(operators.Corpus.gramIndex(spark, d) eq operators.Corpus.gramIndex(spark, d))
+  }
+
   test("corpus_build: each stage sees ONLY upstream survivors; product verified from the loaded store") {
     // Composition pins (each distinguishes the composed chain from a
     // run of the same tier over the RAW corpus):
