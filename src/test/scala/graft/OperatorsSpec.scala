@@ -1270,6 +1270,26 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1L) == ((0L, 0L)))
   }
 
+  test("bqIndex: a mid-session rewrite of the corpus displaces the pin (dirStamp fingerprint)") {
+    import spark.implicits._
+    // the gramIndex twin (round-11 review fix): the serving tier's
+    // cached thresholds + coded corpus must follow a data rewrite
+    val va = Array.tabulate(64)(_ => 1f)
+    val vb = Array.tabulate(64)(_ => 3f)
+    val d = fixtureDir("embeddings" ->
+      (0L until 2L).map(id => (id, va, 0)).toDF("vec_id", "embedding", "label"))
+    val (ts1, _) = Similarity.bqIndex(spark, d)
+    assert(ts1.forall(_ == 1000000L)) // mean of identical 1.0f dims
+    Thread.sleep(1100) // dirStamp is mtime-based; coarse-granularity FS margin
+    (0L until 2L).map(id => (id, vb, 0)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val (ts2, coded2) = Similarity.bqIndex(spark, d)
+    assert(ts2.forall(_ == 3000000L), ts2.take(3)) // fresh thresholds, not stale
+    assert(coded2.count() == 2L)
+    // unchanged data: the pin is reused (same stamp, same relation)
+    assert(Similarity.bqIndex(spark, d)._2 eq Similarity.bqIndex(spark, d)._2)
+  }
+
   test("bqRecall: rerank depth >= candidate count makes the rescore exact — recall 1.0") {
     import spark.implicits._
     // 40 vectors (39 candidates < BqRerank = 50): the Hamming
