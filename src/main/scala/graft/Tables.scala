@@ -49,16 +49,28 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Max mtime across a corpus dir and its direct children (the
-    * per-table parquet dirs) — 0 when unlistable (non-local path).
-    * The cheap input fingerprint every keyed pinned-relation cache
-    * (StreamingIndex.pinnedCorpus, Corpus.pinnedVocab/gramIndex,
-    * Similarity.bqIndex) uses to invalidate on a mid-session rewrite
-    * of the data at `d`. */
+  /** 64-bit fingerprint of a corpus dir: an FNV-1a fold over the
+    * (path, size, mtime) of the dir, its direct children (the per-table
+    * parquet dirs/files), and THEIR direct children (the part files) —
+    * 0 when unlistable (non-local path). The cheap input fingerprint
+    * every keyed pinned-relation cache (StreamingIndex.pinnedCorpus,
+    * Corpus.pinnedVocab/gramIndex, Similarity.bqIndex) uses to
+    * invalidate on a mid-session rewrite of the data at `d`. Mtime alone
+    * was not enough (round-11 advice): filesystem-second granularity let
+    * a rewrite landing in the same tick serve stale pins. Part-file
+    * NAMES change on every Spark overwrite (fresh task UUIDs) and sizes
+    * change on content edits, so folding names + sizes makes a rewrite
+    * observable within the same timestamp tick. */
   private[graft] def dirStamp(d: String): Long =
     try {
       val f = new java.io.File(d)
-      val kids = Option(f.listFiles()).getOrElse(Array.empty)
-      (f.lastModified() +: kids.map(_.lastModified())).max
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      val parts = kids.flatMap(k => Option(k.listFiles()).getOrElse(Array.empty[java.io.File]))
+      ((f +: kids) ++ parts)
+        .map(x => s"${x.getAbsolutePath}:${x.length()}:${x.lastModified()}")
+        .sorted
+        .foldLeft(-3750763034362895579L) { (h, sig) => // FNV-1a offset basis
+          sig.foldLeft(h)((a, c) => (a ^ c.toLong) * 1099511628211L)
+        }
     } catch { case _: Throwable => 0L }
 }

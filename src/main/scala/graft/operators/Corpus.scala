@@ -695,7 +695,10 @@ object Corpus {
     * vocabulary-sized folds + one word-keyed join; stage 6 one range
     * shuffle + P driver scalars; the persist writes each row once.
     * Stage boundaries are localCheckpoint pins (a real nightly job
-    * would point them at durable storage — the final product is). */
+    * would point them at durable storage — the final product is),
+    * freed before return once the funnel scalars are read — the
+    * declared row depends only on the loaded parquet, so repeated
+    * invocations hold zero corpus-sized blocks between them. */
   def corpusBuild(s: SparkSession, d: String): DataFrame = {
     val docs0 = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
     // 1. gate
@@ -714,8 +717,8 @@ object Corpus {
     // 4. substring clean (text rewrite)
     val c0 = substringCleanOver(u0).localCheckpoint()
     // 5. tokenizer learned on the cleaned survivors, then applied
-    val wmap = bpeChainOverVocab(charVocabOver(c0).localCheckpoint())
-      ._2.select(col("w"), col("syms"))
+    val cv = charVocabOver(c0).localCheckpoint()
+    val wmap = bpeChainOverVocab(cv)._2.select(col("w"), col("syms"))
     val tok = bpeTokensOver(c0, wmap)
       .select(col("doc_id"), col("n_words"),
         col("n_bpe_tokens").as("n_tokens"), col("bpe_md5"))
@@ -770,6 +773,21 @@ object Corpus {
     product.repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$root/corpus.parquet")
+    // Funnel scalars NOW (the write above already executed every
+    // stage): one raw-corpus scan prices n_input + n_gated together;
+    // n_exact/n_unique read the stage pins. Computing them eagerly
+    // lets the pins be FREED before returning — the declared row reads
+    // only the loaded parquet, so holding four corpus-sized
+    // localCheckpoints per invocation just stacked block-manager
+    // entries across bench reps until ContextCleaner GC (round-11
+    // advice; the failure mode the pinnedVocab cache fixed for the
+    // tokenizer family).
+    val inRow = docs0.agg(count(lit(1)).as("n_input"),
+      count(when(zFp >= 0, 1)).as("n_gated")).first()
+    val (nInput, nGated) = (inRow.getLong(0), inRow.getLong(1))
+    val nExact = e0.count()
+    val nUnique = u0.count()
+    Seq(e0, u0, c0, cv, ranged).foreach(graft.Pins.free)
     // the declared row: summarize the LOADED relation
     val loaded = s.read.parquet(s"$root/corpus.parquet")
       .select(col("shard").cast("int").as("shard"), col("pos"), col("doc_id"),
@@ -793,16 +811,13 @@ object Corpus {
           .as("order_checksum60"),
         expr(s"CAST(sum(CAST(ch AS DECIMAL(38,0))) % $mod AS BIGINT)")
           .as("content_checksum60"))
-    // funnel constants: per-stage survivor counts, from the stage pins
-    val funnel = broadcast(docs0.agg(count(lit(1)).as("n_input"))
-      .crossJoin(gated.agg(count(lit(1)).as("n_gated")))
-      .crossJoin(e0.agg(count(lit(1)).as("n_exact")))
-      .crossJoin(u0.agg(count(lit(1)).as("n_unique"))))
-    summary.crossJoin(funnel)
+    // funnel constants: the per-stage survivor scalars, as literals
+    summary
       .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_bins"),
         col("first_doc"), col("last_doc"),
         col("order_checksum60"), col("content_checksum60"),
-        col("n_input"), col("n_gated"), col("n_exact"), col("n_unique"))
+        lit(nInput).as("n_input"), lit(nGated).as("n_gated"),
+        lit(nExact).as("n_exact"), lit(nUnique).as("n_unique"))
       .orderBy("shard")
   }
 
@@ -910,12 +925,12 @@ object Corpus {
     * ContextCleaner's weak refs happened to be GC'd (round-10
     * advice). One live pin per (session, dir, variant); a dirStamp
     * mismatch (data rewritten mid-session) displaces rather than
-    * serving stale blocks, and displacement frees the old pin's
-    * checkpoint blocks eagerly. Same invariant as pinnedCorpus: a pin
-    * must not be displaced while a query over it is running —
-    * checkpoint lineage is truncated, so a displaced consumer fails
-    * on missing blocks instead of recomputing; batch consumers finish
-    * before any rewrite-then-rerun can displace them. */
+    * serving stale blocks; the displaced pin parks in [[graft.Pins]]
+    * and its checkpoint blocks are freed once the session has no
+    * active streaming query left holding it (checkpoint lineage is
+    * truncated, so freeing under a live consumer fails on missing
+    * blocks instead of recomputing; batch consumers finish before any
+    * rewrite-then-rerun can displace them). */
   private val vocabCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), (Long, DataFrame)]
 
@@ -925,15 +940,15 @@ object Corpus {
   private def pinnedVocab(s: SparkSession, d: String, variant: String)(
       build: => DataFrame): DataFrame = {
     vocabCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    graft.Pins.drain()
     val fp = Tables.dirStamp(d)
     vocabCache.compute((s, d, variant), (_, cur) =>
       if (cur != null && cur._1 == fp) cur
       else {
-        if (cur != null) cur._2.queryExecution.analyzed.foreach {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(false)
-          case _ =>
-        }
+        // displacement parks the old pin; Pins releases it once the
+        // session has no streaming query left holding it (the
+        // displacement invariant, enforced rather than documented)
+        if (cur != null) graft.Pins.park(s, cur._2)
         (fp, build.localCheckpoint())
       })._2
   }
@@ -1182,18 +1197,15 @@ object Corpus {
   private[graft] def gramIndex(s: SparkSession, d: String): DataFrame = {
     // the pinnedVocab discipline: dirStamp fingerprint (a mid-session
     // rewrite of the data at `d` displaces rather than serving stale
-    // postings), eager unpersist of the displaced pin, stopped-session
-    // sweep
+    // postings), displaced pin parked until no streaming query holds
+    // it (graft.Pins), stopped-session sweep
     gramIndexCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    graft.Pins.drain()
     val fp = Tables.dirStamp(d)
     gramIndexCache.compute((s, d), (_, cur) =>
       if (cur != null && cur._1 == fp) cur
       else {
-        if (cur != null) cur._2.queryExecution.analyzed.foreach {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(false)
-          case _ =>
-        }
+        if (cur != null) graft.Pins.park(s, cur._2)
         (fp, gramRows(Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("tk")))
           .select(col("h"), col("gtext"), col("doc_id")).distinct()

@@ -1543,17 +1543,15 @@ object Similarity {
   private[graft] def bqIndex(s: SparkSession, d: String): (Seq[Long], DataFrame) = {
     // the pinnedVocab discipline: dirStamp fingerprint (a mid-session
     // rewrite of the corpus displaces rather than serving stale codes),
-    // eager unpersist of the displaced pin, stopped-session sweep
+    // displaced pin parked until no streaming query holds it
+    // (graft.Pins), stopped-session sweep
     bqCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    graft.Pins.drain()
     val fp = graft.Tables.dirStamp(d)
     val e = bqCache.compute((s, d), (_, cur) =>
       if (cur != null && cur._1 == fp) cur
       else {
-        if (cur != null) cur._3.queryExecution.analyzed.foreach {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(false)
-          case _ =>
-        }
+        if (cur != null) graft.Pins.park(s, cur._3)
         val e0 = Tables.embeddings(s, d)
         val ts = bqThresholds(e0).collect().head
           .getSeq[Long](0).toSeq

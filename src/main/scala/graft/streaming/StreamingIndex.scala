@@ -232,30 +232,23 @@ object StreamingIndex {
   private def pinnedCorpus(s: SparkSession, d: String, variant: String,
       inputFingerprint: String = "")(build: => DataFrame): DataFrame = {
     pinnedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    graft.Pins.drain()
     val key = (s, d, variant)
     val fp = s"$inputFingerprint@${dirStamp(d)}"
     pinnedCache.compute(key, (_, cur) =>
       if (cur != null && cur._1 == fp) cur
       else {
-        // displacement frees the old pin's checkpoint blocks NOW
-        // rather than whenever ContextCleaner's weak refs get GC'd —
-        // a long session cycling serving variants must not stack
-        // corpus-sized block-manager entries.
-        // INVARIANT: a pin must not be displaced while a query over it
-        // is still running — a localCheckpoint RDD has truncated
-        // lineage, so a consumer holding the displaced DataFrame (e.g.
-        // an in-flight micro-batch under the same variant) would fail
-        // with missing-block errors rather than recompute. Callers
-        // satisfy this by stopping a variant's streaming query before
-        // rebuilding its inputs (the swap rigs restart, not overlap);
-        // a tier that needs overlapping old/new serving must pin the
-        // new relation under a NEW variant string and let the old one
-        // die with its query.
-        if (cur != null) cur._2.queryExecution.analyzed.foreach {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(false)
-          case _ =>
-        }
+        // Displacement must not free the old pin's checkpoint blocks
+        // under a consumer — a localCheckpoint RDD has truncated
+        // lineage, so a holder (e.g. an in-flight micro-batch under
+        // the same variant) would fail with missing-block errors
+        // rather than recompute. graft.Pins ENFORCES this: the
+        // displaced pin parks in a to-free list released only once
+        // the session has no active streaming query, so a long
+        // session cycling serving variants still cannot stack
+        // corpus-sized block-manager entries (they go at the next
+        // access after the last streaming query stops).
+        if (cur != null) graft.Pins.park(s, cur._2)
         (fp, build.localCheckpoint())
       })._2
   }
@@ -976,9 +969,16 @@ object StreamingIndex {
     val cond = col("s.h") === col("c.h") &&
       col("s.gtext") === col("c.gtext") &&
       col("s.doc_id") =!= col("c.doc_id")
+    // Above the ceiling the per-batch PROBE side carries the explicit
+    // broadcast hint (micro-batch stream-static inner joins permit
+    // broadcasting the streaming side): without it the BuildLeft shape
+    // rests on planner size ESTIMATES, and a micro-batch whose gram
+    // rows exceed autoBroadcastJoinThreshold silently degrades to a
+    // sort-merge join that reshuffles the full posting index every
+    // batch (round-11 advice).
     val joined =
       if (nPostings <= limit) probes.as("s").join(broadcast(corpus).as("c"), cond)
-      else probes.as("s").join(corpus.as("c"), cond)
+      else broadcast(probes.as("s")).join(corpus.as("c"), cond)
     joined.select(col("s.doc_id").as("doc_id"), col("c.doc_id").as("dup_id"))
   }
 

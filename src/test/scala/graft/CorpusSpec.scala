@@ -606,7 +606,8 @@ class CorpusSpec extends SparkSpec {
     val d = docsDir((1L, g8a, "en", "s", 1L))
     val g1 = operators.Corpus.gramIndex(spark, d).collect()
     assert(g1.length == 1 && g1.head.getString(1) == g8a)
-    Thread.sleep(1100) // dirStamp is mtime-based; coarse-granularity FS margin
+    // no sleep: dirStamp folds part-file names + sizes, so a same-tick
+    // rewrite still displaces (overwrite generates fresh task UUIDs)
     Seq((2L, g8b, "en", "s", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
@@ -614,6 +615,39 @@ class CorpusSpec extends SparkSpec {
     assert(g2.length == 1 && g2.head.getString(1) == g8b, g2.mkString(","))
     // unchanged data: the pin is reused, not rebuilt (same stamp)
     assert(operators.Corpus.gramIndex(spark, d) eq operators.Corpus.gramIndex(spark, d))
+  }
+
+  test("Pins: displacement parks under an active streaming query; frees after it stops") {
+    // the round-11 advice enforced: a dirStamp displacement must not
+    // unpersist truncated-lineage checkpoint blocks out from under a
+    // running streaming consumer — the pin parks in graft.Pins and is
+    // released at the first cache access (or drain) after the session's
+    // last streaming query stops
+    val g8a = (0 until 8).map(i => s"pa$i").mkString(" ")
+    val g8b = (0 until 8).map(i => s"pb$i").mkString(" ")
+    val d = docsDir((1L, g8a, "en", "s", 1L))
+    val g1 = operators.Corpus.gramIndex(spark, d)
+    val rdd1 = g1.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.head
+    assert(rdd1.getStorageLevel.useMemory || rdd1.getStorageLevel.useDisk)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val q = ms.toDF().writeStream.format("noop").start()
+    try {
+      Seq((2L, g8b, "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      val g2 = operators.Corpus.gramIndex(spark, d) // displaces g1's pin
+      assert(g2.collect().head.getString(1) == g8b)
+      assert(graft.Pins.parkedCount >= 1) // parked, NOT freed
+      // the displaced pin's blocks are still servable under the stream
+      assert(rdd1.getStorageLevel.useMemory || rdd1.getStorageLevel.useDisk)
+      assert(g1.count() == 1L)
+    } finally q.stop()
+    graft.Pins.drain() // no active stream left → released
+    assert(graft.Pins.parkedCount == 0)
+    assert(rdd1.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 
   test("corpus_build: each stage sees ONLY upstream survivors; product verified from the loaded store") {

@@ -1280,7 +1280,8 @@ class OperatorsSpec extends SparkSpec {
       (0L until 2L).map(id => (id, va, 0)).toDF("vec_id", "embedding", "label"))
     val (ts1, _) = Similarity.bqIndex(spark, d)
     assert(ts1.forall(_ == 1000000L)) // mean of identical 1.0f dims
-    Thread.sleep(1100) // dirStamp is mtime-based; coarse-granularity FS margin
+    // no sleep: dirStamp folds part-file names + sizes, so a same-tick
+    // rewrite still displaces (overwrite generates fresh task UUIDs)
     (0L until 2L).map(id => (id, vb, 0)).toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
     val (ts2, coded2) = Similarity.bqIndex(spark, d)

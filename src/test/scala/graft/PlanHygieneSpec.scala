@@ -449,7 +449,12 @@ class PlanHygieneSpec extends SparkSpec {
     // the exact tier inherits the NEARDUP_SKEW verdict: above the
     // posting-broadcast ceiling the per-batch probe side must stay the
     // broadcast build — boilerplate-hot grams (the gate's target
-    // population) must never key-partition into one task
+    // population) must never key-partition into one task. The auto
+    // threshold is DISABLED (-1) so the shape can only come from the
+    // explicit probe-side hint, not planner size estimates — a
+    // micro-batch whose gram rows exceed the threshold must not
+    // silently degrade to an SMJ that reshuffles the full posting
+    // index every batch (round-11 advice).
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, concat, lit}
     val probes = (0L until 4L).map(i => (i, s"g$i", i * 7L))
@@ -459,7 +464,7 @@ class PlanHygieneSpec extends SparkSpec {
         concat(lit("g"), col("id") % 1000).as("gtext"),
         (col("id") + 10).as("doc_id"))
     val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (512 * 1024).toString)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("graft.substring.broadcastMaxPostings", "0")
     try {
       val pairs = graft.streaming.StreamingIndex
