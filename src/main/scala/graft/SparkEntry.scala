@@ -172,6 +172,8 @@ object SparkEntry {
     "q_weighted_sample" -> (Corpus.weightedSample _),
     "q_train_shuffle" -> (Corpus.trainShuffle _),
     "q_corpus_build" -> (Corpus.corpusBuild _),
+    "q_corpus_increment" -> (Corpus.corpusIncrement _),
+    "q_domain_stats" -> (TextAnalysis.domainStats _),
     "q_pmi_phrases" -> (Corpus.pmiPhrases _),
     "q_token_entropy" -> (Corpus.tokenEntropy _),
     "q_block_dedup" -> (Corpus.blockDedup _),
@@ -212,6 +214,7 @@ object SparkEntry {
     "q_hybrid_search" -> (Similarity.hybridSearch _),
     "q_hybrid_weighted" -> (Similarity.hybridWeighted _),
     "q_hybrid_parity" -> (Similarity.hybridParity _),
+    "q_bm25_topk" -> (Similarity.bm25TopK _),
     "q_ann_recall" -> (Similarity.annRecall _),
     "q_range_search" -> (Similarity.rangeSearch _),
     "q_srp_recall" -> (Similarity.srpRecall _),
@@ -283,6 +286,7 @@ object SparkEntry {
     "s_ivfpq_serve" -> (graft.streaming.StreamingIndex.sIvfPqServe _),
     "s_neardup_gate" -> (graft.streaming.StreamingIndex.sNeardupGate _),
     "s_substring_gate" -> (graft.streaming.StreamingIndex.sSubstringGate _),
+    "s_corpus_ingest" -> (graft.streaming.StreamingIndex.sCorpusIngest _),
     "s_bq_serve" -> (graft.streaming.StreamingIndex.sBqServe _),
     "s_ann_serve" -> (graft.streaming.StreamingIndex.sAnnServe _),
     "s_filtered_serve" -> (graft.streaming.StreamingIndex.sFilteredServe _),
@@ -1910,6 +1914,54 @@ object SparkEntry {
         |       lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_domain_stats" -> (s"WITH ${zfpCteOver("documents", "dm")},\n" +
+      """b AS (SELECT d.source, d.lang, f.n_tokens AS n_toks, f.z_fp, md5(d.text) AS h
+        |      FROM documents d JOIN dmf f USING (doc_id)),
+        |g AS (SELECT source, lang, n_toks, z_fp, h,
+        |             count(*) OVER (PARTITION BY source, h) AS grp FROM b)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN z_fp >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+        |       round(CAST(sum(CASE WHEN z_fp >= 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS gate_rate,
+        |       CAST(sum(CASE WHEN grp >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |       round(CAST(sum(CASE WHEN grp >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM g GROUP BY source ORDER BY source""".stripMargin),
+    "q_corpus_increment" -> (s"WITH ${zfpCteOver("documents", "cx")},\n" +
+      """del AS (SELECT doc_id, text, z_fp FROM cxf
+        |        WHERE md5(CAST(doc_id AS VARCHAR))[1:1] = 'f'),
+        |bas AS (SELECT doc_id, text FROM cxf
+        |        WHERE md5(CAST(doc_id AS VARCHAR))[1:1] <> 'f'),
+        |dh AS (SELECT doc_id, z_fp, md5(text) AS h,
+        |              min(doc_id) OVER (PARTITION BY md5(text)) AS mn FROM del),
+        |bh AS (SELECT DISTINCT md5(text) AS h FROM bas),
+        |shd AS (SELECT DISTINCT doc_id,
+        |               unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |                       FOR i IN range(1, len(ts) - 1)]) AS shingle
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM del)),
+        |shb AS (SELECT DISTINCT doc_id,
+        |               unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |                       FOR i IN range(1, len(ts) - 1)]) AS shingle
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM bas)),
+        |cd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS na FROM shd GROUP BY 1),
+        |cb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb FROM shb GROUP BY 1),
+        |ix AS (SELECT a.doc_id AS doc_id, b.doc_id AS bid,
+        |              CAST(count(*) AS BIGINT) AS n_common
+        |       FROM shd a JOIN shb b ON a.shingle = b.shingle GROUP BY 1, 2),
+        |nbx AS (SELECT DISTINCT ix.doc_id
+        |        FROM ix JOIN cd ON cd.doc_id = ix.doc_id
+        |                JOIN cb ON cb.doc_id = ix.bid
+        |        WHERE CAST(n_common AS DOUBLE) / (cd.na + cb.nb - n_common) >= 0.5),
+        |v AS (SELECT dh.doc_id,
+        |             CASE WHEN dh.z_fp < 0 THEN 'quality'
+        |                  WHEN bh.h IS NOT NULL THEN 'exact_base'
+        |                  WHEN dh.doc_id <> dh.mn THEN 'exact_delta'
+        |                  WHEN nbx.doc_id IS NOT NULL THEN 'neardup'
+        |                  ELSE 'ok' END AS reason
+        |      FROM dh LEFT JOIN bh ON dh.h = bh.h
+        |              LEFT JOIN nbx ON nbx.doc_id = dh.doc_id)
+        |SELECT doc_id, (reason = 'ok') AS admitted, reason
+        |FROM v ORDER BY doc_id""".stripMargin),
     "q_corpus_funnel" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_total,
         |       CAST(count(CASE WHEN n_chars >= 100 THEN 1 END) AS BIGINT) AS n_minlen,
@@ -2631,6 +2683,28 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_id
         |FROM g a JOIN g b ON a.gtext = b.gtext AND a.doc_id <> b.doc_id
         |ORDER BY doc_id, dup_id""".stripMargin,
+    // the composed admission path: the union of the four tiers' batch
+    // replays — the quality z_fp CTE and the symmetric md5/gram/band
+    // collision pairs (each fragment identical to its standalone oracle)
+    "s_corpus_ingest" -> (md5BandsCte +
+      s",${zfpCteOver("documents", "ci")},\n" +
+      """st AS (SELECT doc_id, string_split(text, ' ') AS ts2 FROM documents),
+        |sg AS (SELECT DISTINCT doc_id,
+        |              array_to_string(ts2[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+        |       FROM (SELECT doc_id, ts2, unnest([i FOR i IN range(1, len(ts2) - 6)]) AS i
+        |             FROM st WHERE len(ts2) >= 8)),
+        |flags AS (
+        |  SELECT doc_id, 'quality' AS reason FROM cif WHERE z_fp < 0
+        |  UNION ALL
+        |  SELECT DISTINCT a.doc_id, 'exact' FROM documents a JOIN documents b
+        |    ON md5(a.text) = md5(b.text) AND a.doc_id <> b.doc_id
+        |  UNION ALL
+        |  SELECT DISTINCT a.doc_id, 'substring' FROM sg a JOIN sg b
+        |    ON a.gtext = b.gtext AND a.doc_id <> b.doc_id
+        |  UNION ALL
+        |  SELECT DISTINCT a.doc_id, 'neardup' FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id)
+        |SELECT doc_id, reason FROM flags ORDER BY doc_id, reason""".stripMargin),
     "q_dedup_simhash_md5" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         |h AS (SELECT doc_id,
@@ -3551,6 +3625,42 @@ object SparkEntry {
         |SELECT qid, doc_id, round(rrf, 6) AS rrf, CAST(rk AS INTEGER) AS rk
         |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin),
     "q_hybrid_weighted" -> hybridWeightedOracleSql(vecVote = 1),
+    // BM25: idf enters as a 1e-6 fixed-point long (one libm ln per
+    // distinct query token); the per-term double is a FIXED chain of
+    // correctly-rounded IEEE ops on exact integers, snapped to the 1e-9
+    // long grid BEFORE the per-(query, doc) sum — order-independent,
+    // bit-identical cross-engine (the docPerplexity scheme)
+    "q_bm25_topk" ->
+      s"""WITH e AS (SELECT vec_id FROM embeddings),
+        |panel AS (SELECT vec_id AS qid FROM e WHERE $panelWhereSql),
+        |t0 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |tr AS (SELECT doc_id, CAST(len(ts) AS INT) AS dl, unnest(ts) AS tok FROM t0),
+        |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tr GROUP BY 1, 2, 3),
+        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(len(ts)) AS BIGINT) AS dl_sum FROM t0),
+        |qi AS (SELECT DISTINCT p.qid, f.tok FROM tf f JOIN panel p ON f.doc_id = p.qid),
+        |qidf AS (SELECT qid, qi.tok, n_docs, dl_sum,
+        |                CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |                  * 1000000 + 0.5) AS BIGINT) AS idf_fp
+        |         FROM qi JOIN dft ON qi.tok = dft.tok CROSS JOIN sc),
+        |sco AS (SELECT q.qid, f.doc_id,
+        |               CAST(sum(CAST(floor(
+        |                 CAST(idf_fp AS DOUBLE) / 1000000.0 * (f.tf * 2.2)
+        |                 / (f.tf + 1.2 * (0.25 + 0.75
+        |                     * (CAST(f.dl * q.n_docs AS DOUBLE) / q.dl_sum)))
+        |                 * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS bm25_fp
+        |        FROM tf f JOIN qidf q ON f.tok = q.tok
+        |        WHERE f.doc_id <> q.qid GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, bm25_fp,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY bm25_fp DESC, doc_id ASC) AS rk
+        |      FROM sco)
+        |SELECT qid, doc_id,
+        |       round(CAST(bm25_fp AS DOUBLE) / 1000000000.0, 6) AS bm25,
+        |       CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "q_hybrid_parity" -> hybridWeightedOracleSql(vecVote = 2),
     "q_crossmodal_join" ->
       """WITH n AS (

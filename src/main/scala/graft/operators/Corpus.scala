@@ -821,6 +821,79 @@ object Corpus {
       .orderBy("shard")
   }
 
+  /** q_corpus_increment — INCREMENTAL corpus admission: the delta run a
+    * real pipeline executes between full [[corpusBuild]]s, screening an
+    * arriving batch against the EXISTING corpus instead of rebuilding
+    * from scratch (cross-run dedup — the gap a nightly-rebuild-only
+    * engine leaves open). The arriving batch is the deterministic
+    * md5-bucket 'f' of doc ids (1/16 — the [[dataSplit]] assignment
+    * idiom, a stable stand-in for "today's crawl"); the base corpus is
+    * the rest. Each delta doc gets ONE verdict, rules in precedence
+    * order (first failure names the reason):
+    *  1. 'quality'      — the [[TextAnalysis.logitZ]] gate (z_fp < 0);
+    *  2. 'exact_base'   — md5(text) already in the base corpus;
+    *  3. 'exact_delta'  — an EARLIER delta arrival (lower doc_id) has
+    *                      the same md5 (keep-first among arrivals);
+    *  4. 'neardup'      — 3-shingle Jaccard ≥ 0.5 against ANY base doc
+    *                      (the q_dedup_ngram threshold, delta-probe
+    *                      shaped: [[Dedup.shingleRowsOver]] on both
+    *                      sides, the small delta joins INTO the base
+    *                      posting side — never base×base);
+    *  5. 'ok'           — admitted.
+    * Scale shape: the base side is touched by two keyed lookups (an
+    * md5-keyed join and the shingle-keyed probe join) — both sharded by
+    * their key, no base×base work, no corpus broadcast; the delta-side
+    * window and flags are delta-sized. Fully oracled: the split, the
+    * gate, both exact tiers, and the Jaccard probe replay in DuckDB
+    * (shingle equality by text there vs xxhash64 here — the
+    * q_dedup_ngram collision-odds convention). */
+  def corpusIncrement(s: SparkSession, d: String): DataFrame = {
+    val (_, zFp) = TextAnalysis.logitZ
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), zFp.as("z_fp"))
+    val isDelta =
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) === "f"
+    val delta = docs.filter(isDelta)
+    val base = docs.filter(!isDelta)
+    val baseMd5 = base
+      .select(md5(col("text").cast("binary")).as("h")).distinct()
+      .withColumn("eb", lit(true))
+    // near-dup probe: delta shingles into the base's shingle postings
+    val shD = Dedup.shingleRowsOver(delta).distinct()
+    val shB = Dedup.shingleRowsOver(base).distinct()
+    val cntD = shD.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    val cntB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+    val jaccard = col("n_common").cast("double") /
+      (col("na") + col("nb") - col("n_common"))
+    val nearB = shD.as("a")
+      .join(shB.as("b"), col("a.shingle") === col("b.shingle"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("bid"))
+      .agg(count(lit(1)).as("n_common"))
+      // delta-side counts broadcast (delta-sized); BASE-side counts
+      // join sharded by key — base is corpus-sized at 100 TB
+      .join(broadcast(cntD), "doc_id")
+      .join(cntB.select(col("doc_id").as("bid"), col("nb")), "bid")
+      .filter(jaccard >= 0.5)
+      .select(col("doc_id")).distinct()
+      .withColumn("nd", lit(true))
+    val wd = Window.partitionBy(col("h"))
+    delta
+      .select(col("doc_id"), col("z_fp"),
+        md5(col("text").cast("binary")).as("h"))
+      .withColumn("mn", min(col("doc_id")).over(wd))
+      .join(baseMd5, Seq("h"), "left")
+      .join(nearB, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("z_fp") < 0, "quality")
+          .when(col("eb").isNotNull, "exact_base")
+          .when(col("doc_id") =!= col("mn"), "exact_delta")
+          .when(col("nd").isNotNull, "neardup")
+          .otherwise(lit("ok")).as("reason"))
+      .withColumn("admitted", col("reason") === "ok")
+      .select(col("doc_id"), col("admitted"), col("reason"))
+      .orderBy("doc_id")
+  }
+
   /** q_token_entropy — Shannon entropy of each document's token
     * distribution (the Gopher-style repetition gate: low entropy =
     * degenerate repetition, entropy ≈ ln(n) = all-distinct): H =

@@ -55,8 +55,10 @@ object Dedup {
 
   /** [[shingleRows]] over an arbitrary (doc_id, text) relation — the
     * composable core ([[graft.operators.Corpus.corpusBuild]] runs the
-    * near-dup tier on its post-gate, post-exact-dedup survivors). */
-  private def shingleRowsOver(docs: DataFrame): DataFrame =
+    * near-dup tier on its post-gate, post-exact-dedup survivors;
+    * [[graft.operators.Corpus.corpusIncrement]] probes its delta's
+    * shingles against the base corpus's). */
+  private[operators] def shingleRowsOver(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), explode(shinglesOf(col("tk"))).as("sh"))

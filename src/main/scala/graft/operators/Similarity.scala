@@ -1216,6 +1216,74 @@ object Similarity {
   def hybridParity(s: SparkSession, d: String): DataFrame =
     hybridWeightedAt(s, d, RrfK, vecWeight = ParityVecWeight)
 
+  /** q_bm25_topk — full Okapi BM25 ranking (Robertson/Spärck Jones; the
+    * Lucene practical scoring function): the WEIGHTED lexical retriever
+    * the [[hybridWeighted]] idf leg approximates with a plain idf sum.
+    * For each query doc on the SHARED panel, every candidate sharing a
+    * token is scored Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with k1 = 1.2, b = 0.75 and the Lucene idf
+    * ln((N − df + 0.5)/(df + 0.5) + 1) (always ≥ 0); top-10 per query.
+    *
+    * Determinism (the repo's layered fixed-point discipline): idf
+    * enters as the 1e-6 long floor(ln·1e6 + 0.5) — one libm call per
+    * DISTINCT query token; tf, dl, N, Σdl are exact integers, so the
+    * per-term score is a FIXED chain of correctly-rounded IEEE ops on
+    * identical operands (dl/avgdl clears the average's division as
+    * dl·N/Σdl — one exact integer product, one division) and replays
+    * bit-identically in DuckDB; each term then snaps to the 1e-9 long
+    * grid BEFORE the per-(query, doc) sum (the docPerplexity scheme) so
+    * the fold is order-independent, and ranking compares exact longs
+    * (doc ASC tie-break). The double leaves the grid only in the
+    * displayed score.
+    *
+    * Scale shape: tf is ONE tokenize pass (doc-keyed agg carrying dl —
+    * no second corpus join for lengths); df one token-keyed agg; the
+    * candidate join is posting-list-shaped and bounded by the ~20-query
+    * panel's posting lists (the hybrid-leg contract), with the
+    * (panel-token × idf) table and the 1-row corpus scalars broadcast. */
+  def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val n = e.count()
+    val panel = recallPanel(e, n)
+    val docs = Tables.documents(s, d)
+    // (doc, token) frequency with doc length along for the ride
+    val tf = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scal = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).as("dl_sum"))
+    // distinct query tokens × fixed-point Lucene idf (panel-sized)
+    val qidf = tf.join(panel.select(col("qid")), col("doc_id") === col("qid"))
+      .select(col("qid"), col("tok")).distinct()
+      .join(dfT, "tok").crossJoin(broadcast(scal))
+      .select(col("qid"), col("tok"), col("n_docs"), col("dl_sum"),
+        floor(log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)) * 1e6 + 0.5)
+          .cast("long").as("idf_fp"))
+    val den = col("tf").cast("double") + lit(1.2) *
+      (lit(0.25) + lit(0.75) *
+        ((col("dl") * col("n_docs")).cast("double") / col("dl_sum")))
+    val term = col("idf_fp").cast("double") / lit(1000000.0) *
+      (col("tf").cast("double") * lit(2.2)) / den
+    val scored = tf.join(broadcast(qidf), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        floor(term * lit(1000000000.0) + lit(0.5)).as("term_fp"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("term_fp")).as("bm25_fp"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("bm25_fp").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select(col("qid"), col("doc_id"),
+        round(col("bm25_fp").cast("double") / lit(1000000000.0), 6).as("bm25"),
+        col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** Vote depth for [[knnClassify]] — the conventional k = 10. */
   private[graft] val ClassifyK = 10
 

@@ -136,6 +136,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q_domain_stats — per-source pipeline health: the rollup a corpus
+    * operator monitors per crawl source/domain (the RefinedWeb
+    * per-domain discipline): doc and distinct-lang counts, total
+    * tokens, quality-gate pass count and rate ([[logitZ]] — the ONE
+    * z_fp definition the batch classifier, the streaming gate, and the
+    * corpus build share), and the exact-duplicate load (docs whose
+    * md5(text) repeats WITHIN the source — cross-source dups are the
+    * dedup ladder's business; this row localizes blame). Rates are one
+    * IEEE division of exact longs, rounded at the output edge.
+    * Shape: one corpus scan into a (source, md5)-keyed window for the
+    * dup flags, then a source-keyed rollup — two narrow shuffles, no
+    * joins, no driver round trips; source cardinality is tiny so the
+    * final agg is map-side-combined to almost nothing. */
+  def domainStats(s: SparkSession, d: String): DataFrame = {
+    val (n, zFp) = logitZ
+    val base = Tables.documents(s, d).select(
+      col("source"), col("lang"), n.as("n_toks"),
+      when(zFp >= 0, 1L).otherwise(0L).as("gated"),
+      md5(col("text").cast("binary")).as("h"))
+    val wDup = Window.partitionBy(col("source"), col("h"))
+    base.withColumn("grp", count(lit(1)).over(wDup))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_toks").cast("long")).as("n_tokens"),
+        sum(col("gated")).as("n_gated"),
+        sum(when(col("grp") >= 2, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_langs"), col("n_tokens"),
+        col("n_gated"),
+        round(col("n_gated").cast("double") / col("n_docs"), 6).as("gate_rate"),
+        col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6).as("dup_rate"))
+      .orderBy("source")
+  }
+
   /** q_tfidf — classic TF-IDF: term frequency per doc × ln(N/df), top-3
     * terms per doc. One shuffle builds (doc, term) counts; document
     * frequency is a second keyed agg broadcast back onto the terms; N is

@@ -1035,6 +1035,114 @@ object StreamingIndex {
     }
   }
 
+  /** The (arrival, existing) EXACT-duplicate pairs for
+    * [[sCorpusIngest]]: equi-join of the arrival's md5(text) against
+    * the corpus content-hash index — the cheapest admission tier
+    * (q_dedup_exact's key, streamed). Size-gated like the other tiers:
+    * under [[NeardupBroadcastMaxDocs]] corpus docs the (doc_id, md5)
+    * index broadcasts; above it the per-batch probe side carries the
+    * explicit broadcast hint (the [[substringCandidatePairs]] shape —
+    * md5 keys of mass-duplicated boilerplate are exactly as Zipf-hot
+    * as band keys, so the corpus must stay sharded and the arrivals
+    * travel). All shapes emit identical rows. */
+  private[graft] def exactCandidatePairs(
+      s: SparkSession, probes: DataFrame, corpus: DataFrame, nDocs: Long): DataFrame = {
+    val limit = s.conf.getOption("graft.neardup.broadcastMaxDocs")
+      .map(_.toLong).getOrElse(NeardupBroadcastMaxDocs)
+    val cond = col("s.h") === col("c.h") && col("s.doc_id") =!= col("c.doc_id")
+    val joined =
+      if (nDocs <= limit) probes.as("s").join(broadcast(corpus).as("c"), cond)
+      else broadcast(probes.as("s")).join(corpus.as("c"), cond)
+    joined.select(col("s.doc_id").as("doc_id"), col("c.doc_id").as("dup_id"))
+  }
+
+  /** s_corpus_ingest — the COMPOSED streaming admission path: the four
+    * screens a production ingest runs on EVERY arriving document,
+    * composed into one streaming query the way [[graft.operators
+    * .Corpus.corpusBuild]] composes the batch tiers into one job. Each
+    * arrival is checked map-side or against a session-pinned index —
+    * never against other in-flight arrivals — and every failed screen
+    * emits a (doc_id, reason) flag row:
+    *  - 'quality'   — the [[graft.operators.TextAnalysis.logitZ]] gate
+    *                  (z_fp < 0): pure map-side, the s_quality_gate
+    *                  screen inverted to emit rejections;
+    *  - 'exact'     — md5(text) collides with a DIFFERENT existing doc
+    *                  ([[exactCandidatePairs]] over the pinned
+    *                  content-hash index);
+    *  - 'substring' — an exact 8-token gram collides
+    *                  ([[substringCandidatePairs]] over
+    *                  [[graft.operators.Corpus.gramIndex]] — the
+    *                  s_substring_gate tier);
+    *  - 'neardup'   — a MinHash band collides
+    *                  ([[neardupCandidatePairs]] over
+    *                  [[graft.operators.Dedup.md5BandIndex]] — the
+    *                  s_neardup_gate tier).
+    * A clean arrival emits nothing (admission is the default; flags
+    * are the alerts). The four legs are stateless transforms of ONE
+    * input stream; the only state is the shared
+    * dropDuplicatesWithinWatermark collapsing each arrival's per-pair/
+    * per-band hits to one (doc_id, reason) row — O(flags within the
+    * watermark), never O(corpus). Every index side is the SAME pinned
+    * relation its standalone gate serves from (one build per session,
+    * the pinnedCorpus discipline), so composing the screens adds zero
+    * index cost. Oracle: the union of the four tiers' batch replays
+    * (z_fp CTE, symmetric md5/gram/band collision pairs) in DuckDB. */
+  def sCorpusIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val k = 16
+    val bandIdx = Dedup.md5BandIndex(s, d, k)
+    val gramIdx = graft.operators.Corpus.gramIndex(s, d)
+    val nPostings = gramIdx.count()
+    val md5Idx = pinnedCorpus(s, d, "md5index") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    }
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[DocEvent].collect()
+    val nDocs = docs.length.toLong
+    EventPairing.withStreamingPartitions(s) {
+      val input = MemoryStream[DocEvent]
+      val arr = input.toDF()
+      val (_, zFp) = graft.operators.TextAnalysis.logitZ
+      val quality = arr.select(col("doc_id"), zFp.as("z_fp"))
+        .filter(col("z_fp") < 0)
+        .select(col("doc_id"), lit("quality").as("reason"))
+      val exact = exactCandidatePairs(s,
+        arr.select(col("doc_id"), md5(col("text").cast("binary")).as("h")),
+        md5Idx, nDocs)
+        .select(col("doc_id"), lit("exact").as("reason"))
+      val substr = substringCandidatePairs(s,
+        graft.operators.Corpus.gramRows(
+          arr.select(col("doc_id"), split(col("text"), " ").as("tk")))
+          .select(col("doc_id"), col("gtext"), col("h")),
+        gramIdx, nPostings)
+        .select(col("doc_id"), lit("substring").as("reason"))
+      val near = neardupCandidatePairs(s,
+        Dedup.md5BandProbes(
+          arr.select(col("doc_id"), split(col("text"), " ").as("tk")), k),
+        bandIdx, nDocs)
+        .select(col("doc_id"), lit("neardup").as("reason"))
+      val flags = quality.unionByName(exact)
+        .unionByName(substr).unionByName(near)
+        // +1 day: the initial watermark is epoch 0 and the late-row
+        // filter drops rows AT the watermark (see sNeardupGate)
+        .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("doc_id", "reason")
+        .select(col("doc_id"), col("reason"))
+      val name = s"s_corpus_ingest_${nameCounter.incrementAndGet()}"
+      val q = flags.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        feedStaggered(input, docs.toSeq.sortBy(_.doc_id), q)
+        record("s_corpus_ingest", q)
+      } finally q.stop()
+      s.table(name).orderBy("doc_id", "reason")
+    }
+  }
+
   /** s_bq_serve — the binary-quantization serving tier: the scorecard's
     * best aggressive-compression point (q_bq_recall: 0.56@32×) given
     * the lifecycle its SQ/PQ/IVF siblings already have. Arriving query

@@ -617,6 +617,46 @@ class CorpusSpec extends SparkSpec {
     assert(operators.Corpus.gramIndex(spark, d) eq operators.Corpus.gramIndex(spark, d))
   }
 
+  test("corpus_increment: rule precedence and per-rule verdicts on a crafted base/delta split") {
+    // delta = md5(doc_id) bucket 'f' (the dataSplit assignment); find
+    // real bucket members so the fixture exercises the ACTUAL split
+    def bucket(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 1)
+    }
+    val deltaIds = (0L to 400L).filter(bucket(_) == "f").toIndexedSeq
+    assert(deltaIds.size >= 6, s"need 6 delta ids, got ${deltaIds.size}")
+    val Seq(a, b, c1, c2, dd, f) = deltaIds.take(6)
+    val baseG = 1L // md5("1") = c4..., base
+    val baseE = 2L // md5("2") = c8..., base
+    assert(bucket(baseG) != "f" && bucket(baseE) != "f")
+    val pass5 = "the a of and is"
+    // 30 distinct tokens: passes the gate with NO stopwords, so its
+    // shingles are fully disjoint from the stopword-prefixed base docs
+    def dist30(p: String) = (0 until 30).map(i => s"$p$i").mkString(" ")
+    val d = docsDir(
+      (baseG, pass5, "en", "s", 1L),
+      (baseE, pass5 + " q1 q2 q3", "en", "s", 1L),
+      (a, "solo", "en", "s", 1L),               // gate fail
+      (b, pass5, "en", "s", 1L),                // = baseG → exact_base
+                                                 //   (ALSO J=1 near-dup: precedence)
+      (c1, dist30("c"), "en", "s", 1L),         // first arrival → ok
+      (c2, dist30("c"), "en", "s", 1L),         // its twin → exact_delta
+      (dd, pass5 + " q1 q2 q4", "en", "s", 1L), // J=5/7 vs baseE → neardup
+      (f, dist30("z"), "en", "s", 1L))          // clean → ok
+    assert(c1 < c2) // keep-first needs the ids ordered as named
+    val got = Corpus.corpusIncrement(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(got == Map(
+      a -> ((false, "quality")),
+      b -> ((false, "exact_base")),
+      c1 -> ((true, "ok")),
+      c2 -> ((false, "exact_delta")),
+      dd -> ((false, "neardup")),
+      f -> ((true, "ok"))), got)
+  }
+
   test("Pins: displacement parks under an active streaming query; frees after it stops") {
     // the round-11 advice enforced: a dirStamp displacement must not
     // unpersist truncated-lineage checkpoint blocks out from under a

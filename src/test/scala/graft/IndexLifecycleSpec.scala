@@ -337,6 +337,29 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(gate == Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("s_corpus_ingest: one flag row per (arrival, tier) — quality, exact, substring, neardup; clean docs silent") {
+    // 2 and 3 are identical 8-token gate-passers: they trip ALL THREE
+    // collision tiers against each other (md5, the single shared
+    // 8-gram, every MinHash band). 1 is a 1-token gate failure — too
+    // short for shingles OR grams, so 'quality' is its only row. 4 is
+    // a 30-distinct-token clean doc (passes the gate with no
+    // stopwords, zero shared shingles) — it must emit NOTHING.
+    val t8 = "the a of and is p1 p2 p3"
+    val clean = (0 until 30).map(i => s"aa$i").mkString(" ")
+    val docs = Seq(
+      (1L, "solo"), (2L, t8), (3L, t8), (4L, clean))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = fixtureDir("documents" -> docs)
+    val got = SparkEntry.queries("s_corpus_ingest")(spark, dir)
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "quality"),
+      (2L, "exact"), (2L, "neardup"), (2L, "substring"),
+      (3L, "exact"), (3L, "neardup"), (3L, "substring")), got)
+  }
+
   test("s_neardup_gate: band-index broadcast is SIZE-GATED — above threshold the corpus is never the build side") {
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
     import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}

@@ -1315,4 +1315,75 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getLong(5) == 10L)
     assert(r.getDouble(6) == 1.0, r)
   }
+
+  test("bm25TopK: hand-computed Okapi scores — idf, tf saturation, length normalization, self-exclusion") {
+    import spark.implicits._
+    // 60 docs → panel = {17} (stride 50, offset 17, seed 0/50 excluded).
+    // Query 17 "rare common"; candidates 1 (rare ×1, dl 3), 2 (common
+    // ×2, dl 3), 3 (rare ×3, dl 3). Every other doc is a 2-token filler
+    // so N, df, and Σdl are exact knowns.
+    val special = Map(
+      17L -> "rare common",
+      1L -> "rare f1a f1b",
+      2L -> "common common f2a",
+      3L -> "rare rare rare")
+    val docs = (0L until 60L).map(i =>
+      (i, special.getOrElse(i, s"u$i v$i"), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val embs = (0L until 60L).map(i => (i, Array.fill(4)(0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val dir = fixtureDir("documents" -> docs, "embeddings" -> embs)
+    // replicate the engine's exact arithmetic (same IEEE ops, same order)
+    val nDocs = 60L
+    val dlSum = 56L * 2 + 3 * 3 + 2 // fillers + docs 1,2,3 + query
+    def idfFp(df: Long): Long =
+      math.floor(math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0) * 1e6 + 0.5).toLong
+    def termFp(idf: Long, tf: Long, dl: Long): Long = {
+      val den = tf.toDouble +
+        1.2 * (0.25 + 0.75 * ((dl * nDocs).toDouble / dlSum))
+      math.floor(idf.toDouble / 1000000.0 * (tf.toDouble * 2.2) / den
+        * 1000000000.0 + 0.5).toLong
+    }
+    def scoreOf(fp: Long): Double =
+      BigDecimal(fp.toDouble / 1000000000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val fp1 = termFp(idfFp(3), 1, 3) // doc 1: rare ×1 (df 3: docs 17,1,3)
+    val fp2 = termFp(idfFp(2), 2, 3) // doc 2: common ×2 (df 2: docs 17,2)
+    val fp3 = termFp(idfFp(3), 3, 3) // doc 3: rare ×3
+    val got = Similarity.bm25TopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val want = Seq((fp1, 1L), (fp2, 2L), (fp3, 3L))
+      .sortBy { case (fp, id) => (-fp, id) }
+      .zipWithIndex
+      .map { case ((fp, id), i) => (17L, id, scoreOf(fp), i + 1) }
+    assert(got.toSeq == want, got.mkString(","))
+    // rarer term (df 2 < 3) outweighs at equal tf/dl; tf saturates
+    // (tf 3 scores < 3× tf 1); the query doc never ranks itself
+    assert(idfFp(2) > idfFp(3))
+    assert(fp3 < 3 * fp1)
+    assert(!got.exists(_._2 == 17L))
+  }
+
+  test("domainStats: per-source gate, dup, lang, and token rollups on a crafted two-source corpus") {
+    import spark.implicits._
+    // gate knowns: "the a of and is" passes (z_fp = 98,283,140);
+    // single-token docs fail (z_fp = -2e7). s1 carries an exact dup
+    // pair; cross-source dup (docs 3 vs 6) must NOT count.
+    val pass5 = "the a of and is"
+    val docs = Seq(
+      (1L, pass5, "en", "s1", 1L),
+      (2L, pass5, "en", "s1", 1L),   // within-source exact dup of 1
+      (3L, "solo", "de", "s1", 1L),  // gate fail
+      (4L, pass5 + " x", "en", "s2", 1L),
+      (5L, "solo2", "es", "s2", 1L), // gate fail
+      (6L, "solo", "fr", "s2", 1L))  // gate fail; dup of 3 but ACROSS sources
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = fixtureDir("documents" -> docs)
+    val got = TextAnalysis.domainStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6), r.getDouble(7)))
+    assert(got.toSeq == Seq(
+      ("s1", 3L, 2L, 11L, 2L, 0.666667, 2L, 0.666667),
+      ("s2", 3L, 3L, 8L, 1L, 0.333333, 0L, 0.0)))
+  }
 }
