@@ -161,6 +161,8 @@ object SparkEntry {
     "q_seq_pack" -> (Corpus.seqPack _),
     "q_inverted_index" -> (Corpus.invertedIndex _),
     "q_bigram_lm" -> (Corpus.bigramLm _),
+    "q_bigram_kn" -> (Corpus.bigramKn _),
+    "q_bpe_fertility" -> (Corpus.bpeFertility _),
     "q_doc_perplexity" -> (Corpus.docPerplexity _),
     "q_vec_quantize" -> (Corpus.vecQuantize _),
     "q_winnow" -> (Corpus.winnow _),
@@ -2163,6 +2165,25 @@ object SparkEntry {
         |       round(CAST(big.c12 AS DOUBLE) / uni.c1, 6) AS p
         |FROM big JOIN uni USING (w1)
         |ORDER BY big.c12 DESC, big.w1, big.w2 LIMIT 50""".stripMargin,
+    // Kneser-Ney: decimal literals enter as CAST(0.75 AS DOUBLE) — a
+    // bare 0.75 parses as DECIMAL in DuckDB and the mixed arithmetic
+    // would promote differently (the vecQuantize trap)
+    "q_bigram_kn" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2 FROM t),
+        |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM g GROUP BY 1, 2),
+        |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM g GROUP BY 1),
+        |t1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS t1 FROM big GROUP BY 1),
+        |t2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS t2 FROM big GROUP BY 1),
+        |ta AS (SELECT CAST(count(*) AS BIGINT) AS tall FROM big)
+        |SELECT big.w1, big.w2, big.c12,
+        |       round(greatest(CAST(big.c12 AS DOUBLE) - CAST(0.75 AS DOUBLE),
+        |                      CAST(0 AS DOUBLE)) / uni.c1
+        |             + CAST(0.75 AS DOUBLE) * CAST(t1.t1 AS DOUBLE) / uni.c1
+        |               * (CAST(t2.t2 AS DOUBLE) / ta.tall), 6) AS p_kn
+        |FROM big JOIN uni USING (w1) JOIN t1 USING (w1) JOIN t2 USING (w2)
+        |     CROSS JOIN ta
+        |ORDER BY big.c12 DESC, big.w1, big.w2 LIMIT 50""".stripMargin,
     "q_doc_perplexity" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),
@@ -2389,6 +2410,17 @@ object SparkEntry {
         |       CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens,
         |       md5(array_to_string(flatten(list(syms ORDER BY wpos)), ' ')) AS bpe_md5
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "q_bpe_fertility" ->
+      (s"WITH $bpeChainCte,\n" +
+      """ft AS (SELECT x.lang, x.doc_id, len(v3.syms) AS npieces
+        |       FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |             FROM documents) x
+        |       JOIN v3 USING (w))
+        |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(npieces) AS BIGINT) AS n_bpe_tokens,
+        |       round(CAST(sum(npieces) AS DOUBLE) / count(*), 6) AS fertility
+        |FROM ft GROUP BY lang ORDER BY lang""".stripMargin),
     "q_vocab_coverage_bpe" ->
       (s"WITH $bpeChainCte,\n" +
       """bt AS (SELECT x.lang, unnest(v3.syms) AS t

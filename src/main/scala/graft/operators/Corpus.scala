@@ -253,6 +253,53 @@ object Corpus {
       .limit(50)
   }
 
+  /** Absolute discount for [[bigramKn]] — the standard D = 0.75 (Chen &
+    * Goodman 1998's fixed-discount recommendation). */
+  private[graft] val KnDiscount = 0.75
+
+  /** q_bigram_kn — INTERPOLATED KNESER-NEY bigram probabilities, the
+    * standard smoothing that fixes [[bigramLm]]'s two MLE failures
+    * (unseen bigrams get 0; "Francisco" gets a huge unigram backoff
+    * despite following only "San"):
+    * P_KN(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1,·)/c1 · P_cont(w2),
+    * P_cont(w2) = N1+(·,w2)/N1+(·,·) — the CONTINUATION count (how many
+    * distinct left contexts w2 follows), not the raw frequency. All
+    * inputs are exact integers (c12, c1, the three distinct-bigram
+    * counts); the probability is a fixed chain of correctly-rounded
+    * IEEE ops on them, replayed operand-for-operand in DuckDB (decimal
+    * literals enter as CAST(… AS DOUBLE) there — the vecQuantize
+    * promotion trap), and RANKING is by the exact c12 with the
+    * (w1, w2) tie-break, so no float ever orders anything; round(6)
+    * only at the output edge. Shape: the same two keyed aggs as the
+    * MLE row plus three vocabulary²-bounded rollups OF the bigram
+    * table itself — all broadcast-sized at any corpus scale. */
+  def bigramKn(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
+        .as("g"))
+      .select(col("g.w1"), col("g.w2"))
+    val big = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val t1 = big.groupBy(col("w1")).agg(count(lit(1)).as("t1")) // N1+(w1,·)
+    val t2 = big.groupBy(col("w2")).agg(count(lit(1)).as("t2")) // N1+(·,w2)
+    val ta = big.agg(count(lit(1)).as("tall"))                  // N1+(·,·)
+    big.join(broadcast(uni), Seq("w1"))
+      .join(broadcast(t1), Seq("w1"))
+      .join(broadcast(t2), Seq("w2"))
+      .crossJoin(broadcast(ta))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(
+          greatest(col("c12").cast("double") - lit(KnDiscount), lit(0.0))
+            / col("c1")
+            + lit(KnDiscount) * col("t1").cast("double") / col("c1")
+              * (col("t2").cast("double") / col("tall")), 6).as("p_kn"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   /** q_doc_perplexity — perplexity-proxy quality score: each document's
     * bigrams are scored against the corpus bigram LM (P(w2|w1) =
     * c12/c1) and the per-doc mean negative log-probability comes back —
@@ -1152,6 +1199,33 @@ object Corpus {
         count(when(col("iv").isNull, 1)).as("n_oov"))
       .select(col("lang"), col("n_tokens"), col("n_oov"),
         round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"))
+      .orderBy("lang")
+  }
+
+  /** q_bpe_fertility — per-language tokenizer FERTILITY (pieces per
+    * word), the standard multilingual-tokenizer eval beside the OOV
+    * rate: a language whose words fragment into many pieces pays more
+    * sequence length (and so more training/serving compute) per word —
+    * the number a vocab-allocation decision actually reads. Reuses the
+    * SAME learned [[bpeChain]] vocabulary (one pinned induction per
+    * (session, corpus) serves this row too) and the same gated
+    * word→syms join as [[bpeApply]]; per language: docs with ≥1
+    * tokenizable word, word and piece totals, fertility = Σpieces/Σwords
+    * (one IEEE division of exact longs, rounded at the edge). One
+    * corpus explode + the vocab-sized join + a lang-keyed rollup. */
+  def bpeFertility(s: SparkSession, d: String): DataFrame = {
+    val wmap = bpeChain(s, d)._2.select(col("w"), col("syms"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(wmap, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(size(col("syms")).cast("long")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+          .as("fertility"))
       .orderBy("lang")
   }
 

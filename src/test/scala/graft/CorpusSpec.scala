@@ -617,6 +617,47 @@ class CorpusSpec extends SparkSpec {
     assert(operators.Corpus.gramIndex(spark, d) eq operators.Corpus.gramIndex(spark, d))
   }
 
+  test("bigram_kn: hand-computed interpolated Kneser-Ney — discount, continuation counts, interpolation") {
+    // corpus: "a san francisco" / "b san francisco" / "c san diego".
+    // big: (san,francisco):2, (a|b|c,san):1, (san,diego):1 → tall = 5;
+    // c1(san) = 3; N1+(san,·) = 2; N1+(·,san) = 3, N1+(·,francisco) = 1.
+    val d = docsDir(
+      (1L, "a san francisco", "en", "s", 1L),
+      (2L, "b san francisco", "en", "s", 1L),
+      (3L, "c san diego", "en", "s", 1L))
+    def kn(c12: Long, c1: Long, t1: Long, t2: Long, tall: Long): Double =
+      BigDecimal(math.max(c12.toDouble - 0.75, 0.0) / c1
+        + 0.75 * t1.toDouble / c1 * (t2.toDouble / tall))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Corpus.bigramKn(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("san", "francisco", 2L, kn(2, 3, 2, 1, 5)),
+      ("a", "san", 1L, kn(1, 1, 1, 3, 5)),
+      ("b", "san", 1L, kn(1, 1, 1, 3, 5)),
+      ("c", "san", 1L, kn(1, 1, 1, 3, 5)),
+      ("san", "diego", 1L, kn(1, 3, 2, 1, 5))), got.mkString(","))
+    // the KN structure: seen-twice bigram keeps most of its mass after
+    // the discount; the continuation term rescues (·,san)'s rich left
+    // context — P(san|a) > P(diego|san) despite equal raw counts
+    assert(kn(1, 1, 1, 3, 5) > kn(1, 3, 2, 1, 5))
+  }
+
+  test("bpe_fertility: per-lang pieces-per-word off the corpus-wide learned merges") {
+    // corpus vocab: aa:2 bb:1 cc:1 dd:2 → 3 merge rounds pick (a,a),
+    // (d,d) [cnt 2], then (b,b) [tie l ASC]; cc stays 2 pieces. So en's
+    // "aa bb cc dd" = 5 pieces / 4 words = 1.25, de's "aa dd" = 1.0 —
+    // the merges are CORPUS-wide (de's words ride en's frequencies).
+    val d = docsDir(
+      (1L, "aa bb cc dd", "en", "s", 1L),
+      (2L, "aa dd", "de", "s", 1L))
+    val got = Corpus.bpeFertility(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("de", 1L, 2L, 2L, 1.0),
+      ("en", 1L, 4L, 5L, 1.25)), got.mkString(","))
+  }
+
   test("corpus_increment: rule precedence and per-rule verdicts on a crafted base/delta split") {
     // delta = md5(doc_id) bucket 'f' (the dataSplit assignment); find
     // real bucket members so the fixture exercises the ACTUAL split
