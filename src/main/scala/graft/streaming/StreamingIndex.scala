@@ -969,16 +969,24 @@ object StreamingIndex {
     val cond = col("s.h") === col("c.h") &&
       col("s.gtext") === col("c.gtext") &&
       col("s.doc_id") =!= col("c.doc_id")
-    // Above the ceiling the per-batch PROBE side carries the explicit
-    // broadcast hint (micro-batch stream-static inner joins permit
-    // broadcasting the streaming side): without it the BuildLeft shape
-    // rests on planner size ESTIMATES, and a micro-batch whose gram
-    // rows exceed autoBroadcastJoinThreshold silently degrades to a
-    // sort-merge join that reshuffles the full posting index every
-    // batch (round-11 advice).
+    // Above the ceiling the probe-side broadcast is left to planner
+    // ESTIMATES on purpose — round-11 advice suggested an explicit
+    // broadcast(probes) hint so the BuildLeft shape is guaranteed, and
+    // the round-12 ×10 stress REFUTED it: the per-batch probe side is
+    // unbounded (gram rows scale with the arrival batch), and the
+    // forced broadcast OOM'd the heap collecting task results for the
+    // driver-side build (s_substring_gate ×10, heap exhaustion in
+    // DirectTaskResult serialization) — the exact "an OOM rather than
+    // a plan choice" failure the neardup ceiling exists to prevent.
+    // Estimate-driven is the OOM-safe adaptive behavior: the planner
+    // broadcasts the per-batch probe side while it is bounded
+    // (BuildLeft, plan-guarded at realistic batch sizes) and degrades
+    // to a sharded join only when a giant batch genuinely cannot
+    // broadcast — reshuffling the posting index for that batch is the
+    // correct price, not a regression.
     val joined =
       if (nPostings <= limit) probes.as("s").join(broadcast(corpus).as("c"), cond)
-      else broadcast(probes.as("s")).join(corpus.as("c"), cond)
+      else probes.as("s").join(corpus.as("c"), cond)
     joined.select(col("s.doc_id").as("doc_id"), col("c.doc_id").as("dup_id"))
   }
 
@@ -1040,11 +1048,13 @@ object StreamingIndex {
     * the corpus content-hash index — the cheapest admission tier
     * (q_dedup_exact's key, streamed). Size-gated like the other tiers:
     * under [[NeardupBroadcastMaxDocs]] corpus docs the (doc_id, md5)
-    * index broadcasts; above it the per-batch probe side carries the
-    * explicit broadcast hint (the [[substringCandidatePairs]] shape —
-    * md5 keys of mass-duplicated boilerplate are exactly as Zipf-hot
-    * as band keys, so the corpus must stay sharded and the arrivals
-    * travel). All shapes emit identical rows. */
+    * index broadcasts; above it the hint is withheld and planner
+    * estimates broadcast the bounded per-batch probe side (the
+    * [[substringCandidatePairs]] shape — md5 keys of mass-duplicated
+    * boilerplate are exactly as Zipf-hot as band keys, so the corpus
+    * must stay sharded and the arrivals travel; an UNCONDITIONAL
+    * probe hint OOMs on giant batches, see substringCandidatePairs).
+    * All shapes emit identical rows. */
   private[graft] def exactCandidatePairs(
       s: SparkSession, probes: DataFrame, corpus: DataFrame, nDocs: Long): DataFrame = {
     val limit = s.conf.getOption("graft.neardup.broadcastMaxDocs")
@@ -1052,7 +1062,7 @@ object StreamingIndex {
     val cond = col("s.h") === col("c.h") && col("s.doc_id") =!= col("c.doc_id")
     val joined =
       if (nDocs <= limit) probes.as("s").join(broadcast(corpus).as("c"), cond)
-      else broadcast(probes.as("s")).join(corpus.as("c"), cond)
+      else probes.as("s").join(corpus.as("c"), cond)
     joined.select(col("s.doc_id").as("doc_id"), col("c.doc_id").as("dup_id"))
   }
 

@@ -411,6 +411,30 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_bm25_topk: panel-bounded posting join broadcasts the idf table; top-k is WindowGroupLimit, no cartesian") {
+    val p = plan("q_bm25_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    // the candidate generator: tf ⨝ (panel-token × idf) with the tiny
+    // idf table as the broadcast build — the posting side must never
+    // sort-merge on the token
+    assert(p.contains("BroadcastHashJoin [tok#") || p.contains("BroadcastHashJoin [cast(tok"), p)
+    assert(!p.contains("SortMergeJoin [tok#"), p)
+    // per-query top-10 as rank pushdown, not a global sort
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q_corpus_increment: no cartesian, no forced broadcast of the base side") {
+    val p = plan("q_corpus_increment")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only EXPLICIT broadcast hint is the delta-sized shingle-count
+    // table; base-side relations are estimate-driven (they broadcast at
+    // fixture scale, shard at 100 TB). Assert the logical plan carries
+    // exactly one ResolvedHint (the cntD broadcast).
+    val logical = SparkEntry.queries("q_corpus_increment")(spark, sf("sf0.001"))
+      .queryExecution.analyzed.toString()
+    assert("ResolvedHint".r.findAllIn(logical).size == 1, logical)
+  }
+
   test("neardup above-ceiling: the executed plan broadcasts the PROBE side (BuildLeft), never key-partitions") {
     // NEARDUP_SKEW.json's verdict as a standing guard: above the
     // corpus-broadcast ceiling the gate must keep the tiny per-batch
@@ -449,12 +473,14 @@ class PlanHygieneSpec extends SparkSpec {
     // the exact tier inherits the NEARDUP_SKEW verdict: above the
     // posting-broadcast ceiling the per-batch probe side must stay the
     // broadcast build — boilerplate-hot grams (the gate's target
-    // population) must never key-partition into one task. The auto
-    // threshold is DISABLED (-1) so the shape can only come from the
-    // explicit probe-side hint, not planner size estimates — a
-    // micro-batch whose gram rows exceed the threshold must not
-    // silently degrade to an SMJ that reshuffles the full posting
-    // index every batch (round-11 advice).
+    // population) must never key-partition into one task. The shape is
+    // estimate-driven BY DESIGN: round-11 advice suggested forcing it
+    // with an explicit broadcast(probes) hint, and the round-12 ×10
+    // stress refuted that — the probe side is unbounded (gram rows
+    // scale with the arrival batch) and the forced broadcast OOM'd the
+    // heap on sf1's batches; the planner picking BuildLeft at bounded
+    // batch sizes (this pin) and a sharded join on giant ones is the
+    // OOM-safe behavior, not a gap.
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, concat, lit}
     val probes = (0L until 4L).map(i => (i, s"g$i", i * 7L))
@@ -464,7 +490,7 @@ class PlanHygieneSpec extends SparkSpec {
         concat(lit("g"), col("id") % 1000).as("gtext"),
         (col("id") + 10).as("doc_id"))
     val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (512 * 1024).toString)
     spark.conf.set("graft.substring.broadcastMaxPostings", "0")
     try {
       val pairs = graft.streaming.StreamingIndex
