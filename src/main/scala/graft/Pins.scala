@@ -10,16 +10,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * unpersisting it under a consumer does not trigger recompute, it
   * triggers missing-block failures. The displacement invariant ("a pin
   * must not be freed while a query over it is in flight") was previously
-  * documented at each cache and satisfied by caller convention; this
-  * object ENFORCES the streaming half of it: a displaced pin parks in a
+  * documented at each cache and satisfied entirely by caller convention;
+  * this object ENFORCES its STREAMING half: a displaced pin parks in a
   * to-free list and its blocks are released only once the owning session
-  * has no active streaming query (batch consumers finish synchronously
-  * inside the displacing call chain, so the streaming queries are the
-  * only holders that outlive a displacement). The list is drained on
-  * every cache access and on explicit [[free]]/[[drain]] calls, so a
-  * long session cycling corpora cannot stack corpus-sized block-manager
-  * entries — they go at the next access after the last streaming query
-  * stops.
+  * has no active streaming query — the holders that outlive a
+  * displacement in every rig this repo runs. The BATCH half stays a
+  * caller contract, exactly as it was under the eager-unpersist scheme
+  * this replaces: a batch action over a pin racing a displacement from
+  * ANOTHER driver thread could still lose its blocks (single-threaded
+  * drivers — every declared query here — displace only between their own
+  * actions). The list is drained on every cache access and on explicit
+  * [[free]]/[[drain]] calls, so a long session cycling corpora cannot
+  * stack corpus-sized block-manager entries — they go at the next access
+  * after the last streaming query stops. Stopped sessions never park
+  * (their blocks died with the context), and drain drops their entries,
+  * so the queue cannot retain dead session graphs past the next access.
   */
 private[graft] object Pins {
 
@@ -33,7 +38,8 @@ private[graft] object Pins {
 
   /** Park a displaced pin for deferred release, then [[drain]]. */
   def park(s: SparkSession, df: DataFrame): Unit = {
-    checkpointRdds(df).foreach(r => toFree.add((s, r)))
+    if (!s.sparkContext.isStopped)
+      checkpointRdds(df).foreach(r => toFree.add((s, r)))
     drain()
   }
 

@@ -3674,13 +3674,16 @@ object SparkEntry {
         |              CAST(sum(len(ts)) AS BIGINT) AS dl_sum FROM t0),
         |qi AS (SELECT DISTINCT p.qid, f.tok FROM tf f JOIN panel p ON f.doc_id = p.qid),
         |qidf AS (SELECT qid, qi.tok, n_docs, dl_sum,
-        |                CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |                CAST(floor(ln((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |                    / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))
         |                  * 1000000 + 0.5) AS BIGINT) AS idf_fp
         |         FROM qi JOIN dft ON qi.tok = dft.tok CROSS JOIN sc),
         |sco AS (SELECT q.qid, f.doc_id,
         |               CAST(sum(CAST(floor(
-        |                 CAST(idf_fp AS DOUBLE) / 1000000.0 * (f.tf * 2.2)
-        |                 / (f.tf + 1.2 * (0.25 + 0.75
+        |                 CAST(idf_fp AS DOUBLE) / 1000000.0
+        |                 * (CAST(f.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |                 / (f.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |                     + CAST(0.75 AS DOUBLE)
         |                     * (CAST(f.dl * q.n_docs AS DOUBLE) / q.dl_sum)))
         |                 * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS bm25_fp
         |        FROM tf f JOIN qidf q ON f.tok = q.tok

@@ -227,6 +227,23 @@ object Corpus {
           .cast("array<string>"), ",").as("postings"))
       .orderBy("term")
 
+  /** (doc_id, w1, w2) adjacent-bigram rows — ONE definition of the
+    * tokenize → size-≥2 gate → transform/explode extraction shared by
+    * the four bigram consumers ([[bigramLm]], [[bigramKn]],
+    * [[docPerplexity]], [[pmiPhrases]]); consumers that don't need
+    * doc_id project it away (column pruning then drops it from the
+    * scan). The size gate drops 1-token docs, which carry no bigrams —
+    * and guards Spark's DESCENDING sequence(1, 0) (see
+    * [[repetitionStats]]). */
+  private def bigramRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
+        .as("g"))
+      .select(col("doc_id"), col("g.w1"), col("g.w2"))
+
   /** q_bigram_lm — count-based bigram language model: P(w2|w1) =
     * c(w1,w2)/c(w1) with counts from one explode pass, the classic
     * corpus statistic behind contamination filters and perplexity
@@ -235,15 +252,8 @@ object Corpus {
     * broadcast. Emits the 50 most frequent bigrams (injective
     * tie-break on the pair) so the output is stable at any scale. */
   def bigramLm(s: SparkSession, d: String): DataFrame = {
-    val grams = Tables.documents(s, d)
-      .select(split(col("text"), " ").as("tk"))
-      // 1-token docs carry no bigrams; dropping them also guards Spark's
-      // descending sequence(1, 0) (see [[repetitionStats]]).
-      .filter(size(col("tk")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
-        .as("g"))
-      .select(col("g.w1"), col("g.w2"))
+    val grams = bigramRows(Tables.documents(s, d))
+      .select(col("w1"), col("w2"))
     val big = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val uni = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     big.join(broadcast(uni), Seq("w1"))
@@ -274,13 +284,8 @@ object Corpus {
     * MLE row plus three vocabulary²-bounded rollups OF the bigram
     * table itself — all broadcast-sized at any corpus scale. */
   def bigramKn(s: SparkSession, d: String): DataFrame = {
-    val grams = Tables.documents(s, d)
-      .select(split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
-        .as("g"))
-      .select(col("g.w1"), col("g.w2"))
+    val grams = bigramRows(Tables.documents(s, d))
+      .select(col("w1"), col("w2"))
     val big = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val uni = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val t1 = big.groupBy(col("w1")).agg(count(lit(1)).as("t1")) // N1+(w1,·)
@@ -311,13 +316,7 @@ object Corpus {
     * identical inputs) so the sum is order-independent and
     * engine-portable. */
   def docPerplexity(s: SparkSession, d: String): DataFrame = {
-    val grams = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
-        .as("g"))
-      .select(col("doc_id"), col("g.w1"), col("g.w2"))
+    val grams = bigramRows(Tables.documents(s, d))
     val lm = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .join(grams.groupBy(col("w1")).agg(count(lit(1)).as("c1")), Seq("w1"))
       .select(col("w1"), col("w2"),
@@ -986,11 +985,8 @@ object Corpus {
     val uni = toks.select(explode(col("tk")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val tu = uni.agg(sum(col("c")).as("tu"))
-    val grams = toks.filter(size(col("tk")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
-        .as("g"))
-      .select(col("g.w1"), col("g.w2"))
+    val grams = bigramRows(Tables.documents(s, d))
+      .select(col("w1"), col("w2"))
     val big = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val tb = big.agg(sum(col("c12")).as("tb"))
     big.filter(col("c12") >= 5)

@@ -1254,8 +1254,12 @@ object Similarity {
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val scal = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(split(col("text"), " "))).as("dl_sum"))
+    // corpus scalars OFF the tf relation (exchange-reusable) — a
+    // separate docs aggregate would tokenize the corpus a second time.
+    // Every doc has ≥ 1 token (split('') = ['']), so distinct doc_id
+    // counts all docs, and Σ tf over all (doc, tok) rows is Σ dl.
+    val scal = tf.agg(countDistinct(col("doc_id")).as("n_docs"),
+      sum(col("tf")).as("dl_sum"))
     // distinct query tokens × fixed-point Lucene idf (panel-sized)
     val qidf = tf.join(panel.select(col("qid")), col("doc_id") === col("qid"))
       .select(col("qid"), col("tok")).distinct()

@@ -337,6 +337,30 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(gate == Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("md5BandIndex: a mid-session rewrite of the corpus displaces the pin (dirStamp fingerprint)") {
+    // the round-12 review fix: this was the ONE session pin a corpus
+    // rewrite did not displace — the composed ingest gate would have
+    // mixed fresh exact/substring flags with stale band flags
+    val ta = "alpha beta gamma delta epsilon"
+    val tb = "zeta eta theta iota kappa"
+    val docs1 = Seq((1L, ta)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = fixtureDir("documents" -> docs1)
+    val b1 = operators.Dedup.md5BandIndex(spark, dir, 16)
+    assert(b1.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // unchanged data: the pin is reused, not rebuilt (same stamp)
+    assert(operators.Dedup.md5BandIndex(spark, dir, 16) eq
+      operators.Dedup.md5BandIndex(spark, dir, 16))
+    Seq((2L, tb)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val b2 = operators.Dedup.md5BandIndex(spark, dir, 16)
+    assert(b2.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "stale band pin served after corpus rewrite")
+  }
+
   test("s_corpus_ingest: one flag row per (arrival, tier) — quality, exact, substring, neardup; clean docs silent") {
     // 2 and 3 are identical 8-token gate-passers: they trip ALL THREE
     // collision tiers against each other (md5, the single shared
