@@ -60,17 +60,32 @@ object Tables {
     * a rewrite landing in the same tick serve stale pins. Part-file
     * NAMES change on every Spark overwrite (fresh task UUIDs) and sizes
     * change on content edits, so folding names + sizes makes a rewrite
-    * observable within the same timestamp tick. */
+    * observable within the same timestamp tick.
+    *
+    * A transient listing failure (interruption, SecurityException) must
+    * NOT mint a fresh fingerprint: returning 0 once displaced a valid
+    * pin and then displaced AGAIN when the next listing succeeded — two
+    * spurious corpus-index rebuilds per glitch (round-12 advice). On
+    * failure the LAST GOOD stamp for the dir is returned instead (no
+    * displacement), falling back to 0 only when the dir has never been
+    * stamped. NonFatal keeps OutOfMemoryError and friends propagating. */
+  private val lastStamp = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
   private[graft] def dirStamp(d: String): Long =
     try {
       val f = new java.io.File(d)
       val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
       val parts = kids.flatMap(k => Option(k.listFiles()).getOrElse(Array.empty[java.io.File]))
-      ((f +: kids) ++ parts)
+      val h = ((f +: kids) ++ parts)
         .map(x => s"${x.getAbsolutePath}:${x.length()}:${x.lastModified()}")
         .sorted
-        .foldLeft(-3750763034362895579L) { (h, sig) => // FNV-1a offset basis
-          sig.foldLeft(h)((a, c) => (a ^ c.toLong) * 1099511628211L)
+        .foldLeft(-3750763034362895579L) { (acc, sig) => // FNV-1a offset basis
+          sig.foldLeft(acc)((a, c) => (a ^ c.toLong) * 1099511628211L)
         }
-    } catch { case _: Throwable => 0L }
+      lastStamp.put(d, h)
+      h
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        Option(lastStamp.get(d)).fold(0L)(_.longValue)
+    }
 }

@@ -1042,11 +1042,10 @@ object Corpus {
     * advice). One live pin per (session, dir, variant); a dirStamp
     * mismatch (data rewritten mid-session) displaces rather than
     * serving stale blocks; the displaced pin parks in [[graft.Pins]]
-    * and its checkpoint blocks are freed once the session has no
-    * active streaming query left holding it (checkpoint lineage is
-    * truncated, so freeing under a live consumer fails on missing
-    * blocks instead of recomputing; batch consumers finish before any
-    * rewrite-then-rerun can displace them). */
+    * and its checkpoint blocks are freed once its park-time holders —
+    * the then-active streaming queries plus any in-flight batch job —
+    * are done (checkpoint lineage is truncated, so freeing under a
+    * live consumer fails on missing blocks instead of recomputing). */
   private val vocabCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), (Long, DataFrame)]
 

@@ -243,11 +243,11 @@ object StreamingIndex {
         // lineage, so a holder (e.g. an in-flight micro-batch under
         // the same variant) would fail with missing-block errors
         // rather than recompute. graft.Pins ENFORCES this: the
-        // displaced pin parks in a to-free list released only once
-        // the session has no active streaming query, so a long
-        // session cycling serving variants still cannot stack
-        // corpus-sized block-manager entries (they go at the next
-        // access after the last streaming query stops).
+        // displaced pin parks in a to-free list released once its
+        // park-time holders (the streaming queries active at the
+        // displacement, plus any in-flight batch job) are done, so a
+        // long session cycling serving variants still cannot stack
+        // corpus-sized block-manager entries.
         if (cur != null) graft.Pins.park(s, cur._2)
         (fp, build.localCheckpoint())
       })._2
@@ -1054,10 +1054,15 @@ object StreamingIndex {
     * boilerplate are exactly as Zipf-hot as band keys, so the corpus
     * must stay sharded and the arrivals travel; an UNCONDITIONAL
     * probe hint OOMs on giant batches, see substringCandidatePairs).
-    * All shapes emit identical rows. */
+    * The exact tier has its OWN conf key (`graft.exact.broadcastMaxDocs`
+    * — round-12 advice: retuning the neardup knob silently re-planned
+    * this tier too), defaulting to the neardup value so existing
+    * configurations keep their behavior. All shapes emit identical
+    * rows. */
   private[graft] def exactCandidatePairs(
       s: SparkSession, probes: DataFrame, corpus: DataFrame, nDocs: Long): DataFrame = {
-    val limit = s.conf.getOption("graft.neardup.broadcastMaxDocs")
+    val limit = s.conf.getOption("graft.exact.broadcastMaxDocs")
+      .orElse(s.conf.getOption("graft.neardup.broadcastMaxDocs"))
       .map(_.toLong).getOrElse(NeardupBroadcastMaxDocs)
     val cond = col("s.h") === col("c.h") && col("s.doc_id") =!= col("c.doc_id")
     val joined =

@@ -731,6 +731,69 @@ class CorpusSpec extends SparkSpec {
     assert(rdd1.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  private def pinRdd(df: org.apache.spark.sql.DataFrame): org.apache.spark.rdd.RDD[_] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.head
+
+  test("Pins: release is PIN-scoped — holders are the queries active at park time, not the session going idle") {
+    // round-12 advice: a deployment with one long-lived serving query
+    // that cycles corpora must still free each displaced pin once ITS
+    // holders stop — a session-global "no active query" gate retained
+    // every displaced pin for the life of the serving query
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val pin = spark.range(0, 4).toDF("v").localCheckpoint()
+    val rdd = pinRdd(pin)
+    val holder = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+      .toDF().writeStream.format("noop").start()
+    try {
+      graft.Pins.park(spark, pin) // holder active → parked, not freed
+      assert(rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      // a query started AFTER the park cannot reference the old blocks
+      // (it would build from the cache's replacement) — it must not
+      // retain the pin once the actual holder stops
+      val later = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+        .toDF().writeStream.format("noop").start()
+      try {
+        holder.stop()
+        graft.Pins.drain()
+        assert(rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE,
+          "pin must free once its park-time holders stopped, later queries notwithstanding")
+      } finally later.stop()
+    } finally if (holder.isActive) holder.stop()
+  }
+
+  test("Pins: batch half — displacement under an in-flight batch action defers release until the job ends") {
+    // the round-12 one-sided caveat closed: drain waits for a moment
+    // with no active job on the context, so a displacement racing a
+    // batch action from another driver thread cannot pull truncated-
+    // lineage blocks out from under it
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val pin = spark.range(0, 8, 1, 2).toDF("v").localCheckpoint()
+    val rdd = pinRdd(pin)
+    val tracker = spark.sparkContext.statusTracker
+    val slow = pin.as[Long].mapPartitions { it => Thread.sleep(1200); it }
+    val fut = Future(slow.count())
+    // wait until the status tracker actually shows the job (listener
+    // bus is async) before displacing
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (tracker.getActiveJobIds().isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(10)
+    assert(tracker.getActiveJobIds().nonEmpty, "batch action never became visible")
+    graft.Pins.park(spark, pin) // park's drain must defer: job in flight
+    assert(rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "pin freed under an in-flight batch action")
+    assert(Await.result(fut, 60.seconds) == 8L) // completes, no missing blocks
+    while (tracker.getActiveJobIds().nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(10)
+    graft.Pins.drain() // job done, no streams → released
+    assert(rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("corpus_build: each stage sees ONLY upstream survivors; product verified from the loaded store") {
     // Composition pins (each distinguishes the composed chain from a
     // run of the same tier over the RAW corpus):
