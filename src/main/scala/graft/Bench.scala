@@ -317,13 +317,29 @@ object Bench {
       "q_pagerank", "q_winnow", "q_variant_json",
       "s_pipeline", "s_pair_match", "s_tumbling_agg", "s_sliding_agg")
     val byName = results.map { case (n, v, _, _) => n -> v }.toMap
-    val hl = headline.flatMap(k => byName.get(k).map(v =>
-        "\"" + k + "\":" + v.map(f3).getOrElse("null")))
-      .mkString("{", ",", "}")
     val failedNames = results.filter(_._2.isEmpty).map(_._1).take(5)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"failed":$nFailed,$suspectJson,$idxJson,"failedQueries":$failedNames,"queries":$hl,"sf":"$sfDir"}"""
+    // The FULL per-query inventory in the driver-facing artifact (round-12
+    // advice: regressions in the non-headline 222 keys were visible only
+    // in bench_full.json): centiseconds, one value per declared query in
+    // NAME-ASCENDING order (results is already name-sorted), -1 = failed.
+    // ~4 chars/query keeps all 255 inside the driver's 2000-char tail
+    // capture where a name-keyed map (~6 KB) cannot fit.
+    val qcs = results.map { case (_, v, _, _) =>
+        v.map(x => math.round(x * 100).toString).getOrElse("-1")
+      }.mkString("[", ",", "]")
+    def lineWith(hlKeys: Vector[String]): String = {
+      val hl = hlKeys.flatMap(k => byName.get(k).map(v =>
+          "\"" + k + "\":" + v.map(f3).getOrElse("null")))
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"failed":$nFailed,$suspectJson,$idxJson,"failedQueries":$failedNames,"queries":$hl,"queries_cs_order":"name_asc","queries_cs":$qcs,"sf":"$sfDir"}"""
+    }
+    // the qcs array already carries every query; the named headline dict
+    // is a convenience — shed its tail keys if the line would overflow
+    // the driver's capture window (deterministic, never the full map)
+    val line = Iterator.iterate(headline)(_.dropRight(4)).take(10)
+      .map(lineWith).find(_.length < 1750)
+      .getOrElse(lineWith(Vector.empty))
     require(line.length < 1800,
       s"bench line ${line.length} chars — would overflow the driver's 2000-char tail capture")
     println(line)
