@@ -135,6 +135,8 @@ object SparkEntry {
     "q_lang_id" -> (TextAnalysis.langId _),
     "q_quality_score" -> (TextAnalysis.qualityScore _),
     "q_doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    "q_text_normalize" -> (TextAnalysis.textNormalize _),
+    "q_dedup_norm" -> (TextAnalysis.dedupNormalized _),
     "q_edit_distance" -> (TextAnalysis.editDistance _),
     "q_tfidf" -> (TextAnalysis.tfidf _),
     "q_array_setops" -> (graft.operators.Catalog.arraySetOps _),
@@ -1852,6 +1854,20 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
         |       min(doc_id) AS first_doc_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the normalization rule chain VERBATIM (NFC → lower → whitespace-run
+    // collapse on the explicit [ \t\n\r] class → trim); q_dedup_norm
+    // reuses the same chain in front of the q_dedup_exact aggregation
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r]+', ' ', 'g')) AS norm_text,
+        |       (trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r]+', ' ', 'g')) <> text) AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_norm" ->
+      """SELECT md5(trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r]+', ' ', 'g'))) AS norm_hash,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS first_doc_id,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_array_setops" ->
       """WITH t AS (

@@ -42,6 +42,11 @@ package object functions {
   def byte_histogram(payload: Column): Column =
     toColumn(ByteHistogram(toExpr(payload)))
 
+  /** Unicode NFC canonical composition of a string column
+    * ([[NfcNormalize]]) — ≡ DuckDB's nfc_normalize. */
+  def nfc_normalize(s: Column): Column =
+    toColumn(NfcNormalize(toExpr(s)))
+
   /** Codegen'd PQ coder: argmin code per subspace of a 1e6-scaled long
     * vector against a frozen codebook ([[PqEncode]]). */
   def pq_encode(xs: Column, rows: Seq[(Int, Long, Seq[Long])], dsub: Int): Column = {

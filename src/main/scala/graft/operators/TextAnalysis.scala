@@ -249,4 +249,46 @@ object TextAnalysis {
       aggregate(split(col("text"), ""), lit(0L),
         (acc, c) => (acc * 31 + ascii(c)) % 1000000007L).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** The deterministic normalization rule chain (ONE definition shared
+    * by [[textNormalize]] and [[dedupNormalized]] so the declared row
+    * and the dedup tier cannot drift): Unicode NFC canonical
+    * composition ([[graft.functions.nfc_normalize]] — NFD é and NFC é
+    * are byte-different, same text), lowercase fold, whitespace-run
+    * collapse to one space (explicit [ \t\n\r] class — Java and RE2
+    * disagree on \s's vertical-tab membership), edge trim. Order
+    * matters and is part of the contract: compose first (case tables
+    * are defined on composed forms), then fold case, then fix
+    * whitespace. */
+  private[graft] def normChain(c: Column): Column =
+    trim(regexp_replace(lower(graft.functions.nfc_normalize(c)),
+      "[ \t\n\r]+", " "))
+
+  /** q_text_normalize — the normalization tier every real pipeline runs
+    * UPSTREAM of content hashing (the dedup ladder here hashes raw
+    * text; two encodings of the same string defeat every md5-keyed
+    * tier). Pure map-side expression work — one corpus scan, zero
+    * shuffle at any scale. `changed` makes the rewrite rate observable
+    * (the monitoring column an ingest dashboard plots). */
+  def textNormalize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), normChain(col("text")).as("norm_text"),
+        (normChain(col("text")) =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+
+  /** q_dedup_norm — exact dedup over NORMALIZED text: the q_dedup_exact
+    * keyed aggregation with [[normChain]] in front of the hash, so
+    * composition/case/whitespace variants of one text land in one
+    * group. `n_raw_variants` counts the distinct RAW md5s each group
+    * merges — >1 is exactly the population raw exact dedup misses
+    * (fixture-pinned: an NFC/NFD pair merges here, not there). Same
+    * scale shape as q_dedup_exact: one keyed agg on the 128-bit hash. */
+  def dedupNormalized(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), normChain(col("text")).as("nt"))
+      .groupBy(md5(col("nt").cast("binary")).as("norm_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc_id"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_raw_variants"))
+      .orderBy("norm_hash")
 }

@@ -139,6 +139,34 @@ class OperatorsSpec extends SparkSpec {
     assert(r(5L)._2 > r(5L)._1)
   }
 
+  test("normalize: NFC merges composition forms raw md5 keeps apart; case/whitespace fold; already-clean text unchanged") {
+    import spark.implicits._
+    val nfc = "café déjà vu" // precomposed é/é/à
+    val nfd = "café déjà vu" // e + combining marks
+    assert(nfc != nfd) // byte-different inputs, same text
+    val fix = Seq(
+      (0L, nfc, "fr", "s", nfc.length.toLong),
+      (1L, nfd, "fr", "s", nfd.length.toLong), // NFC-merges with 0
+      (2L, "Café  DÉJÀ \t vu ", "fr", "s", 18L), // case + runs + edges
+      (3L, "already clean text", "en", "s", 18L),
+      (4L, "unrelated", "en", "s", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = fixtureDir("documents" -> fix)
+    val norm = TextAnalysis.textNormalize(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(norm(0L)._1 == nfc && !norm(0L)._2) // NFC input untouched
+    assert(norm(1L) == ((nfc, true)))          // NFD composed to the same bytes
+    assert(norm(2L) == ((nfc, true)))          // case folded, runs collapsed, edges trimmed
+    assert(norm(3L) == (("already clean text", false)))
+    // the dedup twin merges all three variants into ONE group that raw
+    // exact dedup keeps as three — the n_raw_variants column says so
+    val groups = TextAnalysis.dedupNormalized(spark, d).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(groups.length == 3) // {0,1,2}, {3}, {4}
+    assert(groups.contains((3L, 0L, 3L))) // 3 docs, first 0, 3 raw variants
+    assert(Dedup.exact(spark, d).count() == 5) // raw md5: all distinct
+  }
+
   test("fingerprint is content-sensitive and stable") {
     val fp = TextAnalysis.docFingerprint(spark, docsDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
