@@ -291,6 +291,7 @@ object SparkEntry {
     "s_neardup_gate" -> (graft.streaming.StreamingIndex.sNeardupGate _),
     "s_substring_gate" -> (graft.streaming.StreamingIndex.sSubstringGate _),
     "s_corpus_ingest" -> (graft.streaming.StreamingIndex.sCorpusIngest _),
+    "s_arrival_dedup" -> (graft.streaming.ArrivalDedup.sArrivalDedup _),
     "s_bq_serve" -> (graft.streaming.StreamingIndex.sBqServe _),
     "s_ann_serve" -> (graft.streaming.StreamingIndex.sAnnServe _),
     "s_filtered_serve" -> (graft.streaming.StreamingIndex.sFilteredServe _),
@@ -873,13 +874,18 @@ object SparkEntry {
     * 60-bit md5 parses per shingle, the Kirsch–Mitzenmacher family
     * h_j = h1 + j·(h2 >> 4), per-doc component minima, "m0:m1:m2:m3"
     * band keys. Exposes `bands(doc_id, band, band_key)`. */
-  private val md5BandsCte: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-      |sh AS (SELECT doc_id,
+  /** [[md5BandsCte]] over an arbitrary source relation with prefixed
+    * CTE names (exposes `${p}bands`) — the composed ingest oracle
+    * instantiates it twice: once over the arrival set (probe side),
+    * once over `documents` (corpus side). No leading WITH, no trailing
+    * separator; the caller composes. */
+  private def md5BandsCteOver(src: String, p: String): String =
+    s"""${p}toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM $src),
+      |${p}sh AS (SELECT doc_id,
       |              unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
       |                      FOR i IN range(1, len(ts) - 1)]) AS s
-      |       FROM toks),
-      |hh AS (
+      |       FROM ${p}toks),
+      |${p}hh AS (
       |  SELECT doc_id,
       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
       |           [CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1
@@ -889,15 +895,17 @@ object SparkEntry {
       |           [CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1
       |            FOR c IN regexp_extract_all(substring(md5(s || '#b'), 1, 15), '.')]),
       |           (acc, x) -> acc * 16 + x) AS h2
-      |  FROM sh),
-      |mins AS (
+      |  FROM ${p}sh),
+      |${p}mins AS (
       |  SELECT doc_id, j, min(h1 + j * (h2 >> 4)) AS m
-      |  FROM hh, range(0, 16) r(j) GROUP BY 1, 2),
-      |bands AS (
+      |  FROM ${p}hh, range(0, 16) r(j) GROUP BY 1, 2),
+      |${p}bands AS (
       |  SELECT doc_id, j // 4 AS band,
       |         string_agg(CAST(m AS VARCHAR), ':' ORDER BY j) AS band_key
-      |  FROM mins GROUP BY 1, 2)
-      |""".stripMargin
+      |  FROM ${p}mins GROUP BY 1, 2)""".stripMargin
+
+  private val md5BandsCte: String =
+    "WITH " + md5BandsCteOver("documents", "") + "\n"
 
   /** Shared oracle texts — streaming variants check the SAME SQL as
     * their batch twins (one place to fix a boundary semantic). */
@@ -2731,28 +2739,67 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_id
         |FROM g a JOIN g b ON a.gtext = b.gtext AND a.doc_id <> b.doc_id
         |ORDER BY doc_id, dup_id""".stripMargin,
-    // the composed admission path: the union of the four tiers' batch
-    // replays — the quality z_fp CTE and the symmetric md5/gram/band
-    // collision pairs (each fragment identical to its standalone oracle)
-    "s_corpus_ingest" -> (md5BandsCte +
-      s",${zfpCteOver("documents", "ci")},\n" +
-      """st AS (SELECT doc_id, string_split(text, ' ') AS ts2 FROM documents),
-        |sg AS (SELECT DISTINCT doc_id,
+    // the composed admission path: the union of the five tiers' batch
+    // replays over the ARRIVAL set (corpus + the novel re-sent burst) —
+    // the quality z_fp CTE, the md5/gram/band arrival-probes-corpus
+    // pairs (each fragment identical to its standalone oracle's shape),
+    // and the novel-content keep-first tier (content the corpus already
+    // holds is the 'exact' tier's business — the precedence rule)
+    "s_corpus_ingest" -> ("""WITH arrv AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000000, lang,
+      |         'novel resend payload ' || CAST(doc_id AS VARCHAR)
+      |  FROM documents WHERE md5(CAST(doc_id AS VARCHAR))[1:1] = '0'
+      |  UNION ALL
+      |  SELECT doc_id + 200000000, lang,
+      |         'novel resend payload ' || CAST(doc_id AS VARCHAR)
+      |  FROM documents WHERE md5(CAST(doc_id AS VARCHAR))[1:1] = '0'),
+      |""".stripMargin +
+      zfpCteOver("arrv", "ci") + ",\n" +
+      md5BandsCteOver("arrv", "a") + ",\n" +
+      md5BandsCteOver("documents", "c") + ",\n" +
+      """sta AS (SELECT doc_id, string_split(text, ' ') AS ts2 FROM arrv),
+        |sga AS (SELECT DISTINCT doc_id,
         |              array_to_string(ts2[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
         |       FROM (SELECT doc_id, ts2, unnest([i FOR i IN range(1, len(ts2) - 6)]) AS i
-        |             FROM st WHERE len(ts2) >= 8)),
+        |             FROM sta WHERE len(ts2) >= 8)),
+        |stc AS (SELECT doc_id, string_split(text, ' ') AS ts2 FROM documents),
+        |sgc AS (SELECT DISTINCT doc_id,
+        |              array_to_string(ts2[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+        |       FROM (SELECT doc_id, ts2, unnest([i FOR i IN range(1, len(ts2) - 6)]) AS i
+        |             FROM stc WHERE len(ts2) >= 8)),
         |flags AS (
         |  SELECT doc_id, 'quality' AS reason FROM cif WHERE z_fp < 0
         |  UNION ALL
-        |  SELECT DISTINCT a.doc_id, 'exact' FROM documents a JOIN documents b
+        |  SELECT DISTINCT a.doc_id, 'exact' FROM arrv a JOIN documents b
         |    ON md5(a.text) = md5(b.text) AND a.doc_id <> b.doc_id
         |  UNION ALL
-        |  SELECT DISTINCT a.doc_id, 'substring' FROM sg a JOIN sg b
+        |  SELECT DISTINCT a.doc_id, 'substring' FROM sga a JOIN sgc b
         |    ON a.gtext = b.gtext AND a.doc_id <> b.doc_id
         |  UNION ALL
-        |  SELECT DISTINCT a.doc_id, 'neardup' FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id)
+        |  SELECT DISTINCT a.doc_id, 'neardup' FROM abands a JOIN cbands b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id
+        |  UNION ALL
+        |  SELECT doc_id, 'exact_arrival' FROM (
+        |    SELECT a.doc_id, min(a.doc_id) OVER (PARTITION BY md5(a.text)) AS mn
+        |    FROM arrv a WHERE NOT EXISTS
+        |      (SELECT 1 FROM documents d2 WHERE md5(d2.text) = md5(a.text)))
+        |  WHERE doc_id <> mn)
         |SELECT doc_id, reason FROM flags ORDER BY doc_id, reason""".stripMargin),
+    // the cross-arrival tier in isolation: the corpus replayed as an
+    // ingest run plus the '0'-bucket re-sent block — keep-first over
+    // the arrival order, which IS id order (re-sent ids sit above
+    // ResentBase), so min(doc_id) per content group
+    "s_arrival_dedup" ->
+      """WITH arrv AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000000, text FROM documents
+        |  WHERE md5(CAST(doc_id AS VARCHAR))[1:1] = '0'),
+        |f AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS mn FROM arrv)
+        |SELECT doc_id, mn AS first_doc FROM f WHERE doc_id <> mn
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash_md5" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         |h AS (SELECT doc_id,

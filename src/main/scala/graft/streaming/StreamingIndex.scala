@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 
 import graft.Tables
 import graft.operators.{Dedup, ProductQuant, Similarity}
@@ -24,7 +25,7 @@ import graft.operators.{Dedup, ProductQuant, Similarity}
   */
 object StreamingIndex {
 
-  private val nameCounter = new java.util.concurrent.atomic.AtomicInteger
+  private[streaming] val nameCounter = new java.util.concurrent.atomic.AtomicInteger
 
   /** Per-query streaming telemetry, recorded SYNCHRONOUSLY from
     * `q.recentProgress` after each run (listener delivery is async and
@@ -67,7 +68,7 @@ object StreamingIndex {
   private[graft] val lastProgressDurations =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Map[String, Long]]]
 
-  private def record(base: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+  private[streaming] def record(base: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val prog = q.recentProgress
     stateRowsTotal.merge(
       base, prog.flatMap(_.stateOperators.map(_.numRowsTotal)).sum,
@@ -111,7 +112,7 @@ object StreamingIndex {
     * single-burst feed (each group's inputs still arrive in one batch:
     * the serve/gate rigs derive stamps from the event's own id, so one
     * event = one group). */
-  private def feedStaggered[A](
+  private[streaming] def feedStaggered[A](
       input: MemoryStream[A], events: Seq[A],
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val size = math.max(1, math.ceil(events.size.toDouble / StaggerChunks).toInt)
@@ -1071,37 +1072,55 @@ object StreamingIndex {
     joined.select(col("s.doc_id").as("doc_id"), col("c.doc_id").as("dup_id"))
   }
 
-  /** s_corpus_ingest — the COMPOSED streaming admission path: the four
+  /** s_corpus_ingest — the COMPOSED streaming admission path: the five
     * screens a production ingest runs on EVERY arriving document,
     * composed into one streaming query the way [[graft.operators
-    * .Corpus.corpusBuild]] composes the batch tiers into one job. Each
-    * arrival is checked map-side or against a session-pinned index —
-    * never against other in-flight arrivals — and every failed screen
-    * emits a (doc_id, reason) flag row:
-    *  - 'quality'   — the [[graft.operators.TextAnalysis.logitZ]] gate
-    *                  (z_fp < 0): pure map-side, the s_quality_gate
-    *                  screen inverted to emit rejections;
-    *  - 'exact'     — md5(text) collides with a DIFFERENT existing doc
-    *                  ([[exactCandidatePairs]] over the pinned
-    *                  content-hash index);
-    *  - 'substring' — an exact 8-token gram collides
-    *                  ([[substringCandidatePairs]] over
-    *                  [[graft.operators.Corpus.gramIndex]] — the
-    *                  s_substring_gate tier);
-    *  - 'neardup'   — a MinHash band collides
-    *                  ([[neardupCandidatePairs]] over
-    *                  [[graft.operators.Dedup.md5BandIndex]] — the
-    *                  s_neardup_gate tier).
+    * .Corpus.corpusBuild]] composes the batch tiers into one job. Four
+    * screens check each arrival map-side or against a session-pinned
+    * index; the fifth checks it against the run's OWN earlier arrivals
+    * (the round-12 gap: the pinned indexes are frozen pre-run, so a
+    * re-sent document inside one ingest window passed every screen).
+    * Every failed screen emits a (doc_id, reason) flag row:
+    *  - 'quality'       — the [[graft.operators.TextAnalysis.logitZ]]
+    *                      gate (z_fp < 0): pure map-side;
+    *  - 'exact'         — md5(text) collides with a DIFFERENT existing
+    *                      doc ([[exactCandidatePairs]] over the pinned
+    *                      content-hash index);
+    *  - 'substring'     — an exact 8-token gram collides
+    *                      ([[substringCandidatePairs]] over
+    *                      [[graft.operators.Corpus.gramIndex]]);
+    *  - 'neardup'       — a MinHash band collides
+    *                      ([[neardupCandidatePairs]] over
+    *                      [[graft.operators.Dedup.md5BandIndex]]);
+    *  - 'exact_arrival' — the content matched an EARLIER same-run
+    *                      arrival ([[ArrivalDedupProcessor]] keep-first
+    *                      state keyed on content md5 — the batch
+    *                      increment's `exact_delta` rule, streamed).
+    *                      Corpus-tier PRECEDENCE is declarative: the
+    *                      tier's input anti-joins the md5 index, so
+    *                      content the corpus already holds is the
+    *                      'exact' screen's business and never enters
+    *                      arrival state (matching corpusIncrement's
+    *                      exact_base → exact_delta order); like the
+    *                      batch rule, quality-rejected arrivals DO
+    *                      seed state (their later twins still flag).
     * A clean arrival emits nothing (admission is the default; flags
-    * are the alerts). The four legs are stateless transforms of ONE
-    * input stream; the only state is the shared
-    * dropDuplicatesWithinWatermark collapsing each arrival's per-pair/
-    * per-band hits to one (doc_id, reason) row — O(flags within the
-    * watermark), never O(corpus). Every index side is the SAME pinned
-    * relation its standalone gate serves from (one build per session,
-    * the pinnedCorpus discipline), so composing the screens adds zero
-    * index cost. Oracle: the union of the four tiers' batch replays
-    * (z_fp CTE, symmetric md5/gram/band collision pairs) in DuckDB. */
+    * are the alerts). The rig's feed replays the corpus plus a NOVEL
+    * re-sent burst — each '0'-bucket doc contributes one synthetic
+    * 4-token text sent TWICE under block ids — because corpus-replayed
+    * content can never reach the arrival tier (precedence sends it to
+    * 'exact'); stamps derive from the id's (block, original) split
+    * ([[ArrivalDedup.tsSeconds]]) so arrival order is id order. State:
+    * the shared dropDuplicatesWithinWatermark on the four stateless
+    * legs — O(flags within the watermark) — plus the keep-first store,
+    * O(distinct novel content within its horizon); the arrival leg
+    * needs no flag dedup (one row per flagged arrival by construction)
+    * and unions in AFTER the watermark dedup, so neither stateful
+    * branch redefines the other's watermark. Every index side is the
+    * SAME pinned relation its standalone gate serves from (zero added
+    * index cost). Oracle: the union of the five tiers' batch replays
+    * over the arrival CTE (z_fp, md5/gram/band arrival-probes-corpus
+    * pairs, novel-content keep-first) in DuckDB. */
   def sCorpusIngest(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
@@ -1115,46 +1134,73 @@ object StreamingIndex {
     }
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
-      .as[DocEvent].collect()
+      .as[DocEvent].collect().sortBy(_.doc_id)
     val nDocs = docs.length.toLong
-    EventPairing.withStreamingPartitions(s) {
-      val input = MemoryStream[DocEvent]
-      val arr = input.toDF()
-      val (_, zFp) = graft.operators.TextAnalysis.logitZ
-      val quality = arr.select(col("doc_id"), zFp.as("z_fp"))
-        .filter(col("z_fp") < 0)
-        .select(col("doc_id"), lit("quality").as("reason"))
-      val exact = exactCandidatePairs(s,
-        arr.select(col("doc_id"), md5(col("text").cast("binary")).as("h")),
-        md5Idx, nDocs)
-        .select(col("doc_id"), lit("exact").as("reason"))
-      val substr = substringCandidatePairs(s,
-        graft.operators.Corpus.gramRows(
-          arr.select(col("doc_id"), split(col("text"), " ").as("tk")))
-          .select(col("doc_id"), col("gtext"), col("h")),
-        gramIdx, nPostings)
-        .select(col("doc_id"), lit("substring").as("reason"))
-      val near = neardupCandidatePairs(s,
-        Dedup.md5BandProbes(
-          arr.select(col("doc_id"), split(col("text"), " ").as("tk")), k),
-        bandIdx, nDocs)
-        .select(col("doc_id"), lit("neardup").as("reason"))
-      val flags = quality.unionByName(exact)
-        .unionByName(substr).unionByName(near)
-        // +1 day: the initial watermark is epoch 0 and the late-row
-        // filter drops rows AT the watermark (see sNeardupGate)
-        .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
-        .withWatermark("ts", "10 minutes")
-        .dropDuplicatesWithinWatermark("doc_id", "reason")
-        .select(col("doc_id"), col("reason"))
-      val name = s"s_corpus_ingest_${nameCounter.incrementAndGet()}"
-      val q = flags.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try {
-        feedStaggered(input, docs.toSeq.sortBy(_.doc_id), q)
-        record("s_corpus_ingest", q)
-      } finally q.stop()
-      s.table(name).orderBy("doc_id", "reason")
+    // the novel re-sent burst: same synthetic content under two block
+    // ids, arriving after the corpus replay (id order = arrival order)
+    val rb = ArrivalDedup.ResentBase
+    val span = docs.lastOption.fold(1L)(_.doc_id + 1)
+    val novel = docs.filter(e => ArrivalDedup.md5Nibble(e.doc_id) == '0')
+      .map(e => (e.doc_id, s"novel resend payload ${e.doc_id}"))
+    val arrivals = docs ++
+      novel.map { case (id, t) => DocEvent(id + rb, t) } ++
+      novel.map { case (id, t) => DocEvent(id + 2 * rb, t) }
+    PairingTws.withRocksDb(s) {
+      EventPairing.withStreamingPartitions(s) {
+        val input = MemoryStream[DocEvent]
+        val arr = input.toDF()
+        // block-split stamps: 86400 (epoch-0 guard, see sNeardupGate)
+        // + block·span + original — monotone in arrival order
+        def tsCol: org.apache.spark.sql.Column =
+          timestamp_seconds(lit(86400L) +
+            expr(s"doc_id div $rb") * lit(span) + pmod(col("doc_id"), lit(rb)))
+        val (_, zFp) = graft.operators.TextAnalysis.logitZ
+        val quality = arr.select(col("doc_id"), zFp.as("z_fp"))
+          .filter(col("z_fp") < 0)
+          .select(col("doc_id"), lit("quality").as("reason"))
+        val exact = exactCandidatePairs(s,
+          arr.select(col("doc_id"), md5(col("text").cast("binary")).as("h")),
+          md5Idx, nDocs)
+          .select(col("doc_id"), lit("exact").as("reason"))
+        val substr = substringCandidatePairs(s,
+          graft.operators.Corpus.gramRows(
+            arr.select(col("doc_id"), split(col("text"), " ").as("tk")))
+            .select(col("doc_id"), col("gtext"), col("h")),
+          gramIdx, nPostings)
+          .select(col("doc_id"), lit("substring").as("reason"))
+        val near = neardupCandidatePairs(s,
+          Dedup.md5BandProbes(
+            arr.select(col("doc_id"), split(col("text"), " ").as("tk")), k),
+          bandIdx, nDocs)
+          .select(col("doc_id"), lit("neardup").as("reason"))
+        val fourLegs = quality.unionByName(exact)
+          .unionByName(substr).unionByName(near)
+          .withColumn("ts", tsCol)
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("doc_id", "reason")
+          .select(col("doc_id"), col("reason"))
+        val arrivalLeg = arr
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("key"),
+            tsCol.as("ts"))
+          .withWatermark("ts", "10 minutes")
+          // corpus-tier precedence: content the corpus holds never
+          // enters arrival state (the 'exact' screen owns it)
+          .join(md5Idx.select(col("h").as("key")).distinct(), Seq("key"), "left_anti")
+          .as[ArrivalEvent]
+          .groupByKey(_.key)
+          .transformWithState(new ArrivalDedupProcessor(3 * span),
+            "ts", OutputMode.Append())
+          .select(col("doc_id"), lit("exact_arrival").as("reason"))
+        val flags = fourLegs.unionByName(arrivalLeg)
+        val name = s"s_corpus_ingest_${nameCounter.incrementAndGet()}"
+        val q = flags.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          feedStaggered(input, arrivals, q)
+          record("s_corpus_ingest", q)
+        } finally q.stop()
+        s.table(name).orderBy("doc_id", "reason")
+      }
     }
   }
 

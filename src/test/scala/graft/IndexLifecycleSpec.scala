@@ -368,8 +368,14 @@ class IndexLifecycleSpec extends SparkSpec {
     // short for shingles OR grams, so 'quality' is its only row. 4 is
     // a 30-distinct-token clean doc (passes the gate with no
     // stopwords, zero shared shingles) — it must emit NOTHING.
+    // CORPUS-DUPLICATE PRECEDENCE pinned by absence: 2 and 3's content
+    // is in the corpus index, so neither arrival ever enters the
+    // arrival-dedup state — no 'exact_arrival' row anywhere below (and
+    // no fixture id is in the '0' re-sent bucket, so no novel burst).
     val t8 = "the a of and is p1 p2 p3"
     val clean = (0 until 30).map(i => s"aa$i").mkString(" ")
+    assert(Seq(1L, 2L, 3L, 4L).forall(id =>
+      graft.streaming.ArrivalDedup.md5Nibble(id) != '0'))
     val docs = Seq(
       (1L, "solo"), (2L, t8), (3L, t8), (4L, clean))
       .toDF("doc_id", "text")
@@ -382,6 +388,88 @@ class IndexLifecycleSpec extends SparkSpec {
       (1L, "quality"),
       (2L, "exact"), (2L, "neardup"), (2L, "substring"),
       (3L, "exact"), (3L, "neardup"), (3L, "substring")), got)
+  }
+
+  test("s_corpus_ingest: exact_arrival — a novel re-sent arrival flags ONCE, against the first copy only") {
+    // 27 is the smallest '0'-bucket id, so the rig's novel burst fires:
+    // 'novel resend payload 27' arrives twice (ids 1e8+27 and 2e8+27).
+    // The first copy seeds state silently; the second flags
+    // exact_arrival. Both synth copies are 4 novel tokens → they also
+    // trip the quality gate (z_fp < 0), pinning that quality-rejected
+    // arrivals still seed/flag the arrival tier (the batch increment's
+    // rule: mn ranges over ALL delta arrivals). The clean corpus doc
+    // emits nothing; its replayed arrival is corpus content (anti-join
+    // precedence) and never reaches arrival state.
+    val clean = (0 until 30).map(i => s"bb$i").mkString(" ")
+    assert(graft.streaming.ArrivalDedup.md5Nibble(27L) == '0')
+    val docs = Seq((27L, clean))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = fixtureDir("documents" -> docs)
+    val got = SparkEntry.queries("s_corpus_ingest")(spark, dir)
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (100000027L, "quality"),
+      (200000027L, "exact_arrival"), (200000027L, "quality")), got)
+  }
+
+  test("s_arrival_dedup: keep-first across and within batches; re-sent block flags against originals") {
+    // organic dup: 12 repeats 10's text → flagged (12, 10). Re-sent
+    // block: 27 is in the '0' bucket → arrives again as 1e8+27 and
+    // flags against the original 27. 11 is unique and not re-sent →
+    // silent. Arrival order is id order (the staggered feed), so
+    // keep-first is min id — including the within-batch case (10 and
+    // 12 land in one chunk at this fixture size).
+    assert(graft.streaming.ArrivalDedup.md5Nibble(27L) == '0')
+    assert(Seq(10L, 11L, 12L).forall(id =>
+      graft.streaming.ArrivalDedup.md5Nibble(id) != '0'))
+    val docs = Seq(
+      (10L, "same same text"), (11L, "unique text here"),
+      (12L, "same same text"), (27L, "resent corpus doc"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = fixtureDir("documents" -> docs)
+    val got = SparkEntry.queries("s_arrival_dedup")(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((12L, 10L), (100000027L, 27L)), got)
+  }
+
+  test("arrival dedup processor: horizon expiry re-admits; within-horizon flags slide") {
+    // the sliding-horizon contract in isolation (the declared rigs set
+    // the horizon to cover their replayed window, so their oracles are
+    // global keep-first; production sets wall-clock): with a 10 s
+    // horizon, a same-content arrival 100 s later is a FRESH first
+    // (silent), and the next one inside 10 s flags against IT — the
+    // in-handler event-time check, not the GC timer, owns semantics
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ev(id: Long, sec: Long) = graft.streaming.ArrivalEvent(
+      id, "samekey", new java.sql.Timestamp((86400L + sec) * 1000))
+    graft.streaming.PairingTws.withRocksDb(spark) {
+      val input = MemoryStream[graft.streaming.ArrivalEvent]
+      val flags = input.toDS()
+        .withWatermark("ts", "0 seconds")
+        .groupByKey(_.key)
+        .transformWithState(new graft.streaming.ArrivalDedupProcessor(10),
+          "ts", OutputMode.Append())
+      val q = flags.writeStream.format("memory").queryName("arrival_horizon")
+        .outputMode("append").start()
+      try {
+        input.addData(Seq(ev(2, 2), ev(1, 1), ev(3, 3))) // one batch, out of order
+        q.processAllAvailable()
+        input.addData(Seq(ev(30, 100))) // 97 s gap > 10 s horizon
+        q.processAllAvailable()
+        input.addData(Seq(ev(31, 105))) // 5 s gap: flags against 30
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("arrival_horizon")
+        .select("doc_id", "first_doc").as[(Long, Long)].collect().toSet
+      assert(got == Set((2L, 1L), (3L, 1L), (31L, 30L)), got)
+    }
   }
 
   test("s_neardup_gate: band-index broadcast is SIZE-GATED — above threshold the corpus is never the build side") {
