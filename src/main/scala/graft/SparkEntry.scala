@@ -292,6 +292,7 @@ object SparkEntry {
     "s_substring_gate" -> (graft.streaming.StreamingIndex.sSubstringGate _),
     "s_corpus_ingest" -> (graft.streaming.StreamingIndex.sCorpusIngest _),
     "s_arrival_dedup" -> (graft.streaming.ArrivalDedup.sArrivalDedup _),
+    "s_lm_drift" -> (graft.streaming.LmDrift.sLmDrift _),
     "s_bq_serve" -> (graft.streaming.StreamingIndex.sBqServe _),
     "s_ann_serve" -> (graft.streaming.StreamingIndex.sAnnServe _),
     "s_filtered_serve" -> (graft.streaming.StreamingIndex.sFilteredServe _),
@@ -2787,6 +2788,24 @@ object SparkEntry {
         |      (SELECT 1 FROM documents d2 WHERE md5(d2.text) = md5(a.text)))
         |  WHERE doc_id <> mn)
         |SELECT doc_id, reason FROM flags ORDER BY doc_id, reason""".stripMargin),
+    // the drift monitor: the q_doc_perplexity LM + snap scheme rolled
+    // up per 60 s ingest window (ts = 86400 + doc_id, so the window key
+    // is a floor-divide of doc_id); unseen count is identically 0 here
+    // (arrivals replay the LM's own corpus — the fixture spec drives
+    // the non-zero branch) but the column is the alarm
+    "s_lm_drift" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |g AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2 FROM t),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM g GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM g GROUP BY 1),
+        |lm AS (SELECT w1, w2, CAST(c12 AS DOUBLE) / c1 AS p FROM big JOIN uni USING (w1))
+        |SELECT ((86400 + g.doc_id) // 60) * 60000 AS window_start_ms,
+        |       CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(0 AS BIGINT) AS n_unseen,
+        |       CAST(sum(CAST(floor(-ln(p) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         / 1000000.0 / count(*) AS avg_neg_logp
+        |FROM g JOIN lm USING (w1, w2) GROUP BY 1 ORDER BY 1""".stripMargin,
     // the cross-arrival tier in isolation: the corpus replayed as an
     // ingest run plus the '0'-bucket re-sent block — keep-first over
     // the arrival order, which IS id order (re-sent ids sit above

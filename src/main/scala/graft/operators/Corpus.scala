@@ -305,22 +305,35 @@ object Corpus {
       .limit(50)
   }
 
+  /** The corpus bigram LM as a SERVING relation — (w1, w2, p) with
+    * P(w2|w1) = c12/c1 — pinned once per (session, corpus) through the
+    * vocab cache (vocabulary²-sized: broadcastable at any corpus
+    * scale). ONE definition behind [[docPerplexity]] and the streaming
+    * drift monitor ([[graft.streaming.LmDrift]]), so the batch filter
+    * and the ingest-side alarm score against byte-identical
+    * probabilities. */
+  private[graft] def bigramLmIndex(s: SparkSession, d: String): DataFrame =
+    pinnedVocab(s, d, "bigram_lm") {
+      val grams = bigramRows(Tables.documents(s, d))
+      grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .join(grams.groupBy(col("w1")).agg(count(lit(1)).as("c1")), Seq("w1"))
+        .select(col("w1"), col("w2"),
+          (col("c12").cast("double") / col("c1")).as("p"))
+    }
+
   /** q_doc_perplexity — perplexity-proxy quality score: each document's
-    * bigrams are scored against the corpus bigram LM (P(w2|w1) =
-    * c12/c1) and the per-doc mean negative log-probability comes back —
-    * the classic "how surprising is this text" filter that gates
-    * low-quality documents before training. The LM is vocabulary²-sized
-    * (tiny at ANY corpus scale) so it broadcasts; doc grams never
-    * shuffle except the final per-doc mean. −ln(p) is fixed-pointed at
-    * 1e-6 per term (floor(x·1e6 + 0.5) — one libm call each engine,
-    * identical inputs) so the sum is order-independent and
+    * bigrams are scored against the corpus bigram LM
+    * ([[bigramLmIndex]]) and the per-doc mean negative log-probability
+    * comes back — the classic "how surprising is this text" filter that
+    * gates low-quality documents before training. The LM is
+    * vocabulary²-sized (tiny at ANY corpus scale) so it broadcasts; doc
+    * grams never shuffle except the final per-doc mean. −ln(p) is
+    * fixed-pointed at 1e-6 per term (floor(x·1e6 + 0.5) — one libm call
+    * each engine, identical inputs) so the sum is order-independent and
     * engine-portable. */
   def docPerplexity(s: SparkSession, d: String): DataFrame = {
     val grams = bigramRows(Tables.documents(s, d))
-    val lm = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .join(grams.groupBy(col("w1")).agg(count(lit(1)).as("c1")), Seq("w1"))
-      .select(col("w1"), col("w2"),
-        (col("c12").cast("double") / col("c1")).as("p"))
+    val lm = bigramLmIndex(s, d)
     grams.join(broadcast(lm), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),

@@ -436,6 +436,51 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(got == Seq((12L, 10L), (100000027L, 27L)), got)
   }
 
+  test("s_lm_drift: unseen bigrams counted per window; an all-unseen window reports a null mean") {
+    // LM trained on one doc "a b" (gram (a,b), p = 1.0). Arrivals:
+    // doc 0 = "a b c" → (a,b) seen at −ln 1 = 0, (b,c) UNSEEN — one
+    // window with n_grams 2 / n_unseen 1 / mean 0.0; doc 70 = "x y" →
+    // a later window whose only gram is unseen — the mean over seen
+    // grams is NULL (no seen grams), the alarm row a drifted batch
+    // produces. The organic rig can never reach either branch (its
+    // arrivals replay the LM's own corpus).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val lmDir = fixtureDir("documents" ->
+      Seq((1L, "a b", "en", "s", 3L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val lm = operators.Corpus.bigramLmIndex(spark, lmDir)
+    val input = MemoryStream[graft.streaming.StreamingIndex.DocEvent]
+    val arrivals = input.toDF()
+      .select(col("doc_id"), col("text"),
+        timestamp_seconds(col("doc_id") + lit(86400L)).as("ts"))
+      .withWatermark("ts", "60 seconds")
+    val drift = graft.streaming.LmDrift.driftOver(lm, arrivals)
+    val q = drift.writeStream.format("memory").queryName("lm_drift_fix")
+      .outputMode("append").start()
+    try {
+      // 2-token sentinels: the gram filter pushes below the watermark,
+      // so a token-less flush row would never advance it (see sLmDrift)
+      input.addData(Seq(
+        graft.streaming.StreamingIndex.DocEvent(0L, "a b c"),
+        graft.streaming.StreamingIndex.DocEvent(70L, "x y"),
+        graft.streaming.StreamingIndex.DocEvent(86400L, "fl fl")))
+      q.processAllAvailable()
+      input.addData(graft.streaming.StreamingIndex.DocEvent(172800L, "fl fl"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("lm_drift_fix").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    // the first sentinel's own (all-unseen) window emits too — the
+    // declared rig slices sentinel windows off by time bound
+    assert(got == Set(
+      (86400000L, 2L, 1L, Some(0.0)),
+      (86460000L, 1L, 1L, None),
+      (172800000L, 1L, 1L, None)), got)
+  }
+
   test("arrival dedup processor: horizon expiry re-admits; within-horizon flags slide") {
     // the sliding-horizon contract in isolation (the declared rigs set
     // the horizon to cover their replayed window, so their oracles are
