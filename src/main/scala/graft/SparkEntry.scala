@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Corpus, Dedup, Multimodal, Observe, Pairing, ProductQuant, Relational, Similarity, Sources, Temporal, TextAnalysis, Tpch}
+import graft.operators.{Corpus, Dedup, IndexStore, Multimodal, Observe, Pairing, ProductQuant, Relational, Similarity, Sources, Temporal, TextAnalysis, Tpch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -193,6 +193,7 @@ object SparkEntry {
     "q_quality_logit" -> (TextAnalysis.qualityLogit _),
     // deduplication
     "q_dedup_exact" -> (Dedup.exact _),
+    "q_dedup_index_persist" -> (IndexStore.dedupIndexPersist _),
     "q_semdedup" -> (Dedup.semDedup _),
     "q_neardup_purge" -> (Dedup.neardupPurge _),
     "q_dedup_cluster" -> (Dedup.dedupCluster _),
@@ -1864,6 +1865,40 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
         |       min(doc_id) AS first_doc_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the durable dedup-index round trip: DuckDB replays the gram
+    // windows and the md5-band chain and summarizes with the same
+    // counts + bit_xor checksums the Spark side computes FROM THE
+    // LOADED bucketed tables — equality means the persisted buckets
+    // carry exactly the index the session pins serve
+    "q_dedup_index_persist" -> (md5BandsCte.trim + ",\n" +
+      """dtoks AS (SELECT doc_id, string_split(text, ' ') AS ts2 FROM documents),
+        |dg AS (SELECT DISTINCT doc_id,
+        |              array_to_string(ts2[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+        |       FROM (SELECT doc_id, ts2, unnest([i FOR i IN range(1, len(ts2) - 6)]) AS i
+        |             FROM dtoks WHERE len(ts2) >= 8)),
+        |dgh AS (SELECT doc_id,
+        |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            [CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1
+        |             FOR c IN regexp_extract_all(substring(md5(gtext), 1, 15), '.')]),
+        |            (acc, x) -> acc * 16 + x) AS h
+        |        FROM dg),
+        |dbh AS (SELECT doc_id, band, band_key,
+        |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            [CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1
+        |             FOR c IN regexp_extract_all(substring(md5(band_key), 1, 15), '.')]),
+        |            (acc, x) -> acc * 16 + x) AS kh
+        |        FROM bands),
+        |grow AS (SELECT 'grams' AS index_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |                CAST(count(DISTINCT h) AS BIGINT) AS n_keys,
+        |                CAST(bit_xor((h % 1000003) * 1009 + (doc_id % 1009)) AS BIGINT) AS checksum
+        |         FROM dgh),
+        |brow AS (SELECT 'bands' AS index_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |                CAST(count(DISTINCT band_key) AS BIGINT) AS n_keys,
+        |                CAST(bit_xor((kh % 1000003) * 1009 + (doc_id % 1009) + band) AS BIGINT) AS checksum
+        |         FROM dbh)
+        |SELECT * FROM brow UNION ALL SELECT * FROM grow ORDER BY index_name""".stripMargin),
     // the normalization rule chain VERBATIM (NFC → lower → whitespace-run
     // collapse on the explicit [ \t\n\r] class → trim); q_dedup_norm
     // reuses the same chain in front of the q_dedup_exact aggregation

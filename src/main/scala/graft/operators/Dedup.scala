@@ -201,6 +201,13 @@ object Dedup {
       .select(col("doc_id") +:
         (0 until k).map(j => col("sig").getItem(j).as(s"m$j")): _*)
 
+  /** The full corpus band relation (doc_id, band, band_key) — the ONE
+    * build behind both the session-pinned [[md5BandIndex]] and the
+    * durable bucketed [[IndexStore.durableBandIndex]], so the two
+    * stores cannot drift. */
+  private[graft] def md5BandRows(s: SparkSession, d: String, k: Int): DataFrame =
+    md5SigBands(md5SigOf(s, d, k), k)
+
   /** LSH bands over a k-component signature: k/4 bands × 4 rows, band
     * key = the joined "m_i:…" string (portable — no second-level hash). */
   private def md5SigBands(sig: DataFrame, k: Int): DataFrame =
@@ -246,7 +253,7 @@ object Dedup {
       else {
         if (cur != null) graft.Pins.park(s, cur._2)
         bandBuilds.incrementAndGet()
-        (fp, md5SigBands(md5SigOf(s, d, k), k).localCheckpoint())
+        (fp, md5BandRows(s, d, k).localCheckpoint())
       })._2
   }
 

@@ -1,0 +1,162 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Durable BUCKETED serving indexes for the dedup/admission tier — the
+  * q_index_persist discipline (Similarity.saveIndex) applied to the
+  * gram-posting and MinHash-band indexes the streaming gates probe.
+  *
+  * Why this exists: the gates' session pins ([[Corpus.gramIndex]],
+  * [[Dedup.md5BandIndex]]) are localCheckpoint relations — fast to
+  * probe, but (a) they die with the session, and (b) in the
+  * above-broadcast-ceiling regime every micro-batch too big for a
+  * probe-side broadcast pays a FULL posting-index shuffle to key-align
+  * the join (the round-12 verdict's one carried perf item). Persisting
+  * the index CLUSTERED BY its probe key fixes both: a bucketed scan
+  * already satisfies the join's clustering, so the degraded path joins
+  * co-located buckets with ZERO static-side exchange per micro-batch
+  * (plan-guarded in PlanHygieneSpec), and the index survives restart —
+  * the write cost is paid once per corpus version, not once per
+  * oversized batch.
+  *
+  * Freshness: each table carries a `_graft_fp` sidecar holding the
+  * [[graft.Tables.dirStamp]] of the corpus it was built from — the same
+  * fingerprint every session pin displaces on. A stale table is dropped
+  * and rebuilt; a fresh table from a PREVIOUS JVM (data present,
+  * catalog entry gone with the session) is re-registered as an external
+  * bucketed table instead of rewritten (the q_bucketed_join recovery
+  * discipline, Scale.scala).
+  */
+object IndexStore {
+
+  /** Durable builds this JVM — the observable for the build-once spec
+    * (the [[Dedup.bandBuilds]] analog). */
+  private[graft] val storeBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** md5 of the full corpus path (collision-resistant across dirs —
+    * the Similarity.indexStorePath rationale), 12 hex chars. */
+  private def tagOf(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+
+  private def rmrf(p: Path): Unit = if (Files.exists(p)) {
+    import scala.jdk.CollectionConverters._
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  private def warehousePath(s: SparkSession): Path =
+    Paths.get(s.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+
+  /** Ensure a durable bucketed index table named `<base>_<dirTag>`,
+    * CLUSTERED/SORTED BY `bucketCols` INTO `nBuckets`. Freshness order:
+    * live catalog entry + matching fingerprint → serve; on-disk data +
+    * matching fingerprint (previous JVM) → re-register; anything else →
+    * drop, rebuild, restamp. Serialized per table name — two threads
+    * asking for the same corpus index build it once. */
+  private def ensure(s: SparkSession, d: String, base: String,
+      bucketCols: Seq[String], nBuckets: Int)(build: => DataFrame): DataFrame = {
+    val name = s"${base}_${tagOf(d)}"
+    val lock = locks.computeIfAbsent(name, _ => new Object)
+    lock.synchronized {
+      val loc = warehousePath(s).resolve(name)
+      val fpFile = loc.resolve("_graft_fp")
+      // the stamp carries the bucket layout too: a layout change (keys
+      // or count) must displace like a corpus rewrite does
+      val want = s"${Tables.dirStamp(d)}:${bucketCols.mkString(",")}:$nBuckets"
+      val have =
+        if (Files.exists(fpFile))
+          new String(Files.readAllBytes(fpFile), StandardCharsets.UTF_8)
+        else ""
+      val fresh = have == want && Files.exists(loc.resolve("_SUCCESS"))
+      if (fresh && s.catalog.tableExists(name)) {
+        s.table(name)
+      } else if (fresh) {
+        val ddl = s.read.parquet(loc.toString).schema.toDDL
+        s.sql(s"""CREATE TABLE $name ($ddl) USING parquet
+                 |CLUSTERED BY (${bucketCols.mkString(", ")})
+                 |SORTED BY (${bucketCols.mkString(", ")})
+                 |INTO $nBuckets BUCKETS
+                 |LOCATION '$loc'""".stripMargin)
+        s.table(name)
+      } else {
+        storeBuilds.incrementAndGet()
+        if (s.catalog.tableExists(name)) s.sql(s"DROP TABLE $name")
+        rmrf(loc)
+        build.write.mode("overwrite")
+          .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+          .sortBy(bucketCols.head, bucketCols.tail: _*)
+          .saveAsTable(name)
+        Files.write(fpFile, want.getBytes(StandardCharsets.UTF_8))
+        s.table(name)
+      }
+    }
+  }
+
+  /** Durable gram-posting index (h, gtext, doc_id) CLUSTERED BY the
+    * gate join's EXACT key set (h, gtext) — the [[Corpus.gramIndex]]
+    * relation in the layout the above-ceiling substring gate wants.
+    * Both keys, not just h: co-partition compatibility under the
+    * default `spark.sql.requireAllClusterKeysForCoPartition` demands
+    * the bucket keys equal ALL the join keys — bucketing by h alone
+    * planned a full posting-side exchange and a
+    * "Bucketed: false (disabled by query planner)" scan (measured in
+    * the first cut of the plan guard). h is a function of gtext, so
+    * the extra key changes no placement semantics. */
+  private[graft] def durableGramIndex(s: SparkSession, d: String): DataFrame =
+    ensure(s, d, "graft_gram_idx", Seq("h", "gtext"), 16) {
+      Corpus.gramRows(Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk")))
+        .select(col("h"), col("gtext"), col("doc_id")).distinct()
+    }
+
+  /** Durable MinHash band index (doc_id, band, band_key) CLUSTERED BY
+    * (band, band_key) — [[Dedup.md5BandIndex]]'s relation, co-located
+    * on exactly the gate join's keys. */
+  private[graft] def durableBandIndex(s: SparkSession, d: String): DataFrame =
+    ensure(s, d, "graft_band_idx", Seq("band", "band_key"), 16) {
+      Dedup.md5BandRows(s, d, 16)
+    }
+
+  /** q_dedup_index_persist — the save → load → verify round trip for
+    * the dedup tier's durable indexes: build/refresh both bucketed
+    * tables and emit one summary row PER INDEX computed FROM THE LOADED
+    * TABLES — row/doc/key counts and an order-independent overflow-free
+    * checksum (bit_xor of bounded modular terms, the q_index_persist
+    * scheme; the band row folds the engine-portable
+    * [[graft.functions.md5hash60]] of the band key in, so a single
+    * corrupted stored string changes the row). Oracle: DuckDB replays
+    * the gram windows and the md5-band chain and computes the same
+    * summary — equality means the persisted buckets carry exactly the
+    * index the session pins serve. */
+  def dedupIndexPersist(s: SparkSession, d: String): DataFrame = {
+    val g = durableGramIndex(s, d)
+    val b = durableBandIndex(s, d)
+    val gRow = g
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("h")).as("n_keys"),
+        expr("bit_xor((h % 1000003) * 1009 + (doc_id % 1009))").as("checksum"))
+      .select(lit("grams").as("index_name"), col("n_rows"), col("n_docs"),
+        col("n_keys"), col("checksum"))
+    val bRow = b
+      .select(col("doc_id"), col("band").cast("long").as("band"),
+        graft.functions.md5hash60(col("band_key")).as("kh"), col("band_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("band_key")).as("n_keys"),
+        expr("bit_xor((kh % 1000003) * 1009 + (doc_id % 1009) + band)").as("checksum"))
+      .select(lit("bands").as("index_name"), col("n_rows"), col("n_docs"),
+        col("n_keys"), col("checksum"))
+    gRow.unionByName(bRow).orderBy("index_name")
+  }
+}

@@ -180,7 +180,8 @@ object StreamingIndex {
     * salted (both knobs conf-overridable — the spec and stress
     * handles). All shapes emit identical rows. */
   private[graft] def neardupCandidatePairs(
-      s: SparkSession, probes: DataFrame, corpus: DataFrame, nDocs: Long): DataFrame = {
+      s: SparkSession, probes: DataFrame, corpus: DataFrame, nDocs: Long,
+      dir: String = ""): DataFrame = {
     val limit = s.conf.getOption("graft.neardup.broadcastMaxDocs")
       .map(_.toLong).getOrElse(NeardupBroadcastMaxDocs)
     val cond = col("s.band") === col("c.band") &&
@@ -191,7 +192,17 @@ object StreamingIndex {
     } else {
       val r = s.conf.getOption("graft.neardup.saltBuckets")
         .map(_.toInt).getOrElse(NeardupSaltBuckets)
-      if (r <= 1) probes.as("s").join(corpus.as("c"), cond)
+      // the durable-store regime (`graft.index.durable`): above the
+      // ceiling, probe the BUCKETED band table instead of the session
+      // pin — the scan is already clustered on the join keys, so the
+      // static side feeds the join with zero per-batch exchange (and
+      // the layout survives restart); the salt path keeps the pin
+      // (salting breaks bucket co-location by construction)
+      if (r <= 1 && dir.nonEmpty &&
+          s.conf.getOption("graft.index.durable").contains("true"))
+        probes.as("s")
+          .join(graft.operators.IndexStore.durableBandIndex(s, dir).as("c"), cond)
+      else if (r <= 1) probes.as("s").join(corpus.as("c"), cond)
       else {
         val salted = corpus
           .withColumn("salt", pmod(hash(col("doc_id")), lit(r)))
@@ -927,7 +938,7 @@ object StreamingIndex {
       val input = MemoryStream[DocEvent]
       val probes = Dedup.md5BandProbes(
         input.toDF().select(col("doc_id"), split(col("text"), " ").as("tk")), k)
-      val gated = neardupCandidatePairs(s, probes, corpus, docs.length.toLong)
+      val gated = neardupCandidatePairs(s, probes, corpus, docs.length.toLong, d)
         // +1 day: the initial watermark is epoch 0 and the late-row
         // filter drops rows AT the watermark, so a doc_id-0 arrival
         // stamped exactly at epoch 0 would silently vanish
@@ -964,7 +975,8 @@ object StreamingIndex {
     * cannot fake a duplicate; the batch tier's contract). Size-gated
     * like [[neardupCandidatePairs]]; all shapes emit identical rows. */
   private[graft] def substringCandidatePairs(
-      s: SparkSession, probes: DataFrame, corpus: DataFrame, nPostings: Long): DataFrame = {
+      s: SparkSession, probes: DataFrame, corpus: DataFrame, nPostings: Long,
+      dir: String = ""): DataFrame = {
     val limit = s.conf.getOption("graft.substring.broadcastMaxPostings")
       .map(_.toLong).getOrElse(SubstringBroadcastMaxPostings)
     val cond = col("s.h") === col("c.h") &&
@@ -987,6 +999,17 @@ object StreamingIndex {
     // correct price, not a regression.
     val joined =
       if (nPostings <= limit) probes.as("s").join(broadcast(corpus).as("c"), cond)
+      // the durable-store regime (`graft.index.durable`): the degraded
+      // path joins the BUCKETED gram table — HashPartitioning(h)
+      // satisfies the (h, gtext) clustering, so the posting side feeds
+      // the join with zero per-batch exchange; only the bounded probe
+      // side aligns (or broadcasts, planner's estimate). One write per
+      // corpus version replaces one posting-index shuffle per oversized
+      // batch — the round-12 carried perf item.
+      else if (dir.nonEmpty &&
+          s.conf.getOption("graft.index.durable").contains("true"))
+        probes.as("s")
+          .join(graft.operators.IndexStore.durableGramIndex(s, dir).as("c"), cond)
       else probes.as("s").join(corpus.as("c"), cond)
     joined.select(col("s.doc_id").as("doc_id"), col("c.doc_id").as("dup_id"))
   }
@@ -1026,7 +1049,7 @@ object StreamingIndex {
       val probes = graft.operators.Corpus.gramRows(
         input.toDF().select(col("doc_id"), split(col("text"), " ").as("tk")))
         .select(col("doc_id"), col("gtext"), col("h"))
-      val gated = substringCandidatePairs(s, probes, corpus, nPostings)
+      val gated = substringCandidatePairs(s, probes, corpus, nPostings, d)
         // +1 day: the initial watermark is epoch 0 and the late-row
         // filter drops rows AT the watermark (see sNeardupGate)
         .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
@@ -1166,12 +1189,12 @@ object StreamingIndex {
           graft.operators.Corpus.gramRows(
             arr.select(col("doc_id"), split(col("text"), " ").as("tk")))
             .select(col("doc_id"), col("gtext"), col("h")),
-          gramIdx, nPostings)
+          gramIdx, nPostings, d)
           .select(col("doc_id"), lit("substring").as("reason"))
         val near = neardupCandidatePairs(s,
           Dedup.md5BandProbes(
             arr.select(col("doc_id"), split(col("text"), " ").as("tk")), k),
-          bandIdx, nDocs)
+          bandIdx, nDocs, d)
           .select(col("doc_id"), lit("neardup").as("reason"))
         val fourLegs = quality.unionByName(exact)
           .unionByName(substr).unionByName(near)

@@ -677,4 +677,103 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(graft.streaming.StreamingIndex.stateOpNames.get("s_swap_inflight")
       == Set("stateStoreSave"))
   }
+
+  test("durable dedup indexes: build-once round trip; stale corpus displaces and rebuilds") {
+    val d = sf("sf0.001")
+    val rows = SparkEntry.queries("q_dedup_index_persist")(spark, d).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("bands", "grams"))
+    assert(rows.forall(_.getLong(1) > 0)) // n_rows
+    // build-once: a second call serves the stamped table, no rewrite
+    val builds0 = graft.operators.IndexStore.storeBuilds.get()
+    val again = SparkEntry.queries("q_dedup_index_persist")(spark, d).collect()
+    assert(graft.operators.IndexStore.storeBuilds.get() == builds0)
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+    // staleness: rewriting the corpus under the same dir changes the
+    // dirStamp fingerprint — the durable table must rebuild, not serve
+    // the previous corpus's postings
+    import spark.implicits._
+    val g8a = (0 until 8).map(i => s"da$i").mkString(" ")
+    val g8b = (0 until 8).map(i => s"db$i").mkString(" ")
+    def write(text: String, dir: String): Unit =
+      Seq((1L, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fx = java.nio.file.Files.createTempDirectory("graft_durable").toString
+    write(g8a, fx)
+    val v1 = graft.operators.IndexStore.durableGramIndex(spark, fx).collect()
+    assert(v1.length == 1 && v1.head.getString(1) == g8a)
+    val buildsA = graft.operators.IndexStore.storeBuilds.get()
+    write(g8b, fx)
+    val v2 = graft.operators.IndexStore.durableGramIndex(spark, fx).collect()
+    assert(graft.operators.IndexStore.storeBuilds.get() == buildsA + 1)
+    assert(v2.length == 1 && v2.head.getString(1) == g8b)
+  }
+
+  test("durable regime: the above-ceiling substring join reads co-located buckets with ZERO static-side exchange, same rows") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val d = sf("sf0.001")
+    graft.operators.IndexStore.durableGramIndex(spark, d) // pre-build
+    val corpusPin = graft.operators.Corpus.gramIndex(spark, d)
+    def probes = graft.operators.Corpus.gramRows(
+      graft.Tables.documents(spark, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk")))
+      .select(col("doc_id"), col("gtext"), col("h"))
+    // baseline: the under-ceiling broadcast plan's rows
+    val base = graft.streaming.StreamingIndex
+      .substringCandidatePairs(spark, probes, corpusPin, 1L, d)
+      .as[(Long, Long)].collect().sorted.toSeq
+    // the 100 TB degraded regime with the durable store on: force SMJ
+    // (no broadcast) and AQE off so the static physical tree is the
+    // one inspected — the bucketed posting scan must feed the join
+    // with NO exchange (the round-12 carried perf item: no per-batch
+    // posting-index shuffle)
+    spark.conf.set("graft.index.durable", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val durable = graft.streaming.StreamingIndex
+        .substringCandidatePairs(spark, probes, corpusPin, Long.MaxValue, d)
+      val plan = durable.queryExecution.executedPlan
+      val smj = plan.collectFirst { case j: SortMergeJoinExec => j }
+      assert(smj.isDefined, plan.toString)
+      val static = Seq(smj.get.left, smj.get.right).find(side =>
+        side.collectFirst {
+          case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table.startsWith("graft_gram_idx")) => f
+        }.isDefined)
+      assert(static.isDefined, plan.toString)
+      assert(static.get.collect { case e: Exchange => e }.isEmpty, plan.toString)
+      assert(static.get.toString.contains("Bucketed: true"), static.get.toString)
+      // the layout changes no emitted row
+      assert(durable.as[(Long, Long)].collect().sorted.toSeq == base)
+      assert(base.nonEmpty)
+      // the band tier's durable twin: same contract, rows preserved
+      val bandPin = graft.operators.Dedup.md5BandIndex(spark, d, 16)
+      def bandProbes = graft.operators.Dedup.md5BandProbes(
+        graft.Tables.documents(spark, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tk")), 16)
+      val bandBase = graft.streaming.StreamingIndex
+        .neardupCandidatePairs(spark, bandProbes, bandPin, 1L, d)
+        .as[(Long, Long)].collect().sorted.toSeq
+      val bandDurable = graft.streaming.StreamingIndex
+        .neardupCandidatePairs(spark, bandProbes, bandPin, Long.MaxValue, d)
+      val bandStatic = bandDurable.queryExecution.executedPlan.collectFirst {
+        case j: SortMergeJoinExec =>
+          Seq(j.left, j.right).find(side => side.collectFirst {
+            case f: FileSourceScanExec
+              if f.tableIdentifier.exists(_.table.startsWith("graft_band_idx")) => f
+          }.isDefined)
+      }.flatten
+      assert(bandStatic.isDefined, bandDurable.queryExecution.executedPlan.toString)
+      assert(bandStatic.get.collect { case e: Exchange => e }.isEmpty,
+        bandStatic.get.toString)
+      assert(bandDurable.as[(Long, Long)].collect().sorted.toSeq == bandBase)
+    } finally {
+      spark.conf.unset("graft.index.durable")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
 }
