@@ -177,6 +177,7 @@ object SparkEntry {
     "q_train_shuffle" -> (Corpus.trainShuffle _),
     "q_corpus_build" -> (Corpus.corpusBuild _),
     "q_corpus_increment" -> (Corpus.corpusIncrement _),
+    "q_corpus_apply" -> (Corpus.corpusApply _),
     "q_domain_stats" -> (TextAnalysis.domainStats _),
     "q_pmi_phrases" -> (Corpus.pmiPhrases _),
     "q_token_entropy" -> (Corpus.tokenEntropy _),
@@ -412,14 +413,14 @@ object SparkEntry {
   private def bpeChainCteOver(src: String): String = {
     def mergeRound(i: Int): String = {
       val prev = s"v${i - 1}"
-      s"""p$i AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      s"""p$i AS MATERIALIZED (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
         |         SELECT freq,
         |                unnest([syms[j] FOR j IN range(1, len(syms))]) AS l,
         |                unnest([syms[j + 1] FOR j IN range(1, len(syms))]) AS r
         |         FROM $prev WHERE len(syms) >= 2)
         |       GROUP BY l, r),
-        |b$i AS (SELECT l, r FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-        |v$i AS (SELECT w, freq,
+        |b$i AS MATERIALIZED (SELECT l, r FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |v$i AS MATERIALIZED (SELECT w, freq,
         |              CASE WHEN b.l IS NULL THEN syms ELSE
         |                list_reduce(list_prepend(CAST([] AS VARCHAR[]), [[s] FOR s IN syms]),
         |                  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
@@ -428,7 +429,7 @@ object SparkEntry {
         |              END AS syms
         |       FROM $prev LEFT JOIN b$i b ON true)""".stripMargin
     }
-    s"""v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
+    s"""v0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
       |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $src)
       |       WHERE len(w) >= 1 GROUP BY w),
       |${mergeRound(1)},
@@ -467,8 +468,8 @@ object SparkEntry {
     * over any `src` with (doc_id, lang, text), exposes
     * `${p}f`(doc_id, lang, text, n_tokens, z_fp). */
   private def zfpCteOver(src: String, p: String): String =
-    s"""${p}t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ts FROM $src),
-      |${p}f AS (SELECT doc_id, lang, text, CAST(len(ts) AS INT) AS n_tokens,
+    s"""${p}t AS MATERIALIZED (SELECT doc_id, lang, text, string_split(text, ' ') AS ts FROM $src),
+      |${p}f AS MATERIALIZED (SELECT doc_id, lang, text, CAST(len(ts) AS INT) AS n_tokens,
       |             -20000000 * CAST(len(ts) AS BIGINT)
       |               + 6 * CAST(len(ts) AS BIGINT)
       |                   * CAST(floor(ln(len(ts)) * 1000000 + 0.5) AS BIGINT)
@@ -497,82 +498,7 @@ object SparkEntry {
   private def corpusBuildSql: String = {
     val mod = "1152921504606846976"
     s"""WITH RECURSIVE
-      |${zfpCteOver("documents", "cb")},
-      |cbg AS (SELECT doc_id, lang, text FROM cbf WHERE z_fp >= 0),
-      |cbe AS (SELECT doc_id, lang, text FROM (
-      |          SELECT doc_id, lang, text,
-      |                 min(doc_id) OVER (PARTITION BY md5(text)) AS mn
-      |          FROM cbg) WHERE doc_id = mn),
-      |cbsh AS (SELECT DISTINCT doc_id,
-      |                unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-      |                        FOR i IN range(1, len(ts) - 1)]) AS shingle
-      |         FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM cbe)),
-      |cbcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM cbsh GROUP BY doc_id),
-      |cbint AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |                 CAST(count(*) AS BIGINT) AS n_common
-      |          FROM cbsh a JOIN cbsh b
-      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2),
-      |cbpr AS (SELECT doc_a, doc_b
-      |         FROM cbint JOIN cbcnt ca ON ca.doc_id = doc_a
-      |                    JOIN cbcnt cb2 ON cb2.doc_id = doc_b
-      |         WHERE CAST(n_common AS DOUBLE) / (ca.n + cb2.n - n_common) >= 0.5),
-      |cbed AS (SELECT doc_a AS a, doc_b AS b FROM cbpr
-      |         UNION ALL SELECT doc_b, doc_a FROM cbpr),
-      |cbreach(doc, lbl) AS (
-      |  SELECT a, a FROM cbed
-      |  UNION
-      |  SELECT e.a, r.lbl FROM cbed e JOIN cbreach r ON r.doc = e.b),
-      |cbcomp AS (SELECT doc AS doc_id, min(lbl) AS rep FROM cbreach GROUP BY doc),
-      |cbu AS (SELECT e.doc_id, e.lang, e.text FROM cbe e LEFT JOIN cbcomp c USING (doc_id)
-      |        WHERE c.rep IS NULL OR c.rep = e.doc_id),
-      |cbtk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM cbu),
-      |cbgr AS (SELECT doc_id, i - 1 AS pos,
-      |                array_to_string(ts[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
-      |         FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) - 6)]) AS i
-      |               FROM cbtk WHERE len(ts) >= 8)),
-      |cbgh AS (SELECT doc_id, pos, gtext, ${h60Sql("gtext")} AS h FROM cbgr),
-      |cbhot AS (SELECT h FROM cbgh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-      |cbcd AS (SELECT cbgh.doc_id, cbgh.pos, cbgh.gtext FROM cbgh JOIN cbhot USING (h)),
-      |cbdup AS (SELECT gtext, min(doc_id) AS first_doc FROM cbcd
-      |          GROUP BY gtext HAVING count(DISTINCT doc_id) >= 2),
-      |cbdr AS (SELECT c.doc_id, c.pos FROM cbcd c JOIN cbdup d USING (gtext)
-      |         WHERE c.doc_id <> d.first_doc),
-      |cbcv AS (SELECT DISTINCT doc_id, pos + j AS tpos FROM cbdr, range(0, 8) r(j)),
-      |cbtok AS (SELECT doc_id, i - 1 AS tpos, ts[CAST(i AS BIGINT)] AS tok
-      |          FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) + 1)]) AS i
-      |                FROM cbtk)),
-      |cbkept AS (SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.tpos) AS text
-      |           FROM cbtok t LEFT JOIN cbcv c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
-      |           WHERE c.tpos IS NULL GROUP BY t.doc_id),
-      |cbc AS (SELECT u.doc_id, u.lang, coalesce(k.text, '') AS text
-      |        FROM cbu u LEFT JOIN cbkept k USING (doc_id)),
-      |${bpeChainCteOver("cbc")},
-      |cbwd AS (SELECT doc_id, wpos, w FROM (
-      |  SELECT doc_id, i - 1 AS wpos, ws[CAST(i AS BIGINT)] AS w
-      |  FROM (SELECT doc_id, ws, unnest([i FOR i IN range(1, len(ws) + 1)]) AS i
-      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM cbc)))
-      |  WHERE len(w) >= 1),
-      |cbap AS (SELECT cbwd.doc_id, CAST(count(*) AS BIGINT) AS n_words,
-      |                CAST(sum(len(v3.syms)) AS BIGINT) AS n_tokens,
-      |                md5(array_to_string(flatten(list(v3.syms ORDER BY cbwd.wpos)), ' ')) AS bpe_md5
-      |         FROM cbwd JOIN v3 USING (w) GROUP BY cbwd.doc_id),
-      |cbly AS (SELECT doc_id, n_words, n_tokens, bpe_md5,
-      |                md5('sh#' || CAST(doc_id AS VARCHAR)) AS h FROM cbap),
-      |cbr AS (SELECT CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1)
-      |                 % ${graft.operators.Corpus.TsShards} AS INT) AS shard,
-      |               doc_id, n_tokens, bpe_md5, h
-      |        FROM cbly),
-      |cbr2 AS (SELECT shard, doc_id, n_tokens, bpe_md5,
-      |               CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos,
-      |               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
-      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_off
-      |         FROM cbr),
-      |cbp AS (SELECT cbr2.shard, cbr2.pos, cbr2.doc_id, cbr2.n_tokens,
-      |               (cbr2.start_off + cbr2.n_tokens - 1) // ${graft.operators.Corpus.BpePackBudget} AS last_bin,
-      |               ${h60Sql("CAST(cbr2.doc_id AS VARCHAR) || '@' || CAST(cbr2.pos AS VARCHAR)")} AS oh,
-      |               ${h60Sql("CAST(cbr2.doc_id AS VARCHAR) || '@' || CAST(cbr2.pos AS VARCHAR) || ':' || CAST(cbr2.start_off AS VARCHAR) || '#' || cbr2.bpe_md5 || '#' || md5(c.text)")} AS ch
-      |        FROM cbr2 JOIN cbc c USING (doc_id))
+      |${corpusChainCteOver("documents")}
       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
       |       CAST(max(last_bin) + 1 AS BIGINT) AS n_bins,
@@ -584,6 +510,217 @@ object SparkEntry {
       |       (SELECT CAST(count(*) AS BIGINT) FROM cbe) AS n_exact,
       |       (SELECT CAST(count(*) AS BIGINT) FROM cbu) AS n_unique
       |FROM cbp GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
+  /** The full corpus-build chain CTEs over an arbitrary (doc_id, lang,
+    * text) source — exposes cbc (cleaned survivors), b1..b3/v3 (the
+    * learned tokenizer), cbr2 (layout rows), and cbp (per-row summary
+    * terms). ONE definition shared by the q_corpus_build and
+    * q_corpus_apply oracles (the apply run learns its chain on the
+    * BASE split). */
+  private def corpusChainCteOver(src: String): String =
+    s"""${zfpCteOver(src, "cb")},
+      |cbg AS MATERIALIZED (SELECT doc_id, lang, text FROM cbf WHERE z_fp >= 0),
+      |cbe AS MATERIALIZED (SELECT doc_id, lang, text FROM (
+      |          SELECT doc_id, lang, text,
+      |                 min(doc_id) OVER (PARTITION BY md5(text)) AS mn
+      |          FROM cbg) WHERE doc_id = mn),
+      |cbsh AS MATERIALIZED (SELECT DISTINCT doc_id,
+      |                unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+      |                        FOR i IN range(1, len(ts) - 1)]) AS shingle
+      |         FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM cbe)),
+      |cbcnt AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM cbsh GROUP BY doc_id),
+      |cbint AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                 CAST(count(*) AS BIGINT) AS n_common
+      |          FROM cbsh a JOIN cbsh b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |cbpr AS MATERIALIZED (SELECT doc_a, doc_b
+      |         FROM cbint JOIN cbcnt ca ON ca.doc_id = doc_a
+      |                    JOIN cbcnt cb2 ON cb2.doc_id = doc_b
+      |         WHERE CAST(n_common AS DOUBLE) / (ca.n + cb2.n - n_common) >= 0.5),
+      |cbed AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM cbpr
+      |         UNION ALL SELECT doc_b, doc_a FROM cbpr),
+      |cbreach(doc, lbl) AS (
+      |  SELECT a, a FROM cbed
+      |  UNION
+      |  SELECT e.a, r.lbl FROM cbed e JOIN cbreach r ON r.doc = e.b),
+      |cbcomp AS MATERIALIZED (SELECT doc AS doc_id, min(lbl) AS rep FROM cbreach GROUP BY doc),
+      |cbu AS MATERIALIZED (SELECT e.doc_id, e.lang, e.text FROM cbe e LEFT JOIN cbcomp c USING (doc_id)
+      |        WHERE c.rep IS NULL OR c.rep = e.doc_id),
+      |cbtk AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ts FROM cbu),
+      |cbgr AS MATERIALIZED (SELECT doc_id, i - 1 AS pos,
+      |                array_to_string(ts[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+      |         FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) - 6)]) AS i
+      |               FROM cbtk WHERE len(ts) >= 8)),
+      |cbgh AS MATERIALIZED (SELECT doc_id, pos, gtext, ${h60Sql("gtext")} AS h FROM cbgr),
+      |cbhot AS MATERIALIZED (SELECT h FROM cbgh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |cbcd AS MATERIALIZED (SELECT cbgh.doc_id, cbgh.pos, cbgh.gtext FROM cbgh JOIN cbhot USING (h)),
+      |cbdup AS MATERIALIZED (SELECT gtext, min(doc_id) AS first_doc FROM cbcd
+      |          GROUP BY gtext HAVING count(DISTINCT doc_id) >= 2),
+      |cbdr AS MATERIALIZED (SELECT c.doc_id, c.pos FROM cbcd c JOIN cbdup d USING (gtext)
+      |         WHERE c.doc_id <> d.first_doc),
+      |cbcv AS MATERIALIZED (SELECT DISTINCT doc_id, pos + j AS tpos FROM cbdr, range(0, 8) r(j)),
+      |cbtok AS MATERIALIZED (SELECT doc_id, i - 1 AS tpos, ts[CAST(i AS BIGINT)] AS tok
+      |          FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) + 1)]) AS i
+      |                FROM cbtk)),
+      |cbkept AS MATERIALIZED (SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.tpos) AS text
+      |           FROM cbtok t LEFT JOIN cbcv c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+      |           WHERE c.tpos IS NULL GROUP BY t.doc_id),
+      |cbc AS MATERIALIZED (SELECT u.doc_id, u.lang, coalesce(k.text, '') AS text
+      |        FROM cbu u LEFT JOIN cbkept k USING (doc_id)),
+      |${bpeChainCteOver("cbc")},
+      |cbwd AS MATERIALIZED (SELECT doc_id, wpos, w FROM (
+      |  SELECT doc_id, i - 1 AS wpos, ws[CAST(i AS BIGINT)] AS w
+      |  FROM (SELECT doc_id, ws, unnest([i FOR i IN range(1, len(ws) + 1)]) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM cbc)))
+      |  WHERE len(w) >= 1),
+      |cbap AS MATERIALIZED (SELECT cbwd.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |                CAST(sum(len(v3.syms)) AS BIGINT) AS n_tokens,
+      |                md5(array_to_string(flatten(list(v3.syms ORDER BY cbwd.wpos)), ' ')) AS bpe_md5
+      |         FROM cbwd JOIN v3 USING (w) GROUP BY cbwd.doc_id),
+      |cbly AS MATERIALIZED (SELECT doc_id, n_words, n_tokens, bpe_md5,
+      |                md5('sh#' || CAST(doc_id AS VARCHAR)) AS h FROM cbap),
+      |cbr AS MATERIALIZED (SELECT CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1)
+      |                 % ${graft.operators.Corpus.TsShards} AS INT) AS shard,
+      |               doc_id, n_tokens, bpe_md5, h
+      |        FROM cbly),
+      |cbr2 AS MATERIALIZED (SELECT shard, doc_id, n_tokens, bpe_md5,
+      |               CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos,
+      |               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_off
+      |         FROM cbr),
+      |cbp AS MATERIALIZED (SELECT cbr2.shard, cbr2.pos, cbr2.doc_id, cbr2.n_tokens,
+      |               (cbr2.start_off + cbr2.n_tokens - 1) // ${graft.operators.Corpus.BpePackBudget} AS last_bin,
+      |               ${h60Sql("CAST(cbr2.doc_id AS VARCHAR) || '@' || CAST(cbr2.pos AS VARCHAR)")} AS oh,
+      |               ${h60Sql("CAST(cbr2.doc_id AS VARCHAR) || '@' || CAST(cbr2.pos AS VARCHAR) || ':' || CAST(cbr2.start_off AS VARCHAR) || '#' || cbr2.bpe_md5 || '#' || md5(c.text)")} AS ch
+      |        FROM cbr2 JOIN cbc c USING (doc_id))""".stripMargin
+
+  /** The incremental-admission verdict CTEs (q_corpus_increment oracle;
+    * the q_corpus_apply oracle reuses them verbatim so the reported
+    * verdicts and the applied merge replay the same rule). Exposes
+    * del(doc_id, lang, text, z_fp) and v(doc_id, reason). */
+  private def incrementCtes: String =
+    s"""${zfpCteOver("documents", "cx")},
+      |del AS MATERIALIZED (SELECT doc_id, lang, text, z_fp FROM cxf
+      |        WHERE md5(CAST(doc_id AS VARCHAR))[1:1] = 'f'),
+      |bas AS MATERIALIZED (SELECT doc_id, text FROM cxf
+      |        WHERE md5(CAST(doc_id AS VARCHAR))[1:1] <> 'f'),
+      |dh AS MATERIALIZED (SELECT doc_id, z_fp, md5(text) AS h,
+      |              min(doc_id) OVER (PARTITION BY md5(text)) AS mn FROM del),
+      |bh AS MATERIALIZED (SELECT DISTINCT md5(text) AS h FROM bas),
+      |shd AS MATERIALIZED (SELECT DISTINCT doc_id,
+      |               unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+      |                       FOR i IN range(1, len(ts) - 1)]) AS shingle
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM del)),
+      |shb AS MATERIALIZED (SELECT DISTINCT doc_id,
+      |               unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+      |                       FOR i IN range(1, len(ts) - 1)]) AS shingle
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM bas)),
+      |cd AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS na FROM shd GROUP BY 1),
+      |cb AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb FROM shb GROUP BY 1),
+      |ix AS MATERIALIZED (SELECT a.doc_id AS doc_id, b.doc_id AS bid,
+      |              CAST(count(*) AS BIGINT) AS n_common
+      |       FROM shd a JOIN shb b ON a.shingle = b.shingle GROUP BY 1, 2),
+      |nbx AS MATERIALIZED (SELECT DISTINCT ix.doc_id
+      |        FROM ix JOIN cd ON cd.doc_id = ix.doc_id
+      |                JOIN cb ON cb.doc_id = ix.bid
+      |        WHERE CAST(n_common AS DOUBLE) / (cd.na + cb.nb - n_common) >= 0.5),
+      |ixd AS MATERIALIZED (SELECT a.doc_id AS doc_id, b.doc_id AS bid2,
+      |              CAST(count(*) AS BIGINT) AS n_common
+      |       FROM shd a JOIN shd b
+      |         ON a.shingle = b.shingle AND a.doc_id > b.doc_id GROUP BY 1, 2),
+      |nbd AS MATERIALIZED (SELECT DISTINCT ixd.doc_id
+      |        FROM ixd JOIN cd ON cd.doc_id = ixd.doc_id
+      |                 JOIN cd cd2 ON cd2.doc_id = ixd.bid2
+      |        WHERE CAST(n_common AS DOUBLE) / (cd.na + cd2.na - n_common) >= 0.5),
+      |v AS MATERIALIZED (SELECT dh.doc_id,
+      |             CASE WHEN dh.z_fp < 0 THEN 'quality'
+      |                  WHEN bh.h IS NOT NULL THEN 'exact_base'
+      |                  WHEN dh.doc_id <> dh.mn THEN 'exact_delta'
+      |                  WHEN nbx.doc_id IS NOT NULL THEN 'neardup'
+      |                  WHEN nbd.doc_id IS NOT NULL THEN 'neardup_delta'
+      |                  ELSE 'ok' END AS reason
+      |      FROM dh LEFT JOIN bh ON dh.h = bh.h
+      |              LEFT JOIN nbx ON nbx.doc_id = dh.doc_id
+      |              LEFT JOIN nbd ON nbd.doc_id = dh.doc_id)""".stripMargin
+
+  /** One frozen-rule application round (the q_corpus_apply oracle's
+    * delta-side rewrite): rewrite `prev`'s syms with the base chain's
+    * round winner `b` — the SAME list_reduce fold the induction rounds
+    * use, but over an already-learned rule. */
+  private def applyRuleSql(prev: String, out: String, b: String): String =
+    s"""$out AS MATERIALIZED (SELECT w, freq,
+      |       CASE WHEN b.l IS NULL THEN syms ELSE
+      |         list_reduce(list_prepend(CAST([] AS VARCHAR[]), [[s] FOR s IN syms]),
+      |           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
+      |                       THEN acc[1:len(acc) - 1] || [acc[-1] || x[1]]
+      |                       ELSE acc || x END)
+      |       END AS syms
+      |FROM $prev LEFT JOIN $b b ON true)""".stripMargin
+
+  /** q_corpus_apply oracle — base chain over the non-'f' split, the
+    * shared admission verdicts, the frozen 3-round application to the
+    * delta's own vocabulary, the appended per-shard layout, and the
+    * merged summary. */
+  private def corpusApplySql: String = {
+    val mod = "1152921504606846976"
+    val budget = graft.operators.Corpus.BpePackBudget
+    val shards = graft.operators.Corpus.TsShards
+    s"""WITH RECURSIVE
+      |absrc AS MATERIALIZED (SELECT doc_id, lang, text FROM documents
+      |          WHERE md5(CAST(doc_id AS VARCHAR))[1:1] <> 'f'),
+      |${corpusChainCteOver("absrc")},
+      |$incrementCtes,
+      |adm AS MATERIALIZED (SELECT del.doc_id, del.lang, del.text FROM del JOIN v USING (doc_id)
+      |        WHERE v.reason = 'ok'),
+      |dv0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
+      |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM adm)
+      |        WHERE len(w) >= 1 GROUP BY w),
+      |${applyRuleSql("dv0", "dv1", "b1")},
+      |${applyRuleSql("dv1", "dv2", "b2")},
+      |${applyRuleSql("dv2", "dv3", "b3")},
+      |dwd AS MATERIALIZED (SELECT doc_id, wpos, w FROM (
+      |  SELECT doc_id, i - 1 AS wpos, ws[CAST(i AS BIGINT)] AS w
+      |  FROM (SELECT doc_id, ws, unnest([i FOR i IN range(1, len(ws) + 1)]) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM adm)))
+      |  WHERE len(w) >= 1),
+      |dap AS MATERIALIZED (SELECT dwd.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |               CAST(sum(len(dv3.syms)) AS BIGINT) AS n_tokens,
+      |               md5(array_to_string(flatten(list(dv3.syms ORDER BY dwd.wpos)), ' ')) AS bpe_md5
+      |        FROM dwd JOIN dv3 USING (w) GROUP BY dwd.doc_id),
+      |dly AS MATERIALIZED (SELECT doc_id, n_tokens, bpe_md5,
+      |               md5('sh#' || CAST(doc_id AS VARCHAR)) AS h FROM dap),
+      |dsr AS MATERIALIZED (SELECT CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1)
+      |                 % $shards AS INT) AS shard, doc_id, n_tokens, bpe_md5, h
+      |        FROM dly),
+      |bsh AS MATERIALIZED (SELECT shard, CAST(count(*) AS BIGINT) AS bc2,
+      |               CAST(sum(n_tokens) AS BIGINT) AS bt2
+      |        FROM cbr2 GROUP BY shard),
+      |dr2 AS MATERIALIZED (SELECT dsr.shard, dsr.doc_id, dsr.n_tokens, dsr.bpe_md5,
+      |               coalesce(bsh.bc2, 0) +
+      |                 CAST(row_number() OVER (PARTITION BY dsr.shard ORDER BY dsr.h, dsr.doc_id) AS BIGINT) AS pos,
+      |               coalesce(bsh.bt2, 0) +
+      |                 CAST(sum(dsr.n_tokens) OVER (PARTITION BY dsr.shard ORDER BY dsr.h, dsr.doc_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - dsr.n_tokens AS BIGINT) AS start_off
+      |        FROM dsr LEFT JOIN bsh USING (shard)),
+      |dp AS MATERIALIZED (SELECT dr2.shard, dr2.pos, dr2.doc_id, dr2.n_tokens,
+      |              (dr2.start_off + dr2.n_tokens - 1) // $budget AS last_bin,
+      |              ${h60Sql("CAST(dr2.doc_id AS VARCHAR) || '@' || CAST(dr2.pos AS VARCHAR)")} AS oh,
+      |              ${h60Sql("CAST(dr2.doc_id AS VARCHAR) || '@' || CAST(dr2.pos AS VARCHAR) || ':' || CAST(dr2.start_off AS VARCHAR) || '#' || dr2.bpe_md5 || '#' || md5(a.text)")} AS ch
+      |       FROM dr2 JOIN adm a USING (doc_id)),
+      |allp AS MATERIALIZED (SELECT shard, pos, doc_id, n_tokens, last_bin, oh, ch, 0 AS run FROM cbp
+      |         UNION ALL
+      |         SELECT shard, pos, doc_id, n_tokens, last_bin, oh, ch, 1 FROM dp)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(max(last_bin) + 1 AS BIGINT) AS n_bins,
+      |       min_by(doc_id, pos) AS first_doc, max_by(doc_id, pos) AS last_doc,
+      |       CAST(sum(oh) % $mod AS BIGINT) AS order_checksum60,
+      |       CAST(sum(ch) % $mod AS BIGINT) AS content_checksum60,
+      |       CAST(count(CASE WHEN run = 0 THEN 1 END) AS BIGINT) AS n_base,
+      |       CAST(count(CASE WHEN run = 1 THEN 1 END) AS BIGINT) AS n_added
+      |FROM allp GROUP BY shard ORDER BY shard""".stripMargin
   }
 
   /** The WordPiece induction CTE chain (q_wordpiece_merges oracle):
@@ -1989,41 +2126,10 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN grp >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
         |       round(CAST(sum(CASE WHEN grp >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_rate
         |FROM g GROUP BY source ORDER BY source""".stripMargin),
-    "q_corpus_increment" -> (s"WITH ${zfpCteOver("documents", "cx")},\n" +
-      """del AS (SELECT doc_id, text, z_fp FROM cxf
-        |        WHERE md5(CAST(doc_id AS VARCHAR))[1:1] = 'f'),
-        |bas AS (SELECT doc_id, text FROM cxf
-        |        WHERE md5(CAST(doc_id AS VARCHAR))[1:1] <> 'f'),
-        |dh AS (SELECT doc_id, z_fp, md5(text) AS h,
-        |              min(doc_id) OVER (PARTITION BY md5(text)) AS mn FROM del),
-        |bh AS (SELECT DISTINCT md5(text) AS h FROM bas),
-        |shd AS (SELECT DISTINCT doc_id,
-        |               unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-        |                       FOR i IN range(1, len(ts) - 1)]) AS shingle
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM del)),
-        |shb AS (SELECT DISTINCT doc_id,
-        |               unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-        |                       FOR i IN range(1, len(ts) - 1)]) AS shingle
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM bas)),
-        |cd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS na FROM shd GROUP BY 1),
-        |cb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb FROM shb GROUP BY 1),
-        |ix AS (SELECT a.doc_id AS doc_id, b.doc_id AS bid,
-        |              CAST(count(*) AS BIGINT) AS n_common
-        |       FROM shd a JOIN shb b ON a.shingle = b.shingle GROUP BY 1, 2),
-        |nbx AS (SELECT DISTINCT ix.doc_id
-        |        FROM ix JOIN cd ON cd.doc_id = ix.doc_id
-        |                JOIN cb ON cb.doc_id = ix.bid
-        |        WHERE CAST(n_common AS DOUBLE) / (cd.na + cb.nb - n_common) >= 0.5),
-        |v AS (SELECT dh.doc_id,
-        |             CASE WHEN dh.z_fp < 0 THEN 'quality'
-        |                  WHEN bh.h IS NOT NULL THEN 'exact_base'
-        |                  WHEN dh.doc_id <> dh.mn THEN 'exact_delta'
-        |                  WHEN nbx.doc_id IS NOT NULL THEN 'neardup'
-        |                  ELSE 'ok' END AS reason
-        |      FROM dh LEFT JOIN bh ON dh.h = bh.h
-        |              LEFT JOIN nbx ON nbx.doc_id = dh.doc_id)
-        |SELECT doc_id, (reason = 'ok') AS admitted, reason
+    "q_corpus_increment" -> (s"WITH $incrementCtes\n" +
+      """SELECT doc_id, (reason = 'ok') AS admitted, reason
         |FROM v ORDER BY doc_id""".stripMargin),
+    "q_corpus_apply" -> corpusApplySql,
     "q_corpus_funnel" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_total,
         |       CAST(count(CASE WHEN n_chars >= 100 THEN 1 END) AS BIGINT) AS n_minlen,

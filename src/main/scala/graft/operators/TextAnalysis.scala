@@ -291,4 +291,59 @@ object TextAnalysis {
         min(col("doc_id")).as("first_doc_id"),
         countDistinct(md5(col("text").cast("binary"))).as("n_raw_variants"))
       .orderBy("norm_hash")
+
+  /** Head size for [[zipfFit]]'s regression — the standard practice of
+    * fitting the DISTRIBUTION HEAD (the tail of a natural-language
+    * rank/frequency curve flattens into hapax noise that swamps the
+    * slope; the head is where Zipf's law is diagnostic). */
+  private val ZipfFitK = 1000
+
+  /** q_zipf_fit — the Zipf-law diagnostic over the corpus vocabulary:
+    * the least-squares slope of ln(freq) on ln(rank) across the
+    * top-[[ZipfFitK]] words (natural text sits near −1; a corpus whose
+    * slope drifts toward 0 is template/boilerplate-heavy, toward −2 is
+    * degenerate repetition — the corpus-health alarm beside
+    * q_repetition_stats, at CORPUS grain instead of per-doc).
+    *
+    * Numerics (cross-engine exact): ranks come from one deterministic
+    * top-K (freq DESC, word ASC — the VocabK idiom: the vocabulary agg
+    * shuffles once, the K-row head is driver-bounded at any corpus
+    * size, and no global sort of the full vocabulary happens); x =
+    * ln(rank) and y = ln(freq) snap to the 1e-6 long grid (libm-to-libm
+    * at these magnitudes, the docPerplexity argument); all five
+    * regression sums fold as DECIMAL(38,0) over exact longs (a double
+    * Σxy would be partition-order-dependent); slope/intercept/r² are
+    * computed by ONE identical IEEE expression over the exact sums in
+    * both engines and rounded at the edge. */
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val head = counts
+      .orderBy(col("c").desc, col("w").asc).limit(ZipfFitK)
+      .select(col("c"),
+        row_number().over(Window.orderBy(col("c").desc, col("w").asc))
+          .cast("long").as("rank"))
+    head
+      .select(col("c"),
+        expr("CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)").as("x"),
+        expr("CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("n_fit"),
+        expr("sum(CAST(x AS DECIMAL(38,0)))").as("sx"),
+        expr("sum(CAST(y AS DECIMAL(38,0)))").as("sy"),
+        expr("sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))").as("sxy"),
+        expr("sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))").as("sxx"),
+        expr("sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))").as("syy"))
+      .select(col("n_fit"),
+        expr("""round(CAST(n_fit * sxy - sx * sy AS DOUBLE) /
+                      CAST(n_fit * sxx - sx * sx AS DOUBLE), 6)""").as("slope"),
+        expr("""round((CAST(sy AS DOUBLE) - CAST(n_fit * sxy - sx * sy AS DOUBLE) /
+                      CAST(n_fit * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / CAST(n_fit AS DOUBLE) / 1000000.0, 6)""").as("intercept"),
+        expr("""round(CAST(n_fit * sxy - sx * sy AS DOUBLE) /
+                      CAST(n_fit * sxx - sx * sx AS DOUBLE) *
+                      (CAST(n_fit * sxy - sx * sy AS DOUBLE) /
+                      CAST(n_fit * syy - sy * sy AS DOUBLE)), 6)""").as("r2"))
+  }
 }

@@ -667,8 +667,8 @@ class CorpusSpec extends SparkSpec {
         .map("%02x".format(_)).mkString.substring(0, 1)
     }
     val deltaIds = (0L to 400L).filter(bucket(_) == "f").toIndexedSeq
-    assert(deltaIds.size >= 6, s"need 6 delta ids, got ${deltaIds.size}")
-    val Seq(a, b, c1, c2, dd, f) = deltaIds.take(6)
+    assert(deltaIds.size >= 8, s"need 8 delta ids, got ${deltaIds.size}")
+    val Seq(a, b, c1, c2, dd, f, g1, g2) = deltaIds.take(8)
     val baseG = 1L // md5("1") = c4..., base
     val baseE = 2L // md5("2") = c8..., base
     assert(bucket(baseG) != "f" && bucket(baseE) != "f")
@@ -685,8 +685,13 @@ class CorpusSpec extends SparkSpec {
       (c1, dist30("c"), "en", "s", 1L),         // first arrival → ok
       (c2, dist30("c"), "en", "s", 1L),         // its twin → exact_delta
       (dd, pass5 + " q1 q2 q4", "en", "s", 1L), // J=5/7 vs baseE → neardup
-      (f, dist30("z"), "en", "s", 1L))          // clean → ok
-    assert(c1 < c2) // keep-first needs the ids ordered as named
+      (f, dist30("z"), "en", "s", 1L),          // clean → ok
+      (g1, dist30("y"), "en", "s", 1L),         // first arrival → ok
+      // near-but-not-identical twin of g1 IN THE SAME BATCH (one token
+      // appended: J = 28/29, md5 differs) — the round-12 advice gap:
+      // every earlier tier passes it; neardup_delta keep-first flags it
+      (g2, dist30("y") + " yx", "en", "s", 1L)) // → neardup_delta
+    assert(c1 < c2 && g1 < g2) // keep-first needs the ids ordered as named
     val got = Corpus.corpusIncrement(spark, d).collect()
       .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
     assert(got == Map(
@@ -695,7 +700,9 @@ class CorpusSpec extends SparkSpec {
       c1 -> ((true, "ok")),
       c2 -> ((false, "exact_delta")),
       dd -> ((false, "neardup")),
-      f -> ((true, "ok"))), got)
+      f -> ((true, "ok")),
+      g1 -> ((true, "ok")),
+      g2 -> ((false, "neardup_delta"))), got)
   }
 
   test("Pins: displacement parks under an active streaming query; frees after it stops") {
@@ -864,6 +871,92 @@ class CorpusSpec extends SparkSpec {
     }
     val gotOrder = rows.map(x => x.getInt(0) -> x.getLong(6)).toMap
     assert(gotOrder == wantOrder)
+  }
+
+  test("corpus_apply: base bytes untouched, admitted row appended with continued offsets, frozen rules tokenize NOVEL words") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def nib(id: Long): Char = md5hex(id.toString).head
+    // ids routed by the deterministic md5 split: 2 base, 5 delta
+    val fIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').take(5).toSeq.sorted
+    val bIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) != 'f').take(2).toSeq
+    val Seq(f1, f2, f3, f4, f5) = fIds
+    val y = (0 until 30).map(i => s"w$i").mkString(" ")
+    val m = (0 until 30).map(i => s"b$i").mkString(" ")
+    // D2: 10 NOVEL words (absent from the base vocabulary) + 20 base
+    // words in reversed order (shared vocab, no shared 3-shingle)
+    val d2 = ((0 until 10).map(i => s"nv$i") ++
+      (29 to 10 by -1).map(i => s"b$i")).mkString(" ")
+    val d = docsDir(
+      (bIds(0), y, "en", "s", 1L),
+      (bIds(1), m, "en", "s", 1L),
+      (f1, y, "en", "s", 1L),               // exact_base
+      (f2, d2, "en", "s", 1L),              // ok — the one admitted
+      (f3, d2, "en", "s", 1L),              // exact_delta (keep-first)
+      (f4, m + " zz", "en", "s", 1L),       // neardup (J = 28/29)
+      (f5, "x x x x x", "en", "s", 1L))     // quality
+    val verdicts = operators.Corpus.corpusIncrement(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(verdicts == Map(f1 -> "exact_base", f2 -> "ok",
+      f3 -> "exact_delta", f4 -> "neardup", f5 -> "quality"))
+    // build the base product first, snapshot its bytes
+    val root = operators.Corpus.ensureBaseProduct(spark, d)
+    def snapshot(): Seq[(String, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root, "corpus.parquet")
+      java.nio.file.Files.walk(p).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => (f.toString, java.nio.file.Files.size(f),
+          java.nio.file.Files.getLastModifiedTime(f).toMillis)).toSeq.sortBy(_._1)
+    }
+    val before = snapshot()
+    val rows = operators.Corpus.corpusApply(spark, d).collect()
+    // merge-on-read: the base product's files are byte-for-byte the
+    // ones written before the apply — nothing rewritten
+    assert(snapshot() == before)
+    assert(rows.map(_.getLong(9)).sum == 1L)  // n_added: only D2
+    assert(rows.map(_.getLong(8)).sum == 2L)  // n_base: y and m survive
+    // the admitted row: frozen-rule tokenization recomputed with an
+    // independent plain-Scala fold over the persisted merges — novel
+    // nv* words MUST tokenize (a stored-word-map lookup would drop
+    // them); offsets continue from the base shard's totals
+    val rules = spark.read.parquet(s"$root/merges.parquet")
+      .orderBy("round").collect().map(r => (r.getString(1), r.getString(2)))
+    def applyRules(w: String): List[String] =
+      rules.foldLeft(w.split("").toList) { case (syms, (l, r)) =>
+        syms.foldLeft(List.empty[String])((acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (acc.last + x)
+          else acc :+ x)
+      }
+    val expToks = d2.split(" ").toList.flatMap(applyRules)
+    val drow = spark.read.parquet(s"$root/delta.parquet")
+      .selectExpr("doc_id", "n_words", "n_tokens", "bpe_md5", "pos",
+        "start_off", "CAST(shard AS INT) AS shard").collect()
+    assert(drow.length == 1)
+    assert(drow.head.getLong(0) == f2)
+    assert(drow.head.getLong(1) == 30L) // all 30 words, novel included
+    assert(drow.head.getLong(2) == expToks.size.toLong)
+    assert(drow.head.getString(3) == md5hex(expToks.mkString(" ")))
+    val dShard = drow.head.getInt(6)
+    val baseRows = spark.read.parquet(s"$root/corpus.parquet")
+      .selectExpr("CAST(shard AS INT) AS shard", "pos", "n_tokens", "start_off")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val inShard = baseRows.filter(_._1 == dShard).sortBy(_._2)
+    assert(drow.head.getLong(4) == inShard.length + 1L) // appended AFTER base
+    assert(drow.head.getLong(5) == inShard.map(_._3).sum) // offsets continue
+    // seam invariant across the WHOLE merged product: per shard,
+    // positions contiguous from 1 and start_off = running token sum —
+    // the layout a one-shot rebuild over base∪admitted (run-ordered)
+    // produces; the sf oracle hash-match replays the same equivalence
+    val merged = baseRows ++ drow.map(r =>
+      (r.getInt(6), r.getLong(4), r.getLong(2), r.getLong(5)))
+    merged.groupBy(_._1).foreach { case (_, xs) =>
+      val inOrder = xs.sortBy(_._2)
+      assert(inOrder.map(_._2).toSeq == (1L to inOrder.length).toSeq)
+      val wantOffs = inOrder.map(_._3).scanLeft(0L)(_ + _).init.toSeq
+      assert(inOrder.map(_._4).toSeq == wantOffs)
+    }
   }
 
   test("train_shuffle: matches the driver shuffle-layout reference; checksum is order-SENSITIVE") {

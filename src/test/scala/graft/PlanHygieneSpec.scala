@@ -426,13 +426,16 @@ class PlanHygieneSpec extends SparkSpec {
   test("q_corpus_increment: no cartesian, no forced broadcast of the base side") {
     val p = plan("q_corpus_increment")
     assert(!p.contains("CartesianProduct"), p)
-    // the only EXPLICIT broadcast hint is the delta-sized shingle-count
-    // table; base-side relations are estimate-driven (they broadcast at
-    // fixture scale, shard at 100 TB). Assert the logical plan carries
-    // exactly one ResolvedHint (the cntD broadcast).
+    // the only EXPLICIT broadcast hints are DELTA-sized shingle-count
+    // tables (cntD for the base probe, cntD twice for the r13
+    // within-batch self-join's two sides); base-side relations are
+    // estimate-driven (they broadcast at fixture scale, shard at
+    // 100 TB). Assert the logical plan carries exactly those three
+    // ResolvedHints and that the base-side count relation (cntB) is
+    // NOT hinted — its rows come from the corpus split.
     val logical = SparkEntry.queries("q_corpus_increment")(spark, sf("sf0.001"))
       .queryExecution.analyzed.toString()
-    assert("ResolvedHint".r.findAllIn(logical).size == 1, logical)
+    assert("ResolvedHint".r.findAllIn(logical).size == 3, logical)
   }
 
   test("neardup above-ceiling: the executed plan broadcasts the PROBE side (BuildLeft), never key-partitions") {
