@@ -131,6 +131,7 @@ object SparkEntry {
     "q_range_join_custom" -> (graft.operators.Analytics.rangeJoinCustom _),
     // LLM-pipeline extensions (SURVEY.md §7.1.5): text analysis
     "q_text_stats" -> (TextAnalysis.textStats _),
+    "q_zipf_fit" -> (TextAnalysis.zipfFit _),
     "q_token_count" -> (TextAnalysis.tokenCount _),
     "q_lang_id" -> (TextAnalysis.langId _),
     "q_quality_score" -> (TextAnalysis.qualityScore _),
@@ -178,6 +179,7 @@ object SparkEntry {
     "q_corpus_build" -> (Corpus.corpusBuild _),
     "q_corpus_increment" -> (Corpus.corpusIncrement _),
     "q_corpus_apply" -> (Corpus.corpusApply _),
+    "q_tokenizer_drift" -> (Corpus.tokenizerDrift _),
     "q_domain_stats" -> (TextAnalysis.domainStats _),
     "q_pmi_phrases" -> (Corpus.pmiPhrases _),
     "q_token_entropy" -> (Corpus.tokenEntropy _),
@@ -232,6 +234,7 @@ object SparkEntry {
     "q_ivfsq_recall" -> (Similarity.ivfSqRecall _),
     "q_ivf_cell_stats" -> (Similarity.ivfCellStats _),
     "q_index_persist" -> (Similarity.indexPersist _),
+    "q_embed_stats" -> (Similarity.embedStats _),
     "q_index_refresh" -> (Similarity.indexRefresh _),
     "q_pq_recall" -> (ProductQuant.pqRecall _),
     "q_ivfpq_recall" -> (ProductQuant.ivfPqRecall _),
@@ -244,6 +247,7 @@ object SparkEntry {
     "q_media_frames" -> (Multimodal.mediaFrames _),
     "q_media_features" -> (Multimodal.mediaFeatures _),
     "q_media_histdup" -> (Multimodal.mediaHistDup _),
+    "q_media_dedup" -> (Multimodal.mediaDedup _),
     // reshaping + subqueries + extended scalar catalogs
     "q_pivot" -> (graft.operators.Reshape.pivot _),
     "q_unpivot" -> (graft.operators.Reshape.unpivot _),
@@ -295,6 +299,7 @@ object SparkEntry {
     "s_corpus_ingest" -> (graft.streaming.StreamingIndex.sCorpusIngest _),
     "s_arrival_dedup" -> (graft.streaming.ArrivalDedup.sArrivalDedup _),
     "s_lm_drift" -> (graft.streaming.LmDrift.sLmDrift _),
+    "s_domain_stats" -> (graft.streaming.DomainHealth.sDomainStats _),
     "s_bq_serve" -> (graft.streaming.StreamingIndex.sBqServe _),
     "s_ann_serve" -> (graft.streaming.StreamingIndex.sAnnServe _),
     "s_filtered_serve" -> (graft.streaming.StreamingIndex.sFilteredServe _),
@@ -410,26 +415,26 @@ object SparkEntry {
     * with a `text` column) — the corpus-build oracle learns the SAME
     * 3-round chain on its cleaned survivors, so the induction replay
     * has exactly one definition. */
-  private def bpeChainCteOver(src: String): String = {
+  private def bpeChainCteOver(src: String, cp: String = ""): String = {
     def mergeRound(i: Int): String = {
-      val prev = s"v${i - 1}"
-      s"""p$i AS MATERIALIZED (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      val prev = s"${cp}v${i - 1}"
+      s"""${cp}p$i AS MATERIALIZED (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
         |         SELECT freq,
         |                unnest([syms[j] FOR j IN range(1, len(syms))]) AS l,
         |                unnest([syms[j + 1] FOR j IN range(1, len(syms))]) AS r
         |         FROM $prev WHERE len(syms) >= 2)
         |       GROUP BY l, r),
-        |b$i AS MATERIALIZED (SELECT l, r FROM p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-        |v$i AS MATERIALIZED (SELECT w, freq,
+        |${cp}b$i AS MATERIALIZED (SELECT l, r FROM ${cp}p$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |${cp}v$i AS MATERIALIZED (SELECT w, freq,
         |              CASE WHEN b.l IS NULL THEN syms ELSE
         |                list_reduce(list_prepend(CAST([] AS VARCHAR[]), [[s] FOR s IN syms]),
         |                  (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
         |                              THEN acc[1:len(acc) - 1] || [acc[-1] || x[1]]
         |                              ELSE acc || x END)
         |              END AS syms
-        |       FROM $prev LEFT JOIN b$i b ON true)""".stripMargin
+        |       FROM $prev LEFT JOIN ${cp}b$i b ON true)""".stripMargin
     }
-    s"""v0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
+    s"""${cp}v0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
       |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $src)
       |       WHERE len(w) >= 1 GROUP BY w),
       |${mergeRound(1)},
@@ -722,6 +727,49 @@ object SparkEntry {
       |       CAST(count(CASE WHEN run = 1 THEN 1 END) AS BIGINT) AS n_added
       |FROM allp GROUP BY shard ORDER BY shard""".stripMargin
   }
+
+  /** q_tokenizer_drift oracle — the base chain + admission + frozen
+    * application shared with the apply oracle, plus a PREFIX-
+    * instantiated fresh chain (`fz`) learned on cleaned-base ∪
+    * admitted, compared per admitted word. */
+  private def tokenizerDriftSql: String =
+    s"""WITH RECURSIVE
+      |absrc AS (SELECT doc_id, lang, text FROM documents
+      |          WHERE md5(CAST(doc_id AS VARCHAR))[1:1] <> 'f'),
+      |${corpusChainCteOver("absrc")},
+      |$incrementCtes,
+      |adm AS MATERIALIZED (SELECT del.doc_id, del.lang, del.text FROM del JOIN v USING (doc_id)
+      |        WHERE v.reason = 'ok'),
+      |dv0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
+      |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM adm)
+      |        WHERE len(w) >= 1 GROUP BY w),
+      |${applyRuleSql("dv0", "dv1", "b1")},
+      |${applyRuleSql("dv1", "dv2", "b2")},
+      |${applyRuleSql("dv2", "dv3", "b3")},
+      |uni AS MATERIALIZED (SELECT text FROM cbc UNION ALL SELECT text FROM adm),
+      |${bpeChainCteOver("uni", "fz")},
+      |cmpx AS MATERIALIZED (SELECT dv3.w, dv3.freq, dv3.syms AS f1, fzv3.syms AS f2
+      |        FROM dv3 JOIN fzv3 USING (w)),
+      |rc AS (SELECT CAST(
+      |         (CASE WHEN (SELECT count(*) FROM b1) = (SELECT count(*) FROM fzb1)
+      |               AND NOT EXISTS (SELECT 1 FROM b1 a, fzb1 f WHERE a.l <> f.l OR a.r <> f.r)
+      |          THEN 0 ELSE 1 END) +
+      |         (CASE WHEN (SELECT count(*) FROM b2) = (SELECT count(*) FROM fzb2)
+      |               AND NOT EXISTS (SELECT 1 FROM b2 a, fzb2 f WHERE a.l <> f.l OR a.r <> f.r)
+      |          THEN 0 ELSE 1 END) +
+      |         (CASE WHEN (SELECT count(*) FROM b3) = (SELECT count(*) FROM fzb3)
+      |               AND NOT EXISTS (SELECT 1 FROM b3 a, fzb3 f WHERE a.l <> f.l OR a.r <> f.r)
+      |          THEN 0 ELSE 1 END) AS BIGINT) AS n_rules_changed)
+      |SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,
+      |       CAST(count(CASE WHEN f1 <> f2 THEN 1 END) AS BIGINT) AS n_changed_words,
+      |       CAST(sum(freq) AS BIGINT) AS occ_total,
+      |       CAST(coalesce(sum(CASE WHEN f1 <> f2 THEN freq END), 0) AS BIGINT) AS occ_changed,
+      |       round(CAST(coalesce(sum(CASE WHEN f1 <> f2 THEN freq END), 0) AS DOUBLE)
+      |             / sum(freq), 6) AS changed_share,
+      |       CAST(sum(freq * len(f1)) AS BIGINT) AS tokens_frozen,
+      |       CAST(sum(freq * len(f2)) AS BIGINT) AS tokens_fresh,
+      |       (SELECT n_rules_changed FROM rc) AS n_rules_changed
+      |FROM cmpx""".stripMargin
 
   /** The WordPiece induction CTE chain (q_wordpiece_merges oracle):
     * the [[bpeChainCte]] shape with the likelihood criterion — each
@@ -1932,6 +1980,37 @@ object SparkEntry {
         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
         |  GROUP BY lang, term)
         |WHERE rn <= 3 ORDER BY lang, cnt DESC, term""".stripMargin,
+    // the Zipf head regression: exact snapped ln terms, HUGEINT sums
+    // (≡ Spark's DECIMAL(38,0) — both exact integers), ONE identical
+    // IEEE expression per output over the exact sums
+    "q_zipf_fit" ->
+      """WITH cnt AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 1 GROUP BY w),
+        |head AS MATERIALIZED (
+        |  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w ASC) AS BIGINT) AS rank
+        |  FROM cnt ORDER BY c DESC, w ASC LIMIT 1000),
+        |xy AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+        |              CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+        |       FROM head),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_fit,
+        |             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |             sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |             sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        |      FROM xy)
+        |SELECT n_fit,
+        |       round(CAST(n_fit * sxy - sx * sy AS DOUBLE) /
+        |             CAST(n_fit * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |       round((CAST(sy AS DOUBLE) - CAST(n_fit * sxy - sx * sy AS DOUBLE) /
+        |             CAST(n_fit * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |             / CAST(n_fit AS DOUBLE) / 1000000.0, 6) AS intercept,
+        |       round(CAST(n_fit * sxy - sx * sy AS DOUBLE) /
+        |             CAST(n_fit * sxx - sx * sx AS DOUBLE) *
+        |             (CAST(n_fit * sxy - sx * sy AS DOUBLE) /
+        |             CAST(n_fit * syy - sy * sy AS DOUBLE)), 6) AS r2
+        |FROM s""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
@@ -2130,6 +2209,7 @@ object SparkEntry {
       """SELECT doc_id, (reason = 'ok') AS admitted, reason
         |FROM v ORDER BY doc_id""".stripMargin),
     "q_corpus_apply" -> corpusApplySql,
+    "q_tokenizer_drift" -> tokenizerDriftSql,
     "q_corpus_funnel" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_total,
         |       CAST(count(CASE WHEN n_chars >= 100 THEN 1 END) AS BIGINT) AS n_minlen,
@@ -2934,6 +3014,16 @@ object SparkEntry {
     // is a floor-divide of doc_id); unseen count is identically 0 here
     // (arrivals replay the LM's own corpus — the fixture spec drives
     // the non-zero branch) but the column is the alarm
+    // per-source ingest health at window grain: the q_domain_stats
+    // rollup bucketed by the rig's ts = 86400 + doc_id second stamps
+    "s_domain_stats" -> (s"WITH ${zfpCteOver("documents", "ds")}\n" +
+      """SELECT CAST((86400 + d.doc_id) // 60 * 60000 AS BIGINT) AS window_start_ms,
+        |       d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(f.n_tokens) AS BIGINT) AS n_tokens,
+        |       CAST(count(CASE WHEN f.z_fp >= 0 THEN 1 END) AS BIGINT) AS n_pass,
+        |       round(CAST(count(CASE WHEN f.z_fp >= 0 THEN 1 END) AS DOUBLE) / count(*), 6) AS pass_rate
+        |FROM documents d JOIN dsf f USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "s_lm_drift" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),
@@ -3347,6 +3437,24 @@ object SparkEntry {
     // verify against the SAME trained chain the in-memory index uses:
     // a loaded index (or a streamed assignment) is correct iff it is
     // value-identical to that chain
+    // per-dim drift monitor: HUGEINT sums over the exact 1e-6 longs
+    // (≡ Spark's DECIMAL(38,0)); mean/std one shared IEEE expression
+    "q_embed_stats" ->
+      """WITH xs AS MATERIALIZED (
+        |  SELECT CAST(d AS INT) AS dim,
+        |         CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+        |  FROM embeddings, range(1, 65) r(d)),
+        |a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |             min(x) AS mnx, max(x) AS mxx,
+        |             sum(CAST(x AS HUGEINT)) AS sx,
+        |             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        |      FROM xs GROUP BY dim)
+        |SELECT dim, n,
+        |       CAST(mnx AS DOUBLE) / 1000000.0 AS min_v,
+        |       CAST(mxx AS DOUBLE) / 1000000.0 AS max_v,
+        |       round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mean_v,
+        |       round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000.0, 6) AS std_v
+        |FROM a ORDER BY dim""".stripMargin,
     "q_index_persist" ->
       (s"WITH $ivfIndexCte,\n" +
       """a AS (SELECT CAST(count(DISTINCT cell) AS BIGINT) AS n_cells,
@@ -3941,6 +4049,24 @@ object SparkEntry {
       """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
         |       md5(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
         |FROM documents, range(0, 4) r(i) ORDER BY 1, 2""".stripMargin,
+    // exact payload dedup: md5 over the utf-8 payload bytes ≡ DuckDB
+    // md5 over the ascii text; octet_length ≡ Spark length(binary)
+    "q_media_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CASE WHEN source = 'src0' THEN 'image'
+        |              WHEN source = 'src1' THEN 'audio'
+        |              ELSE 'video' END AS media_type,
+        |         md5(text) AS h, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |g AS (SELECT media_type, h, CAST(count(*) AS BIGINT) AS n_copies,
+        |             max(n_bytes) AS n_bytes
+        |      FROM m GROUP BY 1, 2)
+        |SELECT media_type, CAST(count(*) AS BIGINT) AS n_distinct_payloads,
+        |       CAST(sum(n_copies) AS BIGINT) AS n_media,
+        |       CAST(count(CASE WHEN n_copies >= 2 THEN 1 END) AS BIGINT) AS n_dup_groups,
+        |       CAST(sum((n_copies - 1) * n_bytes) AS BIGINT) AS bytes_saved
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_media_histdup" ->
       """WITH b AS (
         |  SELECT doc_id, ascii(ch) % 8 AS bin

@@ -1076,23 +1076,37 @@ object Corpus {
     * verbatim. Fully oracled: DuckDB replays the base chain, the
     * admission, the frozen 3-round application, and the appended
     * layout. */
-  def corpusApply(s: SparkSession, d: String): DataFrame = {
-    val root = ensureBaseProduct(s, d)
-    val base = loadProduct(s, root, "corpus")
-    val admitted = Tables.documents(s, d)
+  /** The screened arriving batch [[corpusApply]] appends and
+    * [[tokenizerDrift]] measures — admitted = the increment rule's 'ok'
+    * verdicts over the 'f' split. */
+  private def admittedDelta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("text"))
       .filter(isDeltaCol)
       .join(incrementVerdicts(s, d).filter(col("admitted"))
         .select(col("doc_id")), Seq("doc_id"))
-    // the frozen tokenizer: persisted merge rules, in round order
-    val rules = s.read.parquet(s"$root/merges.parquet")
+
+  /** The persisted frozen merge rules, in round order. */
+  private def frozenRules(s: SparkSession, root: String): Seq[(String, String)] =
+    s.read.parquet(s"$root/merges.parquet")
       .orderBy("round").select(col("lhs"), col("rhs"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-    val frozenVocab = rules.foldLeft(charVocabOver(admitted)) {
-      case (v, (l, r)) =>
-        v.withColumn("l", lit(l)).withColumn("r", lit(r))
-          .select(col("w"), col("freq"), applyMergeExpr.as("syms"))
+
+  /** Apply learned merge rules in round order to a (w, freq, syms)
+    * vocabulary — the frozen-tokenizer application shared by
+    * [[corpusApply]] and [[tokenizerDrift]]. */
+  private def applyFrozen(vocab: DataFrame, rules: Seq[(String, String)]): DataFrame =
+    rules.foldLeft(vocab) { case (v, (l, r)) =>
+      v.withColumn("l", lit(l)).withColumn("r", lit(r))
+        .select(col("w"), col("freq"), applyMergeExpr.as("syms"))
     }
+
+  def corpusApply(s: SparkSession, d: String): DataFrame = {
+    val root = ensureBaseProduct(s, d)
+    val base = loadProduct(s, root, "corpus")
+    val admitted = admittedDelta(s, d)
+    // the frozen tokenizer: persisted merge rules, in round order
+    val frozenVocab = applyFrozen(charVocabOver(admitted), frozenRules(s, root))
     val tok = bpeTokensOver(admitted, frozenVocab.select(col("w"), col("syms")))
       .select(col("doc_id"), col("n_words"),
         col("n_bpe_tokens").as("n_tokens"), col("bpe_md5"))
@@ -1145,6 +1159,56 @@ object Corpus {
         count(when(col("run") === 0, 1)).as("n_base"),
         count(when(col("run") === 1, 1)).as("n_added"))
       .orderBy("shard")
+  }
+
+  /** q_tokenizer_drift — the STALENESS metric that schedules the full
+    * rebuild [[corpusApply]] defers to: after an incremental run, how
+    * differently would the admitted arrivals tokenize under a FRESH
+    * tokenizer (re-learned on base product ∪ admitted) than under the
+    * FROZEN one the apply actually used? Rising drift is the retrain
+    * trigger — the tokenizer-family analog of q_index_refresh's
+    * imbalance row. Per distinct admitted word, the frozen rule fold
+    * (persisted merges applied in round order) and the fresh chain's
+    * word map are compared; the row reports distinct/changed word
+    * counts, occurrence-weighted changed share (the fraction of the
+    * arriving token stream whose tokenization is stale — one IEEE
+    * division of exact longs), total token counts under both
+    * tokenizers (the sequence-length cost of staying frozen), and how
+    * many of the merge RULES themselves changed. Scale shape: both
+    * folds are vocabulary-sized ([[bpeChainOverVocab]]'s cost class);
+    * the union scan feeding the fresh vocabulary is one pass over
+    * base product + delta. Fully oracled — the base chain, admission,
+    * frozen application, and a prefix-instantiated fresh chain replay
+    * in DuckDB. */
+  def tokenizerDrift(s: SparkSession, d: String): DataFrame = {
+    val root = ensureBaseProduct(s, d)
+    val admitted = admittedDelta(s, d)
+    val frozen = applyFrozen(charVocabOver(admitted), frozenRules(s, root))
+    // fresh tokenizer: learned on the union a full rebuild would see
+    // (cleaned base product texts + admitted arrivals)
+    val unionTexts = loadProduct(s, root, "corpus").select(col("text"))
+      .unionByName(admitted.select(col("text")))
+    val (freshMergeRows, freshVocab) = bpeChainOverVocab(charVocabOver(unionTexts))
+    val freshRules = freshMergeRows.reduce(_.unionAll(_))
+      .orderBy("round").select(col("lhs"), col("rhs"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val nRulesChanged = frozenRules(s, root)
+      .zipAll(freshRules, ("", ""), ("", "")).count { case (a, b) => a != b }
+    frozen.select(col("w"), col("freq"), col("syms").as("f1"))
+      .join(freshVocab.select(col("w"), col("syms").as("f2")), Seq("w"))
+      .agg(count(lit(1)).as("n_distinct_words"),
+        count(when(col("f1") =!= col("f2"), 1)).as("n_changed_words"),
+        sum(col("freq")).as("occ_total"),
+        sum(when(col("f1") =!= col("f2"), col("freq")).otherwise(lit(0L)))
+          .as("occ_changed"),
+        sum(col("freq") * size(col("f1"))).as("tokens_frozen"),
+        sum(col("freq") * size(col("f2"))).as("tokens_fresh"))
+      .select(col("n_distinct_words"), col("n_changed_words"),
+        col("occ_total"), col("occ_changed"),
+        round(col("occ_changed").cast("double") / col("occ_total"), 6)
+          .as("changed_share"),
+        col("tokens_frozen"), col("tokens_fresh"),
+        lit(nRulesChanged.toLong).as("n_rules_changed"))
   }
 
   /** q_token_entropy — Shannon entropy of each document's token

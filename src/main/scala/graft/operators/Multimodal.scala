@@ -113,4 +113,28 @@ object Multimodal {
           .cast("array<string>"), ",").as("members"))
       .filter(col("n_media") >= 2)
       .orderBy("sig")
+
+  /** q_media_dedup — exact payload dedup with STORAGE ACCOUNTING, per
+    * media type: the first pass a media corpus runs before any decode
+    * (raw-byte md5 over the binary column — content-addressable-store
+    * semantics), rolled up to the numbers an operator budgets with:
+    * distinct payloads, total media rows, duplicate groups, and the
+    * bytes a dedup'd store saves (Σ (copies − 1) · size). Two keyed
+    * aggregations — (type, md5) then type — both map-side combined;
+    * the payload bytes are hashed once and never shuffled (only the
+    * 16-byte digest travels). The beside-it [[mediaHistDup]] is the
+    * NEAR-dup first pass; this is the exact tier of the same ladder. */
+  def mediaDedup(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .select(col("media_type"), col("doc_id"),
+        md5(col("payload")).as("h"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("media_type"), col("h"))
+      .agg(count(lit(1)).as("n_copies"), max(col("n_bytes")).as("n_bytes"))
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_distinct_payloads"),
+        sum(col("n_copies")).as("n_media"),
+        count(when(col("n_copies") >= 2, 1)).as("n_dup_groups"),
+        sum((col("n_copies") - 1) * col("n_bytes")).as("bytes_saved"))
+      .orderBy("media_type")
 }

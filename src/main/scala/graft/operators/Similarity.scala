@@ -1812,4 +1812,35 @@ object Similarity {
         round(col("score"), 6).as("score"))
       .orderBy("qid", "pos")
   }
+
+  /** q_embed_stats — per-dimension embedding distribution monitor: the
+    * drift dashboard an embedding pipeline runs beside the ANN index
+    * (a feature whose mean/std walks between ingest runs signals an
+    * upstream encoder change before recall degrades — the
+    * q_domain_stats discipline applied to the vector column). Per dim:
+    * count, min/max, mean, population std over the exact 1e-6-scaled
+    * longs (the BQ coder's currency): sums fold as DECIMAL(38,0) — a
+    * double Σx² would be partition-order-dependent — and mean/std are
+    * ONE identical IEEE expression over the exact sums in both
+    * engines, rounded at the edge. Shape: posexplode → one keyed agg
+    * (64 groups), map-side combined; linear at any corpus size. */
+  def embedStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(posexplode(
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"))
+        .as(Seq("dim0", "x")))
+      .select((col("dim0") + 1).as("dim"), col("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+        expr("sum(CAST(x AS DECIMAL(38,0)))").as("sx"),
+        expr("sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))").as("sxx"))
+      .select(col("dim").cast("int").as("dim"), col("n"),
+        (col("mnx").cast("double") / 1000000.0).as("min_v"),
+        (col("mxx").cast("double") / 1000000.0).as("max_v"),
+        expr("round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)")
+          .as("mean_v"),
+        expr("round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000.0, 6)")
+          .as("std_v"))
+      .orderBy("dim")
 }

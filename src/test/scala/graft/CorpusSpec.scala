@@ -959,6 +959,41 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer_drift: zero when arrivals add no pairs; a dominant new pair flips the rules and the changed share") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def nib(id: Long): Char = md5hex(id.toString).head
+    val fId = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').next()
+    val bId = Iterator.iterate(1L)(_ + 1).filter(nib(_) != 'f').next()
+    // base = 30 distinct SINGLE-CHAR words: no symbol pairs exist, so
+    // the frozen rule set is EMPTY — every fresh-side rule is then a
+    // hand-predictable consequence of the arrivals alone
+    val chars = ("abcdefghijklmnopqrstuvwxyz" + "0123").map(_.toString)
+    val baseText = chars.mkString(" ")
+    // case A: arrivals are a permutation of the base chars — union
+    // vocabulary still pairless, fresh ≡ frozen, zero drift
+    val dA = docsDir(
+      (bId, baseText, "en", "s", 1L),
+      (fId, chars.reverse.mkString(" "), "en", "s", 1L))
+    val a = operators.Corpus.tokenizerDrift(spark, dA).collect().head
+    assert((a.getLong(0), a.getLong(1), a.getDouble(4), a.getLong(7)) ==
+      ((30L, 0L, 0.0, 0L)))
+    assert(a.getLong(5) == a.getLong(6)) // tokens_frozen == tokens_fresh
+    // case B: arrivals inject 'QQ' ×2 — the union's ONLY pair, so the
+    // fresh chain learns exactly [(Q,Q)] while the frozen set is empty:
+    // QQ tokenizes [Q,Q] frozen vs [QQ] fresh; 28 single-char words
+    // unchanged. occ 30, changed 2, tokens 32 vs 30, 1 rule changed.
+    val dB = docsDir(
+      (bId, baseText, "en", "s", 1L),
+      (fId, (chars.take(28) :+ "QQ" :+ "QQ").reverse.mkString(" "), "en", "s", 1L))
+    val b = operators.Corpus.tokenizerDrift(spark, dB).collect().head
+    assert((b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3)) ==
+      ((29L, 1L, 30L, 2L)))
+    assert(b.getDouble(4) == 0.066667)
+    assert((b.getLong(5), b.getLong(6), b.getLong(7)) == ((32L, 30L, 1L)))
+  }
+
   test("train_shuffle: matches the driver shuffle-layout reference; checksum is order-SENSITIVE") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))

@@ -1414,4 +1414,89 @@ class OperatorsSpec extends SparkSpec {
       ("s1", 3L, 2L, 11L, 2L, 0.666667, 2L, 0.666667),
       ("s2", 3L, 3L, 8L, 1L, 0.333333, 0L, 0.0)))
   }
+
+  test("zipf_fit: slope/intercept/r2 match an independent least-squares fold over the snapped head") {
+    // frequencies 6, 3, 2, 1: word 'a' ×6, 'b' ×3, 'c' ×2, 'd' ×1,
+    // spread over docs; ranks tie-break (freq DESC, word ASC)
+    val dir = fixtureDir("documents" -> Seq(
+      (1L, "a a a b b c", "en", "s", 1L),
+      (2L, "a a a b c d", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.TextAnalysis.zipfFit(spark, dir).collect().head
+    val freqs = Seq(6L, 3L, 2L, 1L) // rank order after the tie-break
+    def snap(v: Double): Long = math.floor(v * 1000000 + 0.5).toLong
+    val pts = freqs.zipWithIndex.map { case (c, i) =>
+      (snap(math.log((i + 1).toDouble)), snap(math.log(c.toDouble)))
+    }
+    val n = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val (sxx, syy) = (pts.map(p => p._1 * p._1).sum, pts.map(p => p._2 * p._2).sum)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(got.getLong(0) == n)
+    assert(got.getDouble(1) == r6(slope))
+    assert(got.getDouble(2) == r6((sy.toDouble - slope * sx.toDouble) / n / 1e6))
+    assert(got.getDouble(3) == r6(slope * ((n * sxy - sx * sy).toDouble /
+      (n * syy - sy * sy).toDouble)))
+    // a Zipf-ish head fits with a negative slope and high r²
+    assert(got.getDouble(1) < 0 && got.getDouble(3) > 0.9)
+  }
+
+  test("embed_stats: per-dim mean/std/min/max over the exact 1e-6 grid") {
+    val dir = fixtureDir("embeddings" -> Seq(
+      (0L, vec(1.0, -2.0, 0.5, 0), 0),
+      (1L, vec(3.0, 2.0, 0.5, 0), 0))
+      .toDF("vec_id", "embedding", "label"))
+    val got = operators.Similarity.embedStats(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (1, 2L, 1.0, 3.0, 2.0, 1.0),   // mean 2, pop std 1
+      (2, 2L, -2.0, 2.0, 0.0, 2.0),
+      (3, 2L, 0.5, 0.5, 0.5, 0.0),
+      (4, 2L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("media_dedup: per-type storage accounting — bytes_saved counts every copy beyond the first") {
+    // src0 → image: 'dup' ×3 (7 bytes each) + one distinct;
+    // src1 → audio: all distinct; src2 → video: 'vv' ×2 (2 bytes)
+    val dir = fixtureDir("documents" -> Seq(
+      (1L, "dup dup", "en", "src0", 1L),
+      (2L, "dup dup", "en", "src0", 1L),
+      (3L, "dup dup", "en", "src0", 1L),
+      (4L, "solo one", "en", "src0", 1L),
+      (5L, "alpha", "en", "src1", 1L),
+      (6L, "beta", "en", "src1", 1L),
+      (7L, "vv", "en", "src2", 1L),
+      (8L, "vv", "en", "src2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = operators.Multimodal.mediaDedup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("audio", 2L, 2L, 0L, 0L),
+      ("image", 2L, 4L, 1L, 14L),  // 2 extra copies × 7 bytes
+      ("video", 1L, 2L, 1L, 2L)))  // 1 extra copy × 2 bytes
+  }
+
+  test("s_domain_stats: window boundary and per-source pass rates pinned") {
+    // ts = 86400 + doc_id: ids 1..59 land in the first window
+    // [86400, 86460); id 60 opens the next. Source A alternates a
+    // passing 30-distinct-token text with a failing repeated one.
+    def dist30(p: String) = (0 until 30).map(i => s"$p$i").mkString(" ")
+    val rows = Seq(
+      (1L, "sa", dist30("a")),          // pass
+      (2L, "sa", "x x x x x"),          // fail (dup-ratio)
+      (3L, "sb", dist30("b")),          // pass
+      (60L, "sa", dist30("c")))         // next window
+    val dir = fixtureDir("documents" -> rows.map { case (id, src, t) =>
+      (id, t, "en", src, 1L) }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = graft.streaming.DomainHealth.sDomainStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4),
+        r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (86400000L, "sa", 2L, 1L, 0.5),
+      (86400000L, "sb", 1L, 1L, 1.0),
+      (86460000L, "sa", 1L, 1L, 1.0)))
+  }
 }
