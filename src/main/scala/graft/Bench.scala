@@ -148,6 +148,15 @@ object Bench {
     val bandBuildSec = timedBuild(graft.operators.Dedup.md5BandIndex(spark, sfDir, 16))
     val refreshIvfSec = timedBuild(graft.operators.Similarity.preArrivalIndex(spark, sfDir))
     val refreshPqSec = timedBuild(graft.operators.ProductQuant.preArrivalCodebooks(spark, sfDir))
+    // r13 durable stores: the base corpus product (q_corpus_apply /
+    // q_tokenizer_drift's "yesterday's build") and the bucketed dedup
+    // index tables — fp-stamped on disk, so only a stale store rebuilds;
+    // priced here so the consumers report probe/apply cost, not build
+    val baseProductSec = timedBuild(graft.operators.Corpus.ensureBaseProduct(spark, sfDir))
+    val dedupIdxSec = timedBuild {
+      graft.operators.IndexStore.durableGramIndex(spark, sfDir)
+      graft.operators.IndexStore.durableBandIndex(spark, sfDir)
+    }
     // optional args(0): comma-separated query filter (dev only; the
     // driver invokes with no args and measures everything)
     val only: Set[String] =
@@ -270,7 +279,8 @@ object Bench {
     def optF3(v: Option[Double]): String = v.map(f3).getOrElse("null")
     val idxJson = s""""ivf_index_build_sec":${optF3(idxBuildSec)},""" +
       s""""index_builds":{"pq":${optF3(pqBuildSec)},"band":${optF3(bandBuildSec)},""" +
-      s""""refresh_ivf":${optF3(refreshIvfSec)},"refresh_pq":${optF3(refreshPqSec)}}"""
+      s""""refresh_ivf":${optF3(refreshIvfSec)},"refresh_pq":${optF3(refreshPqSec)},""" +
+      s""""base_product":${optF3(baseProductSec)},"dedup_idx":${optF3(dedupIdxSec)}}"""
     // Serving latency for the streaming index stack: per-micro-batch
     // triggerExecution durations (data-carrying batches only), recorded
     // synchronously by StreamingIndex after each run — p50/p95 is THE

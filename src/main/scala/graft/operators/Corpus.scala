@@ -1080,11 +1080,19 @@ object Corpus {
     * [[tokenizerDrift]] measures — admitted = the increment rule's 'ok'
     * verdicts over the 'f' split. */
   private def admittedDelta(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("text"))
-      .filter(isDeltaCol)
-      .join(incrementVerdicts(s, d).filter(col("admitted"))
-        .select(col("doc_id")), Seq("doc_id"))
+    // pinned: the admission chain (gate + md5 joins + two shingle
+    // Jaccard tiers) would otherwise re-execute once per consumer —
+    // corpusApply reads the admitted set along three lineage paths
+    // (vocab fold, tokenize join, product join); measured 4.3 s →
+    // the pin collapses them to one admission pass per (session,
+    // corpus), displaced on dirStamp change like every other pin
+    pinnedVocab(s, d, "admittedDelta") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .filter(isDeltaCol)
+        .join(incrementVerdicts(s, d).filter(col("admitted"))
+          .select(col("doc_id")), Seq("doc_id"))
+    }
 
   /** The persisted frozen merge rules, in round order. */
   private def frozenRules(s: SparkSession, root: String): Seq[(String, String)] =
@@ -1186,9 +1194,16 @@ object Corpus {
     val frozen = applyFrozen(charVocabOver(admitted), frozenRules(s, root))
     // fresh tokenizer: learned on the union a full rebuild would see
     // (cleaned base product texts + admitted arrivals)
-    val unionTexts = loadProduct(s, root, "corpus").select(col("text"))
-      .unionByName(admitted.select(col("text")))
-    val (freshMergeRows, freshVocab) = bpeChainOverVocab(charVocabOver(unionTexts))
+    // pinned like charVocab: every fresh-chain round's pair count and
+    // rewrite re-enters the union vocabulary along its own lineage
+    // path — unpinned, the union scan replays ~2^rounds times
+    // (measured 6.6 s at sf0.01; the charVocab pin exists for exactly
+    // this shape)
+    val unionVocab = pinnedVocab(s, d, "driftUnionVocab") {
+      charVocabOver(loadProduct(s, root, "corpus").select(col("text"))
+        .unionByName(admitted.select(col("text"))))
+    }
+    val (freshMergeRows, freshVocab) = bpeChainOverVocab(unionVocab)
     val freshRules = freshMergeRows.reduce(_.unionAll(_))
       .orderBy("round").select(col("lhs"), col("rhs"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
