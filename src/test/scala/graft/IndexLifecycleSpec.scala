@@ -709,6 +709,29 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(v2.length == 1 && v2.head.getString(1) == g8b)
   }
 
+  test("durable regime END-TO-END: the streaming substring gate above the ceiling serves from the bucketed table, rows identical") {
+    val d = sf("sf0.001")
+    val base = SparkEntry.queries("s_substring_gate")(spark, d)
+      .select("doc_id", "dup_id").as[(Long, Long)].collect().sorted.toSeq
+    spark.conf.set("graft.index.durable", "true")
+    spark.conf.set("graft.substring.broadcastMaxPostings", "0")
+    try {
+      val durable = SparkEntry.queries("s_substring_gate")(spark, d)
+        .select("doc_id", "dup_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(durable == base)
+      assert(durable.nonEmpty)
+      // the executed micro-batch plan read the durable TABLE, not the
+      // session pin (the pin appears as an RDD scan; the table as a
+      // FileSourceScan of graft_gram_idx*)
+      val plan = graft.streaming.StreamingIndex.lastExec
+        .get("s_substring_gate").toString
+      assert(plan.contains("graft_gram_idx"), plan)
+    } finally {
+      spark.conf.unset("graft.index.durable")
+      spark.conf.unset("graft.substring.broadcastMaxPostings")
+    }
+  }
+
   test("durable regime: the above-ceiling substring join reads co-located buckets with ZERO static-side exchange, same rows") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.Exchange
