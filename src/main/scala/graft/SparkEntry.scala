@@ -197,6 +197,7 @@ object SparkEntry {
     // deduplication
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_index_persist" -> (IndexStore.dedupIndexPersist _),
+    "q_dedup_index_update" -> (IndexStore.dedupIndexUpdate _),
     "q_semdedup" -> (Dedup.semDedup _),
     "q_neardup_purge" -> (Dedup.neardupPurge _),
     "q_dedup_cluster" -> (Dedup.dedupCluster _),
@@ -2938,6 +2939,34 @@ object SparkEntry {
     // (xxhash64 / SimHash64) hashing; deterministic for the rows-only
     // check, pinned by specs, and the *_md5 portable variants below
     // carry full oracles for the same pipeline shapes.
+    // the incrementally-extended tables verify against a FULL-REBUILD
+    // replay over base ∪ admitted (append ≡ rebuild: doc-keyed postings,
+    // disjoint doc sets), with the persist row's summary currency
+    "q_dedup_index_update" -> (s"WITH $incrementCtes,\n" +
+      """au AS MATERIALIZED (SELECT doc_id, text FROM bas
+        |       UNION ALL
+        |       SELECT del.doc_id, del.text FROM del JOIN v USING (doc_id)
+        |       WHERE v.reason = 'ok'),
+        |""".stripMargin +
+      md5BandsCteOver("au", "u") + ",\n" +
+      s"""ut2 AS (SELECT doc_id, string_split(text, ' ') AS ts2 FROM au),
+        |ug AS (SELECT DISTINCT doc_id,
+        |              array_to_string(ts2[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+        |       FROM (SELECT doc_id, ts2, unnest([i FOR i IN range(1, len(ts2) - 6)]) AS i
+        |             FROM ut2 WHERE len(ts2) >= 8)),
+        |ugh AS (SELECT doc_id, ${h60Sql("gtext")} AS h FROM ug),
+        |ubh AS (SELECT doc_id, band, band_key, ${h60Sql("band_key")} AS kh FROM ubands),
+        |ugrow AS (SELECT 'grams' AS index_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |                CAST(count(DISTINCT h) AS BIGINT) AS n_keys,
+        |                CAST(bit_xor((h % 1000003) * 1009 + (doc_id % 1009)) AS BIGINT) AS checksum
+        |         FROM ugh),
+        |ubrow AS (SELECT 'bands' AS index_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |                CAST(count(DISTINCT band_key) AS BIGINT) AS n_keys,
+        |                CAST(bit_xor((kh % 1000003) * 1009 + (doc_id % 1009) + band) AS BIGINT) AS checksum
+        |         FROM ubh)
+        |SELECT * FROM ubrow UNION ALL SELECT * FROM ugrow ORDER BY index_name""".stripMargin),
     "q_dedup_minhash_md5" -> (md5BandsCte +
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
         |FROM bands a JOIN bands b

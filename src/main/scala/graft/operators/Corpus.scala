@@ -945,7 +945,7 @@ object Corpus {
 
   /** The delta split predicate shared by [[corpusIncrement]] and
     * [[corpusApply]] — the deterministic md5-bucket 'f' of doc ids. */
-  private def isDeltaCol: Column =
+  private[operators] def isDeltaCol: Column =
     substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) === "f"
 
   /** [[corpusIncrement]]'s verdict core, unordered — the admission rule
@@ -1079,7 +1079,7 @@ object Corpus {
   /** The screened arriving batch [[corpusApply]] appends and
     * [[tokenizerDrift]] measures — admitted = the increment rule's 'ok'
     * verdicts over the 'f' split. */
-  private def admittedDelta(s: SparkSession, d: String): DataFrame =
+  private[operators] def admittedDelta(s: SparkSession, d: String): DataFrame =
     // pinned: the admission chain (gate + md5 joins + two shingle
     // Jaccard tiers) would otherwise re-execute once per consumer —
     // corpusApply reads the admitted set along three lineage paths

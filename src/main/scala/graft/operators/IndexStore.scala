@@ -138,9 +138,14 @@ object IndexStore {
     * the gram windows and the md5-band chain and computes the same
     * summary — equality means the persisted buckets carry exactly the
     * index the session pins serve. */
-  def dedupIndexPersist(s: SparkSession, d: String): DataFrame = {
-    val g = durableGramIndex(s, d)
-    val b = durableBandIndex(s, d)
+  def dedupIndexPersist(s: SparkSession, d: String): DataFrame =
+    indexSummary(durableGramIndex(s, d), durableBandIndex(s, d))
+
+  /** The per-index summary rows over LOADED gram/band relations — one
+    * definition shared by [[dedupIndexPersist]] and
+    * [[dedupIndexUpdate]] so the full-build row and the incrementally
+    * extended row verify with identical currency. */
+  private def indexSummary(g: DataFrame, b: DataFrame): DataFrame = {
     val gRow = g
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -158,5 +163,69 @@ object IndexStore {
       .select(lit("bands").as("index_name"), col("n_rows"), col("n_docs"),
         col("n_keys"), col("checksum"))
     gRow.unionByName(bRow).orderBy("index_name")
+  }
+
+  /** The gram-posting relation over an arbitrary (doc_id, text) batch —
+    * the per-side build [[dedupIndexUpdate]] appends with. */
+  private def gramRowsOf(docs: DataFrame): DataFrame =
+    Corpus.gramRows(docs.select(col("doc_id"), split(col("text"), " ").as("tk")))
+      .select(col("h"), col("gtext"), col("doc_id")).distinct()
+
+  /** The band relation over an arbitrary (doc_id, text) batch — the
+    * map-side [[Dedup.md5BandProbes]] form (spec-pinned row-identical
+    * to the batch sketch chain). */
+  private def bandRowsOf(docs: DataFrame): DataFrame =
+    Dedup.md5BandProbes(
+      docs.select(col("doc_id"), split(col("text"), " ").as("tk")), 16)
+      .select(col("doc_id"), col("band"), col("band_key"))
+
+  /** q_dedup_index_update — INCREMENTAL durable-index maintenance: the
+    * serving-index half of the increment loop ([[Corpus.corpusApply]]
+    * extends the corpus product; THIS extends the gate indexes the
+    * streaming admission path probes, so the next ingest run screens
+    * against yesterday's corpus PLUS today's admitted arrivals without
+    * a full re-hash). Base tables build once over the non-'f' split
+    * (bucketed exactly like [[durableGramIndex]]/[[durableBandIndex]]);
+    * the admitted arrivals' postings APPEND as new bucketed files
+    * under the same table-level layout (the bucket spec is table
+    * metadata, so the extended table keeps the exchange-free join
+    * property), stamped `_graft_applied` so a rerun is a no-op
+    * (idempotence spec-pinned) and a corpus rewrite rebuilds base +
+    * re-applies. Posting rows are doc-keyed, and base/delta doc sets
+    * are disjoint, so append ≡ full rebuild over base ∪ admitted
+    * EXACTLY (set equality — the oracle replays the union build).
+    * Declared row: the shared [[indexSummary]] FROM THE LOADED
+    * extended tables. */
+  def dedupIndexUpdate(s: SparkSession, d: String): DataFrame = {
+    val baseDocs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .filter(!Corpus.isDeltaCol)
+    val gName = s"graft_gram_upd_${tagOf(d)}"
+    val bName = s"graft_band_upd_${tagOf(d)}"
+    val g = ensure(s, d, "graft_gram_upd", Seq("h", "gtext"), 16) {
+      gramRowsOf(baseDocs)
+    }
+    val b = ensure(s, d, "graft_band_upd", Seq("band", "band_key"), 16) {
+      bandRowsOf(baseDocs)
+    }
+    val lock = locks.computeIfAbsent(gName + "+apply", _ => new Object)
+    lock.synchronized {
+      val want = Tables.dirStamp(d).toString
+      val marker = warehousePath(s).resolve(gName).resolve("_graft_applied")
+      val have =
+        if (Files.exists(marker))
+          new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
+        else ""
+      if (have != want) {
+        val admitted = Corpus.admittedDelta(s, d).select(col("doc_id"), col("text"))
+        gramRowsOf(admitted).write.mode("append")
+          .bucketBy(16, "h", "gtext").sortBy("h", "gtext").saveAsTable(gName)
+        bandRowsOf(admitted).write.mode("append")
+          .bucketBy(16, "band", "band_key").sortBy("band", "band_key")
+          .saveAsTable(bName)
+        Files.write(marker, want.getBytes(StandardCharsets.UTF_8))
+      }
+    }
+    indexSummary(g, b)
   }
 }

@@ -709,6 +709,50 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(v2.length == 1 && v2.head.getString(1) == g8b)
   }
 
+  test("dedup_index_update: appends ONLY admitted arrivals, is idempotent, and equals a fresh persist over base ∪ admitted") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def nib(id: Long): Char = md5hex(id.toString).head
+    val fIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').take(5).toSeq.sorted
+    val bIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) != 'f').take(2).toSeq
+    val Seq(f1, f2, f3, f4, f5) = fIds
+    val y = (0 until 30).map(i => s"w$i").mkString(" ")
+    val m = (0 until 30).map(i => s"b$i").mkString(" ")
+    val d2 = ((0 until 10).map(i => s"nv$i") ++
+      (29 to 10 by -1).map(i => s"b$i")).mkString(" ")
+    def docs(rows: (Long, String)*) = rows.map { case (id, t) =>
+      (id, t, "en", "s", 1L) }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val full = fixtureDir("documents" -> docs(
+      (bIds(0), y), (bIds(1), m),
+      (f1, y), (f2, d2), (f3, d2), (f4, m + " zz"), (f5, "x x x x x")))
+    val got = SparkEntry.queries("q_dedup_index_update")(spark, full).collect()
+    // the extended gram table holds base ∪ {f2} and nothing else
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val gTbl = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_gram_upd")).find { n =>
+        spark.table(n).select("doc_id").distinct().as[Long].collect().toSet ==
+          Set(bIds(0), bIds(1), f2)
+      }
+    assert(gTbl.isDefined)
+    // idempotent: a second call appends nothing (file set stable)
+    def files(t: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(wh, t)).iterator()
+        .asScala.map(_.getFileName.toString).toSet
+    }
+    val before = files(gTbl.get)
+    val again = SparkEntry.queries("q_dedup_index_update")(spark, full).collect()
+    assert(files(gTbl.get) == before)
+    assert(again.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+    // append ≡ rebuild: a fresh FULL persist over exactly base∪admitted
+    // (same doc ids) reports the identical summary rows
+    val union = fixtureDir("documents" -> docs(
+      (bIds(0), y), (bIds(1), m), (f2, d2)))
+    val fresh = SparkEntry.queries("q_dedup_index_persist")(spark, union).collect()
+    assert(got.map(_.toSeq).toSeq == fresh.map(_.toSeq).toSeq)
+  }
+
   test("durable regime END-TO-END: the streaming substring gate above the ceiling serves from the bucketed table, rows identical") {
     val d = sf("sf0.001")
     val base = SparkEntry.queries("s_substring_gate")(spark, d)
