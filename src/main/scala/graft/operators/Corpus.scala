@@ -1143,7 +1143,13 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("text"), col("pos"),
         col("n_words"), col("n_tokens"), col("bpe_md5"), col("start_off"),
         col("first_bin"), col("last_bin"), col("shard"))
-    val anyAdmitted = !deltaProduct.isEmpty
+    // emptiness is probed on the PINNED admitted relation, not on
+    // deltaProduct: an isEmpty against the product would execute the
+    // whole tokenize/window/layout chain once and the write would then
+    // recompute it (review finding — the full delta chain ran twice).
+    // Every admitted doc passes the gate, so it has ≥ 1 word and
+    // produces exactly one product row: the two tests agree.
+    val anyAdmitted = !admitted.isEmpty
     if (anyAdmitted)
       deltaProduct.repartition(col("shard"))
         .write.mode("overwrite").partitionBy("shard")
@@ -1214,7 +1220,10 @@ object Corpus {
       .agg(count(lit(1)).as("n_distinct_words"),
         count(when(col("f1") =!= col("f2"), 1)).as("n_changed_words"),
         sum(col("freq")).as("occ_total"),
-        sum(when(col("f1") =!= col("f2"), col("freq")).otherwise(lit(0L)))
+        // coalesce: over an EMPTY admitted set the sum is NULL while
+        // the oracle emits coalesce(..., 0) — the one column where the
+        // two would diverge on a delta-less corpus (review finding)
+        coalesce(sum(when(col("f1") =!= col("f2"), col("freq"))), lit(0L))
           .as("occ_changed"),
         sum(col("freq") * size(col("f1"))).as("tokens_frozen"),
         sum(col("freq") * size(col("f2"))).as("tokens_fresh"))

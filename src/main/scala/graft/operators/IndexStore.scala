@@ -50,8 +50,19 @@ object IndexStore {
 
   private def rmrf(p: Path): Unit = if (Files.exists(p)) {
     import scala.jdk.CollectionConverters._
-    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val walk = Files.walk(p)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
   }
+
+  /** One definition of a durable table's name and bucket layout —
+    * shared by [[ensure]] and [[dedupIndexUpdate]]'s append writers so
+    * the two can never drift (review finding: the first cut re-spelled
+    * both at the append site). */
+  private[graft] val NBuckets = 16
+  private[graft] val GramKeys = Seq("h", "gtext")
+  private[graft] val BandKeys = Seq("band", "band_key")
+  private def tableName(base: String, d: String): String = s"${base}_${tagOf(d)}"
 
   private def warehousePath(s: SparkSession): Path =
     Paths.get(s.conf.get("spark.sql.warehouse.dir")
@@ -65,7 +76,7 @@ object IndexStore {
     * asking for the same corpus index build it once. */
   private def ensure(s: SparkSession, d: String, base: String,
       bucketCols: Seq[String], nBuckets: Int)(build: => DataFrame): DataFrame = {
-    val name = s"${base}_${tagOf(d)}"
+    val name = tableName(base, d)
     val lock = locks.computeIfAbsent(name, _ => new Object)
     lock.synchronized {
       val loc = warehousePath(s).resolve(name)
@@ -113,7 +124,7 @@ object IndexStore {
     * the first cut of the plan guard). h is a function of gtext, so
     * the extra key changes no placement semantics. */
   private[graft] def durableGramIndex(s: SparkSession, d: String): DataFrame =
-    ensure(s, d, "graft_gram_idx", Seq("h", "gtext"), 16) {
+    ensure(s, d, "graft_gram_idx", GramKeys, NBuckets) {
       Corpus.gramRows(Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tk")))
         .select(col("h"), col("gtext"), col("doc_id")).distinct()
@@ -123,7 +134,7 @@ object IndexStore {
     * (band, band_key) — [[Dedup.md5BandIndex]]'s relation, co-located
     * on exactly the gate join's keys. */
   private[graft] def durableBandIndex(s: SparkSession, d: String): DataFrame =
-    ensure(s, d, "graft_band_idx", Seq("band", "band_key"), 16) {
+    ensure(s, d, "graft_band_idx", BandKeys, NBuckets) {
       Dedup.md5BandRows(s, d, 16)
     }
 
@@ -200,16 +211,30 @@ object IndexStore {
     val baseDocs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
       .filter(!Corpus.isDeltaCol)
-    val gName = s"graft_gram_upd_${tagOf(d)}"
-    val bName = s"graft_band_upd_${tagOf(d)}"
-    val g = ensure(s, d, "graft_gram_upd", Seq("h", "gtext"), 16) {
-      gramRowsOf(baseDocs)
-    }
-    val b = ensure(s, d, "graft_band_upd", Seq("band", "band_key"), 16) {
-      bandRowsOf(baseDocs)
-    }
+    val gName = tableName("graft_gram_upd", d)
+    val bName = tableName("graft_band_upd", d)
     val lock = locks.computeIfAbsent(gName + "+apply", _ => new Object)
     lock.synchronized {
+      // Crash recovery FIRST (review finding: the two appends + marker
+      // are not atomic): `_graft_pending` is written before the first
+      // append and removed only after the applied stamp lands, so its
+      // presence at entry means a previous apply died mid-sequence and
+      // either table may hold a partial delta. Wipe both; ensure then
+      // rebuilds base cleanly and the apply re-runs from scratch —
+      // never a double append.
+      val pending = warehousePath(s).resolve(gName).resolve("_graft_pending")
+      if (Files.exists(pending)) {
+        Seq(gName, bName).foreach { n =>
+          if (s.catalog.tableExists(n)) s.sql(s"DROP TABLE $n")
+          rmrf(warehousePath(s).resolve(n))
+        }
+      }
+      val g = ensure(s, d, "graft_gram_upd", GramKeys, NBuckets) {
+        gramRowsOf(baseDocs)
+      }
+      val b = ensure(s, d, "graft_band_upd", BandKeys, NBuckets) {
+        bandRowsOf(baseDocs)
+      }
       val want = Tables.dirStamp(d).toString
       val marker = warehousePath(s).resolve(gName).resolve("_graft_applied")
       val have =
@@ -217,15 +242,19 @@ object IndexStore {
           new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
         else ""
       if (have != want) {
+        Files.write(pending, want.getBytes(StandardCharsets.UTF_8))
         val admitted = Corpus.admittedDelta(s, d).select(col("doc_id"), col("text"))
-        gramRowsOf(admitted).write.mode("append")
-          .bucketBy(16, "h", "gtext").sortBy("h", "gtext").saveAsTable(gName)
-        bandRowsOf(admitted).write.mode("append")
-          .bucketBy(16, "band", "band_key").sortBy("band", "band_key")
-          .saveAsTable(bName)
+        def append(df: DataFrame, name: String, keys: Seq[String]): Unit =
+          df.write.mode("append")
+            .bucketBy(NBuckets, keys.head, keys.tail: _*)
+            .sortBy(keys.head, keys.tail: _*)
+            .saveAsTable(name)
+        append(gramRowsOf(admitted), gName, GramKeys)
+        append(bandRowsOf(admitted), bName, BandKeys)
         Files.write(marker, want.getBytes(StandardCharsets.UTF_8))
+        Files.deleteIfExists(pending)
       }
+      indexSummary(g, b)
     }
-    indexSummary(g, b)
   }
 }

@@ -31,8 +31,6 @@ case class SourceDoc(doc_id: Long, source: String, text: String)
   * state is O(sources × open windows). */
 object DomainHealth {
 
-  private val nameCounter = new java.util.concurrent.atomic.AtomicInteger
-
   /** The rollup over an explicit arrival relation — the spec hook.
     * `arrivals` must carry (doc_id, source, text, ts) with a watermark
     * on ts. */
@@ -66,7 +64,7 @@ object DomainHealth {
           timestamp_seconds(col("doc_id") + lit(86400L)).as("ts"))
         .withWatermark("ts", "60 seconds")
       val stats = statsOver(arrivals)
-      val name = s"s_domain_stats_${nameCounter.incrementAndGet()}"
+      val name = s"s_domain_stats_${StreamingIndex.nameCounter.incrementAndGet()}"
       val q = stats.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try {

@@ -29,8 +29,6 @@ import graft.operators.Det.millis
   * batch's grams. */
 object LmDrift {
 
-  private val nameCounter = new java.util.concurrent.atomic.AtomicInteger
-
   /** The drift chain over explicit LM and arrival relations — the spec
     * hook (a crafted LM vs novel-bigram arrivals pins the unseen-count
     * and empty-seen-window semantics the organic rig cannot reach).
@@ -70,7 +68,7 @@ object LmDrift {
           timestamp_seconds(col("doc_id") + lit(86400L)).as("ts"))
         .withWatermark("ts", "60 seconds")
       val drift = driftOver(lm, arrivals)
-      val name = s"s_lm_drift_${nameCounter.incrementAndGet()}"
+      val name = s"s_lm_drift_${StreamingIndex.nameCounter.incrementAndGet()}"
       val q = drift.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try {

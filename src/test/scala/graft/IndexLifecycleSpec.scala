@@ -751,6 +751,16 @@ class IndexLifecycleSpec extends SparkSpec {
       (bIds(0), y), (bIds(1), m), (f2, d2)))
     val fresh = SparkEntry.queries("q_dedup_index_persist")(spark, union).collect()
     assert(got.map(_.toSeq).toSeq == fresh.map(_.toSeq).toSeq)
+    // crash recovery: a stranded _graft_pending marker (an apply died
+    // between the two appends) must wipe and rebuild, NEVER double-
+    // append — the recovered summary is identical
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(wh, gTbl.get, "_graft_pending"),
+      "stranded".getBytes("UTF-8"))
+    val recovered = SparkEntry.queries("q_dedup_index_update")(spark, full).collect()
+    assert(recovered.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(wh, gTbl.get, "_graft_pending")))
   }
 
   test("durable regime END-TO-END: the streaming substring gate above the ceiling serves from the bucketed table, rows identical") {
