@@ -157,6 +157,12 @@ object Bench {
       graft.operators.IndexStore.durableGramIndex(spark, sfDir)
       graft.operators.IndexStore.durableBandIndex(spark, sfDir)
     }
+    // the update tables (base split + admitted append) are a separate
+    // durable pair — unpriced, their first q_dedup_index_update rep
+    // spread 7.8× against the no-op second rep and false-tripped the
+    // contamination gate on a contended host
+    val updIdxSec = timedBuild(
+      graft.operators.IndexStore.dedupIndexUpdate(spark, sfDir).count())
     // optional args(0): comma-separated query filter (dev only; the
     // driver invokes with no args and measures everything)
     val only: Set[String] =
@@ -280,7 +286,8 @@ object Bench {
     val idxJson = s""""ivf_index_build_sec":${optF3(idxBuildSec)},""" +
       s""""index_builds":{"pq":${optF3(pqBuildSec)},"band":${optF3(bandBuildSec)},""" +
       s""""refresh_ivf":${optF3(refreshIvfSec)},"refresh_pq":${optF3(refreshPqSec)},""" +
-      s""""base_product":${optF3(baseProductSec)},"dedup_idx":${optF3(dedupIdxSec)}}"""
+      s""""base_product":${optF3(baseProductSec)},"dedup_idx":${optF3(dedupIdxSec)},""" +
+      s""""dedup_upd":${optF3(updIdxSec)}}"""
     // Serving latency for the streaming index stack: per-micro-batch
     // triggerExecution durations (data-carrying batches only), recorded
     // synchronously by StreamingIndex after each run — p50/p95 is THE
