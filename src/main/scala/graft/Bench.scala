@@ -145,7 +145,7 @@ object Bench {
     }
     val idxBuildSec = timedBuild(graft.operators.Similarity.ivfIndex(spark, sfDir))
     val pqBuildSec = timedBuild(graft.operators.ProductQuant.pqIndex(spark, sfDir))
-    val bandBuildSec = timedBuild(graft.operators.Dedup.md5BandIndex(spark, sfDir, 16))
+    val bandBuildSec = timedBuild(graft.operators.Dedup.md5BandIndex(spark, sfDir, graft.operators.IndexStore.BandK))
     val refreshIvfSec = timedBuild(graft.operators.Similarity.preArrivalIndex(spark, sfDir))
     val refreshPqSec = timedBuild(graft.operators.ProductQuant.preArrivalCodebooks(spark, sfDir))
     // r13 durable stores: the base corpus product (q_corpus_apply /
@@ -158,9 +158,10 @@ object Bench {
       graft.operators.IndexStore.durableBandIndex(spark, sfDir)
     }
     // the update tables (base split + admitted append) are a separate
-    // durable pair — unpriced, their first q_dedup_index_update rep
-    // spread 7.8× against the no-op second rep and false-tripped the
-    // contamination gate on a contended host
+    // durable pair, priced here as dedup_upd: while unpriced, their
+    // first q_dedup_index_update rep spread 7.8× against the no-op
+    // second rep and false-tripped the contamination gate on a
+    // contended host
     val updIdxSec = timedBuild(
       graft.operators.IndexStore.dedupIndexUpdate(spark, sfDir).count())
     // optional args(0): comma-separated query filter (dev only; the

@@ -185,6 +185,7 @@ object SparkEntry {
     "q_token_entropy" -> (Corpus.tokenEntropy _),
     "q_block_dedup" -> (Corpus.blockDedup _),
     "q_substring_dedup" -> (Corpus.substringDedup _),
+    "q_substring_dedup_delta" -> (Corpus.substringDedupDelta _),
     "q_bpe_merges" -> (Corpus.bpeMerges _),
     "q_bpe_apply" -> (Corpus.bpeApply _),
     "q_vocab_coverage" -> (Corpus.vocabCoverage _),
@@ -297,6 +298,7 @@ object SparkEntry {
     "s_ivfpq_serve" -> (graft.streaming.StreamingIndex.sIvfPqServe _),
     "s_neardup_gate" -> (graft.streaming.StreamingIndex.sNeardupGate _),
     "s_substring_gate" -> (graft.streaming.StreamingIndex.sSubstringGate _),
+    "s_substring_gate_upd" -> (graft.streaming.StreamingIndex.sSubstringGateUpd _),
     "s_corpus_ingest" -> (graft.streaming.StreamingIndex.sCorpusIngest _),
     "s_arrival_dedup" -> (graft.streaming.ArrivalDedup.sArrivalDedup _),
     "s_lm_drift" -> (graft.streaming.LmDrift.sLmDrift _),
@@ -2801,6 +2803,55 @@ object SparkEntry {
         |FROM documents d LEFT JOIN ng USING (doc_id) LEFT JOIN nd USING (doc_id)
         |     LEFT JOIN sp USING (doc_id) LEFT JOIN kept k USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // the increment-regime substring tier: admitted arrivals owned
+    // against the FROZEN base (text equality directly — the engine's
+    // two-tier hash/text chain is an optimization with the same rows)
+    "q_substring_dedup_delta" -> (s"WITH $incrementCtes,\n" +
+      """adm AS MATERIALIZED (SELECT del.doc_id, del.text FROM del JOIN v USING (doc_id)
+        |        WHERE v.reason = 'ok'),
+        |td AS (SELECT doc_id, string_split(text, ' ') AS ts FROM adm),
+        |gd AS (SELECT doc_id, i - 1 AS pos,
+        |              array_to_string(ts[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+        |       FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) - 6)]) AS i
+        |             FROM td WHERE len(ts) >= 8)),
+        |tb AS (SELECT doc_id, string_split(text, ' ') AS ts FROM bas),
+        |gb AS (SELECT DISTINCT array_to_string(ts[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+        |       FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) - 6)]) AS i
+        |             FROM tb WHERE len(ts) >= 8)),
+        |drb AS (SELECT doc_id, pos FROM gd JOIN gb USING (gtext)),
+        |dpg AS (SELECT gtext, min(doc_id) AS first_doc
+        |        FROM (SELECT DISTINCT doc_id, gtext FROM gd)
+        |        GROUP BY gtext HAVING count(*) >= 2),
+        |drd AS (SELECT g.doc_id, g.pos FROM gd g JOIN dpg USING (gtext)
+        |        WHERE g.doc_id <> dpg.first_doc),
+        |drp AS (SELECT DISTINCT doc_id, pos FROM
+        |        (SELECT * FROM drb UNION ALL SELECT * FROM drd)),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS tpos FROM drp, range(0, 8) r(j)),
+        |sp AS (SELECT doc_id,
+        |              CAST(sum(CASE WHEN prev IS NULL OR tpos - prev > 1
+        |                            THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        |              CAST(count(*) AS BIGINT) AS n_dropped_tokens
+        |       FROM (SELECT doc_id, tpos,
+        |                    lag(tpos) OVER (PARTITION BY doc_id ORDER BY tpos) AS prev
+        |             FROM cov)
+        |       GROUP BY doc_id),
+        |ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM gd GROUP BY doc_id),
+        |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM drp GROUP BY doc_id),
+        |tok AS (SELECT doc_id, i - 1 AS tpos, ts[CAST(i AS BIGINT)] AS tok
+        |        FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) + 1)]) AS i
+        |              FROM td)),
+        |kept AS (SELECT t.doc_id, md5(string_agg(t.tok, ' ' ORDER BY t.tpos)) AS clean_md5
+        |         FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+        |         WHERE c.tpos IS NULL GROUP BY t.doc_id)
+        |SELECT a.doc_id AS doc_id,
+        |       coalesce(ng.n_grams, 0) AS n_grams,
+        |       coalesce(nd.n_dup, 0) AS n_dup,
+        |       coalesce(sp.n_spans, 0) AS n_spans,
+        |       coalesce(sp.n_dropped_tokens, 0) AS n_dropped_tokens,
+        |       coalesce(k.clean_md5, md5('')) AS clean_md5
+        |FROM adm a LEFT JOIN ng USING (doc_id) LEFT JOIN nd USING (doc_id)
+        |     LEFT JOIN sp USING (doc_id) LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
     "q_semdedup" ->
       (s"WITH $ivfIndexCte,\n" +
       """m AS (SELECT e.vec_id, cell, v FROM e JOIN cells USING (vec_id)),
@@ -2990,6 +3041,27 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_id
         |FROM g a JOIN g b ON a.gtext = b.gtext AND a.doc_id <> b.doc_id
         |ORDER BY doc_id, dup_id""".stripMargin,
+    // the increment-regime gate: arrivals (all docs) probe the UPDATED
+    // durable index — base split UNION admitted delta arrivals (the
+    // shared admission CTEs), never the full corpus
+    "s_substring_gate_upd" -> (s"WITH $incrementCtes,\n" +
+      """au AS MATERIALIZED (SELECT doc_id, text FROM bas
+        |       UNION ALL
+        |       SELECT del.doc_id, del.text FROM del JOIN v USING (doc_id)
+        |       WHERE v.reason = 'ok'),
+        |ta AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |ga AS (SELECT DISTINCT doc_id,
+        |              array_to_string(ts[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+        |       FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) - 6)]) AS i
+        |             FROM ta WHERE len(ts) >= 8)),
+        |tu AS (SELECT doc_id, string_split(text, ' ') AS ts FROM au),
+        |gu AS (SELECT DISTINCT doc_id,
+        |              array_to_string(ts[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+        |       FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) - 6)]) AS i
+        |             FROM tu WHERE len(ts) >= 8))
+        |SELECT DISTINCT a.doc_id AS doc_id, c.doc_id AS dup_id
+        |FROM ga a JOIN gu c ON a.gtext = c.gtext AND a.doc_id <> c.doc_id
+        |ORDER BY doc_id, dup_id""".stripMargin),
     // the composed admission path: the union of the five tiers' batch
     // replays over the ARRIVAL set (corpus + the novel re-sent burst) —
     // the quality z_fp CTE, the md5/gram/band arrival-probes-corpus

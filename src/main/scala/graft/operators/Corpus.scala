@@ -1045,37 +1045,6 @@ object Corpus {
     root
   }
 
-  /** q_corpus_apply — APPLY the admitted delta to the persisted corpus
-    * product: the merge-on-read upsert a real pipeline runs after
-    * [[corpusIncrement]]'s screening, closing the loop the round-12
-    * verdict named (verdicts were issued; nothing extended the
-    * product). Base = yesterday's [[corpusBuild]] over the non-'f'
-    * split ([[ensureBaseProduct]] — its parquet is NEVER rewritten);
-    * arrivals = the 'f' split, screened by the SAME
-    * [[incrementVerdicts]] rule the declared verdict row reports.
-    * Admitted docs are tokenized with the FROZEN tokenizer — the
-    * persisted merge rules applied in round order to the delta's own
-    * character-split vocabulary (per DISTINCT word, the bpeApply cost
-    * class; a word-map lookup would silently DROP novel delta words,
-    * spec-pinned) — then shard-assigned by the build's own md5 rule
-    * and APPENDED per shard: positions and token offsets continue
-    * from the base shard's totals (one delta-sized window + a
-    * broadcast of ≤ TsShards base scalars), bins extend across the
-    * seam, and the rows land in `delta.parquet` beside the untouched
-    * base (merge-on-read: readers union the two).
-    *
-    * The declared row summarizes the MERGED product FROM THE LOADED
-    * relations — per shard: doc/token/bin counts, first/last doc in
-    * position order, the shared order/content checksums
-    * ([[productChecksums]] — one definition with the full build), and
-    * the n_base/n_added split. The admission rule carries the
-    * neardup_delta tier (round-12 advice closed), so within-batch
-    * near-dups are keep-first screened before the append.
-    * The substring-rewrite tier is full-rebuild-only
-    * (gram ownership is a global property); admitted arrivals enter
-    * verbatim. Fully oracled: DuckDB replays the base chain, the
-    * admission, the frozen 3-round application, and the appended
-    * layout. */
   /** The screened arriving batch [[corpusApply]] appends and
     * [[tokenizerDrift]] measures — admitted = the increment rule's 'ok'
     * verdicts over the 'f' split. */
@@ -1109,6 +1078,39 @@ object Corpus {
         .select(col("w"), col("freq"), applyMergeExpr.as("syms"))
     }
 
+  /** q_corpus_apply — APPLY the admitted delta to the persisted corpus
+    * product: the merge-on-read upsert a real pipeline runs after
+    * [[corpusIncrement]]'s screening, closing the loop the round-12
+    * verdict named (verdicts were issued; nothing extended the
+    * product). Base = yesterday's [[corpusBuild]] over the non-'f'
+    * split ([[ensureBaseProduct]] — its parquet is NEVER rewritten);
+    * arrivals = the 'f' split, screened by the SAME
+    * [[incrementVerdicts]] rule the declared verdict row reports.
+    * Admitted docs are tokenized with the FROZEN tokenizer — the
+    * persisted merge rules applied in round order to the delta's own
+    * character-split vocabulary (per DISTINCT word, the bpeApply cost
+    * class; a word-map lookup would silently DROP novel delta words,
+    * spec-pinned) — then shard-assigned by the build's own md5 rule
+    * and APPENDED per shard: positions and token offsets continue
+    * from the base shard's totals (one delta-sized window + a
+    * broadcast of ≤ TsShards base scalars), bins extend across the
+    * seam, and the rows land in `delta.parquet` beside the untouched
+    * base (merge-on-read: readers union the two).
+    *
+    * The declared row summarizes the MERGED product FROM THE LOADED
+    * relations — per shard: doc/token/bin counts, first/last doc in
+    * position order, the shared order/content checksums
+    * ([[productChecksums]] — one definition with the full build), and
+    * the n_base/n_added split. The admission rule carries the
+    * neardup_delta tier (round-12 advice closed), so within-batch
+    * near-dups are keep-first screened before the append.
+    * The substring-rewrite tier enters arrivals verbatim here —
+    * [[substringDedupDelta]] is the increment-regime rewrite that owns
+    * admitted spans against the FROZEN base ownership (full gram
+    * ownership is a global property; the full rewrite stays
+    * rebuild-only). Fully oracled: DuckDB replays the base chain, the
+    * admission, the frozen 3-round application, and the appended
+    * layout. */
   def corpusApply(s: SparkSession, d: String): DataFrame = {
     val root = ensureBaseProduct(s, d)
     val base = loadProduct(s, root, "corpus")
@@ -1745,6 +1747,90 @@ object Corpus {
         struct(col("tpos"), col("tok")))),
         x => x.getField("tok")), " ")).as("clean_md5"))
     toks.select(col("doc_id"))
+      .join(nGrams, Seq("doc_id"), "left")
+      .join(nDup, Seq("doc_id"), "left")
+      .join(spans, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dropped_tokens"), lit(0L)).as("n_dropped_tokens"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** q_substring_dedup_delta — the INCREMENT-REGIME exact-substring
+    * tier: the one batch rule [[corpusApply]] could not apply
+    * incrementally (gram ownership is a GLOBAL property — a new
+    * arrival can change which doc owns a gram, so the full
+    * [[substringDedup]] rewrite stays rebuild-only). The increment
+    * form makes ownership LOCAL by freezing the base side, the
+    * merge-on-read symmetry corpusApply already has: base docs are
+    * never re-rewritten, and an admitted arrival's gram occurrence is
+    * DROPPED iff (a) its exact text occurs anywhere in the base split
+    * — a base doc owns it, frozen, and an arrival can never displace
+    * base ownership — or (b) a LOWER-id admitted arrival in the same
+    * batch carries the gram (delta-first keep: the lowest admitted
+    * doc owns batch-novel grams, keeping its own within-doc repeats,
+    * exactly the full tier's owner contract restricted to the delta).
+    * Scale shape: the delta probe side is ingest-window-bounded and
+    * its DISTINCT HASH SET broadcasts into the corpus-sized base gram
+    * relation (which stays sharded — the admission-gate discipline),
+    * pruning it to the collision tier before any gram text travels;
+    * the text verify then runs inside that tiny tier (two-tier as in
+    * [[substringDedup]] — a 60-bit collision cannot fake a drop). The
+    * delta-vs-delta tier is delta-sized. Output: the substringDedup
+    * row shape over ADMITTED docs only. Fully oracled; the
+    * base-owned-vs-delta-first boundary is spec-pinned on a crafted
+    * fixture. */
+  def substringDedupDelta(s: SparkSession, d: String): DataFrame = {
+    val admitted = admittedDelta(s, d)
+    val toksD = admitted.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val gramsD = gramRows(toksD)
+    val toksB = Tables.documents(s, d)
+      .filter(!isDeltaCol)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    // tier (a), hash first: the base posting relation is pruned by the
+    // broadcast delta hash set, then verified on exact text
+    val hotB = gramRows(toksB)
+      .join(broadcast(gramsD.select(col("h")).distinct()), Seq("h"))
+      .select(col("h"), col("gtext")).distinct()
+    val dropBase = gramsD.join(hotB, Seq("h", "gtext"))
+      .select(col("doc_id"), col("pos"))
+    // tier (b): lowest admitted doc owns grams novel to this batch
+    val dupD = gramsD.select(col("doc_id"), col("gtext")).distinct()
+      .groupBy(col("gtext"))
+      .agg(countDistinct(col("doc_id")).as("gdf"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("gdf") >= 2)
+    val dropDelta = gramsD.join(dupD, Seq("gtext"))
+      .filter(col("doc_id") =!= col("first_doc"))
+      .select(col("doc_id"), col("pos"))
+    val dropped = dropBase.unionByName(dropDelta).distinct()
+    val cov = dropped.select(col("doc_id"),
+      explode(sequence(col("pos"), col("pos") + SubstrL - 1)).as("tpos"))
+      .distinct()
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("tpos"))
+    val spans = cov.withColumn("prev", lag(col("tpos"), 1).over(wd))
+      .select(col("doc_id"),
+        when(col("prev").isNull || col("tpos") - col("prev") > 1, 1)
+          .otherwise(0).as("st"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("st")).as("n_spans"),
+        count(lit(1)).as("n_dropped_tokens"))
+    val nDup = dropped.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup"))
+    val nGrams = gramsD.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val kept = toksD
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("tpos", "tok")))
+      .join(cov, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(md5(array_join(transform(array_sort(collect_list(
+        struct(col("tpos"), col("tok")))),
+        x => x.getField("tok")), " ")).as("clean_md5"))
+    toksD.select(col("doc_id"))
       .join(nGrams, Seq("doc_id"), "left")
       .join(nDup, Seq("doc_id"), "left")
       .join(spans, Seq("doc_id"), "left")

@@ -178,7 +178,24 @@ object StreamingIndex {
     * corpus hint is withheld (probe side broadcasts instead — see
     * [[NeardupSaltBuckets]] for the measured skew story), optionally
     * salted (both knobs conf-overridable — the spec and stress
-    * handles). All shapes emit identical rows. */
+    * handles). All shapes emit identical rows over the same index
+    * CONTENT — but see the `dir` contract below for the durable
+    * regimes, where content itself is conf-selected.
+    *
+    * CONTRACT on `dir` (round-13 advice): when non-empty AND
+    * `graft.index.durable` is set, the above-ceiling branch DISCARDS
+    * the passed `corpus` relation and probes a durable table rebuilt
+    * from `dir` at k = [[graft.operators.IndexStore.BandK]] — so `dir`
+    * must name the corpus `corpus` was sketched from, at that same k
+    * (every declared gate passes [[graft.operators.Dedup.md5BandIndex]]
+    * `(s, dir, IndexStore.BandK)`, keeping the two definitionally in
+    * step). A caller passing a crafted pin or a different k beside a
+    * non-empty `dir` would silently get rows from a different index;
+    * pass `dir = ""` to force the pin. Under
+    * `graft.index.durable=updated` the discard is the POINT: the gate
+    * serves from base ∪ admitted ([[graft.operators.IndexStore
+    * .durableBandUpd]] — the increment regime, where the full-corpus
+    * pin is exactly what must NOT be probed). */
   private[graft] def neardupCandidatePairs(
       s: SparkSession, probes: DataFrame, corpus: DataFrame, nDocs: Long,
       dir: String = ""): DataFrame = {
@@ -197,9 +214,14 @@ object StreamingIndex {
       // pin — the scan is already clustered on the join keys, so the
       // static side feeds the join with zero per-batch exchange (and
       // the layout survives restart); the salt path keeps the pin
-      // (salting breaks bucket co-location by construction)
-      if (r <= 1 && dir.nonEmpty &&
-          s.conf.getOption("graft.index.durable").contains("true"))
+      // (salting breaks bucket co-location by construction).
+      // "updated" probes base ∪ admitted (the increment regime);
+      // "true" probes the full-corpus table.
+      val durable = s.conf.getOption("graft.index.durable")
+      if (r <= 1 && dir.nonEmpty && durable.contains("updated"))
+        probes.as("s")
+          .join(graft.operators.IndexStore.durableBandUpd(s, dir).as("c"), cond)
+      else if (r <= 1 && dir.nonEmpty && durable.contains("true"))
         probes.as("s")
           .join(graft.operators.IndexStore.durableBandIndex(s, dir).as("c"), cond)
       else if (r <= 1) probes.as("s").join(corpus.as("c"), cond)
@@ -929,7 +951,7 @@ object StreamingIndex {
   def sNeardupGate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val k = 16
+    val k = graft.operators.IndexStore.BandK
     val corpus = Dedup.md5BandIndex(s, d, k)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
@@ -973,7 +995,13 @@ object StreamingIndex {
     * [[sSubstringGate]]: equi-join on (h, gtext) — the 8-byte hash
     * leads, the text column makes the match EXACT (a 60-bit collision
     * cannot fake a duplicate; the batch tier's contract). Size-gated
-    * like [[neardupCandidatePairs]]; all shapes emit identical rows. */
+    * like [[neardupCandidatePairs]]; all shapes emit identical rows
+    * over the same index content. Same `dir` CONTRACT as
+    * [[neardupCandidatePairs]]: a non-empty `dir` under
+    * `graft.index.durable` replaces `corpus` with a durable table
+    * rebuilt from `dir` ([[graft.operators.Corpus.gramRows]] — the one
+    * gram definition, so no k to drift here), and `=updated` probes
+    * base ∪ admitted instead of the full corpus. */
   private[graft] def substringCandidatePairs(
       s: SparkSession, probes: DataFrame, corpus: DataFrame, nPostings: Long,
       dir: String = ""): DataFrame = {
@@ -997,17 +1025,21 @@ object StreamingIndex {
     // to a sharded join only when a giant batch genuinely cannot
     // broadcast — reshuffling the posting index for that batch is the
     // correct price, not a regression.
+    // the durable-store regime (`graft.index.durable`): the degraded
+    // path joins the BUCKETED gram table — HashPartitioning(h)
+    // satisfies the (h, gtext) clustering, so the posting side feeds
+    // the join with zero per-batch exchange; only the bounded probe
+    // side aligns (or broadcasts, planner's estimate). One write per
+    // corpus version replaces one posting-index shuffle per oversized
+    // batch — the round-12 carried perf item. "updated" probes
+    // base ∪ admitted (the increment regime); "true" the full corpus.
+    val durable = s.conf.getOption("graft.index.durable")
     val joined =
       if (nPostings <= limit) probes.as("s").join(broadcast(corpus).as("c"), cond)
-      // the durable-store regime (`graft.index.durable`): the degraded
-      // path joins the BUCKETED gram table — HashPartitioning(h)
-      // satisfies the (h, gtext) clustering, so the posting side feeds
-      // the join with zero per-batch exchange; only the bounded probe
-      // side aligns (or broadcasts, planner's estimate). One write per
-      // corpus version replaces one posting-index shuffle per oversized
-      // batch — the round-12 carried perf item.
-      else if (dir.nonEmpty &&
-          s.conf.getOption("graft.index.durable").contains("true"))
+      else if (dir.nonEmpty && durable.contains("updated"))
+        probes.as("s")
+          .join(graft.operators.IndexStore.durableGramUpd(s, dir).as("c"), cond)
+      else if (dir.nonEmpty && durable.contains("true"))
         probes.as("s")
           .join(graft.operators.IndexStore.durableGramIndex(s, dir).as("c"), cond)
       else probes.as("s").join(corpus.as("c"), cond)
@@ -1062,6 +1094,63 @@ object StreamingIndex {
       try {
         feedStaggered(input, docs.toSeq.sortBy(_.doc_id), q)
         record("s_substring_gate", q)
+      } finally q.stop()
+      s.table(name).orderBy("doc_id", "dup_id")
+    }
+  }
+
+  /** s_substring_gate_upd — the INCREMENT-REGIME exact-substring gate:
+    * the same topology as [[sSubstringGate]], but the index side is
+    * the UPDATED durable gram table — base split ∪ admitted arrivals,
+    * the product [[graft.operators.IndexStore.dedupIndexUpdate]]
+    * maintains — so this run screens arrivals against yesterday's
+    * corpus PLUS the previous run's admitted arrivals, the exact
+    * lifecycle moment the incremental index exists for (round-13
+    * verdict: the updated tables were built and append ≡ rebuild
+    * verified, but nothing served from them). Consequences the
+    * full-corpus gate cannot express: a collision with a NON-admitted
+    * delta doc cannot flag (its postings never entered the index),
+    * while a collision with an ADMITTED prior-run arrival does even
+    * though that doc is absent from the base split — both spec-pinned
+    * on a crafted fixture. The loaded table relation is passed as the
+    * corpus side directly (it IS the bucketed scan), so every
+    * size-gate regime serves the same base ∪ admitted rows: under the
+    * posting ceiling the table broadcasts; above it the join reads
+    * the appended BUCKETED table with zero static-side exchange — the
+    * bucket spec is table metadata and survives the append
+    * (plan-guarded). Existing gates switch to this index via
+    * `graft.index.durable=updated` ([[substringCandidatePairs]]);
+    * this declared row pins the served CONTENT with a full oracle:
+    * symmetric exact-gram collisions of all arrivals against the
+    * base ∪ admitted gram windows. */
+  def sSubstringGateUpd(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val corpus = graft.operators.IndexStore.durableGramUpd(s, d)
+      .select(col("h"), col("gtext"), col("doc_id"))
+    val nPostings = corpus.count()
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[DocEvent].collect()
+    EventPairing.withStreamingPartitions(s) {
+      val input = MemoryStream[DocEvent]
+      val probes = graft.operators.Corpus.gramRows(
+        input.toDF().select(col("doc_id"), split(col("text"), " ").as("tk")))
+        .select(col("doc_id"), col("gtext"), col("h"))
+      // dir = "" on purpose: the corpus relation IS the updated table;
+      // a conf-selected diversion to the full-corpus table would
+      // silently change this row's declared content
+      val gated = substringCandidatePairs(s, probes, corpus, nPostings, "")
+        .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("doc_id", "dup_id")
+        .select(col("doc_id"), col("dup_id"))
+      val name = s"s_substring_gate_upd_${nameCounter.incrementAndGet()}"
+      val q = gated.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        feedStaggered(input, docs.toSeq.sortBy(_.doc_id), q)
+        record("s_substring_gate_upd", q)
       } finally q.stop()
       s.table(name).orderBy("doc_id", "dup_id")
     }
@@ -1147,7 +1236,7 @@ object StreamingIndex {
   def sCorpusIngest(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val k = 16
+    val k = graft.operators.IndexStore.BandK
     val bandIdx = Dedup.md5BandIndex(s, d, k)
     val gramIdx = graft.operators.Corpus.gramIndex(s, d)
     val nPostings = gramIdx.count()

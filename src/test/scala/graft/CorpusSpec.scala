@@ -431,6 +431,51 @@ class CorpusSpec extends SparkSpec {
     assert(r(5L) == ((12L, 4L, 2L, 18L, md5hex("y1"))))
   }
 
+  test("substring_dedup_delta: base ownership FROZEN (base-owned gram drops), delta-first gram kept by lowest admitted doc") {
+    // The increment-regime tier's two ownership rules on one fixture:
+    //  - f2 carries base Y's prefix gram y0..y7 → base owns it
+    //    (frozen), f2 drops the 8-token span even though f2 would be
+    //    the lowest doc holding it among the ARRIVALS;
+    //  - f2 and f3 share the batch-novel gram s0..s7 → the LOWEST
+    //    admitted delta doc (f2) keeps it, f3 drops it — the full
+    //    tier's owner contract restricted to the delta.
+    // Base rows never appear (base docs are never re-rewritten), and
+    // both delta docs pass every admission screen (30 distinct tokens
+    // each; cross-doc shingle Jaccard 6/50 = 0.12 < 0.5).
+    def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def nib(id: Long): Char = md5hex(id.toString).head
+    val fIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').take(2).toSeq.sorted
+    val b1 = Iterator.iterate(1L)(_ + 1).filter(nib(_) != 'f').next()
+    val Seq(f2, f3) = fIds
+    val yToks = (0 until 30).map(i => s"y$i")
+    val cToks = (0 until 14).map(i => s"c$i")
+    val sToks = (0 until 8).map(i => s"s$i")
+    val dToks = (0 until 22).map(i => s"d$i")
+    val tB = yToks.mkString(" ")
+    val t2 = (yToks.take(8) ++ cToks ++ sToks).mkString(" ")
+    val t3 = (dToks ++ sToks).mkString(" ")
+    val d = docsDir(
+      (b1, tB, "en", "s", 1L), (f2, t2, "en", "s", 1L), (f3, t3, "en", "s", 1L))
+    // preconditions: both delta docs admitted (else the tier tests nothing)
+    val verdicts = Corpus.corpusIncrement(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(verdicts == Map(f2 -> "ok", f3 -> "ok"), verdicts)
+    val r = Corpus.substringDedupDelta(spark, d).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getString(5)))).toMap
+    // ONLY the admitted delta docs are rewritten
+    assert(r.keySet == Set(f2, f3), r.keySet)
+    // f2: 23 grams; ONE dropped (the base-owned y-prefix at pos 0 —
+    // no other f2 window matches a base gram); the shared s-gram KEPT
+    // (f2 is the lowest admitted holder). Span = tokens 0..7.
+    assert(r(f2) == ((23L, 1L, 1L, 8L,
+      md5hex((cToks ++ sToks).mkString(" ")))), r(f2))
+    // f3: 23 grams; ONE dropped (the s-gram at pos 22 — owned by f2).
+    // Span = tokens 22..29.
+    assert(r(f3) == ((23L, 1L, 1L, 8L, md5hex(dToks.mkString(" ")))), r(f3))
+  }
+
   test("wordpiece_merges: likelihood beats frequency; empty round passes through") {
     // Corpus: "ab"×3, "xy"×1, "a"×5, "b"×5. Pair counts: (a,b)=3,
     // (x,y)=1 — BPE would merge (a,b) first. WordPiece scores:
@@ -799,6 +844,53 @@ class CorpusSpec extends SparkSpec {
       Thread.sleep(10)
     graft.Pins.drain() // job done, no streams → released
     assert(rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
+  test("Pins: batch release is PARK-SCOPED — constant job churn cannot defer a parked pin indefinitely") {
+    // the round-13 residual closed: the batch gate waited for a moment
+    // with NO active job on the context, so under constant job churn (a
+    // busy multi-tenant driver) a parked pin could wait forever and the
+    // queue was unbounded. Holders are now the job ids active AT PARK —
+    // once those finish the pin frees, however many LATER jobs are in
+    // flight (their plans were built from the replacement pin).
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val pin = spark.range(0, 8, 1, 2).toDF("v").localCheckpoint()
+    val rdd = pinRdd(pin)
+    // the churn loop: back-to-back short jobs for the whole test —
+    // under the old any-job-defers gate this kept the context busy at
+    // almost every drain and the release raced the inter-job gaps
+    @volatile var churn = true
+    val churner = Future {
+      while (churn)
+        spark.range(0, 64, 1, 4).as[Long]
+          .mapPartitions { it => Thread.sleep(30); it }.count()
+    }
+    try {
+      // a park-time holder job that ends quickly
+      val holder = Future(pin.as[Long]
+        .mapPartitions { it => Thread.sleep(300); it }.count())
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (spark.sparkContext.statusTracker.getActiveJobIds().isEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(5)
+      graft.Pins.park(spark, pin)
+      assert(Await.result(holder, 60.seconds) == 8L)
+      // bounded release: within a few drains after the holder finished,
+      // the pin frees EVEN THOUGH the churn loop keeps jobs active
+      var drains = 0
+      while (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+        && drains < 50) {
+        graft.Pins.drain(); drains += 1; Thread.sleep(20)
+      }
+      assert(rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        s"pin still parked after $drains drains under job churn")
+      assert(graft.Pins.parkedCount == 0)
+    } finally {
+      churn = false
+      Await.ready(churner, 60.seconds)
+    }
   }
 
   test("corpus_build: each stage sees ONLY upstream survivors; product verified from the loaded store") {

@@ -538,6 +538,50 @@ class PlanHygieneSpec extends SparkSpec {
     assert(operators.Similarity.ivfStride(1000000L) == 1000L)
   }
 
+  test("durable index family: bucket count follows the √-law — per-bucket volume grows ∝ √n, never linearly") {
+    // the round-13 residual closed: NBuckets was a fixed 16, which at
+    // a 1e10-doc corpus meant ~6 TB gram buckets. The IVF nlist
+    // discipline applied to storage layout: buckets = clamp(⌊√n⌋, 16,
+    // 65536), floor keeping small fixtures on the round-13 layout,
+    // ceiling bounding bucket-file counts the way IvfNlistCap bounds
+    // the centroid broadcast.
+    import operators.IndexStore
+    for (n <- Seq(0L, 1L, 60L, 256L, 10000L, 1000000L, 10000000000L, 1000000000000L)) {
+      val b = IndexStore.nBucketsFor(n)
+      assert(b >= IndexStore.MinBuckets && b <= IndexStore.MaxBuckets, s"n=$n b=$b")
+      val isqrt = math.sqrt(n.toDouble).toLong
+      assert(b == math.min(IndexStore.MaxBuckets.toLong,
+        math.max(IndexStore.MinBuckets.toLong, isqrt)).toInt, s"n=$n b=$b")
+    }
+    // the sf fixtures stay on the 16-bucket floor (60–600 docs < 256²)
+    assert(IndexStore.nBucketsFor(60) == 16)
+    // past the floor the count tracks ⌊√n⌋ exactly; the ceiling
+    // engages only past n = 65536² ≈ 4.3e9 docs
+    assert(IndexStore.nBucketsFor(1000000) == 1000)
+    assert(IndexStore.nBucketsFor(10000000000L) == 65536)
+  }
+
+  test("durable index buckets: the √-law value actually reaches the table DDL and displaces the old layout") {
+    import spark.implicits._
+    // a 300-doc corpus sits past the 16² floor crossover (√300 = 17):
+    // the built table must carry 17 buckets — proving the law threads
+    // through ensure() and not just the constant — and the layout
+    // stamp must have displaced any prior build
+    val docs = (0L until 300L).map { i =>
+      val t = (0 until 8).map(j => s"bk${i}_$j").mkString(" ")
+      (i, t, "en", "s", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = fixtureDir("documents" -> docs)
+    graft.operators.IndexStore.durableGramIndex(spark, dir).count()
+    val tbl = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_gram_idx")).find { n =>
+        spark.table(n).select("doc_id").distinct().count() == 300L
+      }
+    assert(tbl.isDefined)
+    val ddl = spark.sql(s"SHOW CREATE TABLE ${tbl.get}").collect()(0).getString(0)
+    assert(ddl.contains("INTO 17 BUCKETS"), ddl)
+  }
+
   test("PQ family: codebook size is size-independent — stride pins the broadcast side") {
     // same contract as nlist: the per-subspace codebook (and hence the
     // broadcast ADC table) must not grow with the corpus
