@@ -299,6 +299,7 @@ object SparkEntry {
     "s_neardup_gate" -> (graft.streaming.StreamingIndex.sNeardupGate _),
     "s_substring_gate" -> (graft.streaming.StreamingIndex.sSubstringGate _),
     "s_substring_gate_upd" -> (graft.streaming.StreamingIndex.sSubstringGateUpd _),
+    "s_neardup_gate_upd" -> (graft.streaming.StreamingIndex.sNeardupGateUpd _),
     "s_corpus_ingest" -> (graft.streaming.StreamingIndex.sCorpusIngest _),
     "s_arrival_dedup" -> (graft.streaming.ArrivalDedup.sArrivalDedup _),
     "s_lm_drift" -> (graft.streaming.LmDrift.sLmDrift _),
@@ -3062,6 +3063,20 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS doc_id, c.doc_id AS dup_id
         |FROM ga a JOIN gu c ON a.gtext = c.gtext AND a.doc_id <> c.doc_id
         |ORDER BY doc_id, dup_id""".stripMargin),
+    // the sketch-tier twin: arrival bands probe the base ∪ admitted
+    // md5-band chain (the same admission CTEs select the union)
+    "s_neardup_gate_upd" -> (s"WITH $incrementCtes,\n" +
+      """au AS MATERIALIZED (SELECT doc_id, text FROM bas
+        |       UNION ALL
+        |       SELECT del.doc_id, del.text FROM del JOIN v USING (doc_id)
+        |       WHERE v.reason = 'ok'),
+        |""".stripMargin +
+      md5BandsCteOver("documents", "a") + ",\n" +
+      md5BandsCteOver("au", "u") + "\n" +
+      """SELECT a.doc_id AS doc_id, u.doc_id AS dup_id
+        |FROM abands a JOIN ubands u
+        |  ON a.band = u.band AND a.band_key = u.band_key AND a.doc_id <> u.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     // the composed admission path: the union of the five tiers' batch
     // replays over the ARRIVAL set (corpus + the novel re-sent burst) —
     // the quality z_fp CTE, the md5/gram/band arrival-probes-corpus

@@ -1126,8 +1126,18 @@ object StreamingIndex {
   def sSubstringGateUpd(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val corpus = graft.operators.IndexStore.durableGramUpd(s, d)
-      .select(col("h"), col("gtext"), col("doc_id"))
+    // pinned: a stream-static join re-executes its static side every
+    // micro-batch, and unpinned this rig re-read + re-broadcast the
+    // bucketed table per trigger — measured 14.0 s vs the session-pin
+    // gate's 9.8 s at sf0.1. The pin is the standard serving-tier move
+    // (sAnnServe); the dirStamp fingerprint displaces it with the
+    // table. The durable above-ceiling path (conf regime) still reads
+    // the bucketed scan — that is the exchange-free degraded shape,
+    // not this rig's broadcast regime.
+    val corpus = pinnedCorpus(s, d, "gram_upd") {
+      graft.operators.IndexStore.durableGramUpd(s, d)
+        .select(col("h"), col("gtext"), col("doc_id"))
+    }
     val nPostings = corpus.count()
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
@@ -1151,6 +1161,51 @@ object StreamingIndex {
       try {
         feedStaggered(input, docs.toSeq.sortBy(_.doc_id), q)
         record("s_substring_gate_upd", q)
+      } finally q.stop()
+      s.table(name).orderBy("doc_id", "dup_id")
+    }
+  }
+
+  /** s_neardup_gate_upd — [[sSubstringGateUpd]]'s sketch-tier twin:
+    * the near-dup admission gate serving from the UPDATED durable band
+    * index (base split ∪ admitted arrivals — [[graft.operators
+    * .IndexStore.durableBandUpd]]), completing the increment regime
+    * across BOTH collision tiers. Same consequences: a band collision
+    * with a rejected delta doc cannot flag; one with an admitted
+    * prior-run arrival does. The loaded table relation is the corpus
+    * side (pinned — the serving-tier move), so every size-gate regime
+    * serves the same base ∪ admitted rows. Oracle: symmetric band
+    * collisions of all arrivals against the base ∪ admitted md5-band
+    * chain (the shared admission CTEs). */
+  def sNeardupGateUpd(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val k = graft.operators.IndexStore.BandK
+    val corpus = pinnedCorpus(s, d, "band_upd") {
+      graft.operators.IndexStore.durableBandUpd(s, d)
+        .select(col("doc_id"), col("band"), col("band_key"))
+    }
+    val nDocs = corpus.select(col("doc_id")).distinct().count()
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[DocEvent].collect()
+    EventPairing.withStreamingPartitions(s) {
+      val input = MemoryStream[DocEvent]
+      val probes = Dedup.md5BandProbes(
+        input.toDF().select(col("doc_id"), split(col("text"), " ").as("tk")), k)
+      // dir = "" on purpose: the corpus relation IS the updated table
+      // (see sSubstringGateUpd)
+      val gated = neardupCandidatePairs(s, probes, corpus, nDocs, "")
+        .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("doc_id", "dup_id")
+        .select(col("doc_id"), col("dup_id"))
+      val name = s"s_neardup_gate_upd_${nameCounter.incrementAndGet()}"
+      val q = gated.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        feedStaggered(input, docs.toSeq.sortBy(_.doc_id), q)
+        record("s_neardup_gate_upd", q)
       } finally q.stop()
       s.table(name).orderBy("doc_id", "dup_id")
     }

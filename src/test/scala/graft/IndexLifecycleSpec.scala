@@ -930,6 +930,12 @@ class IndexLifecycleSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(fullGate == Set(
       (bIds(0), f1), (f1, bIds(0)), (f2, f3), (f3, f2)), fullGate)
+    // the sketch-tier twin serves the same base ∪ admitted universe:
+    // identical texts collide on every band, so the pair set matches
+    // the exact tier's on this fixture
+    val bandUpd = SparkEntry.queries("s_neardup_gate_upd")(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(bandUpd.toSet == Set((f1, bIds(0)), (f3, f2)), bandUpd)
   }
 
   test("marker ordering: stranded pending + PARTIAL delta in one table recovers to the clean summary — wipe, never double-append") {
