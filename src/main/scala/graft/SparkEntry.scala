@@ -186,6 +186,7 @@ object SparkEntry {
     "q_block_dedup" -> (Corpus.blockDedup _),
     "q_substring_dedup" -> (Corpus.substringDedup _),
     "q_substring_dedup_delta" -> (Corpus.substringDedupDelta _),
+    "q_increment_run" -> (Corpus.incrementRun _),
     "q_bpe_merges" -> (Corpus.bpeMerges _),
     "q_bpe_apply" -> (Corpus.bpeApply _),
     "q_vocab_coverage" -> (Corpus.vocabCoverage _),
@@ -604,6 +605,33 @@ object SparkEntry {
       |               ${h60Sql("CAST(cbr2.doc_id AS VARCHAR) || '@' || CAST(cbr2.pos AS VARCHAR)")} AS oh,
       |               ${h60Sql("CAST(cbr2.doc_id AS VARCHAR) || '@' || CAST(cbr2.pos AS VARCHAR) || ':' || CAST(cbr2.start_off AS VARCHAR) || '#' || cbr2.bpe_md5 || '#' || md5(c.text)")} AS ch
       |        FROM cbr2 JOIN cbc c USING (doc_id))""".stripMargin
+
+  /** Delta-substring CTEs (expect [[incrementCtes]]'s del/bas/v in
+    * scope): expose adm (admitted arrivals), gd (delta gram
+    * occurrences), gb (base gram texts), drp (dropped occurrences),
+    * cov (covered token positions). Shared by the
+    * q_substring_dedup_delta and q_increment_run oracles. */
+  private def substringDeltaCtes: String =
+    """adm AS MATERIALIZED (SELECT del.doc_id, del.text FROM del JOIN v USING (doc_id)
+      |        WHERE v.reason = 'ok'),
+      |td AS (SELECT doc_id, string_split(text, ' ') AS ts FROM adm),
+      |gd AS (SELECT doc_id, i - 1 AS pos,
+      |              array_to_string(ts[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+      |       FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) - 6)]) AS i
+      |             FROM td WHERE len(ts) >= 8)),
+      |tb AS (SELECT doc_id, string_split(text, ' ') AS ts FROM bas),
+      |gb AS (SELECT DISTINCT array_to_string(ts[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+      |       FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) - 6)]) AS i
+      |             FROM tb WHERE len(ts) >= 8)),
+      |drb AS (SELECT doc_id, pos FROM gd JOIN gb USING (gtext)),
+      |dpg AS (SELECT gtext, min(doc_id) AS first_doc
+      |        FROM (SELECT DISTINCT doc_id, gtext FROM gd)
+      |        GROUP BY gtext HAVING count(*) >= 2),
+      |drd AS (SELECT g.doc_id, g.pos FROM gd g JOIN dpg USING (gtext)
+      |        WHERE g.doc_id <> dpg.first_doc),
+      |drp AS MATERIALIZED (SELECT DISTINCT doc_id, pos FROM
+      |        (SELECT * FROM drb UNION ALL SELECT * FROM drd)),
+      |cov AS MATERIALIZED (SELECT DISTINCT doc_id, pos + j AS tpos FROM drp, range(0, 8) r(j))""".stripMargin
 
   /** The incremental-admission verdict CTEs (q_corpus_increment oracle;
     * the q_corpus_apply oracle reuses them verbatim so the reported
@@ -2807,28 +2835,8 @@ object SparkEntry {
     // the increment-regime substring tier: admitted arrivals owned
     // against the FROZEN base (text equality directly — the engine's
     // two-tier hash/text chain is an optimization with the same rows)
-    "q_substring_dedup_delta" -> (s"WITH $incrementCtes,\n" +
-      """adm AS MATERIALIZED (SELECT del.doc_id, del.text FROM del JOIN v USING (doc_id)
-        |        WHERE v.reason = 'ok'),
-        |td AS (SELECT doc_id, string_split(text, ' ') AS ts FROM adm),
-        |gd AS (SELECT doc_id, i - 1 AS pos,
-        |              array_to_string(ts[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
-        |       FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) - 6)]) AS i
-        |             FROM td WHERE len(ts) >= 8)),
-        |tb AS (SELECT doc_id, string_split(text, ' ') AS ts FROM bas),
-        |gb AS (SELECT DISTINCT array_to_string(ts[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
-        |       FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) - 6)]) AS i
-        |             FROM tb WHERE len(ts) >= 8)),
-        |drb AS (SELECT doc_id, pos FROM gd JOIN gb USING (gtext)),
-        |dpg AS (SELECT gtext, min(doc_id) AS first_doc
-        |        FROM (SELECT DISTINCT doc_id, gtext FROM gd)
-        |        GROUP BY gtext HAVING count(*) >= 2),
-        |drd AS (SELECT g.doc_id, g.pos FROM gd g JOIN dpg USING (gtext)
-        |        WHERE g.doc_id <> dpg.first_doc),
-        |drp AS (SELECT DISTINCT doc_id, pos FROM
-        |        (SELECT * FROM drb UNION ALL SELECT * FROM drd)),
-        |cov AS (SELECT DISTINCT doc_id, pos + j AS tpos FROM drp, range(0, 8) r(j)),
-        |sp AS (SELECT doc_id,
+    "q_substring_dedup_delta" -> (s"WITH $incrementCtes,\n$substringDeltaCtes,\n" +
+      """sp AS (SELECT doc_id,
         |              CAST(sum(CASE WHEN prev IS NULL OR tpos - prev > 1
         |                            THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
         |              CAST(count(*) AS BIGINT) AS n_dropped_tokens
@@ -2853,6 +2861,31 @@ object SparkEntry {
         |FROM adm a LEFT JOIN ng USING (doc_id) LEFT JOIN nd USING (doc_id)
         |     LEFT JOIN sp USING (doc_id) LEFT JOIN kept k USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
+    // the composed nightly increment: every column from first
+    // principles over the SHARED CTE sets; equality with the
+    // Spark row (which reads each stage's LOADED product) proves the
+    // four increment products mutually consistent
+    "q_increment_run" -> ("WITH RECURSIVE\n" +
+      """absrc AS MATERIALIZED (SELECT doc_id, lang, text FROM documents
+        |          WHERE md5(CAST(doc_id AS VARCHAR))[1:1] <> 'f'),
+        |""".stripMargin +
+      corpusChainCteOver("absrc") + ",\n" +
+      s"$incrementCtes,\n$substringDeltaCtes,\n" +
+      """au AS MATERIALIZED (SELECT doc_id, text FROM bas
+        |       UNION ALL SELECT doc_id, text FROM adm)
+        |SELECT CAST((SELECT count(*) FROM del) AS BIGINT) AS n_delta,
+        |       CAST((SELECT count(*) FROM v WHERE reason = 'ok') AS BIGINT) AS n_admitted,
+        |       CAST((SELECT count(*) FROM v WHERE reason = 'quality') AS BIGINT) AS n_quality,
+        |       CAST((SELECT count(*) FROM v WHERE reason = 'exact_base') AS BIGINT) AS n_exact_base,
+        |       CAST((SELECT count(*) FROM v WHERE reason = 'exact_delta') AS BIGINT) AS n_exact_delta,
+        |       CAST((SELECT count(*) FROM v WHERE reason = 'neardup') AS BIGINT) AS n_neardup,
+        |       CAST((SELECT count(*) FROM v WHERE reason = 'neardup_delta') AS BIGINT) AS n_neardup_delta,
+        |       CAST((SELECT count(*) FROM cbr2) AS BIGINT) AS n_base_docs,
+        |       CAST((SELECT count(*) FROM adm) AS BIGINT) AS n_applied,
+        |       CAST((SELECT count(*) FROM au WHERE len(string_split(text, ' ')) >= 8) AS BIGINT) AS gram_docs_upd,
+        |       CAST((SELECT count(*) FROM au WHERE len(string_split(text, ' ')) >= 3) AS BIGINT) AS band_docs_upd,
+        |       CAST((SELECT count(*) FROM drp) AS BIGINT) AS sub_dropped_grams,
+        |       CAST((SELECT count(*) FROM cov) AS BIGINT) AS sub_dropped_tokens""".stripMargin),
     "q_semdedup" ->
       (s"WITH $ivfIndexCte,\n" +
       """m AS (SELECT e.vec_id, cell, v FROM e JOIN cells USING (vec_id)),

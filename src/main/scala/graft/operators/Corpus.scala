@@ -1177,6 +1177,47 @@ object Corpus {
       .orderBy("shard")
   }
 
+  /** q_increment_run — the COMPOSED nightly increment as one declared
+    * row, the lifecycle counterpart of [[corpusBuild]]'s composed
+    * nightly build: verdicts ([[incrementVerdicts]]) → corpus apply
+    * ([[corpusApply]] — merge-on-read append) → serving-index update
+    * ([[IndexStore.dedupIndexUpdate]] — bucketed append) → delta
+    * substring rewrite ([[substringDedupDelta]] — frozen-base
+    * ownership), each read back from its OWN product and summarized
+    * into one row whose columns are the cross-stage INVARIANTS a
+    * production increment must hold: the verdict histogram partitions
+    * the delta (n_delta = n_admitted + Σ rejections), the apply's
+    * loaded n_added equals the admission count (n_applied), and the
+    * updated index tables hold exactly the token-eligible base ∪
+    * admitted docs (gram_docs_upd / band_docs_upd). Every stage rides
+    * its existing pin/stamp (admittedDelta pin, base-product store,
+    * applied-stamp), so the composed row re-executes none of the
+    * heavy chains. Oracle: one scalar-subquery row over the SHARED
+    * CTE sets — the base product chain, the admission CTEs, and the
+    * delta-substring CTEs — computing each column from first
+    * principles; equality proves the four products are mutually
+    * consistent, not just individually correct. */
+  def incrementRun(s: SparkSession, d: String): DataFrame = {
+    val vRow = incrementVerdicts(s, d).agg(
+      count(lit(1)).as("n_delta"),
+      count(when(col("reason") === "ok", 1)).as("n_admitted"),
+      count(when(col("reason") === "quality", 1)).as("n_quality"),
+      count(when(col("reason") === "exact_base", 1)).as("n_exact_base"),
+      count(when(col("reason") === "exact_delta", 1)).as("n_exact_delta"),
+      count(when(col("reason") === "neardup", 1)).as("n_neardup"),
+      count(when(col("reason") === "neardup_delta", 1)).as("n_neardup_delta"))
+    val apRow = corpusApply(s, d).agg(
+      coalesce(sum(col("n_base")), lit(0L)).as("n_base_docs"),
+      coalesce(sum(col("n_added")), lit(0L)).as("n_applied"))
+    val idxRow = IndexStore.dedupIndexUpdate(s, d).agg(
+      max(when(col("index_name") === "grams", col("n_docs"))).as("gram_docs_upd"),
+      max(when(col("index_name") === "bands", col("n_docs"))).as("band_docs_upd"))
+    val subRow = substringDedupDelta(s, d).agg(
+      coalesce(sum(col("n_dup")), lit(0L)).as("sub_dropped_grams"),
+      coalesce(sum(col("n_dropped_tokens")), lit(0L)).as("sub_dropped_tokens"))
+    vRow.crossJoin(apRow).crossJoin(idxRow).crossJoin(subRow)
+  }
+
   /** q_tokenizer_drift — the STALENESS metric that schedules the full
     * rebuild [[corpusApply]] defers to: after an incremental run, how
     * differently would the admitted arrivals tokenize under a FRESH

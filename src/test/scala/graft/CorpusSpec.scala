@@ -476,6 +476,49 @@ class CorpusSpec extends SparkSpec {
     assert(r(f3) == ((23L, 1L, 1L, 8L, md5hex(dToks.mkString(" ")))), r(f3))
   }
 
+  test("increment_run: one row, every cross-stage invariant — verdict histogram partitions the delta, apply count = admission count, index holds token-eligible base ∪ admitted") {
+    // the rejection-mix fixture: one delta doc per verdict tier plus
+    // one admitted — the composed row must partition them exactly and
+    // every downstream product must agree with the admission
+    def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def nib(id: Long): Char = md5hex(id.toString).head
+    val fIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').take(5).toSeq.sorted
+    val bIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) != 'f').take(2).toSeq
+    val Seq(f1, f2, f3, f4, f5) = fIds
+    val y = (0 until 30).map(i => s"w$i").mkString(" ")
+    val m = (0 until 30).map(i => s"b$i").mkString(" ")
+    val d2 = ((0 until 10).map(i => s"nv$i") ++
+      (29 to 10 by -1).map(i => s"b$i")).mkString(" ")
+    val d = docsDir(
+      (bIds(0), y, "en", "s", 1L), (bIds(1), m, "en", "s", 1L),
+      (f1, y, "en", "s", 1L),          // exact_base
+      (f2, d2, "en", "s", 1L),         // admitted
+      (f3, d2, "en", "s", 1L),         // exact_delta
+      (f4, m + " zz", "en", "s", 1L),  // neardup (J = 27/30 vs m)
+      (f5, "x x x x x", "en", "s", 1L))// quality
+    val r = Corpus.incrementRun(spark, d).collect()(0)
+    def g(n: String): Long = r.getAs[Long](n)
+    assert(g("n_delta") == 5L)
+    assert(g("n_admitted") == 1L && g("n_quality") == 1L &&
+      g("n_exact_base") == 1L && g("n_exact_delta") == 1L &&
+      g("n_neardup") == 1L && g("n_neardup_delta") == 0L)
+    // the histogram PARTITIONS the delta
+    assert(g("n_delta") == g("n_admitted") + g("n_quality") + g("n_exact_base") +
+      g("n_exact_delta") + g("n_neardup") + g("n_neardup_delta"))
+    // both base docs survive the base build (distinct, clean, no dups)
+    assert(g("n_base_docs") == 2L)
+    // the apply appended exactly the admitted set
+    assert(g("n_applied") == g("n_admitted"))
+    // the updated index holds every ≥8-token doc of base ∪ admitted
+    // (all three are 30-token docs); the band tier likewise (≥3)
+    assert(g("gram_docs_upd") == 3L && g("band_docs_upd") == 3L)
+    // d2's grams (novel prefix + REVERSED b-run) never match the base's
+    // ascending grams, and a single admitted doc has no delta-first
+    // competition — nothing dropped
+    assert(g("sub_dropped_grams") == 0L && g("sub_dropped_tokens") == 0L)
+  }
+
   test("wordpiece_merges: likelihood beats frequency; empty round passes through") {
     // Corpus: "ab"×3, "xy"×1, "a"×5, "b"×5. Pair counts: (a,b)=3,
     // (x,y)=1 — BPE would merge (a,b) first. WordPiece scores:
