@@ -123,15 +123,21 @@ object IndexStore {
     math.min(MaxBuckets.toLong,
       math.max(MinBuckets.toLong, math.sqrt(nDocs.toDouble).toLong)).toInt
 
-  /** The corpus doc count the bucket law keys on — one metadata-only
-    * count per accessor call (same cost class as the dirStamp listing
-    * these accessors already pay). The FULL corpus count is used for
-    * the `_upd` tables too, although their base build holds only the
-    * non-'f' split (15/16 of it): the law is an order-of-magnitude
-    * dial, and a filtered count would be a full column scan at 100 TB
-    * where this stays parquet-footer arithmetic. */
+  /** The corpus doc count the bucket law keys on — a metadata-only
+    * count (parquet-footer arithmetic), MEMOIZED per (dir, dirStamp)
+    * so repeat accessor calls don't re-run the count job (the r14
+    * bench showed ~0.6 s of repeated counts on q_dedup_index_persist;
+    * the stamp key displaces the entry on any corpus rewrite, the
+    * same freshness rule as every pin). The FULL corpus count is used
+    * for the `_upd` tables too, although their base build holds only
+    * the non-'f' split (15/16 of it): the law is an
+    * order-of-magnitude dial, and a filtered count would be a full
+    * column scan at 100 TB where this stays footer arithmetic. */
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]
   private def corpusDocCount(s: SparkSession, d: String): Long =
-    Tables.documents(s, d).count()
+    docCountCache.computeIfAbsent((d, Tables.dirStamp(d)),
+      _ => Tables.documents(s, d).count())
 
   private def tableName(base: String, d: String): String = s"${base}_${tagOf(d)}"
 

@@ -553,8 +553,10 @@ class PlanHygieneSpec extends SparkSpec {
       assert(b == math.min(IndexStore.MaxBuckets.toLong,
         math.max(IndexStore.MinBuckets.toLong, isqrt)).toInt, s"n=$n b=$b")
     }
-    // the sf fixtures stay on the 16-bucket floor (60–600 docs < 256²)
+    // tiny crafted fixtures stay on the 16-bucket floor; the sf dirs
+    // sit just past the 16² = 256-doc crossover (500 docs → 22)
     assert(IndexStore.nBucketsFor(60) == 16)
+    assert(IndexStore.nBucketsFor(500) == 22)
     // past the floor the count tracks ⌊√n⌋ exactly; the ceiling
     // engages only past n = 65536² ≈ 4.3e9 docs
     assert(IndexStore.nBucketsFor(1000000) == 1000)
