@@ -938,6 +938,45 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(bandUpd.toSet == Set((f1, bIds(0)), (f3, f2)), bandUpd)
   }
 
+  test("dedup_index_update: concurrent callers build once — no double delta, identical summaries") {
+    // two driver threads ask for the updated index of a cold corpus at
+    // the same time (a serving gate starting while the nightly update
+    // runs): the per-table lock must serialize them into exactly ONE
+    // base build per table and ONE delta apply — a race would either
+    // double-append the delta (summaries diverge from a fresh persist)
+    // or crash on a half-built table
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def nib(id: Long): Char = md5hex(id.toString).head
+    val f2 = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').next()
+    val b1 = Iterator.iterate(1L)(_ + 1).filter(nib(_) != 'f').next()
+    val dir = fixtureDir("documents" -> Seq(
+      (b1, (0 until 30).map(i => s"cc$i").mkString(" "), "en", "s", 1L),
+      (f2, (0 until 30).map(i => s"cd$i").mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val builds0 = graft.operators.IndexStore.storeBuilds.get()
+    val runs = (1 to 4).map(_ => Future(
+      SparkEntry.queries("q_dedup_index_update")(spark, dir)
+        .collect().map(_.toSeq).toSeq))
+    val results = runs.map(Await.result(_, 120.seconds))
+    // every caller sees the same summary
+    assert(results.distinct.size == 1, results)
+    // exactly one base build per table (gram + band), however many callers
+    assert(graft.operators.IndexStore.storeBuilds.get() == builds0 + 2)
+    // and the extended table equals a fresh persist over base ∪ admitted
+    val union = fixtureDir("documents" -> Seq(
+      (b1, (0 until 30).map(i => s"cc$i").mkString(" "), "en", "s", 1L),
+      (f2, (0 until 30).map(i => s"cd$i").mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val fresh = SparkEntry.queries("q_dedup_index_persist")(spark, union)
+      .collect().map(_.toSeq).toSeq
+    assert(results.head == fresh)
+  }
+
   test("marker ordering: stranded pending + PARTIAL delta in one table recovers to the clean summary — wipe, never double-append") {
     // the one crash window the idempotence spec does not reach: the
     // apply died AFTER appending to the gram table but BEFORE the band
