@@ -1092,6 +1092,20 @@ class CorpusSpec extends SparkSpec {
       val wantOffs = inOrder.map(_._3).scanLeft(0L)(_ + _).init.toSeq
       assert(inOrder.map(_._4).toSeq == wantOffs)
     }
+    // the delta write is stamped: a RE-RUN within the same corpus
+    // version is read-only — delta files byte-stable, summary equal
+    def deltaSnapshot(): Seq[(String, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root, "delta.parquet")
+      java.nio.file.Files.walk(p).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => (f.toString, java.nio.file.Files.size(f),
+          java.nio.file.Files.getLastModifiedTime(f).toMillis)).toSeq.sortBy(_._1)
+    }
+    val dBefore = deltaSnapshot()
+    val again = operators.Corpus.corpusApply(spark, d).collect()
+    assert(deltaSnapshot() == dBefore, "re-run rewrote delta.parquet")
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
   }
 
   test("tokenizer_drift: zero when arrivals add no pairs; a dominant new pair flips the rules and the changed share") {
