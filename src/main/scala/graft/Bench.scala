@@ -164,6 +164,13 @@ object Bench {
     // contended host
     val updIdxSec = timedBuild(
       graft.operators.IndexStore.dedupIndexUpdate(spark, sfDir).count())
+    // the r14 stamped corpus-apply delta write, same story: the first
+    // q_corpus_apply rep paid the one-per-corpus-version delta write
+    // (spread 9.6× against the read-only second rep — false-tripped
+    // the spread gate); priced here as apply_delta so loop reps are
+    // pure reads
+    val applyDeltaSec = timedBuild(
+      graft.operators.Corpus.corpusApply(spark, sfDir).count())
     // optional args(0): comma-separated query filter (dev only; the
     // driver invokes with no args and measures everything)
     val only: Set[String] =
@@ -288,7 +295,7 @@ object Bench {
       s""""index_builds":{"pq":${optF3(pqBuildSec)},"band":${optF3(bandBuildSec)},""" +
       s""""refresh_ivf":${optF3(refreshIvfSec)},"refresh_pq":${optF3(refreshPqSec)},""" +
       s""""base_product":${optF3(baseProductSec)},"dedup_idx":${optF3(dedupIdxSec)},""" +
-      s""""dedup_upd":${optF3(updIdxSec)}}"""
+      s""""dedup_upd":${optF3(updIdxSec)},"apply_delta":${optF3(applyDeltaSec)}}"""
     // Serving latency for the streaming index stack: per-micro-batch
     // triggerExecution durations (data-carrying batches only), recorded
     // synchronously by StreamingIndex after each run — p50/p95 is THE
