@@ -135,9 +135,14 @@ object IndexStore {
     * column scan at 100 TB where this stays footer arithmetic. */
   private val docCountCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]
-  private def corpusDocCount(s: SparkSession, d: String): Long =
-    docCountCache.computeIfAbsent((d, Tables.dirStamp(d)),
+  private def corpusDocCount(s: SparkSession, d: String): Long = {
+    val stamp = Tables.dirStamp(d)
+    // displaced stamps of the same dir are dead — drop them so a long
+    // session cycling corpus rewrites doesn't accumulate entries
+    docCountCache.keySet.removeIf(k => k._1 == d && k._2 != stamp)
+    docCountCache.computeIfAbsent((d, stamp),
       _ => Tables.documents(s, d).count())
+  }
 
   private def tableName(base: String, d: String): String = s"${base}_${tagOf(d)}"
 
