@@ -30,10 +30,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    park-time jobs makes every pin's release a finite wait (its
   *    holders each terminate) regardless of later traffic — the churn
   *    spec pins this. The status tracker's listener-bus latency (~ms)
-  *    remains the one residual window on the BATCH side: a job
-  *    submitted-but-not-yet-listed at park is not captured.
-  *    Single-threaded drivers, every declared query here, displace only
-  *    between their own actions and never see it.
+  *    used to be a residual window on the BATCH side: a job
+  *    submitted-but-not-yet-listed at park was never in the holder
+  *    set, so its pinned blocks could be unpersisted under it
+  *    (round-14 advice). Closed by the SETTLED-DRAIN rule: a parked
+  *    pin may only release after one drain that runs at least
+  *    [[SettleNanos]] after the park (the bus is caught up by then)
+  *    has UNIONED the then-active job ids into the holder set — the
+  *    racing job is live at that drain and gets captured, or has
+  *    already finished and release is safe. The widened set is a fixed
+  *    finite set of jobs, each of which terminates, so the finite-wait
+  *    property is kept (a post-park job can defer a release by at most
+  *    its own runtime).
   *
   * The list is drained on every cache access and on explicit
   * [[free]]/[[drain]] calls, so a long session cycling corpora cannot
@@ -43,8 +51,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object Pins {
 
-  private val toFree = new java.util.concurrent.ConcurrentLinkedQueue[
-    (SparkSession, Set[java.util.UUID], Set[Int], org.apache.spark.rdd.RDD[_])]
+  /** The listener-bus settle bound: a drain younger than this since the
+    * park cannot widen or release — the statusTracker may not yet list
+    * a job submitted just before the park. ~ms bus latency; 25 ms gives
+    * a wide margin while staying invisible next to any real job. */
+  private val SettleNanos = 25L * 1000 * 1000
+
+  /** One parked pin. `jobs` is widened ONCE, at the first settled
+    * drain, with the then-active job ids (see scaladoc above). */
+  private final class Parked(
+      val s: SparkSession,
+      val holders: Set[java.util.UUID],
+      @volatile var jobs: Set[Int],
+      val rdd: org.apache.spark.rdd.RDD[_],
+      val parkedAt: Long) {
+    @volatile var widened = false
+  }
+
+  private val toFree = new java.util.concurrent.ConcurrentLinkedQueue[Parked]
 
   private def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed.collect {
@@ -58,7 +82,8 @@ private[graft] object Pins {
     if (!s.sparkContext.isStopped) {
       val holders = s.streams.active.map(_.id).toSet
       val jobs = s.sparkContext.statusTracker.getActiveJobIds().toSet
-      checkpointRdds(df).foreach(r => toFree.add((s, holders, jobs, r)))
+      checkpointRdds(df).foreach(r =>
+        toFree.add(new Parked(s, holders, jobs, r, System.nanoTime())))
     }
     drain()
   }
@@ -69,23 +94,34 @@ private[graft] object Pins {
     checkpointRdds(df).foreach(_.unpersist(false))
 
   /** Release every parked pin whose session is stopped, or whose
-    * park-time streaming holders have all stopped AND whose park-time
-    * batch jobs have all finished (jobs started AFTER the park never
-    * defer it — their plans were built from the replacement pin). */
+    * park-time streaming holders have all stopped AND whose (widened)
+    * batch-job holder set has fully finished. A pin must first be
+    * WIDENED by a settled drain (≥ [[SettleNanos]] after park) that
+    * unions the then-active job ids into the holder set — the
+    * listener-bus closure; an unsettled drain leaves it parked. Jobs
+    * started after the widening never defer a release — their plans
+    * were built from the replacement pin. */
   def drain(): Unit = {
     val it = toFree.iterator()
     while (it.hasNext) {
-      val (s, holders, jobs, rdd) = it.next()
-      val stopped = s.sparkContext.isStopped
+      val p = it.next()
+      val stopped = p.s.sparkContext.isStopped
       if (stopped) it.remove()
       else {
-        val live = s.streams.active.map(_.id).toSet
-        val streamingDone = holders.forall(id => !live.contains(id))
-        val liveJobs = s.sparkContext.statusTracker.getActiveJobIds().toSet
-        val batchDone = (jobs & liveJobs).isEmpty
-        if (streamingDone && batchDone) {
-          rdd.unpersist(false)
-          it.remove()
+        val liveJobs = p.s.sparkContext.statusTracker.getActiveJobIds().toSet
+        if (!p.widened &&
+          System.nanoTime() - p.parkedAt >= SettleNanos) {
+          p.jobs = p.jobs ++ liveJobs
+          p.widened = true
+        }
+        if (p.widened) {
+          val live = p.s.streams.active.map(_.id).toSet
+          val streamingDone = p.holders.forall(id => !live.contains(id))
+          val batchDone = (p.jobs & liveJobs).isEmpty
+          if (streamingDone && batchDone) {
+            p.rdd.unpersist(false)
+            it.remove()
+          }
         }
       }
     }

@@ -1160,7 +1160,14 @@ object Corpus {
     // (the round-13 form rewrote it on every call). A corpus rewrite
     // changes dirStamp → mismatch → fresh write; a stale delta file
     // under a new no-delta corpus is never read (the anyAdmitted
-    // guard re-derives from the NEW corpus).
+    // guard re-derives from the NEW corpus) and is DELETED below so no
+    // out-of-band reader can pick it up. A mid-session rewrite under a
+    // STILL-EXECUTING consumer of the old merged relation follows the
+    // repo-wide rewrite-displaces contract (same as every durable
+    // store here): the consumer fails fast on the replaced files
+    // rather than serving stale rows; supporting live-consumer
+    // rewrites would need the Pins park/displace discipline or
+    // stamp-keyed delta subdirectories.
     val deltaFp = java.nio.file.Paths.get(root, "_graft_delta_fp")
     val want = Tables.dirStamp(d).toString
     applyLock.synchronized {
@@ -1174,6 +1181,13 @@ object Corpus {
           deltaProduct.repartition(col("shard"))
             .write.mode("overwrite").partitionBy("shard")
             .parquet(s"$root/delta.parquet")
+        else
+          // a PREVIOUS version's delta must not survive a rewrite to a
+          // no-delta corpus: the anyAdmitted guard here never reads it,
+          // but stale bytes at a well-known path would mislead
+          // out-of-band tooling or an existence-based reader
+          // (round-14 advice)
+          IndexStore.rmrf(java.nio.file.Paths.get(root, "delta.parquet"))
         java.nio.file.Files.write(deltaFp,
           want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }

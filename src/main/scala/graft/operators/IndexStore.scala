@@ -82,7 +82,7 @@ object IndexStore {
       .digest(d.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(12)
 
-  private def rmrf(p: Path): Unit = if (Files.exists(p)) {
+  private[operators] def rmrf(p: Path): Unit = if (Files.exists(p)) {
     import scala.jdk.CollectionConverters._
     val walk = Files.walk(p)
     try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))

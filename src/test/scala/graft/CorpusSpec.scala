@@ -852,7 +852,13 @@ class CorpusSpec extends SparkSpec {
         .toDF().writeStream.format("noop").start()
       try {
         holder.stop()
-        graft.Pins.drain()
+        // release happens at the first SETTLED drain (≥ the listener-bus
+        // settle bound after park) — retry a few short drains
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE
+          && System.nanoTime() < deadline) {
+          graft.Pins.drain(); Thread.sleep(10)
+        }
         assert(rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE,
           "pin must free once its park-time holders stopped, later queries notwithstanding")
       } finally later.stop()
@@ -934,6 +940,44 @@ class CorpusSpec extends SparkSpec {
       churn = false
       Await.ready(churner, 60.seconds)
     }
+  }
+
+  test("Pins: listener-bus window closed — the first SETTLED drain widens the holder set with then-active jobs") {
+    // the round-14 advice closed: a job submitted just before park but
+    // not yet visible in statusTracker (listener-bus lag) was never in
+    // the holder set, so its pinned blocks could free under it. Release
+    // now requires one drain ≥ the settle bound after park that UNIONS
+    // the then-active job ids into the holders. Pinned here from the
+    // observable side: a job started AFTER the park (when under the old
+    // rule it could never defer release) is captured by the settled
+    // drain and defers release until it finishes.
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val pin = spark.range(0, 8, 1, 2).toDF("v").localCheckpoint()
+    val rdd = pinRdd(pin)
+    graft.Pins.park(spark, pin) // no streams, no visible jobs
+    // park's own inline drain is UNSETTLED — it must not release
+    assert(rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "unsettled drain released a just-parked pin")
+    // the racing job becomes visible only after the park
+    val tracker = spark.sparkContext.statusTracker
+    val slow = pin.as[Long].mapPartitions { it => Thread.sleep(1500); it }
+    val fut = Future(slow.count())
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (tracker.getActiveJobIds().isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(5)
+    assert(tracker.getActiveJobIds().nonEmpty, "job never became visible")
+    Thread.sleep(50) // past the settle bound
+    graft.Pins.drain() // settled: widens with the live job → must defer
+    assert(rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "settled drain freed the pin under a job it should have captured")
+    assert(Await.result(fut, 60.seconds) == 8L) // completes, no missing blocks
+    while (tracker.getActiveJobIds().nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(10)
+    graft.Pins.drain() // widened set finished → released
+    assert(rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 
   test("corpus_build: each stage sees ONLY upstream survivors; product verified from the loaded store") {
