@@ -154,8 +154,10 @@ object Bench {
     // priced here so the consumers report probe/apply cost, not build
     val baseProductSec = timedBuild(graft.operators.Corpus.ensureBaseProduct(spark, sfDir))
     val dedupIdxSec = timedBuild {
-      graft.operators.IndexStore.durableGramIndex(spark, sfDir)
-      graft.operators.IndexStore.durableBandIndex(spark, sfDir)
+      // the full persist row: builds both bucketed tables AND the r15
+      // per-version summary cache, so loop reps of q_dedup_index_persist
+      // are pure 2-row reads (the r14 √-law file-count regression)
+      graft.operators.IndexStore.dedupIndexPersist(spark, sfDir).count()
     }
     // the update tables (base split + admitted append) are a separate
     // durable pair, priced here as dedup_upd: while unpriced, their
