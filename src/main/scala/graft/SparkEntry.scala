@@ -642,7 +642,7 @@ object SparkEntry {
       |del AS MATERIALIZED (SELECT doc_id, lang, text, z_fp FROM cxf
       |        WHERE md5(CAST(doc_id AS VARCHAR))[1:1] = 'f'),
       |bas AS MATERIALIZED (SELECT doc_id, text FROM cxf
-      |        WHERE md5(CAST(doc_id AS VARCHAR))[1:1] <> 'f'),
+      |        WHERE md5(CAST(doc_id AS VARCHAR))[1:1] NOT IN ('e', 'f')),
       |dh AS MATERIALIZED (SELECT doc_id, z_fp, md5(text) AS h,
       |              min(doc_id) OVER (PARTITION BY md5(text)) AS mn FROM del),
       |bh AS MATERIALIZED (SELECT DISTINCT md5(text) AS h FROM bas),
@@ -706,7 +706,7 @@ object SparkEntry {
     val shards = graft.operators.Corpus.TsShards
     s"""WITH RECURSIVE
       |absrc AS MATERIALIZED (SELECT doc_id, lang, text FROM documents
-      |          WHERE md5(CAST(doc_id AS VARCHAR))[1:1] <> 'f'),
+      |          WHERE md5(CAST(doc_id AS VARCHAR))[1:1] NOT IN ('e', 'f')),
       |${corpusChainCteOver("absrc")},
       |$incrementCtes,
       |adm AS MATERIALIZED (SELECT del.doc_id, del.lang, del.text FROM del JOIN v USING (doc_id)
@@ -767,7 +767,7 @@ object SparkEntry {
   private def tokenizerDriftSql: String =
     s"""WITH RECURSIVE
       |absrc AS (SELECT doc_id, lang, text FROM documents
-      |          WHERE md5(CAST(doc_id AS VARCHAR))[1:1] <> 'f'),
+      |          WHERE md5(CAST(doc_id AS VARCHAR))[1:1] NOT IN ('e', 'f')),
       |${corpusChainCteOver("absrc")},
       |$incrementCtes,
       |adm AS MATERIALIZED (SELECT del.doc_id, del.lang, del.text FROM del JOIN v USING (doc_id)
@@ -2867,7 +2867,7 @@ object SparkEntry {
     // four increment products mutually consistent
     "q_increment_run" -> ("WITH RECURSIVE\n" +
       """absrc AS MATERIALIZED (SELECT doc_id, lang, text FROM documents
-        |          WHERE md5(CAST(doc_id AS VARCHAR))[1:1] <> 'f'),
+        |          WHERE md5(CAST(doc_id AS VARCHAR))[1:1] NOT IN ('e', 'f')),
         |""".stripMargin +
       corpusChainCteOver("absrc") + ",\n" +
       s"$incrementCtes,\n$substringDeltaCtes,\n" +

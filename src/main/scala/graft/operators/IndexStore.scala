@@ -202,15 +202,19 @@ object IndexStore {
     * drop, rebuild, restamp. Serialized per table name — two threads
     * asking for the same corpus index build it once. */
   private def ensure(s: SparkSession, d: String, base: String,
-      bucketCols: Seq[String], nBuckets: Int)(build: => DataFrame): DataFrame = {
+      bucketCols: Seq[String], nBuckets: Int, extraTag: String = "")(
+      build: => DataFrame): DataFrame = {
     val name = tableName(base, d)
     val lock = locks.computeIfAbsent(name, _ => new Object)
     lock.synchronized {
       val loc = warehousePath(s).resolve(name)
       val fpFile = loc.resolve("_graft_fp")
       // the stamp carries the bucket layout too: a layout change (keys
-      // or count) must displace like a corpus rewrite does
-      val want = s"${Tables.dirStamp(d)}:${bucketCols.mkString(",")}:$nBuckets"
+      // or count) must displace like a corpus rewrite does — and, for
+      // split-dependent tables, the split tag (a Generations change
+      // displaces stores built under the old base split)
+      val want =
+        s"${Tables.dirStamp(d)}:${bucketCols.mkString(",")}:$nBuckets$extraTag"
       val have = markers.read(fpFile).getOrElse("")
       val fresh = have == want && Files.exists(loc.resolve("_SUCCESS"))
       if (fresh && s.catalog.tableExists(name)) {
@@ -409,7 +413,7 @@ object IndexStore {
   private def ensureUpdTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val baseDocs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
-      .filter(!Corpus.isDeltaCol)
+      .filter(Corpus.isBaseCol)
     // the √-law bucket count, computed ONCE per call and shared by the
     // base build and the delta append — a saveAsTable append with a
     // different bucketBy spec than the table's would fail outright
@@ -432,13 +436,14 @@ object IndexStore {
           rmrf(warehousePath(s).resolve(n))
         }
       }
-      val g = ensure(s, d, "graft_gram_upd", GramKeys, nBuckets) {
+      val splitTag = s":${Corpus.splitTag}"
+      val g = ensure(s, d, "graft_gram_upd", GramKeys, nBuckets, splitTag) {
         gramRowsOf(baseDocs)
       }
-      val b = ensure(s, d, "graft_band_upd", BandKeys, nBuckets) {
+      val b = ensure(s, d, "graft_band_upd", BandKeys, nBuckets, splitTag) {
         bandRowsOf(baseDocs)
       }
-      val want = Tables.dirStamp(d).toString
+      val want = s"${Tables.dirStamp(d)}$splitTag"
       val marker = warehousePath(s).resolve(gName).resolve("_graft_applied")
       val have = markers.read(marker).getOrElse("")
       if (have != want) {

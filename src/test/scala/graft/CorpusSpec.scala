@@ -446,7 +446,7 @@ class CorpusSpec extends SparkSpec {
       .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def nib(id: Long): Char = md5hex(id.toString).head
     val fIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').take(2).toSeq.sorted
-    val b1 = Iterator.iterate(1L)(_ + 1).filter(nib(_) != 'f').next()
+    val b1 = Iterator.iterate(1L)(_ + 1).filter(c => !"ef".contains(nib(c))).next()
     val Seq(f2, f3) = fIds
     val yToks = (0 until 30).map(i => s"y$i")
     val cToks = (0 until 14).map(i => s"c$i")
@@ -484,7 +484,7 @@ class CorpusSpec extends SparkSpec {
       .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def nib(id: Long): Char = md5hex(id.toString).head
     val fIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').take(5).toSeq.sorted
-    val bIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) != 'f').take(2).toSeq
+    val bIds = Iterator.iterate(1L)(_ + 1).filter(c => !"ef".contains(nib(c))).take(2).toSeq
     val Seq(f1, f2, f3, f4, f5) = fIds
     val y = (0 until 30).map(i => s"w$i").mkString(" ")
     val m = (0 until 30).map(i => s"b$i").mkString(" ")
@@ -1059,7 +1059,7 @@ class CorpusSpec extends SparkSpec {
     def nib(id: Long): Char = md5hex(id.toString).head
     // ids routed by the deterministic md5 split: 2 base, 5 delta
     val fIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').take(5).toSeq.sorted
-    val bIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) != 'f').take(2).toSeq
+    val bIds = Iterator.iterate(1L)(_ + 1).filter(c => !"ef".contains(nib(c))).take(2).toSeq
     val Seq(f1, f2, f3, f4, f5) = fIds
     val y = (0 until 30).map(i => s"w$i").mkString(" ")
     val m = (0 until 30).map(i => s"b$i").mkString(" ")
@@ -1158,7 +1158,7 @@ class CorpusSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     def nib(id: Long): Char = md5hex(id.toString).head
     val fId = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').next()
-    val bId = Iterator.iterate(1L)(_ + 1).filter(nib(_) != 'f').next()
+    val bId = Iterator.iterate(1L)(_ + 1).filter(c => !"ef".contains(nib(c))).next()
     // base = 30 distinct SINGLE-CHAR words: no symbol pairs exist, so
     // the frozen rule set is EMPTY — every fresh-side rule is then a
     // hand-predictable consequence of the arrivals alone

@@ -715,7 +715,7 @@ class IndexLifecycleSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     def nib(id: Long): Char = md5hex(id.toString).head
     val fIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').take(5).toSeq.sorted
-    val bIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) != 'f').take(2).toSeq
+    val bIds = Iterator.iterate(1L)(_ + 1).filter(c => !"ef".contains(nib(c))).take(2).toSeq
     val Seq(f1, f2, f3, f4, f5) = fIds
     val y = (0 until 30).map(i => s"w$i").mkString(" ")
     val m = (0 until 30).map(i => s"b$i").mkString(" ")
@@ -778,7 +778,7 @@ class IndexLifecycleSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     def nib(id: Long): Char = md5hex(id.toString).head
     val fIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').take(5).toSeq.sorted
-    val bIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) != 'f').take(2).toSeq
+    val bIds = Iterator.iterate(1L)(_ + 1).filter(c => !"ef".contains(nib(c))).take(2).toSeq
     val Seq(f1, f2, f3, f4, f5) = fIds
     val y = (0 until 30).map(i => s"w$i").mkString(" ")
     val m = (0 until 30).map(i => s"b$i").mkString(" ")
@@ -889,7 +889,7 @@ class IndexLifecycleSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     def nib(id: Long): Char = md5hex(id.toString).head
     val fIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').take(3).toSeq.sorted
-    val bIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) != 'f').take(1).toSeq
+    val bIds = Iterator.iterate(1L)(_ + 1).filter(c => !"ef".contains(nib(c))).take(1).toSeq
     val Seq(f1, f2, f3) = fIds
     val y = (0 until 30).map(i => s"u$i").mkString(" ")
     val d2 = (0 until 30).map(i => s"nw$i").mkString(" ")
@@ -953,7 +953,7 @@ class IndexLifecycleSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     def nib(id: Long): Char = md5hex(id.toString).head
     val f2 = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').next()
-    val b1 = Iterator.iterate(1L)(_ + 1).filter(nib(_) != 'f').next()
+    val b1 = Iterator.iterate(1L)(_ + 1).filter(c => !"ef".contains(nib(c))).next()
     val dir = fixtureDir("documents" -> Seq(
       (b1, (0 until 30).map(i => s"cc$i").mkString(" "), "en", "s", 1L),
       (f2, (0 until 30).map(i => s"cd$i").mkString(" "), "en", "s", 1L))
@@ -991,7 +991,7 @@ class IndexLifecycleSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     def nib(id: Long): Char = md5hex(id.toString).head
     val f2 = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').next()
-    val b1 = Iterator.iterate(1L)(_ + 1).filter(nib(_) != 'f').next()
+    val b1 = Iterator.iterate(1L)(_ + 1).filter(c => !"ef".contains(nib(c))).next()
     val dir = fixtureDir("documents" -> Seq(
       (b1, (0 until 30).map(i => s"mk$i").mkString(" "), "en", "s", 1L),
       (f2, (0 until 30).map(i => s"md$i").mkString(" "), "en", "s", 1L))
@@ -1044,7 +1044,7 @@ class IndexLifecycleSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     def nib(id: Long): Char = md5hex(id.toString).head
     val f2 = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').next()
-    val b1 = Iterator.iterate(1L)(_ + 1).filter(nib(_) != 'f').next()
+    val b1 = Iterator.iterate(1L)(_ + 1).filter(c => !"ef".contains(nib(c))).next()
     val dir = fixtureDir("documents" -> Seq(
       (b1, (0 until 30).map(i => s"sm$i").mkString(" "), "en", "s", 1L),
       (f2, (0 until 30).map(i => s"sd$i").mkString(" "), "en", "s", 1L))
@@ -1131,7 +1131,7 @@ class IndexLifecycleSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     def nib(id: Long): Char = md5hex(id.toString).head
     val f2 = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').next()
-    val b1 = Iterator.iterate(1L)(_ + 1).filter(nib(_) != 'f').next()
+    val b1 = Iterator.iterate(1L)(_ + 1).filter(c => !"ef".contains(nib(c))).next()
     val g8a = (0 until 8).map(i => s"va$i").mkString(" ")
     val g8ap = (0 until 8).map(i => s"ap$i").mkString(" ")
     def write(rows: (Long, String)*)(dir: String): Unit =
