@@ -178,15 +178,19 @@ object SparkEntry {
     "q_train_shuffle" -> (Corpus.trainShuffle _),
     "q_corpus_build" -> (Corpus.corpusBuild _),
     "q_corpus_increment" -> (Corpus.corpusIncrement _),
+    "q_corpus_increment2" -> (Corpus.corpusIncrement2 _),
     "q_corpus_apply" -> (Corpus.corpusApply _),
+    "q_corpus_apply2" -> (Corpus.corpusApply2 _),
     "q_tokenizer_drift" -> (Corpus.tokenizerDrift _),
     "q_domain_stats" -> (TextAnalysis.domainStats _),
     "q_pmi_phrases" -> (Corpus.pmiPhrases _),
     "q_token_entropy" -> (Corpus.tokenEntropy _),
     "q_block_dedup" -> (Corpus.blockDedup _),
     "q_substring_dedup" -> (Corpus.substringDedup _),
-    "q_substring_dedup_delta" -> (Corpus.substringDedupDelta _),
+    "q_substring_dedup_delta" -> ((s, d) => Corpus.substringDedupDelta(s, d)),
+    "q_substring_dedup_delta2" -> (Corpus.substringDedupDelta2 _),
     "q_increment_run" -> (Corpus.incrementRun _),
+    "q_increment_run2" -> (Corpus.incrementRun2 _),
     "q_bpe_merges" -> (Corpus.bpeMerges _),
     "q_bpe_apply" -> (Corpus.bpeApply _),
     "q_vocab_coverage" -> (Corpus.vocabCoverage _),
@@ -200,6 +204,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_index_persist" -> (IndexStore.dedupIndexPersist _),
     "q_dedup_index_update" -> (IndexStore.dedupIndexUpdate _),
+    "q_dedup_index_update2" -> (IndexStore.dedupIndexUpdate2 _),
     "q_semdedup" -> (Dedup.semDedup _),
     "q_neardup_purge" -> (Dedup.neardupPurge _),
     "q_dedup_cluster" -> (Dedup.dedupCluster _),
@@ -682,6 +687,86 @@ object SparkEntry {
       |              LEFT JOIN nbx ON nbx.doc_id = dh.doc_id
       |              LEFT JOIN nbd ON nbd.doc_id = dh.doc_id)""".stripMargin
 
+  /** Generation-2 admission CTEs (expect [[incrementCtes]]'s cxf/del/
+    * bas/v in scope): day 2's arriving batch (the 'e' split) screened
+    * against the DAY-1 CORPUS STATE — bas ∪ adm1, base plus generation
+    * 1's admissions — with the same verdict rules. Exposes adm1 (gen-1
+    * admitted), del2, bas2 (the day-1 state), and v2 (gen-2 verdicts).
+    * Shared by the q_corpus_increment2 / q_corpus_apply2 /
+    * q_dedup_index_update2 / q_increment_run2 / s_*_gate_upd2
+    * oracles. */
+  private def increment2Ctes: String =
+    """adm1 AS MATERIALIZED (SELECT del.doc_id, del.lang, del.text FROM del JOIN v USING (doc_id)
+      |        WHERE v.reason = 'ok'),
+      |del2 AS MATERIALIZED (SELECT doc_id, lang, text, z_fp FROM cxf
+      |        WHERE md5(CAST(doc_id AS VARCHAR))[1:1] = 'e'),
+      |bas2 AS MATERIALIZED (SELECT doc_id, text FROM bas
+      |        UNION ALL SELECT doc_id, text FROM adm1),
+      |dh2 AS MATERIALIZED (SELECT doc_id, z_fp, md5(text) AS h,
+      |              min(doc_id) OVER (PARTITION BY md5(text)) AS mn FROM del2),
+      |bh2 AS MATERIALIZED (SELECT DISTINCT md5(text) AS h FROM bas2),
+      |shd2 AS MATERIALIZED (SELECT DISTINCT doc_id,
+      |               unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+      |                       FOR i IN range(1, len(ts) - 1)]) AS shingle
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM del2)),
+      |shb2 AS MATERIALIZED (SELECT DISTINCT doc_id,
+      |               unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+      |                       FOR i IN range(1, len(ts) - 1)]) AS shingle
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM bas2)),
+      |cd2 AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS na FROM shd2 GROUP BY 1),
+      |cb2 AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb FROM shb2 GROUP BY 1),
+      |ix2 AS MATERIALIZED (SELECT a.doc_id AS doc_id, b.doc_id AS bid,
+      |              CAST(count(*) AS BIGINT) AS n_common
+      |       FROM shd2 a JOIN shb2 b ON a.shingle = b.shingle GROUP BY 1, 2),
+      |nbx2 AS MATERIALIZED (SELECT DISTINCT ix2.doc_id
+      |        FROM ix2 JOIN cd2 ON cd2.doc_id = ix2.doc_id
+      |                 JOIN cb2 ON cb2.doc_id = ix2.bid
+      |        WHERE CAST(n_common AS DOUBLE) / (cd2.na + cb2.nb - n_common) >= 0.5),
+      |ixd2 AS MATERIALIZED (SELECT a.doc_id AS doc_id, b.doc_id AS bid2,
+      |              CAST(count(*) AS BIGINT) AS n_common
+      |       FROM shd2 a JOIN shd2 b
+      |         ON a.shingle = b.shingle AND a.doc_id > b.doc_id GROUP BY 1, 2),
+      |nbd2 AS MATERIALIZED (SELECT DISTINCT ixd2.doc_id
+      |        FROM ixd2 JOIN cd2 ON cd2.doc_id = ixd2.doc_id
+      |                  JOIN cd2 cdb ON cdb.doc_id = ixd2.bid2
+      |        WHERE CAST(n_common AS DOUBLE) / (cd2.na + cdb.na - n_common) >= 0.5),
+      |vg2 AS MATERIALIZED (SELECT dh2.doc_id,
+      |             CASE WHEN dh2.z_fp < 0 THEN 'quality'
+      |                  WHEN bh2.h IS NOT NULL THEN 'exact_base'
+      |                  WHEN dh2.doc_id <> dh2.mn THEN 'exact_delta'
+      |                  WHEN nbx2.doc_id IS NOT NULL THEN 'neardup'
+      |                  WHEN nbd2.doc_id IS NOT NULL THEN 'neardup_delta'
+      |                  ELSE 'ok' END AS reason
+      |      FROM dh2 LEFT JOIN bh2 ON dh2.h = bh2.h
+      |               LEFT JOIN nbx2 ON nbx2.doc_id = dh2.doc_id
+      |               LEFT JOIN nbd2 ON nbd2.doc_id = dh2.doc_id)""".stripMargin
+
+  /** Generation-2 delta-substring CTEs (expect incrementCtes +
+    * increment2Ctes in scope): adm2/gd2/gb2/drp2/cov2 — the
+    * [[substringDeltaCtes]] shapes with the base side = bas2 (base ∪
+    * day-1 admissions, the frozen day-1 corpus state). */
+  private def substringDelta2Ctes: String =
+    """adm2 AS MATERIALIZED (SELECT del2.doc_id, del2.text FROM del2 JOIN vg2 USING (doc_id)
+      |        WHERE vg2.reason = 'ok'),
+      |td2 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM adm2),
+      |gd2 AS (SELECT doc_id, i - 1 AS pos,
+      |              array_to_string(ts[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+      |       FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) - 6)]) AS i
+      |             FROM td2 WHERE len(ts) >= 8)),
+      |tb2 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM bas2),
+      |gb2 AS (SELECT DISTINCT array_to_string(ts[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+      |       FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) - 6)]) AS i
+      |             FROM tb2 WHERE len(ts) >= 8)),
+      |drb2 AS (SELECT doc_id, pos FROM gd2 JOIN gb2 USING (gtext)),
+      |dpg2 AS (SELECT gtext, min(doc_id) AS first_doc
+      |        FROM (SELECT DISTINCT doc_id, gtext FROM gd2)
+      |        GROUP BY gtext HAVING count(*) >= 2),
+      |drd2 AS (SELECT g.doc_id, g.pos FROM gd2 g JOIN dpg2 USING (gtext)
+      |        WHERE g.doc_id <> dpg2.first_doc),
+      |drp2 AS MATERIALIZED (SELECT DISTINCT doc_id, pos FROM
+      |        (SELECT * FROM drb2 UNION ALL SELECT * FROM drd2)),
+      |cov2 AS MATERIALIZED (SELECT DISTINCT doc_id, pos + j AS tpos FROM drp2, range(0, 8) r(j))""".stripMargin
+
   /** One frozen-rule application round (the q_corpus_apply oracle's
     * delta-side rewrite): rewrite `prev`'s syms with the base chain's
     * round winner `b` — the SAME list_reduce fold the induction rounds
@@ -696,15 +781,13 @@ object SparkEntry {
       |       END AS syms
       |FROM $prev LEFT JOIN $b b ON true)""".stripMargin
 
-  /** q_corpus_apply oracle — base chain over the non-'f' split, the
-    * shared admission verdicts, the frozen 3-round application to the
-    * delta's own vocabulary, the appended per-shard layout, and the
-    * merged summary. */
-  private def corpusApplySql: String = {
-    val mod = "1152921504606846976"
+  /** The q_corpus_apply CTE stack, through `allp` (the merged run-0/
+    * run-1 terms) — shared with [[corpusApply2Sql]], which chains
+    * generation 2 on top of it. */
+  private def corpusApplyCtes: String = {
     val budget = graft.operators.Corpus.BpePackBudget
     val shards = graft.operators.Corpus.TsShards
-    s"""WITH RECURSIVE
+    s"""
       |absrc AS MATERIALIZED (SELECT doc_id, lang, text FROM documents
       |          WHERE md5(CAST(doc_id AS VARCHAR))[1:1] NOT IN ('e', 'f')),
       |${corpusChainCteOver("absrc")},
@@ -748,7 +831,17 @@ object SparkEntry {
       |       FROM dr2 JOIN adm a USING (doc_id)),
       |allp AS MATERIALIZED (SELECT shard, pos, doc_id, n_tokens, last_bin, oh, ch, 0 AS run FROM cbp
       |         UNION ALL
-      |         SELECT shard, pos, doc_id, n_tokens, last_bin, oh, ch, 1 FROM dp)
+      |         SELECT shard, pos, doc_id, n_tokens, last_bin, oh, ch, 1 FROM dp)""".stripMargin
+  }
+
+  /** q_corpus_apply oracle — base chain over the BASE split, the
+    * shared admission verdicts, the frozen 3-round application to the
+    * delta's own vocabulary, the appended per-shard layout, and the
+    * merged summary. */
+  private def corpusApplySql: String = {
+    val mod = "1152921504606846976"
+    s"""WITH RECURSIVE
+      |$corpusApplyCtes
       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
       |       CAST(max(last_bin) + 1 AS BIGINT) AS n_bins,
@@ -758,6 +851,69 @@ object SparkEntry {
       |       CAST(count(CASE WHEN run = 0 THEN 1 END) AS BIGINT) AS n_base,
       |       CAST(count(CASE WHEN run = 1 THEN 1 END) AS BIGINT) AS n_added
       |FROM allp GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
+  /** q_corpus_apply2 oracle — the gen-1 apply CTEs, then generation
+    * 2's admission (v2 over base ∪ adm1), the SAME frozen rules
+    * applied to day 2's admitted vocabulary, and the chained layout:
+    * positions/offsets continue from the run-0 ∪ run-1 shard totals. */
+  private def corpusApply2Sql: String = {
+    val mod = "1152921504606846976"
+    val budget = graft.operators.Corpus.BpePackBudget
+    val shards = graft.operators.Corpus.TsShards
+    s"""WITH RECURSIVE
+      |$corpusApplyCtes,
+      |$increment2Ctes,
+      |adm2a AS MATERIALIZED (SELECT del2.doc_id, del2.text FROM del2 JOIN vg2 USING (doc_id)
+      |        WHERE vg2.reason = 'ok'),
+      |ev0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
+      |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM adm2a)
+      |        WHERE len(w) >= 1 GROUP BY w),
+      |${applyRuleSql("ev0", "ev1", "b1")},
+      |${applyRuleSql("ev1", "ev2", "b2")},
+      |${applyRuleSql("ev2", "ev3", "b3")},
+      |ewd AS MATERIALIZED (SELECT doc_id, wpos, w FROM (
+      |  SELECT doc_id, i - 1 AS wpos, ws[CAST(i AS BIGINT)] AS w
+      |  FROM (SELECT doc_id, ws, unnest([i FOR i IN range(1, len(ws) + 1)]) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM adm2a)))
+      |  WHERE len(w) >= 1),
+      |eap AS MATERIALIZED (SELECT ewd.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |               CAST(sum(len(ev3.syms)) AS BIGINT) AS n_tokens,
+      |               md5(array_to_string(flatten(list(ev3.syms ORDER BY ewd.wpos)), ' ')) AS bpe_md5
+      |        FROM ewd JOIN ev3 USING (w) GROUP BY ewd.doc_id),
+      |ely AS MATERIALIZED (SELECT doc_id, n_tokens, bpe_md5,
+      |               md5('sh#' || CAST(doc_id AS VARCHAR)) AS h FROM eap),
+      |esr AS MATERIALIZED (SELECT CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1)
+      |                 % $shards AS INT) AS shard, doc_id, n_tokens, bpe_md5, h
+      |        FROM ely),
+      |psh AS MATERIALIZED (SELECT shard, CAST(count(*) AS BIGINT) AS pc,
+      |               CAST(sum(n_tokens) AS BIGINT) AS pt
+      |        FROM allp GROUP BY shard),
+      |er2 AS MATERIALIZED (SELECT esr.shard, esr.doc_id, esr.n_tokens, esr.bpe_md5,
+      |               coalesce(psh.pc, 0) +
+      |                 CAST(row_number() OVER (PARTITION BY esr.shard ORDER BY esr.h, esr.doc_id) AS BIGINT) AS pos,
+      |               coalesce(psh.pt, 0) +
+      |                 CAST(sum(esr.n_tokens) OVER (PARTITION BY esr.shard ORDER BY esr.h, esr.doc_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - esr.n_tokens AS BIGINT) AS start_off
+      |        FROM esr LEFT JOIN psh USING (shard)),
+      |ep AS MATERIALIZED (SELECT er2.shard, er2.pos, er2.doc_id, er2.n_tokens,
+      |              (er2.start_off + er2.n_tokens - 1) // $budget AS last_bin,
+      |              ${h60Sql("CAST(er2.doc_id AS VARCHAR) || '@' || CAST(er2.pos AS VARCHAR)")} AS oh,
+      |              ${h60Sql("CAST(er2.doc_id AS VARCHAR) || '@' || CAST(er2.pos AS VARCHAR) || ':' || CAST(er2.start_off AS VARCHAR) || '#' || er2.bpe_md5 || '#' || md5(a.text)")} AS ch
+      |       FROM er2 JOIN adm2a a USING (doc_id)),
+      |allp3 AS MATERIALIZED (SELECT shard, pos, doc_id, n_tokens, last_bin, oh, ch, run FROM allp
+      |         UNION ALL
+      |         SELECT shard, pos, doc_id, n_tokens, last_bin, oh, ch, 2 FROM ep)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(max(last_bin) + 1 AS BIGINT) AS n_bins,
+      |       min_by(doc_id, pos) AS first_doc, max_by(doc_id, pos) AS last_doc,
+      |       CAST(sum(oh) % $mod AS BIGINT) AS order_checksum60,
+      |       CAST(sum(ch) % $mod AS BIGINT) AS content_checksum60,
+      |       CAST(count(CASE WHEN run = 0 THEN 1 END) AS BIGINT) AS n_base,
+      |       CAST(count(CASE WHEN run = 1 THEN 1 END) AS BIGINT) AS n_added,
+      |       CAST(count(CASE WHEN run = 2 THEN 1 END) AS BIGINT) AS n_added2
+      |FROM allp3 GROUP BY shard ORDER BY shard""".stripMargin
   }
 
   /** q_tokenizer_drift oracle — the base chain + admission + frozen
@@ -2240,7 +2396,14 @@ object SparkEntry {
     "q_corpus_increment" -> (s"WITH $incrementCtes\n" +
       """SELECT doc_id, (reason = 'ok') AS admitted, reason
         |FROM v ORDER BY doc_id""".stripMargin),
+    // generation 2: day 2's batch ('e') screened against the DAY-1
+    // corpus state (base ∪ generation 1's admissions) — the chained
+    // nightly loop
+    "q_corpus_increment2" -> (s"WITH $incrementCtes,\n$increment2Ctes\n" +
+      """SELECT doc_id, (reason = 'ok') AS admitted, reason
+        |FROM vg2 ORDER BY doc_id""".stripMargin),
     "q_corpus_apply" -> corpusApplySql,
+    "q_corpus_apply2" -> corpusApply2Sql,
     "q_tokenizer_drift" -> tokenizerDriftSql,
     "q_corpus_funnel" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_total,
@@ -2861,6 +3024,34 @@ object SparkEntry {
         |FROM adm a LEFT JOIN ng USING (doc_id) LEFT JOIN nd USING (doc_id)
         |     LEFT JOIN sp USING (doc_id) LEFT JOIN kept k USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
+    // generation 2 of the delta substring tier: day-2 admitted spans
+    // owned against the frozen base ∪ day-1 admissions
+    "q_substring_dedup_delta2" -> (s"WITH $incrementCtes,\n$increment2Ctes,\n$substringDelta2Ctes,\n" +
+      """sp AS (SELECT doc_id,
+        |              CAST(sum(CASE WHEN prev IS NULL OR tpos - prev > 1
+        |                            THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        |              CAST(count(*) AS BIGINT) AS n_dropped_tokens
+        |       FROM (SELECT doc_id, tpos,
+        |                    lag(tpos) OVER (PARTITION BY doc_id ORDER BY tpos) AS prev
+        |             FROM cov2)
+        |       GROUP BY doc_id),
+        |ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM gd2 GROUP BY doc_id),
+        |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM drp2 GROUP BY doc_id),
+        |tok AS (SELECT doc_id, i - 1 AS tpos, ts[CAST(i AS BIGINT)] AS tok
+        |        FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) + 1)]) AS i
+        |              FROM td2)),
+        |kept AS (SELECT t.doc_id, md5(string_agg(t.tok, ' ' ORDER BY t.tpos)) AS clean_md5
+        |         FROM tok t LEFT JOIN cov2 c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+        |         WHERE c.tpos IS NULL GROUP BY t.doc_id)
+        |SELECT a.doc_id AS doc_id,
+        |       coalesce(ng.n_grams, 0) AS n_grams,
+        |       coalesce(nd.n_dup, 0) AS n_dup,
+        |       coalesce(sp.n_spans, 0) AS n_spans,
+        |       coalesce(sp.n_dropped_tokens, 0) AS n_dropped_tokens,
+        |       coalesce(k.clean_md5, md5('')) AS clean_md5
+        |FROM adm2 a LEFT JOIN ng USING (doc_id) LEFT JOIN nd USING (doc_id)
+        |     LEFT JOIN sp USING (doc_id) LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
     // the composed nightly increment: every column from first
     // principles over the SHARED CTE sets; equality with the
     // Spark row (which reads each stage's LOADED product) proves the
@@ -2886,6 +3077,29 @@ object SparkEntry {
         |       CAST((SELECT count(*) FROM au WHERE len(string_split(text, ' ')) >= 3) AS BIGINT) AS band_docs_upd,
         |       CAST((SELECT count(*) FROM drp) AS BIGINT) AS sub_dropped_grams,
         |       CAST((SELECT count(*) FROM cov) AS BIGINT) AS sub_dropped_tokens""".stripMargin),
+    // day 2 of the composed increment: the chained invariants from
+    // first principles over the gen-1 + gen-2 CTE sets
+    "q_increment_run2" -> ("WITH RECURSIVE\n" +
+      """absrc AS MATERIALIZED (SELECT doc_id, lang, text FROM documents
+        |          WHERE md5(CAST(doc_id AS VARCHAR))[1:1] NOT IN ('e', 'f')),
+        |""".stripMargin +
+      corpusChainCteOver("absrc") + ",\n" +
+      s"$incrementCtes,\n$increment2Ctes,\n$substringDelta2Ctes,\n" +
+      """au2 AS MATERIALIZED (SELECT doc_id, text FROM bas2
+        |       UNION ALL SELECT doc_id, text FROM adm2)
+        |SELECT CAST((SELECT count(*) FROM del2) AS BIGINT) AS n_delta2,
+        |       CAST((SELECT count(*) FROM vg2 WHERE reason = 'ok') AS BIGINT) AS n_admitted2,
+        |       CAST((SELECT count(*) FROM vg2 WHERE reason = 'quality') AS BIGINT) AS n_quality2,
+        |       CAST((SELECT count(*) FROM vg2 WHERE reason = 'exact_base') AS BIGINT) AS n_exact_base2,
+        |       CAST((SELECT count(*) FROM vg2 WHERE reason = 'exact_delta') AS BIGINT) AS n_exact_delta2,
+        |       CAST((SELECT count(*) FROM vg2 WHERE reason = 'neardup') AS BIGINT) AS n_neardup2,
+        |       CAST((SELECT count(*) FROM vg2 WHERE reason = 'neardup_delta') AS BIGINT) AS n_neardup_delta2,
+        |       CAST((SELECT count(*) FROM cbr2) + (SELECT count(*) FROM adm1) AS BIGINT) AS n_prior_docs,
+        |       CAST((SELECT count(*) FROM adm2) AS BIGINT) AS n_applied2,
+        |       CAST((SELECT count(*) FROM au2 WHERE len(string_split(text, ' ')) >= 8) AS BIGINT) AS gram_docs_upd2,
+        |       CAST((SELECT count(*) FROM au2 WHERE len(string_split(text, ' ')) >= 3) AS BIGINT) AS band_docs_upd2,
+        |       CAST((SELECT count(*) FROM drp2) AS BIGINT) AS sub_dropped_grams2,
+        |       CAST((SELECT count(*) FROM cov2) AS BIGINT) AS sub_dropped_tokens2""".stripMargin),
     "q_semdedup" ->
       (s"WITH $ivfIndexCte,\n" +
       """m AS (SELECT e.vec_id, cell, v FROM e JOIN cells USING (vec_id)),
@@ -3032,6 +3246,35 @@ object SparkEntry {
         |       UNION ALL
         |       SELECT del.doc_id, del.text FROM del JOIN v USING (doc_id)
         |       WHERE v.reason = 'ok'),
+        |""".stripMargin +
+      md5BandsCteOver("au", "u") + ",\n" +
+      s"""ut2 AS (SELECT doc_id, string_split(text, ' ') AS ts2 FROM au),
+        |ug AS (SELECT DISTINCT doc_id,
+        |              array_to_string(ts2[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+        |       FROM (SELECT doc_id, ts2, unnest([i FOR i IN range(1, len(ts2) - 6)]) AS i
+        |             FROM ut2 WHERE len(ts2) >= 8)),
+        |ugh AS (SELECT doc_id, ${h60Sql("gtext")} AS h FROM ug),
+        |ubh AS (SELECT doc_id, band, band_key, ${h60Sql("band_key")} AS kh FROM ubands),
+        |ugrow AS (SELECT 'grams' AS index_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |                CAST(count(DISTINCT h) AS BIGINT) AS n_keys,
+        |                CAST(bit_xor((h % 1000003) * 1009 + (doc_id % 1009)) AS BIGINT) AS checksum
+        |         FROM ugh),
+        |ubrow AS (SELECT 'bands' AS index_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |                CAST(count(DISTINCT band_key) AS BIGINT) AS n_keys,
+        |                CAST(bit_xor((kh % 1000003) * 1009 + (doc_id % 1009) + band) AS BIGINT) AS checksum
+        |         FROM ubh)
+        |SELECT * FROM ubrow UNION ALL SELECT * FROM ugrow ORDER BY index_name""".stripMargin),
+    // the CHAINED generation-2 tables: one more day of the same
+    // lifecycle — the replay is a full rebuild over base ∪ a₁ ∪ a₂
+    // (apply∘apply ≡ rebuild-over-union: doc-keyed postings, disjoint
+    // doc sets, iterated)
+    "q_dedup_index_update2" -> (s"WITH $incrementCtes,\n$increment2Ctes,\n" +
+      """au AS MATERIALIZED (SELECT doc_id, text FROM bas2
+        |       UNION ALL
+        |       SELECT del2.doc_id, del2.text FROM del2 JOIN vg2 USING (doc_id)
+        |       WHERE vg2.reason = 'ok'),
         |""".stripMargin +
       md5BandsCteOver("au", "u") + ",\n" +
       s"""ut2 AS (SELECT doc_id, string_split(text, ' ') AS ts2 FROM au),

