@@ -173,6 +173,13 @@ object Bench {
     // pure reads
     val applyDeltaSec = timedBuild(
       graft.operators.Corpus.corpusApply(spark, sfDir).count())
+    // the r15 generation-2 chain: the upd2 table pair (base + two
+    // stamped appends) and the delta2 product write, priced here for
+    // the same reason as their gen-1 twins
+    val updIdx2Sec = timedBuild(
+      graft.operators.IndexStore.dedupIndexUpdate2(spark, sfDir).count())
+    val applyDelta2Sec = timedBuild(
+      graft.operators.Corpus.corpusApply2(spark, sfDir).count())
     // optional args(0): comma-separated query filter (dev only; the
     // driver invokes with no args and measures everything)
     val only: Set[String] =
@@ -297,7 +304,8 @@ object Bench {
       s""""index_builds":{"pq":${optF3(pqBuildSec)},"band":${optF3(bandBuildSec)},""" +
       s""""refresh_ivf":${optF3(refreshIvfSec)},"refresh_pq":${optF3(refreshPqSec)},""" +
       s""""base_product":${optF3(baseProductSec)},"dedup_idx":${optF3(dedupIdxSec)},""" +
-      s""""dedup_upd":${optF3(updIdxSec)},"apply_delta":${optF3(applyDeltaSec)}}"""
+      s""""dedup_upd":${optF3(updIdxSec)},"apply_delta":${optF3(applyDeltaSec)},""" +
+      s""""dedup_upd2":${optF3(updIdx2Sec)},"apply_delta2":${optF3(applyDelta2Sec)}}"""
     // Serving latency for the streaming index stack: per-micro-batch
     // triggerExecution durations (data-carrying batches only), recorded
     // synchronously by StreamingIndex after each run — p50/p95 is THE

@@ -306,6 +306,8 @@ object SparkEntry {
     "s_substring_gate" -> (graft.streaming.StreamingIndex.sSubstringGate _),
     "s_substring_gate_upd" -> (graft.streaming.StreamingIndex.sSubstringGateUpd _),
     "s_neardup_gate_upd" -> (graft.streaming.StreamingIndex.sNeardupGateUpd _),
+    "s_substring_gate_upd2" -> (graft.streaming.StreamingIndex.sSubstringGateUpd2 _),
+    "s_neardup_gate_upd2" -> (graft.streaming.StreamingIndex.sNeardupGateUpd2 _),
     "s_corpus_ingest" -> (graft.streaming.StreamingIndex.sCorpusIngest _),
     "s_arrival_dedup" -> (graft.streaming.ArrivalDedup.sArrivalDedup _),
     "s_lm_drift" -> (graft.streaming.LmDrift.sLmDrift _),
@@ -3339,6 +3341,39 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS doc_id, c.doc_id AS dup_id
         |FROM ga a JOIN gu c ON a.gtext = c.gtext AND a.doc_id <> c.doc_id
         |ORDER BY doc_id, dup_id""".stripMargin),
+    // generation 2 of the increment-regime gate: arrivals probe the
+    // TWICE-extended index — base ∪ admitted₁ ∪ admitted₂
+    "s_substring_gate_upd2" -> (s"WITH $incrementCtes,\n$increment2Ctes,\n" +
+      """au AS MATERIALIZED (SELECT doc_id, text FROM bas2
+        |       UNION ALL
+        |       SELECT del2.doc_id, del2.text FROM del2 JOIN vg2 USING (doc_id)
+        |       WHERE vg2.reason = 'ok'),
+        |ta AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |ga AS (SELECT DISTINCT doc_id,
+        |              array_to_string(ts[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+        |       FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) - 6)]) AS i
+        |             FROM ta WHERE len(ts) >= 8)),
+        |tu AS (SELECT doc_id, string_split(text, ' ') AS ts FROM au),
+        |gu AS (SELECT DISTINCT doc_id,
+        |              array_to_string(ts[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+        |       FROM (SELECT doc_id, ts, unnest([i FOR i IN range(1, len(ts) - 6)]) AS i
+        |             FROM tu WHERE len(ts) >= 8))
+        |SELECT DISTINCT a.doc_id AS doc_id, c.doc_id AS dup_id
+        |FROM ga a JOIN gu c ON a.gtext = c.gtext AND a.doc_id <> c.doc_id
+        |ORDER BY doc_id, dup_id""".stripMargin),
+    // its sketch-tier twin over the same generation-2 state
+    "s_neardup_gate_upd2" -> (s"WITH $incrementCtes,\n$increment2Ctes,\n" +
+      """au AS MATERIALIZED (SELECT doc_id, text FROM bas2
+        |       UNION ALL
+        |       SELECT del2.doc_id, del2.text FROM del2 JOIN vg2 USING (doc_id)
+        |       WHERE vg2.reason = 'ok'),
+        |""".stripMargin +
+      md5BandsCteOver("documents", "a") + ",\n" +
+      md5BandsCteOver("au", "u") + "\n" +
+      """SELECT a.doc_id AS doc_id, u.doc_id AS dup_id
+        |FROM abands a JOIN ubands u
+        |  ON a.band = u.band AND a.band_key = u.band_key AND a.doc_id <> u.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     // the sketch-tier twin: arrival bands probe the base ∪ admitted
     // md5-band chain (the same admission CTEs select the union)
     "s_neardup_gate_upd" -> (s"WITH $incrementCtes,\n" +

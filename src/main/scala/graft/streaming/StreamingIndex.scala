@@ -216,9 +216,13 @@ object StreamingIndex {
       // the layout survives restart); the salt path keeps the pin
       // (salting breaks bucket co-location by construction).
       // "updated" probes base ∪ admitted (the increment regime);
-      // "true" probes the full-corpus table.
+      // "updated2" the twice-extended generation-2 state (base ∪ a₁ ∪
+      // a₂); "true" probes the full-corpus table.
       val durable = s.conf.getOption("graft.index.durable")
-      if (r <= 1 && dir.nonEmpty && durable.contains("updated"))
+      if (r <= 1 && dir.nonEmpty && durable.contains("updated2"))
+        probes.as("s")
+          .join(graft.operators.IndexStore.durableBandUpd2(s, dir).as("c"), cond)
+      else if (r <= 1 && dir.nonEmpty && durable.contains("updated"))
         probes.as("s")
           .join(graft.operators.IndexStore.durableBandUpd(s, dir).as("c"), cond)
       else if (r <= 1 && dir.nonEmpty && durable.contains("true"))
@@ -1036,6 +1040,9 @@ object StreamingIndex {
     val durable = s.conf.getOption("graft.index.durable")
     val joined =
       if (nPostings <= limit) probes.as("s").join(broadcast(corpus).as("c"), cond)
+      else if (dir.nonEmpty && durable.contains("updated2"))
+        probes.as("s")
+          .join(graft.operators.IndexStore.durableGramUpd2(s, dir).as("c"), cond)
       else if (dir.nonEmpty && durable.contains("updated"))
         probes.as("s")
           .join(graft.operators.IndexStore.durableGramUpd(s, dir).as("c"), cond)
@@ -1166,6 +1173,52 @@ object StreamingIndex {
     }
   }
 
+  /** s_substring_gate_upd2 — the exact-substring gate serving DAY 2's
+    * index state: base ∪ admitted₁ ∪ admitted₂, the twice-extended
+    * table [[graft.operators.IndexStore.dedupIndexUpdate2]] maintains —
+    * so day 3's ingest run screens against every prior admission
+    * (round-14 verdict item 1: the serving half of the chained loop).
+    * The gen-2-specific consequences: a collision with an ADMITTED
+    * day-2 arrival flags even though its content is absent from both
+    * the base split AND day 1's state, while a day-2 REJECTED doc
+    * stays invisible — both spec-pinned. Existing gates switch to this
+    * state via `graft.index.durable=updated2`
+    * ([[substringCandidatePairs]]); this declared row pins the served
+    * content with a full oracle over the base ∪ a₁ ∪ a₂ gram windows. */
+  def sSubstringGateUpd2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val corpus = pinnedCorpus(s, d, "gram_upd2") {
+      graft.operators.IndexStore.durableGramUpd2(s, d)
+        .select(col("h"), col("gtext"), col("doc_id"))
+    }
+    val nPostings = corpus.count()
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[DocEvent].collect()
+    EventPairing.withStreamingPartitions(s) {
+      val input = MemoryStream[DocEvent]
+      val probes = graft.operators.Corpus.gramRows(
+        input.toDF().select(col("doc_id"), split(col("text"), " ").as("tk")))
+        .select(col("doc_id"), col("gtext"), col("h"))
+      // dir = "" on purpose: the corpus relation IS the updated2 table
+      // (the sSubstringGateUpd contract)
+      val gated = substringCandidatePairs(s, probes, corpus, nPostings, "")
+        .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("doc_id", "dup_id")
+        .select(col("doc_id"), col("dup_id"))
+      val name = s"s_substring_gate_upd2_${nameCounter.incrementAndGet()}"
+      val q = gated.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        feedStaggered(input, docs.toSeq.sortBy(_.doc_id), q)
+        record("s_substring_gate_upd2", q)
+      } finally q.stop()
+      s.table(name).orderBy("doc_id", "dup_id")
+    }
+  }
+
   /** s_neardup_gate_upd — [[sSubstringGateUpd]]'s sketch-tier twin:
     * the near-dup admission gate serving from the UPDATED durable band
     * index (base split ∪ admitted arrivals — [[graft.operators
@@ -1206,6 +1259,45 @@ object StreamingIndex {
       try {
         feedStaggered(input, docs.toSeq.sortBy(_.doc_id), q)
         record("s_neardup_gate_upd", q)
+      } finally q.stop()
+      s.table(name).orderBy("doc_id", "dup_id")
+    }
+  }
+
+  /** s_neardup_gate_upd2 — [[sSubstringGateUpd2]]'s sketch-tier twin:
+    * the near-dup gate serving day 2's band state (base ∪ a₁ ∪ a₂ —
+    * [[graft.operators.IndexStore.durableBandUpd2]]), completing the
+    * generation-2 serving regime across both collision tiers. Oracle:
+    * symmetric band collisions of all arrivals against the
+    * base ∪ a₁ ∪ a₂ md5-band chain (the chained admission CTEs). */
+  def sNeardupGateUpd2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val k = graft.operators.IndexStore.BandK
+    val corpus = pinnedCorpus(s, d, "band_upd2") {
+      graft.operators.IndexStore.durableBandUpd2(s, d)
+        .select(col("doc_id"), col("band"), col("band_key"))
+    }
+    val nDocs = corpus.select(col("doc_id")).distinct().count()
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[DocEvent].collect()
+    EventPairing.withStreamingPartitions(s) {
+      val input = MemoryStream[DocEvent]
+      val probes = Dedup.md5BandProbes(
+        input.toDF().select(col("doc_id"), split(col("text"), " ").as("tk")), k)
+      // dir = "" on purpose: the corpus relation IS the updated2 table
+      val gated = neardupCandidatePairs(s, probes, corpus, nDocs, "")
+        .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("doc_id", "dup_id")
+        .select(col("doc_id"), col("dup_id"))
+      val name = s"s_neardup_gate_upd2_${nameCounter.incrementAndGet()}"
+      val q = gated.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        feedStaggered(input, docs.toSeq.sortBy(_.doc_id), q)
+        record("s_neardup_gate_upd2", q)
       } finally q.stop()
       s.table(name).orderBy("doc_id", "dup_id")
     }

@@ -953,6 +953,95 @@ class IndexLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("s_substring_gate_upd2: day-2 serving — a collision with an admitted GEN-2 arrival flags; zero-exchange over the twice-appended table") {
+    // the generation-2 serving half: content present ONLY through day
+    // 2's admitted arrival (absent from base AND day 1's state) must
+    // flag, a day-2 rejected doc stays invisible, the conf regime
+    // (`graft.index.durable=updated2`) serves the same rows, and the
+    // bucket spec survives BOTH appends (zero static-side exchange).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import spark.implicits._
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def nib(id: Long): Char = md5hex(id.toString).head
+    val fIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').take(2).toSeq.sorted
+    val eIds = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'e').take(2).toSeq.sorted
+    val b1 = Iterator.iterate(1L)(_ + 1).filter(c => !"ef".contains(nib(c))).next()
+    val Seq(f1, f2) = fIds
+    val Seq(e2, e3) = eIds
+    val y = (0 until 30).map(i => s"vu$i").mkString(" ")
+    val d1 = (0 until 30).map(i => s"vn$i").mkString(" ")
+    val z = (0 until 30).map(i => s"vz$i").mkString(" ")
+    val docs = Seq(
+      (b1, y, "en", "s", 1L),
+      (f1, y, "en", "s", 1L),   // day 1: exact_base — rejected
+      (f2, d1, "en", "s", 1L),  // day 1: novel — admitted
+      (e2, z, "en", "s", 1L),   // day 2: novel — admitted
+      (e3, z, "en", "s", 1L))   // day 2: exact_delta — rejected
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = fixtureDir("documents" -> docs)
+    val got = SparkEntry.queries("s_substring_gate_upd2")(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    // index = base {b1} ∪ a₁ {f2} ∪ a₂ {e2}; arrivals = all five.
+    // e3's z hits the ADMITTED day-2 arrival e2 — content absent from
+    // base and from day 1's whole state; f1's y hits the base copy.
+    assert(got.toSet == Set((f1, b1), (e3, e2)), got)
+    assert(got.map(_._2).forall(Set(b1, f2, e2)),
+      "dup_id escaped base ∪ a₁ ∪ a₂")
+    // conf-regime agreement above the posting ceiling
+    spark.conf.set("graft.index.durable", "updated2")
+    spark.conf.set("graft.substring.broadcastMaxPostings", "0")
+    try {
+      val viaConf = SparkEntry.queries("s_substring_gate")(spark, dir)
+        .as[(Long, Long)].collect().toSeq
+      assert(viaConf == got, viaConf)
+    } finally {
+      spark.conf.unset("graft.index.durable")
+      spark.conf.unset("graft.substring.broadcastMaxPostings")
+    }
+    // the band twin serves the same generation-2 state: e3 collides
+    // with e2 only (z's bands entered through the day-2 admission)
+    val got2 = SparkEntry.queries("s_neardup_gate_upd2")(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    // identical texts give identical bands; rejected docs are not in
+    // the index, so exactly the two chained pairs flag
+    assert(got2.toSet == Set((f1, b1), (e3, e2)), got2)
+    assert(got2.map(_._2).forall(Set(b1, f2, e2)),
+      "band dup_id escaped base ∪ a₁ ∪ a₂")
+    // zero-exchange plan guard over the TWICE-appended bucketed table
+    val corpusPin = graft.operators.Corpus.gramIndex(spark, dir)
+    def probes = graft.operators.Corpus.gramRows(
+      graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk")))
+      .select(col("doc_id"), col("gtext"), col("h"))
+    spark.conf.set("graft.index.durable", "updated2")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val durable = graft.streaming.StreamingIndex
+        .substringCandidatePairs(spark, probes, corpusPin, Long.MaxValue, dir)
+      val plan = durable.queryExecution.executedPlan
+      val smj = plan.collectFirst { case j: SortMergeJoinExec => j }
+      assert(smj.isDefined, plan.toString)
+      val static = Seq(smj.get.left, smj.get.right).find(side =>
+        side.collectFirst {
+          case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table.startsWith("graft_gram_upd2")) => f
+        }.isDefined)
+      assert(static.isDefined, plan.toString)
+      assert(static.get.collect { case e: Exchange => e }.isEmpty, plan.toString)
+      assert(static.get.toString.contains("Bucketed: true"), static.get.toString)
+      assert(durable.as[(Long, Long)].collect().toSet == got.toSet)
+    } finally {
+      spark.conf.unset("graft.index.durable")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("s_substring_gate_upd: streamed increment-regime gate matches the base ∪ admitted batch replay; conf regime agrees") {
     // the streamed declared row on the crafted fixture: arrival f3
     // (exact twin of the admitted f2) flags against f2 — a doc ABSENT
