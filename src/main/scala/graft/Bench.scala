@@ -180,6 +180,12 @@ object Bench {
       graft.operators.IndexStore.dedupIndexUpdate2(spark, sfDir).count())
     val applyDelta2Sec = timedBuild(
       graft.operators.Corpus.corpusApply2(spark, sfDir).count())
+    // the r15 compaction verb: one stamped rewrite of the product
+    // chain + one single-write fold of the gate tables
+    val compactSec = timedBuild {
+      graft.operators.Corpus.corpusCompact(spark, sfDir).count()
+      graft.operators.IndexStore.dedupIndexCompact(spark, sfDir).count()
+    }
     // optional args(0): comma-separated query filter (dev only; the
     // driver invokes with no args and measures everything)
     val only: Set[String] =
@@ -305,7 +311,8 @@ object Bench {
       s""""refresh_ivf":${optF3(refreshIvfSec)},"refresh_pq":${optF3(refreshPqSec)},""" +
       s""""base_product":${optF3(baseProductSec)},"dedup_idx":${optF3(dedupIdxSec)},""" +
       s""""dedup_upd":${optF3(updIdxSec)},"apply_delta":${optF3(applyDeltaSec)},""" +
-      s""""dedup_upd2":${optF3(updIdx2Sec)},"apply_delta2":${optF3(applyDelta2Sec)}}"""
+      s""""dedup_upd2":${optF3(updIdx2Sec)},"apply_delta2":${optF3(applyDelta2Sec)},""" +
+      s""""compact":${optF3(compactSec)}}"""
     // Serving latency for the streaming index stack: per-micro-batch
     // triggerExecution durations (data-carrying batches only), recorded
     // synchronously by StreamingIndex after each run — p50/p95 is THE

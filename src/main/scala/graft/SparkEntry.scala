@@ -181,6 +181,7 @@ object SparkEntry {
     "q_corpus_increment2" -> (Corpus.corpusIncrement2 _),
     "q_corpus_apply" -> (Corpus.corpusApply _),
     "q_corpus_apply2" -> (Corpus.corpusApply2 _),
+    "q_corpus_compact" -> (Corpus.corpusCompact _),
     "q_tokenizer_drift" -> (Corpus.tokenizerDrift _),
     "q_domain_stats" -> (TextAnalysis.domainStats _),
     "q_pmi_phrases" -> (Corpus.pmiPhrases _),
@@ -205,6 +206,7 @@ object SparkEntry {
     "q_dedup_index_persist" -> (IndexStore.dedupIndexPersist _),
     "q_dedup_index_update" -> (IndexStore.dedupIndexUpdate _),
     "q_dedup_index_update2" -> (IndexStore.dedupIndexUpdate2 _),
+    "q_dedup_index_compact" -> (IndexStore.dedupIndexCompact _),
     "q_semdedup" -> (Dedup.semDedup _),
     "q_neardup_purge" -> (Dedup.neardupPurge _),
     "q_dedup_cluster" -> (Dedup.dedupCluster _),
@@ -859,12 +861,13 @@ object SparkEntry {
     * 2's admission (v2 over base ∪ adm1), the SAME frozen rules
     * applied to day 2's admitted vocabulary, and the chained layout:
     * positions/offsets continue from the run-0 ∪ run-1 shard totals. */
-  private def corpusApply2Sql: String = {
-    val mod = "1152921504606846976"
+  /** The q_corpus_apply2 CTE stack through `allp3` (runs 0/1/2) —
+    * shared with the q_corpus_compact oracle, whose product is the
+    * same merged chain re-laid as one store. */
+  private def corpusApply2Ctes: String = {
     val budget = graft.operators.Corpus.BpePackBudget
     val shards = graft.operators.Corpus.TsShards
-    s"""WITH RECURSIVE
-      |$corpusApplyCtes,
+    s"""$corpusApplyCtes,
       |$increment2Ctes,
       |adm2a AS MATERIALIZED (SELECT del2.doc_id, del2.text FROM del2 JOIN vg2 USING (doc_id)
       |        WHERE vg2.reason = 'ok'),
@@ -905,7 +908,13 @@ object SparkEntry {
       |       FROM er2 JOIN adm2a a USING (doc_id)),
       |allp3 AS MATERIALIZED (SELECT shard, pos, doc_id, n_tokens, last_bin, oh, ch, run FROM allp
       |         UNION ALL
-      |         SELECT shard, pos, doc_id, n_tokens, last_bin, oh, ch, 2 FROM ep)
+      |         SELECT shard, pos, doc_id, n_tokens, last_bin, oh, ch, 2 FROM ep)""".stripMargin
+  }
+
+  private def corpusApply2Sql: String = {
+    val mod = "1152921504606846976"
+    s"""WITH RECURSIVE
+      |$corpusApply2Ctes
       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
       |       CAST(max(last_bin) + 1 AS BIGINT) AS n_bins,
@@ -915,6 +924,23 @@ object SparkEntry {
       |       CAST(count(CASE WHEN run = 0 THEN 1 END) AS BIGINT) AS n_base,
       |       CAST(count(CASE WHEN run = 1 THEN 1 END) AS BIGINT) AS n_added,
       |       CAST(count(CASE WHEN run = 2 THEN 1 END) AS BIGINT) AS n_added2
+      |FROM allp3 GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
+  /** q_corpus_compact oracle — the SAME chained replay as the apply2
+    * oracle, summarized WITHOUT the run split (the compacted store is
+    * one relation): a hash match proves the rewrite lost and reordered
+    * nothing. */
+  private def corpusCompactSql: String = {
+    val mod = "1152921504606846976"
+    s"""WITH RECURSIVE
+      |$corpusApply2Ctes
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(max(last_bin) + 1 AS BIGINT) AS n_bins,
+      |       min_by(doc_id, pos) AS first_doc, max_by(doc_id, pos) AS last_doc,
+      |       CAST(sum(oh) % $mod AS BIGINT) AS order_checksum60,
+      |       CAST(sum(ch) % $mod AS BIGINT) AS content_checksum60
       |FROM allp3 GROUP BY shard ORDER BY shard""".stripMargin
   }
 
@@ -1342,6 +1368,35 @@ object SparkEntry {
       |  FROM cand)
       |SELECT vec_id, neighbor, cos_sim, rk
       |FROM ranked WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin
+
+  /** The base ∪ a₁ ∪ a₂ index-summary replay — the shared oracle of
+    * q_dedup_index_update2 AND q_dedup_index_compact (the compaction
+    * changes layout only, never content). */
+  private def dedupIndexUnion2Sql: String = (s"WITH $incrementCtes,\n$increment2Ctes,\n" +
+      """au AS MATERIALIZED (SELECT doc_id, text FROM bas2
+        |       UNION ALL
+        |       SELECT del2.doc_id, del2.text FROM del2 JOIN vg2 USING (doc_id)
+        |       WHERE vg2.reason = 'ok'),
+        |""".stripMargin +
+      md5BandsCteOver("au", "u") + ",\n" +
+      s"""ut2 AS (SELECT doc_id, string_split(text, ' ') AS ts2 FROM au),
+        |ug AS (SELECT DISTINCT doc_id,
+        |              array_to_string(ts2[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+        |       FROM (SELECT doc_id, ts2, unnest([i FOR i IN range(1, len(ts2) - 6)]) AS i
+        |             FROM ut2 WHERE len(ts2) >= 8)),
+        |ugh AS (SELECT doc_id, ${h60Sql("gtext")} AS h FROM ug),
+        |ubh AS (SELECT doc_id, band, band_key, ${h60Sql("band_key")} AS kh FROM ubands),
+        |ugrow AS (SELECT 'grams' AS index_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |                CAST(count(DISTINCT h) AS BIGINT) AS n_keys,
+        |                CAST(bit_xor((h % 1000003) * 1009 + (doc_id % 1009)) AS BIGINT) AS checksum
+        |         FROM ugh),
+        |ubrow AS (SELECT 'bands' AS index_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |                CAST(count(DISTINCT band_key) AS BIGINT) AS n_keys,
+        |                CAST(bit_xor((kh % 1000003) * 1009 + (doc_id % 1009) + band) AS BIGINT) AS checksum
+        |         FROM ubh)
+        |SELECT * FROM ubrow UNION ALL SELECT * FROM ugrow ORDER BY index_name""".stripMargin)
 
   def oracleSql: Map[String, String] = Map(
     "q_rekey_project" ->
@@ -2406,6 +2461,7 @@ object SparkEntry {
         |FROM vg2 ORDER BY doc_id""".stripMargin),
     "q_corpus_apply" -> corpusApplySql,
     "q_corpus_apply2" -> corpusApply2Sql,
+    "q_corpus_compact" -> corpusCompactSql,
     "q_tokenizer_drift" -> tokenizerDriftSql,
     "q_corpus_funnel" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_total,
@@ -3272,31 +3328,10 @@ object SparkEntry {
     // lifecycle — the replay is a full rebuild over base ∪ a₁ ∪ a₂
     // (apply∘apply ≡ rebuild-over-union: doc-keyed postings, disjoint
     // doc sets, iterated)
-    "q_dedup_index_update2" -> (s"WITH $incrementCtes,\n$increment2Ctes,\n" +
-      """au AS MATERIALIZED (SELECT doc_id, text FROM bas2
-        |       UNION ALL
-        |       SELECT del2.doc_id, del2.text FROM del2 JOIN vg2 USING (doc_id)
-        |       WHERE vg2.reason = 'ok'),
-        |""".stripMargin +
-      md5BandsCteOver("au", "u") + ",\n" +
-      s"""ut2 AS (SELECT doc_id, string_split(text, ' ') AS ts2 FROM au),
-        |ug AS (SELECT DISTINCT doc_id,
-        |              array_to_string(ts2[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
-        |       FROM (SELECT doc_id, ts2, unnest([i FOR i IN range(1, len(ts2) - 6)]) AS i
-        |             FROM ut2 WHERE len(ts2) >= 8)),
-        |ugh AS (SELECT doc_id, ${h60Sql("gtext")} AS h FROM ug),
-        |ubh AS (SELECT doc_id, band, band_key, ${h60Sql("band_key")} AS kh FROM ubands),
-        |ugrow AS (SELECT 'grams' AS index_name, CAST(count(*) AS BIGINT) AS n_rows,
-        |                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |                CAST(count(DISTINCT h) AS BIGINT) AS n_keys,
-        |                CAST(bit_xor((h % 1000003) * 1009 + (doc_id % 1009)) AS BIGINT) AS checksum
-        |         FROM ugh),
-        |ubrow AS (SELECT 'bands' AS index_name, CAST(count(*) AS BIGINT) AS n_rows,
-        |                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |                CAST(count(DISTINCT band_key) AS BIGINT) AS n_keys,
-        |                CAST(bit_xor((kh % 1000003) * 1009 + (doc_id % 1009) + band) AS BIGINT) AS checksum
-        |         FROM ubh)
-        |SELECT * FROM ubrow UNION ALL SELECT * FROM ugrow ORDER BY index_name""".stripMargin),
+    "q_dedup_index_update2" -> dedupIndexUnion2Sql,
+    // the compacted tables hold the SAME content re-laid as one write:
+    // the oracle is the update2 replay verbatim
+    "q_dedup_index_compact" -> dedupIndexUnion2Sql,
     "q_dedup_minhash_md5" -> (md5BandsCte +
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_bands
         |FROM bands a JOIN bands b

@@ -1413,6 +1413,68 @@ object Corpus {
   def substringDedupDelta2(s: SparkSession, d: String): DataFrame =
     substringDedupDelta(s, d, 2)
 
+  /** q_corpus_compact — the lifecycle's third verb (build → apply×N →
+    * COMPACT, round-14 verdict item 3): [[corpusApply]]'s merge-on-read
+    * layout accumulates one delta directory per generation, so with
+    * nightly increments read amplification grows without bound; the
+    * compaction rewrites base ∪ every generation's delta into a FRESH
+    * stamped store (one file per shard — the [[corpusBuild]] layout),
+    * with the frozen tokenizer shipped alongside, producing a store a
+    * deployment points "base" at for the next cycle. The generation
+    * stores are never touched (rewrite-displaces: a compacted root is
+    * a NEW version, the old chain stays valid for its readers until
+    * displaced). The declared row is the [[corpusBuild]]-currency
+    * summary FROM THE LOADED compacted parquet — its checksums are
+    * definitionally the merged chain's, so equality with the oracle
+    * (which replays the full two-generation chain) proves the rewrite
+    * lost and reordered NOTHING; the file-count reduction and the
+    * pre/post checksum equality against the loaded merge-on-read chain
+    * are spec-pinned. */
+  def corpusCompact(s: SparkSession, d: String): DataFrame = {
+    val root = ensureCompactProduct(s, d)
+    productChecksums(loadProduct(s, root, "corpus"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (max(col("last_bin")) + 1).as("n_bins"),
+        min_by(col("doc_id"), col("pos")).as("first_doc"),
+        max_by(col("doc_id"), col("pos")).as("last_doc"),
+        expr(s"CAST(sum(CAST(oh AS DECIMAL(38,0))) % $ChecksumMod AS BIGINT)")
+          .as("order_checksum60"),
+        expr(s"CAST(sum(CAST(ch AS DECIMAL(38,0))) % $ChecksumMod AS BIGINT)")
+          .as("content_checksum60"))
+      .orderBy("shard")
+  }
+
+  /** The compacted-store write (once per corpus version — the stamped
+    * discipline): base ∪ all generations, one file per shard, the
+    * frozen tokenizer copied alongside so the compacted root is a
+    * COMPLETE base-product store ([[ensureBaseProduct]]'s layout). */
+  private[graft] def ensureCompactProduct(s: SparkSession, d: String): String = {
+    val root = corpusStorePath(d + "#compact")
+    applyLock.synchronized {
+      val fpFile = java.nio.file.Paths.get(root, "_graft_fp")
+      val want = s"${Tables.dirStamp(d)}:$splitTag"
+      val have =
+        if (java.nio.file.Files.exists(fpFile))
+          new String(java.nio.file.Files.readAllBytes(fpFile),
+            java.nio.charset.StandardCharsets.UTF_8)
+        else ""
+      if (have != want) {
+        val baseRoot = ensureBaseProduct(s, d)
+        mergedThrough(s, d, Generations.size).drop("run")
+          .repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(s"$root/corpus.parquet")
+        s.read.parquet(s"$baseRoot/merges.parquet").coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/merges.parquet")
+        java.nio.file.Files.write(fpFile,
+          want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+    root
+  }
+
   /** q_tokenizer_drift — the STALENESS metric that schedules the full
     * rebuild [[corpusApply]] defers to: after an incremental run, how
     * differently would the admitted arrivals tokenize under a FRESH

@@ -435,6 +435,46 @@ object IndexStore {
       indexSummary(g, b))
   }
 
+  /** The COMPACTED gate tables: the same base ∪ a₁ ∪ a₂ content as the
+    * twice-appended [[ensureUpdTables]] pair, rewritten as ONE bucketed
+    * write each — the index half of the compaction verb (round-14
+    * verdict item 3: the `_upd` tables accumulate one appended file
+    * set per generation per bucket; with nightly increments the
+    * per-bucket file count grows linearly and every probe pays it).
+    * Built through [[ensure]], so layout, stamps, and recovery are the
+    * standard durable discipline; content equality with the appended
+    * pair and the file-count reduction are spec-pinned, and the gates
+    * serve IDENTICAL collision pairs from either (spec). */
+  private[graft] def ensureCmpTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = (1 to Corpus.Generations.size).foldLeft(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .filter(Corpus.isBaseCol)) { (b, g) =>
+      b.unionByName(Corpus.admittedDelta(s, d, g).select(col("doc_id"), col("text")))
+    }
+    val nBuckets = nBucketsFor(corpusDocCount(s, d))
+    val splitTag = s":${Corpus.splitTag}:cmp"
+    (ensure(s, d, "graft_gram_cmp", GramKeys, nBuckets, splitTag) {
+      gramRowsOf(docs)
+    },
+      ensure(s, d, "graft_band_cmp", BandKeys, nBuckets, splitTag) {
+        bandRowsOf(docs)
+      })
+  }
+
+  /** q_dedup_index_compact — the declared compaction row: the shared
+    * [[indexSummary]] over the LOADED compacted tables. Its oracle is
+    * the q_dedup_index_update2 replay VERBATIM (the compaction must
+    * change bytes layout only, never content), so a hash match proves
+    * rewrite-lost-nothing with the same currency the appended pair
+    * verifies under. */
+  def dedupIndexCompact(s: SparkSession, d: String): DataFrame = {
+    val (g, b) = ensureCmpTables(s, d)
+    cachedSummary(s, tableName("graft_gram_cmp", d),
+      s"${Tables.dirStamp(d)}:${nBucketsFor(corpusDocCount(s, d))}:cmp")(
+      indexSummary(g, b))
+  }
+
   /** Table basenames for the update chain through `maxGen`. Each max
     * generation is its OWN table pair: a declared summary must be
     * reproducible whatever order the declared queries run in, so the

@@ -580,6 +580,70 @@ class CorpusSpec extends SparkSpec {
     assert(g("sub_dropped_grams2") == 0L && g("sub_dropped_tokens2") == 0L)
   }
 
+  test("corpus_compact: rewrite loses nothing — checksums equal the merge-on-read chain, fewer files, generation dirs absent") {
+    // the lifecycle's third verb: the compacted store must carry the
+    // EXACT content of base ∪ delta₁ ∪ delta₂ (order and bytes — the
+    // shared productChecksums currency), in the corpusBuild layout
+    // (one file per shard), with no generation files — the read
+    // amplification of nightly increments reset to one store
+    def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def nib(id: Long): Char = md5hex(id.toString).head
+    def shardOf(id: Long): Int =
+      Integer.parseInt(md5hex(s"sh#$id").substring(0, 1), 16) %
+        graft.operators.Corpus.TsShards
+    val bIds = Iterator.iterate(1L)(_ + 1).filter(c => !"ef".contains(nib(c))).take(2).toSeq
+    // generation docs CHOSEN to land in the base docs' shards, so the
+    // merge-on-read chain provably has more files per shard than the
+    // compacted single layout
+    val f1 = Iterator.iterate(1L)(_ + 1)
+      .filter(id => nib(id) == 'f' && shardOf(id) == shardOf(bIds(0))).next()
+    val e1 = Iterator.iterate(1L)(_ + 1)
+      .filter(id => nib(id) == 'e' && shardOf(id) == shardOf(bIds(1))).next()
+    val y = (0 until 30).map(i => s"cw$i").mkString(" ")
+    val m = (0 until 30).map(i => s"cb$i").mkString(" ")
+    val d1 = (0 until 30).map(i => s"cn$i").mkString(" ")
+    val z = (0 until 30).map(i => s"cz$i").mkString(" ")
+    val d = docsDir(
+      (bIds(0), y, "en", "s", 1L), (bIds(1), m, "en", "s", 1L),
+      (f1, d1, "en", "s", 1L),  // gen 1, admitted
+      (e1, z, "en", "s", 1L))   // gen 2, admitted
+    val applied = Corpus.corpusApply2(spark, d).collect()
+      .map(r => r.getInt(0) -> r.toSeq.take(8)).toMap
+    val compact = Corpus.corpusCompact(spark, d).collect()
+      .map(r => r.getInt(0) -> r.toSeq.take(8)).toMap
+    // pre/post equality on every shared column (incl. both checksums)
+    assert(compact == applied, s"\n$compact\nvs\n$applied")
+    // both generations actually contributed (else this pins nothing)
+    assert(compact.values.map(_(1).asInstanceOf[Long]).sum == 4L)
+    // layout: one data file per populated shard, no generation dirs,
+    // tokenizer shipped, stamp present
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(
+      graft.operators.Corpus.corpusStorePath(d + "#compact"))
+    def dataFiles(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val w = java.nio.file.Files.walk(p)
+      try w.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .filter(f => java.nio.file.Files.isRegularFile(f)).toSeq
+      finally w.close()
+    }
+    val cFiles = dataFiles(root.resolve("corpus.parquet"))
+    val nShards = compact.size
+    assert(cFiles.size == nShards, cFiles)
+    assert(java.nio.file.Files.exists(root.resolve("merges.parquet")))
+    assert(java.nio.file.Files.exists(root.resolve("_graft_fp")))
+    assert(!java.nio.file.Files.exists(root.resolve("delta.parquet")))
+    assert(!java.nio.file.Files.exists(root.resolve("delta2.parquet")))
+    // read amplification reset: fewer data files than the chain it folds
+    val baseRoot = java.nio.file.Paths.get(
+      graft.operators.Corpus.corpusStorePath(d + "#base"))
+    val chainFiles = dataFiles(baseRoot.resolve("corpus.parquet")).size +
+      dataFiles(baseRoot.resolve("delta.parquet")).size +
+      dataFiles(baseRoot.resolve("delta2.parquet")).size
+    assert(cFiles.size < chainFiles,
+      s"compacted $cFiles vs chain $chainFiles files")
+  }
+
   test("wordpiece_merges: likelihood beats frequency; empty round passes through") {
     // Corpus: "ab"×3, "xy"×1, "a"×5, "b"×5. Pair counts: (a,b)=3,
     // (x,y)=1 — BPE would merge (a,b) first. WordPiece scores:

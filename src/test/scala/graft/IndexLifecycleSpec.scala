@@ -837,6 +837,63 @@ class IndexLifecycleSpec extends SparkSpec {
       java.nio.file.Paths.get(wh, gTbl.get, "_graft_pending")))
   }
 
+  test("dedup_index_compact: content-identical to the appended pair, fewer files, gates serve the same pairs") {
+    // the index half of the compaction verb: the cmp tables fold the
+    // base write + two generation appends into ONE bucketed write —
+    // row-set equality, file-count reduction, and gate-pair identity
+    // are what make it a safe maintenance action
+    import spark.implicits._
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def nib(id: Long): Char = md5hex(id.toString).head
+    val f1 = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').next()
+    val e1 = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'e').next()
+    val bIds = Iterator.iterate(1L)(_ + 1).filter(c => !"ef".contains(nib(c))).take(2).toSeq
+    val y = (0 until 30).map(i => s"ka$i").mkString(" ")
+    val m = (0 until 30).map(i => s"kb$i").mkString(" ")
+    val d1 = (0 until 30).map(i => s"kn$i").mkString(" ")
+    val z = (0 until 30).map(i => s"kz$i").mkString(" ")
+    val dir = fixtureDir("documents" -> Seq(
+      (bIds(0), y, "en", "s", 1L), (bIds(1), m, "en", "s", 1L),
+      (f1, d1, "en", "s", 1L), (e1, z, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val upd = SparkEntry.queries("q_dedup_index_update2")(spark, dir).collect()
+    val cmp = SparkEntry.queries("q_dedup_index_compact")(spark, dir).collect()
+    assert(cmp.map(_.toSeq).toSeq == upd.map(_.toSeq).toSeq,
+      "compacted summary must equal the appended pair's")
+    // row-set equality of the gram tables themselves
+    def tbl(prefix: String): String = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(prefix)).find { n =>
+        spark.table(n).filter(col("gtext").startsWith("ka0 ")).count() > 0
+      }.get
+    val updT = tbl("graft_gram_upd2")
+    val cmpT = tbl("graft_gram_cmp")
+    assert(spark.table(updT).exceptAll(spark.table(cmpT)).isEmpty)
+    assert(spark.table(cmpT).exceptAll(spark.table(updT)).isEmpty)
+    // fewer data files: one write vs base + two appends
+    import scala.jdk.CollectionConverters._
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def nFiles(t: String): Int = {
+      val w = java.nio.file.Files.list(java.nio.file.Paths.get(wh, t))
+      try w.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally w.close()
+    }
+    assert(nFiles(cmpT) < nFiles(updT),
+      s"compacted ${nFiles(cmpT)} vs appended ${nFiles(updT)} files")
+    // the gates serve IDENTICAL collision pairs from either relation
+    val probes = graft.operators.Corpus.gramRows(
+      graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk")))
+      .select(col("doc_id"), col("gtext"), col("h"))
+    def pairs(t: String): Set[(Long, Long)] = graft.streaming.StreamingIndex
+      .substringCandidatePairs(spark, probes,
+        spark.table(t).select(col("h"), col("gtext"), col("doc_id")),
+        Long.MaxValue, "")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs(cmpT) == pairs(updT))
+  }
+
   test("durable=updated regime: gates serve base ∪ admitted — admitted-delta collisions flag, non-admitted stay invisible") {
     // the round-13 verdict's item 1, pinned end to end: the updated
     // tables (base split + admitted arrivals) must actually SERVE.
