@@ -118,6 +118,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev knob: SPARK_GRAFT_CONF="k=v,k=v" applies session confs before
+    // the run (regime experiments — e.g. forcing a gate's size-gate
+    // branch); the driver never sets it, so round artifacts are
+    // unaffected
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) spark.conf.set(kv.take(i), kv.drop(i + 1))
+    })
     // 1/5/15-min load BEFORE this JVM ramps up: a loadavg already near
     // the core count means another process is competing for CPU and the
     // timings below are contaminated.
@@ -335,8 +343,13 @@ object Bench {
     // on every later run — exactly the signature the median gate
     // exists to catch. Full suspect detail still lands on disk, at a
     // sibling path the clean file never reads.
+    // a FILTERED run (dev loop) must never displace the committed
+    // baseline: its per-query medians can pass the contamination gate
+    // on a quiet host while covering 1% of the inventory (this stomped
+    // the baseline twice in r15 before the guard)
     val fullOut =
-      if (suspect.isDefined) baselinePath + ".suspect" else baselinePath
+      if (suspect.isDefined || only.nonEmpty) baselinePath + ".suspect"
+      else baselinePath
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(fullOut),
       fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))

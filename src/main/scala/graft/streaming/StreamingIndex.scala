@@ -1014,6 +1014,26 @@ object StreamingIndex {
     val cond = col("s.h") === col("c.h") &&
       col("s.gtext") === col("c.gtext") &&
       col("s.doc_id") =!= col("c.doc_id")
+    // HASHED-KEY regime (r15, the substring-gate trigger-cost item):
+    // when BOTH sides carry `ghash` — the 16-byte md5 of the gram text,
+    // computed ONCE at pin-build time on the corpus side and map-side
+    // per arrival on the probe side — the pin/shard branches join on it
+    // alone and the broadcast carries (ghash, doc_id) rows instead of
+    // the gram STRINGS, shrinking the per-trigger hash-table build
+    // (~70% of the gate's p50 was the text-carrying broadcast; measured
+    // in bench_full.json serve_latency_ms). md5 equality IS text
+    // equality here by the repo's exact-dedup convention (q_dedup_exact
+    // keys on md5(text)); the oracle stays the exact-text join and
+    // matches barring a 128-bit collision — the same assumption every
+    // exact tier already makes. The durable branches keep the
+    // (h, gtext) condition: the bucketed tables are clustered on those
+    // keys and the exchange-free property rides the table layout.
+    val hashed = probes.columns.contains("ghash") &&
+      corpus.columns.contains("ghash")
+    val condHash = col("s.ghash") === col("c.ghash") &&
+      col("s.doc_id") =!= col("c.doc_id")
+    def slim(df: DataFrame): DataFrame =
+      df.select(col("ghash"), col("doc_id"))
     // Above the ceiling the probe-side broadcast is left to planner
     // ESTIMATES on purpose — round-11 advice suggested an explicit
     // broadcast(probes) hint so the BuildLeft shape is guaranteed, and
@@ -1039,7 +1059,10 @@ object StreamingIndex {
     // base ∪ admitted (the increment regime); "true" the full corpus.
     val durable = s.conf.getOption("graft.index.durable")
     val joined =
-      if (nPostings <= limit) probes.as("s").join(broadcast(corpus).as("c"), cond)
+      if (nPostings <= limit)
+        if (hashed)
+          probes.as("s").join(broadcast(slim(corpus)).as("c"), condHash)
+        else probes.as("s").join(broadcast(corpus).as("c"), cond)
       else if (dir.nonEmpty && durable.contains("updated2"))
         probes.as("s")
           .join(graft.operators.IndexStore.durableGramUpd2(s, dir).as("c"), cond)
@@ -1049,9 +1072,16 @@ object StreamingIndex {
       else if (dir.nonEmpty && durable.contains("true"))
         probes.as("s")
           .join(graft.operators.IndexStore.durableGramIndex(s, dir).as("c"), cond)
+      else if (hashed)
+        probes.as("s").join(slim(corpus).as("c"), condHash)
       else probes.as("s").join(corpus.as("c"), cond)
     joined.select(col("s.doc_id").as("doc_id"), col("c.doc_id").as("dup_id"))
   }
+
+  /** The 16-byte exact gram key of the hashed-key gate regime —
+    * ONE definition for the pin-build and probe sides. */
+  private[graft] def gramKey: org.apache.spark.sql.Column =
+    unhex(md5(col("gtext").cast("binary")))
 
   /** s_substring_gate — the EXACT-substring admission tier of the
     * streaming ingest path, beside [[sNeardupGate]]'s sketch tier: a
@@ -1078,16 +1108,27 @@ object StreamingIndex {
   def sSubstringGate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val corpus = graft.operators.Corpus.gramIndex(s, d)
+    // the HASHED serving pin (r15): the gate's static side is the gram
+    // index projected to (doc_id, ghash) — the 16-byte exact key — so
+    // the per-trigger broadcast build carries no gram strings (the
+    // dominant share of the gate's p50; see substringCandidatePairs).
+    // Built once per corpus version from the shared gramIndex pin.
+    val corpus = pinnedCorpus(s, d, "gram_gate") {
+      graft.operators.Corpus.gramIndex(s, d)
+        .select(col("doc_id"), gramKey.as("ghash"))
+    }
     val nPostings = corpus.count()
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
       .as[DocEvent].collect()
     EventPairing.withStreamingPartitions(s) {
       val input = MemoryStream[DocEvent]
+      // probes carry BOTH key shapes: ghash for the pin regime, the
+      // (h, gtext) pair for the conf-selected durable bucketed joins
       val probes = graft.operators.Corpus.gramRows(
         input.toDF().select(col("doc_id"), split(col("text"), " ").as("tk")))
         .select(col("doc_id"), col("gtext"), col("h"))
+        .withColumn("ghash", gramKey)
       val gated = substringCandidatePairs(s, probes, corpus, nPostings, d)
         // +1 day: the initial watermark is epoch 0 and the late-row
         // filter drops rows AT the watermark (see sNeardupGate)
@@ -1143,7 +1184,7 @@ object StreamingIndex {
     // not this rig's broadcast regime.
     val corpus = pinnedCorpus(s, d, "gram_upd") {
       graft.operators.IndexStore.durableGramUpd(s, d)
-        .select(col("h"), col("gtext"), col("doc_id"))
+        .select(col("doc_id"), gramKey.as("ghash"))
     }
     val nPostings = corpus.count()
     val docs = Tables.documents(s, d)
@@ -1154,6 +1195,7 @@ object StreamingIndex {
       val probes = graft.operators.Corpus.gramRows(
         input.toDF().select(col("doc_id"), split(col("text"), " ").as("tk")))
         .select(col("doc_id"), col("gtext"), col("h"))
+        .withColumn("ghash", gramKey)
       // dir = "" on purpose: the corpus relation IS the updated table;
       // a conf-selected diversion to the full-corpus table would
       // silently change this row's declared content
@@ -1190,7 +1232,7 @@ object StreamingIndex {
     implicit val sqlCtx = s.sqlContext
     val corpus = pinnedCorpus(s, d, "gram_upd2") {
       graft.operators.IndexStore.durableGramUpd2(s, d)
-        .select(col("h"), col("gtext"), col("doc_id"))
+        .select(col("doc_id"), gramKey.as("ghash"))
     }
     val nPostings = corpus.count()
     val docs = Tables.documents(s, d)
@@ -1201,6 +1243,7 @@ object StreamingIndex {
       val probes = graft.operators.Corpus.gramRows(
         input.toDF().select(col("doc_id"), split(col("text"), " ").as("tk")))
         .select(col("doc_id"), col("gtext"), col("h"))
+        .withColumn("ghash", gramKey)
       // dir = "" on purpose: the corpus relation IS the updated2 table
       // (the sSubstringGateUpd contract)
       val gated = substringCandidatePairs(s, probes, corpus, nPostings, "")
@@ -1385,7 +1428,13 @@ object StreamingIndex {
     implicit val sqlCtx = s.sqlContext
     val k = graft.operators.IndexStore.BandK
     val bandIdx = Dedup.md5BandIndex(s, d, k)
-    val gramIdx = graft.operators.Corpus.gramIndex(s, d)
+    // the hashed gate pin (r15): shared with sSubstringGate's variant,
+    // so the composed ingest's substring leg rides the same shrunken
+    // per-trigger broadcast
+    val gramIdx = pinnedCorpus(s, d, "gram_gate") {
+      graft.operators.Corpus.gramIndex(s, d)
+        .select(col("doc_id"), gramKey.as("ghash"))
+    }
     val nPostings = gramIdx.count()
     val md5Idx = pinnedCorpus(s, d, "md5index") {
       Tables.documents(s, d)
@@ -1424,7 +1473,8 @@ object StreamingIndex {
         val substr = substringCandidatePairs(s,
           graft.operators.Corpus.gramRows(
             arr.select(col("doc_id"), split(col("text"), " ").as("tk")))
-            .select(col("doc_id"), col("gtext"), col("h")),
+            .select(col("doc_id"), col("gtext"), col("h"))
+            .withColumn("ghash", gramKey),
           gramIdx, nPostings, d)
           .select(col("doc_id"), lit("substring").as("reason"))
         val near = neardupCandidatePairs(s,

@@ -1365,7 +1365,7 @@ class IndexLifecycleSpec extends SparkSpec {
     val gTbl = spark.catalog.listTables().collect().map(_.name)
       .filter(_.startsWith("graft_gram_upd")).find { n =>
         java.nio.file.Files.exists(
-          java.nio.file.Paths.get(wh, n, "_graft_applied")) &&
+          java.nio.file.Paths.get(wh, n, "_graft_applied_g1")) &&
           spark.table(n).select("doc_id").distinct()
             .as[Long].collect().toSet == Set(b1)
       }
