@@ -2118,7 +2118,16 @@ object Corpus {
     val dropDelta = gramsD.join(dupD, Seq("gtext"))
       .filter(col("doc_id") =!= col("first_doc"))
       .select(col("doc_id"), col("pos"))
-    val dropped = dropBase.unionByName(dropDelta).distinct()
+    // pinned: `dropped` is delta-sized, but its DERIVATION includes
+    // the corpus-sized base gram scan (hotB), and three stat branches
+    // (n_dup, coverage/spans, kept-text) consume it — unpinned, the
+    // planner re-executed the base scan once per branch (read from the
+    // r15 explain; exchange reuse does not fire across the differently
+    // pruned subtrees). The session pin collapses it to ONE base scan
+    // per (corpus, generation), displaced on dirStamp like every pin.
+    val dropped = pinnedVocab(s, d, s"substrDeltaDrops$gen") {
+      dropBase.unionByName(dropDelta).distinct()
+    }
     val cov = dropped.select(col("doc_id"),
       explode(sequence(col("pos"), col("pos") + SubstrL - 1)).as("tpos"))
       .distinct()
