@@ -183,6 +183,7 @@ object SparkEntry {
     "q_corpus_apply2" -> (Corpus.corpusApply2 _),
     "q_corpus_compact" -> (Corpus.corpusCompact _),
     "q_tokenizer_drift" -> (Corpus.tokenizerDrift _),
+    "q_tokenizer_drift2" -> (Corpus.tokenizerDrift2 _),
     "q_domain_stats" -> (TextAnalysis.domainStats _),
     "q_pmi_phrases" -> (Corpus.pmiPhrases _),
     "q_token_entropy" -> (Corpus.tokenEntropy _),
@@ -966,6 +967,51 @@ object SparkEntry {
       |${bpeChainCteOver("uni", "fz")},
       |cmpx AS MATERIALIZED (SELECT dv3.w, dv3.freq, dv3.syms AS f1, fzv3.syms AS f2
       |        FROM dv3 JOIN fzv3 USING (w)),
+      |rc AS (SELECT CAST(
+      |         (CASE WHEN (SELECT count(*) FROM b1) = (SELECT count(*) FROM fzb1)
+      |               AND NOT EXISTS (SELECT 1 FROM b1 a, fzb1 f WHERE a.l <> f.l OR a.r <> f.r)
+      |          THEN 0 ELSE 1 END) +
+      |         (CASE WHEN (SELECT count(*) FROM b2) = (SELECT count(*) FROM fzb2)
+      |               AND NOT EXISTS (SELECT 1 FROM b2 a, fzb2 f WHERE a.l <> f.l OR a.r <> f.r)
+      |          THEN 0 ELSE 1 END) +
+      |         (CASE WHEN (SELECT count(*) FROM b3) = (SELECT count(*) FROM fzb3)
+      |               AND NOT EXISTS (SELECT 1 FROM b3 a, fzb3 f WHERE a.l <> f.l OR a.r <> f.r)
+      |          THEN 0 ELSE 1 END) AS BIGINT) AS n_rules_changed)
+      |SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,
+      |       CAST(count(CASE WHEN f1 <> f2 THEN 1 END) AS BIGINT) AS n_changed_words,
+      |       CAST(sum(freq) AS BIGINT) AS occ_total,
+      |       CAST(coalesce(sum(CASE WHEN f1 <> f2 THEN freq END), 0) AS BIGINT) AS occ_changed,
+      |       round(CAST(coalesce(sum(CASE WHEN f1 <> f2 THEN freq END), 0) AS DOUBLE)
+      |             / sum(freq), 6) AS changed_share,
+      |       CAST(sum(freq * len(f1)) AS BIGINT) AS tokens_frozen,
+      |       CAST(sum(freq * len(f2)) AS BIGINT) AS tokens_fresh,
+      |       (SELECT n_rules_changed FROM rc) AS n_rules_changed
+      |FROM cmpx""".stripMargin
+
+  /** q_tokenizer_drift2 oracle — day 2's admitted vocabulary under the
+    * frozen day-0 rules vs a fresh chain learned on cleaned-base ∪
+    * a₁ ∪ a₂ (what a full rebuild would now see). */
+  private def tokenizerDrift2Sql: String =
+    s"""WITH RECURSIVE
+      |absrc AS (SELECT doc_id, lang, text FROM documents
+      |          WHERE md5(CAST(doc_id AS VARCHAR))[1:1] NOT IN ('e', 'f')),
+      |${corpusChainCteOver("absrc")},
+      |$incrementCtes,
+      |$increment2Ctes,
+      |adm2d AS MATERIALIZED (SELECT del2.doc_id, del2.text FROM del2 JOIN vg2 USING (doc_id)
+      |        WHERE vg2.reason = 'ok'),
+      |ev0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
+      |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM adm2d)
+      |        WHERE len(w) >= 1 GROUP BY w),
+      |${applyRuleSql("ev0", "ev1", "b1")},
+      |${applyRuleSql("ev1", "ev2", "b2")},
+      |${applyRuleSql("ev2", "ev3", "b3")},
+      |uni AS MATERIALIZED (SELECT text FROM cbc
+      |       UNION ALL SELECT text FROM adm1
+      |       UNION ALL SELECT text FROM adm2d),
+      |${bpeChainCteOver("uni", "fz")},
+      |cmpx AS MATERIALIZED (SELECT ev3.w, ev3.freq, ev3.syms AS f1, fzv3.syms AS f2
+      |        FROM ev3 JOIN fzv3 USING (w)),
       |rc AS (SELECT CAST(
       |         (CASE WHEN (SELECT count(*) FROM b1) = (SELECT count(*) FROM fzb1)
       |               AND NOT EXISTS (SELECT 1 FROM b1 a, fzb1 f WHERE a.l <> f.l OR a.r <> f.r)
@@ -2463,6 +2509,7 @@ object SparkEntry {
     "q_corpus_apply2" -> corpusApply2Sql,
     "q_corpus_compact" -> corpusCompactSql,
     "q_tokenizer_drift" -> tokenizerDriftSql,
+    "q_tokenizer_drift2" -> tokenizerDrift2Sql,
     "q_corpus_funnel" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_total,
         |       CAST(count(CASE WHEN n_chars >= 100 THEN 1 END) AS BIGINT) AS n_minlen,

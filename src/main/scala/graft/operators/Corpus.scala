@@ -1494,20 +1494,37 @@ object Corpus {
     * base product + delta. Fully oracled — the base chain, admission,
     * frozen application, and a prefix-instantiated fresh chain replay
     * in DuckDB. */
-  def tokenizerDrift(s: SparkSession, d: String): DataFrame = {
+  def tokenizerDrift(s: SparkSession, d: String): DataFrame =
+    tokenizerDriftGen(s, d, 1)
+
+  /** q_tokenizer_drift2 — the retrain trigger after TWO chained
+    * applies ([[tokenizerDrift]] at generation 2, completing the
+    * gen-2 twin set): how differently would day 2's admitted arrivals
+    * tokenize under a tokenizer re-learned on what a full rebuild
+    * would now see (base product ∪ a₁ ∪ a₂) than under the STILL
+    * frozen day-0 rules both applies used? Drift compounds across
+    * generations — this is the number that decides when the nightly
+    * increment chain yields to a full [[corpusBuild]]. */
+  def tokenizerDrift2(s: SparkSession, d: String): DataFrame =
+    tokenizerDriftGen(s, d, 2)
+
+  private def tokenizerDriftGen(s: SparkSession, d: String, gen: Int): DataFrame = {
     val root = ensureBaseProduct(s, d)
-    val admitted = admittedDelta(s, d)
+    val admitted = admittedDelta(s, d, gen)
     val frozen = applyFrozen(charVocabOver(admitted), frozenRules(s, root))
     // fresh tokenizer: learned on the union a full rebuild would see
-    // (cleaned base product texts + admitted arrivals)
+    // (cleaned base product texts + every generation's admitted
+    // arrivals through gen)
     // pinned like charVocab: every fresh-chain round's pair count and
     // rewrite re-enters the union vocabulary along its own lineage
     // path — unpinned, the union scan replays ~2^rounds times
     // (measured 6.6 s at sf0.01; the charVocab pin exists for exactly
     // this shape)
-    val unionVocab = pinnedVocab(s, d, "driftUnionVocab") {
-      charVocabOver(loadProduct(s, root, "corpus").select(col("text"))
-        .unionByName(admitted.select(col("text"))))
+    val unionVocab = pinnedVocab(s, d, s"driftUnionVocab$gen") {
+      charVocabOver((1 to gen).foldLeft(
+        loadProduct(s, root, "corpus").select(col("text"))) { (u, g) =>
+        u.unionByName(admittedDelta(s, d, g).select(col("text")))
+      })
     }
     val (freshMergeRows, freshVocab) = bpeChainOverVocab(unionVocab)
     val freshRules = freshMergeRows.reduce(_.unionAll(_))
