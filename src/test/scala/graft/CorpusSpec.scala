@@ -1312,6 +1312,44 @@ class CorpusSpec extends SparkSpec {
     assert((b.getLong(5), b.getLong(6), b.getLong(7)) == ((32L, 30L, 1L)))
   }
 
+  test("tokenizer_drift2: day-1 admissions drift the fresh rules that day 2 is judged against") {
+    // the compounding the gen-2 twin exists for: the fresh chain is
+    // learned on base ∪ a₁ ∪ a₂, so a pair injected by DAY 1's
+    // admitted arrival changes day 2's verdict even though day 2 could
+    // never produce it alone. Base = 30 single-char words (pairless →
+    // frozen rules EMPTY); day 1 admits QQ ×2 (the union's only pair);
+    // day 2 admits 29 base chars in a stride-2 order (no shingle
+    // overlap with base or day 1) plus ONE QQ. Frozen: QQ → [Q, Q];
+    // fresh (rules = [(Q,Q)], learned thanks to day 1): QQ → [QQ].
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def nib(id: Long): Char = md5hex(id.toString).head
+    val fId = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').next()
+    val eId = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'e').next()
+    val bId = Iterator.iterate(1L)(_ + 1).filter(c => !"ef".contains(nib(c))).next()
+    val chars = ("abcdefghijklmnopqrstuvwxyz" + "0123").map(_.toString)
+    val baseText = chars.mkString(" ")
+    val day1 = (chars.take(28) :+ "QQ" :+ "QQ").reverse.mkString(" ")
+    val rest = chars.drop(1) // 29 words
+    val day2 = ((rest.indices.collect { case i if i % 2 == 1 => rest(i) } ++
+      rest.indices.collect { case i if i % 2 == 0 => rest(i) }) :+ "QQ").mkString(" ")
+    val d = docsDir(
+      (bId, baseText, "en", "s", 1L),
+      (fId, day1, "en", "s", 1L),
+      (eId, day2, "en", "s", 1L))
+    // preconditions: both arrivals admitted in their generations
+    assert(Corpus.corpusIncrement(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap == Map(fId -> "ok"))
+    assert(Corpus.corpusIncrement2(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap == Map(eId -> "ok"))
+    val r = Corpus.tokenizerDrift2(spark, d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((30L, 1L, 30L, 1L)), r)
+    assert(r.getDouble(4) == 0.033333)
+    assert((r.getLong(5), r.getLong(6), r.getLong(7)) == ((31L, 30L, 1L)), r)
+  }
+
   test("train_shuffle: matches the driver shuffle-layout reference; checksum is order-SENSITIVE") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
