@@ -33,15 +33,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    used to be a residual window on the BATCH side: a job
   *    submitted-but-not-yet-listed at park was never in the holder
   *    set, so its pinned blocks could be unpersisted under it
-  *    (round-14 advice). Closed by the SETTLED-DRAIN rule: a parked
-  *    pin may only release after one drain that runs at least
-  *    [[SettleNanos]] after the park (the bus is caught up by then)
-  *    has UNIONED the then-active job ids into the holder set — the
-  *    racing job is live at that drain and gets captured, or has
-  *    already finished and release is safe. The widened set is a fixed
-  *    finite set of jobs, each of which terminates, so the finite-wait
-  *    property is kept (a post-park job can defer a release by at most
-  *    its own runtime).
+  *    (round-14 advice). Narrowed by the CAPTURE-WINDOW rule: for
+  *    [[CaptureNanos]] after the park, EVERY drain unions the
+  *    then-active job ids into the holder set (atomically, per entry),
+  *    and release is deferred until the window has closed — a racing
+  *    job is captured by any in-window drain that sees it, or has
+  *    already finished and release is safe. The captured set stays
+  *    finite (only jobs live within the window enter it; each
+  *    terminates), so the finite-wait property is kept. Honesty note:
+  *    this is a measured-safe BOUND, not a proof — a listener bus
+  *    lagging more than the window at every in-window drain could
+  *    still miss the racing job; closing it fully needs a bus-flush
+  *    primitive Spark does not expose publicly.
   *
   * The list is drained on every cache access and on explicit
   * [[free]]/[[drain]] calls, so a long session cycling corpora cannot
@@ -51,22 +54,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object Pins {
 
-  /** The listener-bus settle bound: a drain younger than this since the
-    * park cannot widen or release — the statusTracker may not yet list
-    * a job submitted just before the park. ~ms bus latency; 25 ms gives
-    * a wide margin while staying invisible next to any real job. */
-  private val SettleNanos = 25L * 1000 * 1000
+  /** The listener-bus capture window: drains within this bound after
+    * the park keep unioning then-active job ids into the holder set,
+    * and release waits for the window to close — the statusTracker may
+    * not list a job submitted just before the park until the bus
+    * catches up (~ms typical). 150 ms is ≫ the measured lag while
+    * keeping releases prompt. */
+  private val CaptureNanos = 150L * 1000 * 1000
 
-  /** One parked pin. `jobs` is widened ONCE, at the first settled
-    * drain, with the then-active job ids (see scaladoc above). */
+  /** One parked pin. `jobs` grows under the entry's own lock at every
+    * in-window drain (an unsynchronized read-modify-write could lose a
+    * captured racing job between two concurrent drains). */
   private final class Parked(
       val s: SparkSession,
       val holders: Set[java.util.UUID],
-      @volatile var jobs: Set[Int],
+      var jobs: Set[Int],
       val rdd: org.apache.spark.rdd.RDD[_],
-      val parkedAt: Long) {
-    @volatile var widened = false
-  }
+      val parkedAt: Long)
 
   private val toFree = new java.util.concurrent.ConcurrentLinkedQueue[Parked]
 
@@ -94,13 +98,13 @@ private[graft] object Pins {
     checkpointRdds(df).foreach(_.unpersist(false))
 
   /** Release every parked pin whose session is stopped, or whose
-    * park-time streaming holders have all stopped AND whose (widened)
-    * batch-job holder set has fully finished. A pin must first be
-    * WIDENED by a settled drain (≥ [[SettleNanos]] after park) that
-    * unions the then-active job ids into the holder set — the
-    * listener-bus closure; an unsettled drain leaves it parked. Jobs
-    * started after the widening never defer a release — their plans
-    * were built from the replacement pin. */
+    * park-time streaming holders have all stopped AND whose captured
+    * batch-job holder set has fully finished. Drains inside the
+    * capture window (< [[CaptureNanos]] after park) union the
+    * then-active job ids into the holders and leave the pin parked —
+    * the listener-bus narrowing; only a drain past the window can
+    * release. Jobs first seen after the window never defer a release —
+    * their plans were built from the replacement pin. */
   def drain(): Unit = {
     val it = toFree.iterator()
     while (it.hasNext) {
@@ -109,16 +113,15 @@ private[graft] object Pins {
       if (stopped) it.remove()
       else {
         val liveJobs = p.s.sparkContext.statusTracker.getActiveJobIds().toSet
-        if (!p.widened &&
-          System.nanoTime() - p.parkedAt >= SettleNanos) {
-          p.jobs = p.jobs ++ liveJobs
-          p.widened = true
+        val release = p.synchronized {
+          if (System.nanoTime() - p.parkedAt < CaptureNanos) {
+            p.jobs = p.jobs ++ liveJobs
+            false
+          } else (p.jobs & liveJobs).isEmpty
         }
-        if (p.widened) {
+        if (release) {
           val live = p.s.streams.active.map(_.id).toSet
-          val streamingDone = p.holders.forall(id => !live.contains(id))
-          val batchDone = (p.jobs & liveJobs).isEmpty
-          if (streamingDone && batchDone) {
+          if (p.holders.forall(id => !live.contains(id))) {
             p.rdd.unpersist(false)
             it.remove()
           }

@@ -985,10 +985,6 @@ object Corpus {
   private[graft] def deltaColOf(gen: Int): Column =
     bucketCol === Generations(gen - 1)
 
-  /** The delta split predicate shared by [[corpusIncrement]] and
-    * [[corpusApply]] — generation 1. */
-  private[operators] def isDeltaCol: Column = deltaColOf(1)
-
   /** The never-delta BASE split: buckets outside every generation. */
   private[graft] def isBaseCol: Column =
     !bucketCol.isin(Generations: _*)
@@ -1089,20 +1085,15 @@ object Corpus {
       val fpFile = java.nio.file.Paths.get(root, "_graft_fp")
       // the split tag rides the stamp: a change to the generation
       // vector changes the base SPLIT and must displace a store built
-      // under the old one (dirStamp alone cannot see it)
+      // under the old one (dirStamp alone cannot see it). Marker I/O
+      // rides the MarkerStore seam (round-15 review).
       val want = s"${Tables.dirStamp(d)}:$splitTag"
-      val have =
-        if (java.nio.file.Files.exists(fpFile))
-          new String(java.nio.file.Files.readAllBytes(fpFile),
-            java.nio.charset.StandardCharsets.UTF_8)
-        else ""
-      if (have != want) {
+      if (!IndexStore.markers.read(fpFile).contains(want)) {
         val baseDocs = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("text"))
           .filter(isBaseCol)
         buildProductOver(s, baseDocs, root)
-        java.nio.file.Files.write(fpFile,
-          want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        IndexStore.markers.write(fpFile, want)
       }
     }
     root
@@ -1111,9 +1102,6 @@ object Corpus {
   /** The screened arriving batch [[corpusApply]] appends and
     * [[tokenizerDrift]] measures — admitted = the increment rule's 'ok'
     * verdicts over generation `gen`'s split. */
-  private[operators] def admittedDelta(s: SparkSession, d: String): DataFrame =
-    admittedDelta(s, d, 1)
-
   private[graft] def admittedDelta(s: SparkSession, d: String, gen: Int): DataFrame =
     // pinned: the admission chain (gate + md5 joins + two shingle
     // Jaccard tiers) would otherwise re-execute once per consumer —
@@ -1209,6 +1197,21 @@ object Corpus {
     * `delta<g>.parquet`. Returns whether any docs were admitted. */
   private[graft] def ensureDeltaProduct(s: SparkSession, d: String, gen: Int): Boolean = {
     val root = ensureBaseProduct(s, d)
+    // EARLY RETURN on a fresh stamp (round-15 review): within a corpus
+    // version the stamped file's existence IS the anyAdmitted answer
+    // (written iff any doc was admitted, deleted otherwise), so a
+    // repeat call — and the per-generation re-walk mergedThrough's
+    // fold performs — costs a marker read instead of re-building the
+    // frozen-tokenizer DAG, a merges.parquet collect, and an isEmpty
+    // action per call.
+    val file = deltaFileOf(gen)
+    val deltaFp = java.nio.file.Paths.get(root, s"_graft_${file}_fp")
+    val want = s"${Tables.dirStamp(d)}:$splitTag"
+    applyLock.synchronized {
+      if (IndexStore.markers.read(deltaFp).contains(want))
+        return java.nio.file.Files.exists(
+          java.nio.file.Paths.get(root, s"$file.parquet"))
+    }
     val prior = (1 until gen).foldLeft(loadProduct(s, root, "corpus")) {
       (p, g) =>
         if (ensureDeltaProduct(s, d, g))
@@ -1270,16 +1273,12 @@ object Corpus {
     // rather than serving stale rows; supporting live-consumer
     // rewrites would need the Pins park/displace discipline or
     // stamp-keyed delta subdirectories.
-    val file = deltaFileOf(gen)
-    val deltaFp = java.nio.file.Paths.get(root, s"_graft_${file}_fp")
-    val want = s"${Tables.dirStamp(d)}:$splitTag"
     applyLock.synchronized {
-      val have =
-        if (java.nio.file.Files.exists(deltaFp))
-          new String(java.nio.file.Files.readAllBytes(deltaFp),
-            java.nio.charset.StandardCharsets.UTF_8)
-        else ""
-      if (have != want) {
+      // re-check under the lock (another thread may have stamped since
+      // the early-return check); marker I/O rides the MarkerStore seam
+      // like the serving-index protocol (round-15 review: the corpus
+      // stamps bypassed it)
+      if (!IndexStore.markers.read(deltaFp).contains(want)) {
         if (anyAdmitted)
           deltaProduct.repartition(col("shard"))
             .write.mode("overwrite").partitionBy("shard")
@@ -1291,8 +1290,7 @@ object Corpus {
           // out-of-band tooling or an existence-based reader
           // (round-14 advice)
           IndexStore.rmrf(java.nio.file.Paths.get(root, s"$file.parquet"))
-        java.nio.file.Files.write(deltaFp,
-          want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        IndexStore.markers.write(deltaFp, want)
       }
     }
     anyAdmitted
@@ -1455,12 +1453,7 @@ object Corpus {
     applyLock.synchronized {
       val fpFile = java.nio.file.Paths.get(root, "_graft_fp")
       val want = s"${Tables.dirStamp(d)}:$splitTag"
-      val have =
-        if (java.nio.file.Files.exists(fpFile))
-          new String(java.nio.file.Files.readAllBytes(fpFile),
-            java.nio.charset.StandardCharsets.UTF_8)
-        else ""
-      if (have != want) {
+      if (!IndexStore.markers.read(fpFile).contains(want)) {
         val baseRoot = ensureBaseProduct(s, d)
         mergedThrough(s, d, Generations.size).drop("run")
           .repartition(col("shard"))
@@ -1468,8 +1461,7 @@ object Corpus {
           .parquet(s"$root/corpus.parquet")
         s.read.parquet(s"$baseRoot/merges.parquet").coalesce(1)
           .write.mode("overwrite").parquet(s"$root/merges.parquet")
-        java.nio.file.Files.write(fpFile,
-          want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        IndexStore.markers.write(fpFile, want)
       }
     }
     root

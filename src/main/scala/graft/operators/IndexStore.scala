@@ -316,7 +316,9 @@ object IndexStore {
     val g = durableGramIndex(s, d)
     val b = durableBandIndex(s, d)
     cachedSummary(s, tableName("graft_gram_idx", d),
-      s"${Tables.dirStamp(d)}:${nBucketsFor(corpusDocCount(s, d))}")(
+      s"${Tables.dirStamp(d)}:${nBucketsFor(corpusDocCount(s, d))}:" +
+        tableManifest(s, tableName("graft_gram_idx", d),
+          tableName("graft_band_idx", d)))(
       indexSummary(g, b))
   }
 
@@ -344,14 +346,40 @@ object IndexStore {
     gRow.unionByName(bRow).orderBy("index_name")
   }
 
-  /** The per-(corpus version, layout) summary cache: a 2-row parquet in
-    * an underscore-prefixed subdirectory of the anchor table (invisible
-    * to the table's own FileIndex, wiped with the table by any rebuild
-    * or recovery rmrf), fingerprinted like every durable artifact here.
-    * Fresh stamp → read the 2 rows; anything else → recompute from the
-    * loaded tables, rewrite, restamp. Columns come back exactly as
-    * written (string + 4 longs), so the declared row's schema is
-    * unchanged. */
+  /** A corruption-visibility manifest of table directories: 12 hex
+    * chars over the sorted (name, size) of their parquet data files.
+    * Rides the summary-cache stamp so a lost or size-changed bucket
+    * file DISPLACES the cache — the next call recomputes from the
+    * loaded tables and an actually-damaged table then fails the oracle
+    * instead of a stale cached row masking it (round-15 review: the
+    * cache made the save-load-verify contract vacuous on hits). Local
+    * directory listing only — no Spark job, the footer-arithmetic cost
+    * class. */
+  private def tableManifest(s: SparkSession, names: String*): String = {
+    import scala.jdk.CollectionConverters._
+    val parts = names.flatMap { n =>
+      val dir = warehousePath(s).resolve(n)
+      if (Files.exists(dir)) {
+        val l = Files.list(dir)
+        try l.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => s"${p.getFileName}:${Files.size(p)}").toSeq.sorted
+        finally l.close()
+      } else Seq.empty[String]
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** The per-(corpus version, layout, file manifest) summary cache: a
+    * 2-row parquet in an underscore-prefixed subdirectory of the anchor
+    * table (invisible to the table's own FileIndex, wiped with the
+    * table by any rebuild or recovery rmrf), fingerprinted like every
+    * durable artifact here. Fresh stamp → read the 2 rows; anything
+    * else → recompute from the loaded tables, rewrite, restamp. Columns
+    * come back exactly as written (string + 4 longs), so the declared
+    * row's schema is unchanged. */
   private def cachedSummary(s: SparkSession, anchorTable: String,
       stamp: String)(compute: => DataFrame): DataFrame = {
     val dir = warehousePath(s).resolve(anchorTable).resolve("_graft_summary")
@@ -412,7 +440,9 @@ object IndexStore {
   def dedupIndexUpdate(s: SparkSession, d: String): DataFrame = {
     val (g, b) = ensureUpdTables(s, d)
     cachedSummary(s, tableName("graft_gram_upd", d),
-      s"${Tables.dirStamp(d)}:${nBucketsFor(corpusDocCount(s, d))}:upd")(
+      s"${Tables.dirStamp(d)}:${nBucketsFor(corpusDocCount(s, d))}:upd:" +
+        tableManifest(s, tableName("graft_gram_upd", d),
+          tableName("graft_band_upd", d)))(
       indexSummary(g, b))
   }
 
@@ -431,7 +461,9 @@ object IndexStore {
   def dedupIndexUpdate2(s: SparkSession, d: String): DataFrame = {
     val (g, b) = ensureUpdTables(s, d, 2)
     cachedSummary(s, tableName("graft_gram_upd2", d),
-      s"${Tables.dirStamp(d)}:${nBucketsFor(corpusDocCount(s, d))}:upd2")(
+      s"${Tables.dirStamp(d)}:${nBucketsFor(corpusDocCount(s, d))}:upd2:" +
+        tableManifest(s, tableName("graft_gram_upd2", d),
+          tableName("graft_band_upd2", d)))(
       indexSummary(g, b))
   }
 
@@ -471,7 +503,9 @@ object IndexStore {
   def dedupIndexCompact(s: SparkSession, d: String): DataFrame = {
     val (g, b) = ensureCmpTables(s, d)
     cachedSummary(s, tableName("graft_gram_cmp", d),
-      s"${Tables.dirStamp(d)}:${nBucketsFor(corpusDocCount(s, d))}:cmp")(
+      s"${Tables.dirStamp(d)}:${nBucketsFor(corpusDocCount(s, d))}:cmp:" +
+        tableManifest(s, tableName("graft_gram_cmp", d),
+          tableName("graft_band_cmp", d)))(
       indexSummary(g, b))
   }
 
@@ -528,6 +562,27 @@ object IndexStore {
       // stamp: a protocol change displaces tables built under the old
       // one (their markers would otherwise half-match)
       val splitTag = s":${Corpus.splitTag}:pergen"
+      // ASYMMETRIC staleness check (round-15 review): the applied
+      // markers describe the PAIR but live under the gram dir, so if
+      // out-of-band damage invalidates exactly ONE table's stamp, a
+      // lone rebuild would either skip every generation's append on
+      // the rebuilt side (band stale: markers still current) or
+      // double-append the intact side (gram stale: markers died with
+      // its dir while the band table keeps its rows). Either stale →
+      // wipe BOTH and replay cleanly, the pending-recovery hammer.
+      def isFreshPair(base: String, keys: Seq[String]): Boolean = {
+        val loc = warehousePath(s).resolve(tableName(base, d))
+        val want =
+          s"${Tables.dirStamp(d)}:${keys.mkString(",")}:$nBuckets$splitTag"
+        markers.read(loc.resolve("_graft_fp")).contains(want) &&
+          Files.exists(loc.resolve("_SUCCESS"))
+      }
+      if (isFreshPair(gBase, GramKeys) != isFreshPair(bBase, BandKeys)) {
+        Seq(gName, bName).foreach { n =>
+          if (s.catalog.tableExists(n)) s.sql(s"DROP TABLE $n")
+          rmrf(warehousePath(s).resolve(n))
+        }
+      }
       ensure(s, d, gBase, GramKeys, nBuckets, splitTag) {
         gramRowsOf(baseDocs)
       }

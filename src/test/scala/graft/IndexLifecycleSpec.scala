@@ -1295,6 +1295,53 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(seq.contains(("write", "_graft_fp")))
   }
 
+  test("out-of-band damage: one stale upd table wipes the PAIR (no skipped/doubled appends); a lost bucket file displaces the summary cache") {
+    // two round-15 review findings pinned: (a) the applied markers
+    // describe the upd PAIR but live under the gram dir, so asymmetric
+    // staleness must wipe both (a lone band rebuild would skip every
+    // generation's append; a lone gram rebuild would double-append the
+    // band side); (b) the summary cache must not MASK table damage —
+    // its stamp carries a file manifest, so a lost bucket file forces
+    // a recompute whose changed row surfaces the damage instead of the
+    // stale cached row hiding it.
+    import spark.implicits._
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def nib(id: Long): Char = md5hex(id.toString).head
+    val f2 = Iterator.iterate(1L)(_ + 1).filter(nib(_) == 'f').next()
+    val b1 = Iterator.iterate(1L)(_ + 1).filter(c => !"ef".contains(nib(c))).next()
+    val dir = fixtureDir("documents" -> Seq(
+      (b1, (0 until 30).map(i => s"ob$i").mkString(" "), "en", "s", 1L),
+      (f2, (0 until 30).map(i => s"od$i").mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val clean = SparkEntry.queries("q_dedup_index_update")(spark, dir).collect()
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val tag = md5hex(dir).take(12) // IndexStore.tagOf — THIS fixture's pair
+    val gT = s"graft_gram_upd_$tag"
+    val bT = s"graft_band_upd_$tag"
+    assert(spark.catalog.tableExists(gT) && spark.catalog.tableExists(bT))
+    // (a) band-side stamp lost → the PAIR replays; the recovered
+    // tables still hold base ∪ admitted and the summary is unchanged
+    java.nio.file.Files.delete(java.nio.file.Paths.get(wh, bT, "_graft_fp"))
+    val recovered = SparkEntry.queries("q_dedup_index_update")(spark, dir).collect()
+    assert(recovered.map(_.toSeq).toSeq == clean.map(_.toSeq).toSeq,
+      "asymmetric staleness must replay the pair to the clean state")
+    // (b) a lost gram bucket file displaces the summary cache: the
+    // recomputed row CHANGES (detection), never serves the stale cache
+    import scala.jdk.CollectionConverters._
+    val l = java.nio.file.Files.list(java.nio.file.Paths.get(wh, gT))
+    val victim =
+      try l.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      finally l.close()
+    java.nio.file.Files.delete(victim)
+    spark.sql(s"REFRESH TABLE $gT")
+    val damaged = SparkEntry.queries("q_dedup_index_update")(spark, dir).collect()
+    assert(damaged.map(_.toSeq).toSeq != clean.map(_.toSeq).toSeq,
+      "a lost bucket file must change the summary, not be masked by the cache")
+  }
+
   test("durable-index summary cache: computed once per corpus version; a corpus rewrite displaces it") {
     // the r14 perf residual closed: repeat q_dedup_index_persist calls
     // paid per-bucket-file task overhead just to re-aggregate unchanged
