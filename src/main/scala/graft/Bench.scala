@@ -118,14 +118,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // dev knob: SPARK_GRAFT_CONF="k=v,k=v" applies session confs before
+    // dev knob: SPARK_GRAFT_CONF="k=v;k=v" applies session confs before
     // the run (regime experiments — e.g. forcing a gate's size-gate
     // branch); the driver never sets it, so round artifacts are
-    // unaffected
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
-      val i = kv.indexOf('=')
-      if (i > 0) spark.conf.set(kv.take(i), kv.drop(i + 1))
-    })
+    // unaffected. Pairs split on ';' so a conf VALUE may contain ','
+    // (round-15 advice: the ','-split silently misparsed such values);
+    // a ','-separated list with no ';' still parses for compatibility.
+    sys.env.get("SPARK_GRAFT_CONF").foreach { raw =>
+      raw.split(if (raw.contains(';')) ';' else ',').foreach { kv =>
+        val i = kv.indexOf('=')
+        if (i > 0) spark.conf.set(kv.take(i), kv.drop(i + 1))
+      }
+    }
     // 1/5/15-min load BEFORE this JVM ramps up: a loadavg already near
     // the core count means another process is competing for CPU and the
     // timings below are contaminated.

@@ -59,7 +59,19 @@ private[graft] object Pins {
     * and release waits for the window to close — the statusTracker may
     * not list a job submitted just before the park until the bus
     * catches up (~ms typical). 150 ms is ≫ the measured lag while
-    * keeping releases prompt. */
+    * keeping releases prompt.
+    *
+    * RESIDUAL ASSUMPTION (round-15 verdict, acceptable and documented
+    * rather than closed): the window NARROWS the race, it does not
+    * close it — a job submitted just before park that first becomes
+    * bus-visible after the last in-window drain can still be released
+    * under. That needs a concurrent query-submitting thread racing the
+    * displacing rewrite with a bus lagging beyond 150 ms at EVERY
+    * in-window drain; every current caller is a single-threaded driver
+    * (one declared query at a time), where the racing submitter does
+    * not exist. A deployment with concurrent driver threads should
+    * scale this from an observed bus-lag signal (e.g. a
+    * QueryExecutionListener heartbeat) before relying on it. */
   private val CaptureNanos = 150L * 1000 * 1000
 
   /** One parked pin. `jobs` grows under the entry's own lock at every

@@ -1071,7 +1071,19 @@ object Corpus {
       .select(col("doc_id"), col("admitted"), col("reason"))
   }
 
-  private val applyLock = new Object
+  /** Per-store-root build locks (the IndexStore per-table discipline,
+    * round-15 advice: ONE global lock here serialized every concurrent
+    * apply/increment/drift on the JVM for a whole compaction's Spark
+    * jobs). Two builders of the SAME root serialize — the stamped
+    * write-once protocol needs that — while builders of different
+    * roots (another corpus, another world, the compact root during a
+    * delta apply) proceed concurrently. Nesting is acyclic: compact →
+    * base (ensureCompactProduct calls ensureBaseProduct), and a root's
+    * own lock is reentrant for the delta chain's recursive ensure. */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private def rootLock(root: String): Object =
+    rootLocks.computeIfAbsent(root, _ => new Object)
 
   /** Ensure the BASE-split corpus product (and its frozen tokenizer)
     * exists under a dirStamp-stamped store — [[corpusApply]]'s
@@ -1081,7 +1093,7 @@ object Corpus {
     * the apply run must NOT pay a rebuild). */
   private[graft] def ensureBaseProduct(s: SparkSession, d: String): String = {
     val root = corpusStorePath(d + "#base")
-    applyLock.synchronized {
+    rootLock(root).synchronized {
       val fpFile = java.nio.file.Paths.get(root, "_graft_fp")
       // the split tag rides the stamp: a change to the generation
       // vector changes the base SPLIT and must displace a store built
@@ -1207,7 +1219,7 @@ object Corpus {
     val file = deltaFileOf(gen)
     val deltaFp = java.nio.file.Paths.get(root, s"_graft_${file}_fp")
     val want = s"${Tables.dirStamp(d)}:$splitTag"
-    applyLock.synchronized {
+    rootLock(root).synchronized {
       if (IndexStore.markers.read(deltaFp).contains(want))
         return java.nio.file.Files.exists(
           java.nio.file.Paths.get(root, s"$file.parquet"))
@@ -1273,7 +1285,7 @@ object Corpus {
     // rather than serving stale rows; supporting live-consumer
     // rewrites would need the Pins park/displace discipline or
     // stamp-keyed delta subdirectories.
-    applyLock.synchronized {
+    rootLock(root).synchronized {
       // re-check under the lock (another thread may have stamped since
       // the early-return check); marker I/O rides the MarkerStore seam
       // like the serving-index protocol (round-15 review: the corpus
@@ -1450,7 +1462,7 @@ object Corpus {
     * COMPLETE base-product store ([[ensureBaseProduct]]'s layout). */
   private[graft] def ensureCompactProduct(s: SparkSession, d: String): String = {
     val root = corpusStorePath(d + "#compact")
-    applyLock.synchronized {
+    rootLock(root).synchronized {
       val fpFile = java.nio.file.Paths.get(root, "_graft_fp")
       val want = s"${Tables.dirStamp(d)}:$splitTag"
       if (!IndexStore.markers.read(fpFile).contains(want)) {

@@ -347,23 +347,46 @@ object IndexStore {
   }
 
   /** A corruption-visibility manifest of table directories: 12 hex
-    * chars over the sorted (name, size) of their parquet data files.
-    * Rides the summary-cache stamp so a lost or size-changed bucket
-    * file DISPLACES the cache — the next call recomputes from the
-    * loaded tables and an actually-damaged table then fails the oracle
-    * instead of a stale cached row masking it (round-15 review: the
-    * cache made the save-load-verify contract vacuous on hits). Local
-    * directory listing only — no Spark job, the footer-arithmetic cost
-    * class. */
+    * chars over the sorted (name, size, mtime, head/tail bytes) of
+    * their parquet data files. Rides the summary-cache stamp so a
+    * lost, size-changed, REWRITTEN (mtime), or edge-corrupted
+    * (PAR1 magic / footer-length words — the last 16 bytes bind the
+    * footer offset) bucket file DISPLACES the cache — the next call
+    * recomputes from the loaded tables and an actually-damaged table
+    * then fails the oracle instead of a stale cached row masking it.
+    * Round-16 (r15 advice): (name, size) alone missed a
+    * size-preserving in-place corruption; mtime catches any rewrite
+    * and the 32 edge bytes catch header/footer rot without reading
+    * data pages. A size-and-mtime-preserving MID-FILE bit flip is
+    * still invisible here by design — full-content hashing would
+    * re-pay the exact scan the cache exists to avoid; deployments that
+    * need that guarantee set `spark.graft.summaryCache=false`
+    * ([[cachedSummary]]'s bypass) and always recompute from loaded
+    * bytes. Local directory listing + two 16-byte reads per file — no
+    * Spark job, the footer-arithmetic cost class. */
   private def tableManifest(s: SparkSession, names: String*): String = {
     import scala.jdk.CollectionConverters._
+    def edges(p: Path): String = {
+      val sz = Files.size(p)
+      val ch = java.nio.channels.FileChannel.open(
+        p, java.nio.file.StandardOpenOption.READ)
+      try {
+        val head = java.nio.ByteBuffer.allocate(16)
+        ch.read(head, 0L)
+        val tail = java.nio.ByteBuffer.allocate(16)
+        ch.read(tail, math.max(0L, sz - 16))
+        (head.array() ++ tail.array()).map("%02x".format(_)).mkString
+      } finally ch.close()
+    }
     val parts = names.flatMap { n =>
       val dir = warehousePath(s).resolve(n)
       if (Files.exists(dir)) {
         val l = Files.list(dir)
         try l.iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(p => s"${p.getFileName}:${Files.size(p)}").toSeq.sorted
+          .map(p => s"${p.getFileName}:${Files.size(p)}:" +
+            s"${Files.getLastModifiedTime(p).toMillis}:${edges(p)}")
+          .toSeq.sorted
         finally l.close()
       } else Seq.empty[String]
     }
@@ -387,7 +410,13 @@ object IndexStore {
     val data = dir.resolve("rows.parquet")
     val lock = locks.computeIfAbsent(s"$anchorTable/_graft_summary", _ => new Object)
     lock.synchronized {
-      val fresh = markers.read(fp).contains(stamp) &&
+      // `spark.graft.summaryCache=false` disables cache HITS (writes
+      // still land, so re-enabling serves them): the escape hatch for
+      // deployments whose integrity bar exceeds the manifest's
+      // size/mtime/edge-bytes sensitivity — every call then recomputes
+      // the summary from the loaded tables (r15 advice).
+      val bypass = s.conf.getOption("spark.graft.summaryCache").contains("false")
+      val fresh = !bypass && markers.read(fp).contains(stamp) &&
         Files.exists(data.resolve("_SUCCESS"))
       if (!fresh) {
         summaryBuilds.incrementAndGet()
