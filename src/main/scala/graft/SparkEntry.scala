@@ -182,6 +182,7 @@ object SparkEntry {
     "q_corpus_apply" -> (Corpus.corpusApply _),
     "q_corpus_apply2" -> (Corpus.corpusApply2 _),
     "q_corpus_compact" -> (Corpus.corpusCompact _),
+    "q_corpus_rebase" -> (Corpus.corpusRebase _),
     "q_tokenizer_drift" -> (Corpus.tokenizerDrift _),
     "q_tokenizer_drift2" -> (Corpus.tokenizerDrift2 _),
     "q_domain_stats" -> (TextAnalysis.domainStats _),
@@ -350,6 +351,12 @@ object SparkEntry {
     * from each other, the q_ann_filtered nprobe-twin discipline.
     * Integer·double in DuckDB matches Spark's lit(2.0)·term exactly
     * (power-of-two scaling of the same IEEE division). */
+  /** The default oracle world — [[graft.operators.Corpus.Generations]]
+    * verbatim (the oracle SQL is static text; it cannot read the
+    * session conf, so conf-world runs are out of the driver's oracle
+    * scope by design — the world machinery is spec-covered instead). */
+  private val OracleGens: Vector[String] = graft.operators.Corpus.Generations
+
   private def hybridWeightedOracleSql(vecVote: Int): String = {
     val vecTerm =
       if (vecVote == 1) "coalesce(CAST(1 AS DOUBLE) / (60 + v.vrank), 0)"
@@ -647,12 +654,19 @@ object SparkEntry {
     * the q_corpus_apply oracle reuses them verbatim so the reported
     * verdicts and the applied merge replay the same rule). Exposes
     * del(doc_id, lang, text, z_fp) and v(doc_id, reason). */
-  private def incrementCtes: String =
+  private def incrementCtes: String = incrementCtes(OracleGens)
+
+  /** DuckDB literal list of a world's bucket holdout (sorted — the
+    * historical ('e', 'f') ordering). */
+  private def holdSql(gens: Vector[String]): String =
+    gens.sorted.map(g => s"'$g'").mkString(", ")
+
+  private def incrementCtes(gens: Vector[String]): String =
     s"""${zfpCteOver("documents", "cx")},
       |del AS MATERIALIZED (SELECT doc_id, lang, text, z_fp FROM cxf
-      |        WHERE md5(CAST(doc_id AS VARCHAR))[1:1] = 'f'),
+      |        WHERE md5(CAST(doc_id AS VARCHAR))[1:1] = '${gens(0)}'),
       |bas AS MATERIALIZED (SELECT doc_id, text FROM cxf
-      |        WHERE md5(CAST(doc_id AS VARCHAR))[1:1] NOT IN ('e', 'f')),
+      |        WHERE md5(CAST(doc_id AS VARCHAR))[1:1] NOT IN (${holdSql(gens)})),
       |dh AS MATERIALIZED (SELECT doc_id, z_fp, md5(text) AS h,
       |              min(doc_id) OVER (PARTITION BY md5(text)) AS mn FROM del),
       |bh AS MATERIALIZED (SELECT DISTINCT md5(text) AS h FROM bas),
@@ -700,11 +714,13 @@ object SparkEntry {
     * Shared by the q_corpus_increment2 / q_corpus_apply2 /
     * q_dedup_index_update2 / q_increment_run2 / s_*_gate_upd2
     * oracles. */
-  private def increment2Ctes: String =
-    """adm1 AS MATERIALIZED (SELECT del.doc_id, del.lang, del.text FROM del JOIN v USING (doc_id)
+  private def increment2Ctes: String = increment2Ctes(OracleGens)
+
+  private def increment2Ctes(gens: Vector[String]): String =
+    s"""adm1 AS MATERIALIZED (SELECT del.doc_id, del.lang, del.text FROM del JOIN v USING (doc_id)
       |        WHERE v.reason = 'ok'),
       |del2 AS MATERIALIZED (SELECT doc_id, lang, text, z_fp FROM cxf
-      |        WHERE md5(CAST(doc_id AS VARCHAR))[1:1] = 'e'),
+      |        WHERE md5(CAST(doc_id AS VARCHAR))[1:1] = '${gens(1)}'),
       |bas2 AS MATERIALIZED (SELECT doc_id, text FROM bas
       |        UNION ALL SELECT doc_id, text FROM adm1),
       |dh2 AS MATERIALIZED (SELECT doc_id, z_fp, md5(text) AS h,
@@ -789,14 +805,16 @@ object SparkEntry {
   /** The q_corpus_apply CTE stack, through `allp` (the merged run-0/
     * run-1 terms) — shared with [[corpusApply2Sql]], which chains
     * generation 2 on top of it. */
-  private def corpusApplyCtes: String = {
+  private def corpusApplyCtes: String = corpusApplyCtes(OracleGens)
+
+  private def corpusApplyCtes(gens: Vector[String]): String = {
     val budget = graft.operators.Corpus.BpePackBudget
     val shards = graft.operators.Corpus.TsShards
     s"""
       |absrc AS MATERIALIZED (SELECT doc_id, lang, text FROM documents
-      |          WHERE md5(CAST(doc_id AS VARCHAR))[1:1] NOT IN ('e', 'f')),
+      |          WHERE md5(CAST(doc_id AS VARCHAR))[1:1] NOT IN (${holdSql(gens)})),
       |${corpusChainCteOver("absrc")},
-      |$incrementCtes,
+      |${incrementCtes(gens)},
       |adm AS MATERIALIZED (SELECT del.doc_id, del.lang, del.text FROM del JOIN v USING (doc_id)
       |        WHERE v.reason = 'ok'),
       |dv0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
@@ -865,11 +883,13 @@ object SparkEntry {
   /** The q_corpus_apply2 CTE stack through `allp3` (runs 0/1/2) —
     * shared with the q_corpus_compact oracle, whose product is the
     * same merged chain re-laid as one store. */
-  private def corpusApply2Ctes: String = {
+  private def corpusApply2Ctes: String = corpusApply2Ctes(OracleGens)
+
+  private def corpusApply2Ctes(gens: Vector[String]): String = {
     val budget = graft.operators.Corpus.BpePackBudget
     val shards = graft.operators.Corpus.TsShards
-    s"""$corpusApplyCtes,
-      |$increment2Ctes,
+    s"""${corpusApplyCtes(gens)},
+      |${increment2Ctes(gens)},
       |adm2a AS MATERIALIZED (SELECT del2.doc_id, del2.text FROM del2 JOIN vg2 USING (doc_id)
       |        WHERE vg2.reason = 'ok'),
       |ev0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
@@ -943,6 +963,119 @@ object SparkEntry {
       |       CAST(sum(oh) % $mod AS BIGINT) AS order_checksum60,
       |       CAST(sum(ch) % $mod AS BIGINT) AS content_checksum60
       |FROM allp3 GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
+  /** q_corpus_rebase oracle — the full lifecycle-cycle replay in the
+    * rebase world ((d,e,f) holdout): cycle 1's chained apply CTEs
+    * (runs 0/1/2 — [[corpusApply2Ctes]] parameterized), then cycle 2's
+    * PRODUCT-TEXT screen: ptx is exactly the loaded compacted store's
+    * text column (cleaned base texts for layout docs, verbatim
+    * admitted deltas), bucket-'d' arrivals screen against it with the
+    * shared verdict rules, the admitted docs tokenize under the SAME
+    * frozen b1..b3 rules the compaction shipped, and the layout
+    * continues from the run-0/1/2 shard totals — the compacted store's
+    * totals, by the r15 content-identity proof. Summarized with the
+    * cycle-2 run split (n_base = compacted rows, n_added = rebase
+    * delta). */
+  private def corpusRebaseSql: String = {
+    val budget = graft.operators.Corpus.BpePackBudget
+    val shards = graft.operators.Corpus.TsShards
+    val mod = "1152921504606846976"
+    val gens = graft.operators.Corpus.RebaseGens
+    s"""WITH RECURSIVE
+      |${corpusApply2Ctes(gens)},
+      |ptx AS MATERIALIZED (SELECT c.doc_id, c.text FROM cbc c JOIN cbap USING (doc_id)
+      |        UNION ALL SELECT doc_id, text FROM adm
+      |        UNION ALL SELECT doc_id, text FROM adm2a),
+      |del3 AS MATERIALIZED (SELECT doc_id, lang, text, z_fp FROM cxf
+      |        WHERE md5(CAST(doc_id AS VARCHAR))[1:1] = '${gens(2)}'),
+      |dh3 AS MATERIALIZED (SELECT doc_id, z_fp, md5(text) AS h,
+      |              min(doc_id) OVER (PARTITION BY md5(text)) AS mn FROM del3),
+      |bh3 AS MATERIALIZED (SELECT DISTINCT md5(text) AS h FROM ptx),
+      |shd3 AS MATERIALIZED (SELECT DISTINCT doc_id,
+      |               unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+      |                       FOR i IN range(1, len(ts) - 1)]) AS shingle
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM del3)),
+      |shb3 AS MATERIALIZED (SELECT DISTINCT doc_id,
+      |               unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+      |                       FOR i IN range(1, len(ts) - 1)]) AS shingle
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM ptx)),
+      |cd3 AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS na FROM shd3 GROUP BY 1),
+      |cb3 AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb FROM shb3 GROUP BY 1),
+      |ix3 AS MATERIALIZED (SELECT a.doc_id AS doc_id, b.doc_id AS bid,
+      |              CAST(count(*) AS BIGINT) AS n_common
+      |       FROM shd3 a JOIN shb3 b ON a.shingle = b.shingle GROUP BY 1, 2),
+      |nbx3 AS MATERIALIZED (SELECT DISTINCT ix3.doc_id
+      |        FROM ix3 JOIN cd3 ON cd3.doc_id = ix3.doc_id
+      |                 JOIN cb3 ON cb3.doc_id = ix3.bid
+      |        WHERE CAST(n_common AS DOUBLE) / (cd3.na + cb3.nb - n_common) >= 0.5),
+      |ixd3 AS MATERIALIZED (SELECT a.doc_id AS doc_id, b.doc_id AS bid2,
+      |              CAST(count(*) AS BIGINT) AS n_common
+      |       FROM shd3 a JOIN shd3 b
+      |         ON a.shingle = b.shingle AND a.doc_id > b.doc_id GROUP BY 1, 2),
+      |nbd3 AS MATERIALIZED (SELECT DISTINCT ixd3.doc_id
+      |        FROM ixd3 JOIN cd3 ON cd3.doc_id = ixd3.doc_id
+      |                  JOIN cd3 cdc ON cdc.doc_id = ixd3.bid2
+      |        WHERE CAST(n_common AS DOUBLE) / (cd3.na + cdc.na - n_common) >= 0.5),
+      |vg3 AS MATERIALIZED (SELECT dh3.doc_id,
+      |             CASE WHEN dh3.z_fp < 0 THEN 'quality'
+      |                  WHEN bh3.h IS NOT NULL THEN 'exact_base'
+      |                  WHEN dh3.doc_id <> dh3.mn THEN 'exact_delta'
+      |                  WHEN nbx3.doc_id IS NOT NULL THEN 'neardup'
+      |                  WHEN nbd3.doc_id IS NOT NULL THEN 'neardup_delta'
+      |                  ELSE 'ok' END AS reason
+      |      FROM dh3 LEFT JOIN bh3 ON dh3.h = bh3.h
+      |               LEFT JOIN nbx3 ON nbx3.doc_id = dh3.doc_id
+      |               LEFT JOIN nbd3 ON nbd3.doc_id = dh3.doc_id),
+      |adm3 AS MATERIALIZED (SELECT del3.doc_id, del3.text FROM del3 JOIN vg3 USING (doc_id)
+      |        WHERE vg3.reason = 'ok'),
+      |fv0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
+      |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM adm3)
+      |        WHERE len(w) >= 1 GROUP BY w),
+      |${applyRuleSql("fv0", "fv1", "b1")},
+      |${applyRuleSql("fv1", "fv2", "b2")},
+      |${applyRuleSql("fv2", "fv3", "b3")},
+      |fwd AS MATERIALIZED (SELECT doc_id, wpos, w FROM (
+      |  SELECT doc_id, i - 1 AS wpos, ws[CAST(i AS BIGINT)] AS w
+      |  FROM (SELECT doc_id, ws, unnest([i FOR i IN range(1, len(ws) + 1)]) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM adm3)))
+      |  WHERE len(w) >= 1),
+      |fap AS MATERIALIZED (SELECT fwd.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |               CAST(sum(len(fv3.syms)) AS BIGINT) AS n_tokens,
+      |               md5(array_to_string(flatten(list(fv3.syms ORDER BY fwd.wpos)), ' ')) AS bpe_md5
+      |        FROM fwd JOIN fv3 USING (w) GROUP BY fwd.doc_id),
+      |fly AS MATERIALIZED (SELECT doc_id, n_tokens, bpe_md5,
+      |               md5('sh#' || CAST(doc_id AS VARCHAR)) AS h FROM fap),
+      |fsr AS MATERIALIZED (SELECT CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1)
+      |                 % $shards AS INT) AS shard, doc_id, n_tokens, bpe_md5, h
+      |        FROM fly),
+      |psh3 AS MATERIALIZED (SELECT shard, CAST(count(*) AS BIGINT) AS pc,
+      |               CAST(sum(n_tokens) AS BIGINT) AS pt
+      |        FROM allp3 GROUP BY shard),
+      |fr2 AS MATERIALIZED (SELECT fsr.shard, fsr.doc_id, fsr.n_tokens, fsr.bpe_md5,
+      |               coalesce(psh3.pc, 0) +
+      |                 CAST(row_number() OVER (PARTITION BY fsr.shard ORDER BY fsr.h, fsr.doc_id) AS BIGINT) AS pos,
+      |               coalesce(psh3.pt, 0) +
+      |                 CAST(sum(fsr.n_tokens) OVER (PARTITION BY fsr.shard ORDER BY fsr.h, fsr.doc_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - fsr.n_tokens AS BIGINT) AS start_off
+      |        FROM fsr LEFT JOIN psh3 USING (shard)),
+      |fp3 AS MATERIALIZED (SELECT fr2.shard, fr2.pos, fr2.doc_id, fr2.n_tokens,
+      |              (fr2.start_off + fr2.n_tokens - 1) // $budget AS last_bin,
+      |              ${h60Sql("CAST(fr2.doc_id AS VARCHAR) || '@' || CAST(fr2.pos AS VARCHAR)")} AS oh,
+      |              ${h60Sql("CAST(fr2.doc_id AS VARCHAR) || '@' || CAST(fr2.pos AS VARCHAR) || ':' || CAST(fr2.start_off AS VARCHAR) || '#' || fr2.bpe_md5 || '#' || md5(a.text)")} AS ch
+      |       FROM fr2 JOIN adm3 a USING (doc_id)),
+      |allp4 AS MATERIALIZED (SELECT shard, pos, doc_id, n_tokens, last_bin, oh, ch, run FROM allp3
+      |         UNION ALL
+      |         SELECT shard, pos, doc_id, n_tokens, last_bin, oh, ch, 3 FROM fp3)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(max(last_bin) + 1 AS BIGINT) AS n_bins,
+      |       min_by(doc_id, pos) AS first_doc, max_by(doc_id, pos) AS last_doc,
+      |       CAST(sum(oh) % $mod AS BIGINT) AS order_checksum60,
+      |       CAST(sum(ch) % $mod AS BIGINT) AS content_checksum60,
+      |       CAST(count(CASE WHEN run <= 2 THEN 1 END) AS BIGINT) AS n_base,
+      |       CAST(count(CASE WHEN run = 3 THEN 1 END) AS BIGINT) AS n_added
+      |FROM allp4 GROUP BY shard ORDER BY shard""".stripMargin
   }
 
   /** q_tokenizer_drift oracle — the base chain + admission + frozen
@@ -2508,6 +2641,7 @@ object SparkEntry {
     "q_corpus_apply" -> corpusApplySql,
     "q_corpus_apply2" -> corpusApply2Sql,
     "q_corpus_compact" -> corpusCompactSql,
+    "q_corpus_rebase" -> corpusRebaseSql,
     "q_tokenizer_drift" -> tokenizerDriftSql,
     "q_tokenizer_drift2" -> tokenizerDrift2Sql,
     "q_corpus_funnel" ->

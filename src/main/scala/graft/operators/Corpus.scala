@@ -789,7 +789,7 @@ object Corpus {
   /** Load a persisted product relation (`corpus` or `delta`) — the
     * partition column comes back type-inferred; the cast restores the
     * written schema (the Similarity.loadIndex discipline). */
-  private def loadProduct(s: SparkSession, root: String, which: String): DataFrame =
+  private[graft] def loadProduct(s: SparkSession, root: String, which: String): DataFrame =
     s.read.parquet(s"$root/$which.parquet")
       .select(col("shard").cast("int").as("shard"), col("pos"), col("doc_id"),
         col("lang"), col("text"), col("n_words"), col("n_tokens"),
@@ -798,7 +798,7 @@ object Corpus {
   /** The order/content checksum terms over a loaded product — ONE
     * definition shared by [[corpusBuild]] and [[corpusApply]] so the
     * full-build summary and the merged summary cannot drift. */
-  private def productChecksums(loaded: DataFrame): DataFrame =
+  private[graft] def productChecksums(loaded: DataFrame): DataFrame =
     loaded
       .withColumn("oh", graft.functions.md5hash60(
         concat(col("doc_id").cast("string"), lit("@"), col("pos").cast("string"))))
@@ -971,23 +971,48 @@ object Corpus {
     * the same machinery, iterated. */
   private[graft] val Generations: Vector[String] = Vector("f", "e")
 
+  /** The session's generation vector — DATA-DRIVEN (round-15 verdict
+    * item 5: a third generation was a source edit): a deployment sets
+    * `spark.graft.corpus.generations=f,e,d` and every split predicate,
+    * store stamp, pin key, and serving-index build derives from it
+    * with zero operator changes. Every durable stamp carries
+    * [[splitTagOf]] of the resolved vector, so changing the conf
+    * DISPLACES stores built under the old split (the intended
+    * semantics: the vector defines the corpus world). Default:
+    * [[Generations]]. */
+  private[graft] def worldOf(s: SparkSession): Vector[String] =
+    s.conf.getOption("spark.graft.corpus.generations")
+      .map(_.split(",").toVector.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+      .getOrElse(Generations)
+
   /** Fingerprint tag of the split definition — rides every durable
     * stamp whose CONTENT depends on the base/delta split
     * ([[ensureBaseProduct]], the delta writes, IndexStore's update
-    * tables), so a change to [[Generations]] displaces stores built
-    * under the old split (dirStamp alone cannot see a code change). */
-  private[graft] def splitTag: String = Generations.mkString
+    * tables), so a change to the generation vector displaces stores
+    * built under the old split (dirStamp alone cannot see a code or
+    * conf change). */
+  private[graft] def splitTagOf(gens: Vector[String]): String = gens.mkString
+  private[graft] def splitTag: String = splitTagOf(Generations)
+
+  /** Store-path suffix of a non-default world — the default world
+    * keeps its historical unsuffixed roots; any other vector gets its
+    * own root family, so two worlds never fight over one stamped
+    * store. */
+  private def worldSuffix(gens: Vector[String]): String =
+    if (gens == Generations) "" else "@" + splitTagOf(gens)
 
   private def bucketCol: Column =
     substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
 
   /** Generation g's delta split predicate (1-indexed). */
-  private[graft] def deltaColOf(gen: Int): Column =
-    bucketCol === Generations(gen - 1)
+  private[graft] def deltaColOf(gen: Int, gens: Vector[String] = Generations): Column =
+    bucketCol === gens(gen - 1)
 
   /** The never-delta BASE split: buckets outside every generation. */
-  private[graft] def isBaseCol: Column =
-    !bucketCol.isin(Generations: _*)
+  private[graft] def isBaseColOf(gens: Vector[String]): Column =
+    !bucketCol.isin(gens: _*)
+  private[graft] def isBaseCol: Column = isBaseColOf(Generations)
 
   /** [[corpusIncrement]]'s verdict core, unordered — the admission rule
     * [[corpusApply]] applies (ONE definition, so the declared verdict
@@ -1003,16 +1028,34 @@ object Corpus {
     incrementVerdicts(s, d, 1)
 
   private[graft] def incrementVerdicts(
-      s: SparkSession, d: String, gen: Int): DataFrame = {
+      s: SparkSession, d: String, gen: Int): DataFrame =
+    incrementVerdicts(s, d, gen, worldOf(s))
+
+  private[graft] def incrementVerdicts(
+      s: SparkSession, d: String, gen: Int,
+      gens: Vector[String]): DataFrame = {
+    val gv = gens
     val (_, zFp) = TextAnalysis.logitZ
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), zFp.as("z_fp"))
-    val delta = docs.filter(deltaColOf(gen))
+    val delta = docs.filter(deltaColOf(gen, gv))
     val base = (1 until gen).foldLeft(
-      docs.filter(isBaseCol).select(col("doc_id"), col("text"))) {
+      docs.filter(isBaseColOf(gv)).select(col("doc_id"), col("text"))) {
       (b, g) => b.unionByName(
-        admittedDelta(s, d, g).select(col("doc_id"), col("text")))
+        admittedDelta(s, d, g, gv).select(col("doc_id"), col("text")))
     }
+    verdictsOver(delta, base)
+  }
+
+  /** The admission rule proper, over an arbitrary arriving batch
+    * (doc_id, text, z_fp) and an arbitrary screening base (doc_id,
+    * text) — ONE definition serving every screen: the raw-split
+    * increments ([[incrementVerdicts]] — base = base split ∪ earlier
+    * admissions) and the post-compaction rebase ([[rebaseVerdicts]] —
+    * base = the LOADED compacted product, cycle 2's only screening
+    * reference). Verdict precedence and both Jaccard tiers are
+    * documented at [[corpusIncrement]]. */
+  private[graft] def verdictsOver(delta: DataFrame, base: DataFrame): DataFrame = {
     val baseMd5 = base
       .select(md5(col("text").cast("binary")).as("h")).distinct()
       .withColumn("eb", lit(true))
@@ -1091,19 +1134,23 @@ object Corpus {
     * IndexStore freshness discipline: a rewrite of the data displaces;
     * a matching stamp serves the durable bytes, which is the point —
     * the apply run must NOT pay a rebuild). */
-  private[graft] def ensureBaseProduct(s: SparkSession, d: String): String = {
-    val root = corpusStorePath(d + "#base")
+  private[graft] def ensureBaseProduct(s: SparkSession, d: String): String =
+    ensureBaseProduct(s, d, worldOf(s))
+
+  private[graft] def ensureBaseProduct(
+      s: SparkSession, d: String, gens: Vector[String]): String = {
+    val root = corpusStorePath(d + "#base" + worldSuffix(gens))
     rootLock(root).synchronized {
       val fpFile = java.nio.file.Paths.get(root, "_graft_fp")
       // the split tag rides the stamp: a change to the generation
       // vector changes the base SPLIT and must displace a store built
       // under the old one (dirStamp alone cannot see it). Marker I/O
       // rides the MarkerStore seam (round-15 review).
-      val want = s"${Tables.dirStamp(d)}:$splitTag"
+      val want = s"${Tables.dirStamp(d)}:${splitTagOf(gens)}"
       if (!IndexStore.markers.read(fpFile).contains(want)) {
         val baseDocs = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("text"))
-          .filter(isBaseCol)
+          .filter(isBaseColOf(gens))
         buildProductOver(s, baseDocs, root)
         IndexStore.markers.write(fpFile, want)
       }
@@ -1115,19 +1162,24 @@ object Corpus {
     * [[tokenizerDrift]] measures — admitted = the increment rule's 'ok'
     * verdicts over generation `gen`'s split. */
   private[graft] def admittedDelta(s: SparkSession, d: String, gen: Int): DataFrame =
+    admittedDelta(s, d, gen, worldOf(s))
+
+  private[graft] def admittedDelta(
+      s: SparkSession, d: String, gen: Int, gens: Vector[String]): DataFrame =
     // pinned: the admission chain (gate + md5 joins + two shingle
     // Jaccard tiers) would otherwise re-execute once per consumer —
     // corpusApply reads the admitted set along three lineage paths
     // (vocab fold, tokenize join, product join); measured 4.3 s →
     // the pin collapses them to one admission pass per (session,
-    // corpus, generation), displaced on dirStamp change like every
-    // other pin. A gen-g pin transitively holds gens < g via the
-    // verdict chain, each under its own pin.
-    pinnedVocab(s, d, s"admittedDelta$gen") {
+    // corpus, generation, world), displaced on dirStamp change like
+    // every other pin. A gen-g pin transitively holds gens < g via the
+    // verdict chain, each under its own pin. The pin key carries the
+    // world tag so two worlds' admitted sets never alias.
+    pinnedVocab(s, d, s"admittedDelta$gen@${splitTagOf(gens)}") {
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("text"))
-        .filter(deltaColOf(gen))
-        .join(incrementVerdicts(s, d, gen).filter(col("admitted"))
+        .filter(deltaColOf(gen, gens))
+        .join(incrementVerdicts(s, d, gen, gens).filter(col("admitted"))
           .select(col("doc_id")), Seq("doc_id"))
     }
 
@@ -1207,8 +1259,34 @@ object Corpus {
     * (the chain), lays out generation gen's admitted arrivals
     * continuing from the totals of base ∪ deltas < gen, and writes
     * `delta<g>.parquet`. Returns whether any docs were admitted. */
-  private[graft] def ensureDeltaProduct(s: SparkSession, d: String, gen: Int): Boolean = {
-    val root = ensureBaseProduct(s, d)
+  private[graft] def ensureDeltaProduct(s: SparkSession, d: String, gen: Int): Boolean =
+    ensureDeltaProduct(s, d, gen, worldOf(s))
+
+  private[graft] def ensureDeltaProduct(
+      s: SparkSession, d: String, gen: Int, gens: Vector[String]): Boolean = {
+    val root = ensureBaseProduct(s, d, gens)
+    appendDeltaOver(s, root, deltaFileOf(gen),
+      s"${Tables.dirStamp(d)}:${splitTagOf(gens)}")(
+      prior = (1 until gen).foldLeft(loadProduct(s, root, "corpus")) {
+        (p, g) =>
+          if (ensureDeltaProduct(s, d, g, gens))
+            p.unionByName(loadProduct(s, root, deltaFileOf(g)))
+          else p
+      },
+      admitted = admittedDelta(s, d, gen, gens))
+  }
+
+  /** The shared delta-append: tokenize `admitted` with `root`'s frozen
+    * rules, lay it out continuing from `prior`'s shard totals, and
+    * write it as `$root/$file.parquet` under `want`'s stamp. ONE
+    * definition serving the in-cycle generation appends
+    * ([[ensureDeltaProduct]]) and the post-compaction rebase append
+    * ([[ensureRebaseDelta]] — the compacted root is a complete
+    * base-product store, so its first delta is built by exactly this
+    * code). `prior`/`admitted` are BY-NAME: the early return below
+    * never builds them. Returns whether any docs were admitted. */
+  private[graft] def appendDeltaOver(s: SparkSession, root: String, file: String,
+      want: String)(prior: => DataFrame, admitted: => DataFrame): Boolean = {
     // EARLY RETURN on a fresh stamp (round-15 review): within a corpus
     // version the stamped file's existence IS the anyAdmitted answer
     // (written iff any doc was admitted, deleted otherwise), so a
@@ -1216,24 +1294,16 @@ object Corpus {
     // fold performs — costs a marker read instead of re-building the
     // frozen-tokenizer DAG, a merges.parquet collect, and an isEmpty
     // action per call.
-    val file = deltaFileOf(gen)
     val deltaFp = java.nio.file.Paths.get(root, s"_graft_${file}_fp")
-    val want = s"${Tables.dirStamp(d)}:$splitTag"
     rootLock(root).synchronized {
       if (IndexStore.markers.read(deltaFp).contains(want))
         return java.nio.file.Files.exists(
           java.nio.file.Paths.get(root, s"$file.parquet"))
     }
-    val prior = (1 until gen).foldLeft(loadProduct(s, root, "corpus")) {
-      (p, g) =>
-        if (ensureDeltaProduct(s, d, g))
-          p.unionByName(loadProduct(s, root, deltaFileOf(g)))
-        else p
-    }
-    val admitted = admittedDelta(s, d, gen)
+    val admittedDf = admitted
     // the frozen tokenizer: persisted merge rules, in round order
-    val frozenVocab = applyFrozen(charVocabOver(admitted), frozenRules(s, root))
-    val tok = bpeTokensOver(admitted, frozenVocab.select(col("w"), col("syms")))
+    val frozenVocab = applyFrozen(charVocabOver(admittedDf), frozenRules(s, root))
+    val tok = bpeTokensOver(admittedDf, frozenVocab.select(col("w"), col("syms")))
       .select(col("doc_id"), col("n_words"),
         col("n_bpe_tokens").as("n_tokens"), col("bpe_md5"))
     // append per shard: the build's own shard rule and in-shard order
@@ -1258,7 +1328,7 @@ object Corpus {
       .withColumn("first_bin", floor(col("start_off") / BpePackBudget))
       .withColumn("last_bin",
         floor((col("start_off") + col("n_tokens") - 1) / BpePackBudget))
-    val deltaProduct = admitted.join(laidD, Seq("doc_id"))
+    val deltaProduct = admittedDf.join(laidD, Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("text"), col("pos"),
         col("n_words"), col("n_tokens"), col("bpe_md5"), col("start_off"),
         col("first_bin"), col("last_bin"), col("shard"))
@@ -1268,7 +1338,7 @@ object Corpus {
     // recompute it (review finding — the full delta chain ran twice).
     // Every admitted doc passes the gate, so it has ≥ 1 word and
     // produces exactly one product row: the two tests agree.
-    val anyAdmitted = !admitted.isEmpty
+    val anyAdmitted = !admittedDf.isEmpty
     // the delta write is STAMPED like the serving-index apply
     // (IndexStore's applied-stamp): within one corpus version the
     // admitted set and the frozen rules are deterministic, so a
@@ -1311,12 +1381,16 @@ object Corpus {
   /** The loaded merged product through generation `maxGen` — base run 0,
     * each generation's delta run g (an empty generation contributes an
     * empty run, so the summary shape is generation-count-stable). */
-  private def mergedThrough(s: SparkSession, d: String, maxGen: Int): DataFrame = {
-    val root = ensureBaseProduct(s, d)
+  private[graft] def mergedThrough(s: SparkSession, d: String, maxGen: Int): DataFrame =
+    mergedThrough(s, d, maxGen, worldOf(s))
+
+  private[graft] def mergedThrough(
+      s: SparkSession, d: String, maxGen: Int, gens: Vector[String]): DataFrame = {
+    val root = ensureBaseProduct(s, d, gens)
     val base = loadProduct(s, root, "corpus")
     (1 to maxGen).foldLeft(base.withColumn("run", lit(0))) { (m, g) =>
       m.unionByName(
-        if (ensureDeltaProduct(s, d, g))
+        if (ensureDeltaProduct(s, d, g, gens))
           loadProduct(s, root, deltaFileOf(g)).withColumn("run", lit(g))
         else base.filter(lit(false)).withColumn("run", lit(g)))
     }
@@ -1327,7 +1401,7 @@ object Corpus {
   private def applySummary(s: SparkSession, d: String, maxGen: Int): DataFrame = {
     val perGen = (2 to maxGen).map(g =>
       count(when(col("run") === g, 1)).as(s"n_added$g"))
-    productChecksums(mergedThrough(s, d, maxGen))
+    productChecksums(mergedThrough(s, d, maxGen, worldOf(s)))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         (Seq(
@@ -1461,13 +1535,23 @@ object Corpus {
     * frozen tokenizer copied alongside so the compacted root is a
     * COMPLETE base-product store ([[ensureBaseProduct]]'s layout). */
   private[graft] def ensureCompactProduct(s: SparkSession, d: String): String = {
-    val root = corpusStorePath(d + "#compact")
+    val gens = worldOf(s)
+    ensureCompactProduct(s, d, gens, gens.size)
+  }
+
+  /** World/`maxGen`-parameterized form: compact the chain THROUGH
+    * generation `maxGen` of world `gens` — the rebase world closes its
+    * first cycle after two applies ([[RebaseGens]](2) = the NEXT
+    * cycle's arrival bucket, never a pre-compaction generation). */
+  private[graft] def ensureCompactProduct(
+      s: SparkSession, d: String, gens: Vector[String], maxGen: Int): String = {
+    val root = corpusStorePath(d + "#compact" + worldSuffix(gens))
     rootLock(root).synchronized {
       val fpFile = java.nio.file.Paths.get(root, "_graft_fp")
-      val want = s"${Tables.dirStamp(d)}:$splitTag"
+      val want = s"${Tables.dirStamp(d)}:${splitTagOf(gens)}:$maxGen"
       if (!IndexStore.markers.read(fpFile).contains(want)) {
-        val baseRoot = ensureBaseProduct(s, d)
-        mergedThrough(s, d, Generations.size).drop("run")
+        val baseRoot = ensureBaseProduct(s, d, gens)
+        mergedThrough(s, d, maxGen, gens).drop("run")
           .repartition(col("shard"))
           .write.mode("overwrite").partitionBy("shard")
           .parquet(s"$root/corpus.parquet")
@@ -1477,6 +1561,130 @@ object Corpus {
       }
     }
     root
+  }
+
+  /** The REBASE world — the lifecycle-cycle demonstration's generation
+    * vector (round-15 verdict item 1: compaction claimed to produce
+    * next cycle's base, but nothing ever ran against it). Base split =
+    * buckets outside {f,e,d}; cycle 1 applies 'f' then 'e' and
+    * compacts ([[RebaseCycle1]] = 2); bucket 'd' is the NEXT cycle's
+    * first arrival, screened and applied with base = the COMPACTED
+    * store. A separate vector (not the default world's) because the
+    * default world's two generations consume every remaining bucket —
+    * the cycle needs a batch that has never been screened. Its stores
+    * ride [[worldSuffix]]-suffixed roots, so the two worlds coexist. */
+  private[graft] val RebaseGens = Vector("f", "e", "d")
+
+  /** Generations applied before the rebase world's cycle-1 compaction
+    * closes — [[RebaseGens]](RebaseCycle1) ('d') is cycle 2's arrival
+    * bucket, never a pre-compaction generation. */
+  private[graft] val RebaseCycle1 = 2
+
+  /** The rebase world's compacted cycle-1 store — cycle 2's base. */
+  private[graft] def rebaseCompactRoot(s: SparkSession, d: String): String =
+    ensureCompactProduct(s, d, RebaseGens, RebaseCycle1)
+
+  /** Cycle 2's admission screen: day-3 arrivals (bucket 'd') vs the
+    * LOADED compacted product — the SAME [[verdictsOver]] rule as every
+    * in-cycle screen, with one deliberate, realistic seam: after
+    * compaction the corpus IS the screening reference. The raw cycle-1
+    * crawl is gone from the pipeline's state; exact/near-dup tiers run
+    * against the product's text column (substring-CLEANED base texts,
+    * verbatim admitted deltas — docs cycle 1 rejected never entered
+    * the corpus and stay admissible). Spec-pinned: an arrival equal to
+    * a cleaned base text is 'exact_base' here even though no raw crawl
+    * doc ever carried that text. */
+  private[graft] def rebaseVerdicts(s: SparkSession, d: String): DataFrame = {
+    val (_, zFp) = TextAnalysis.logitZ
+    val root = rebaseCompactRoot(s, d)
+    val delta = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), zFp.as("z_fp"))
+      .filter(deltaColOf(RebaseCycle1 + 1, RebaseGens))
+    verdictsOver(delta,
+      loadProduct(s, root, "corpus").select(col("doc_id"), col("text")))
+  }
+
+  /** Cycle 2's admitted arrivals (the [[admittedDelta]] pin discipline
+    * — the rebase apply reads this along three lineage paths). */
+  private[graft] def admittedRebase(s: SparkSession, d: String): DataFrame =
+    pinnedVocab(s, d, s"admittedRebase@${splitTagOf(RebaseGens)}") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .filter(deltaColOf(RebaseCycle1 + 1, RebaseGens))
+        .join(rebaseVerdicts(s, d).filter(col("admitted"))
+          .select(col("doc_id")), Seq("doc_id"))
+    }
+
+  /** Cycle 2's first delta, appended to the COMPACTED root by exactly
+    * the in-cycle append code ([[appendDeltaOver]]): frozen tokenizer =
+    * the compact root's shipped merges, positions/offsets continue
+    * from the compact store's shard totals, file = `delta.parquet` —
+    * the compacted root IS a base-product store, so its first delta
+    * carries the generation-1 name. Returns whether any docs were
+    * admitted. */
+  private[graft] def ensureRebaseDelta(s: SparkSession, d: String): Boolean = {
+    val root = rebaseCompactRoot(s, d)
+    appendDeltaOver(s, root, "delta",
+      s"${Tables.dirStamp(d)}:${splitTagOf(RebaseGens)}:rebase")(
+      prior = loadProduct(s, root, "corpus"),
+      admitted = admittedRebase(s, d))
+  }
+
+  /** q_corpus_rebase — the lifecycle's loop RESET (round-15 verdict
+    * item 1): generation 1 of the NEXT cycle runs with base = the
+    * compacted store, proving [[corpusCompact]]'s product is the
+    * drop-in base its scaladoc promises rather than a terminal
+    * artifact. In the rebase world ([[RebaseGens]] — its own bucket
+    * split, so a never-screened batch exists), cycle 1 runs build →
+    * apply 'f' → apply 'e' → compact; then day 3's arrivals (bucket
+    * 'd') are SCREENED against the compacted product
+    * ([[rebaseVerdicts]]), tokenized with the frozen rules the
+    * compaction shipped, and APPENDED as the compact root's own
+    * `delta.parquet` with positions and token offsets continuing from
+    * the compacted shard totals ([[ensureRebaseDelta]]) — the exact
+    * code path a generation-1 apply runs against a fresh build.
+    *
+    * The declared row is the merged cycle-2 summary FROM THE LOADED
+    * compacted-root relations (run 0 = the compacted cycle-1 product,
+    * run 1 = the rebase delta): the [[corpusApply]] currency —
+    * per-shard doc/token/bin counts, first/last doc in position order,
+    * both checksums, and the n_base/n_added split. Because the
+    * compacted store is content-identical to the merge-on-read chain
+    * (the r15 compaction proof), this row equals the THREE-generation
+    * chain laid out without ever compacting — the apply∘apply ≡
+    * rebuild proof carried across the compaction seam, spec-pinned
+    * (CorpusCycleSpec: same verdicts, same checksums, from either
+    * layout). Fully oracled: DuckDB replays the (d,e,f)-holdout base
+    * chain, both in-cycle admissions, the PRODUCT-text rebase screen,
+    * the frozen application, and the chained layout.
+    *
+    * 100 TB shape: the rebase screen costs exactly an in-cycle screen
+    * (two keyed lookups into the compacted relation — md5 join +
+    * sharded shingle-posting probe; the arrival side is delta-sized);
+    * the append is one delta-sized pass. Nothing about re-entering the
+    * loop re-reads or re-builds cycle 1 beyond its stamped stores. */
+  def corpusRebase(s: SparkSession, d: String): DataFrame = {
+    val root = rebaseCompactRoot(s, d)
+    val base = loadProduct(s, root, "corpus").withColumn("run", lit(0))
+    val merged =
+      if (ensureRebaseDelta(s, d))
+        base.unionByName(
+          loadProduct(s, root, "delta").withColumn("run", lit(1)))
+      else base.unionByName(base.filter(lit(false)).withColumn("run", lit(1)))
+    productChecksums(merged)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (max(col("last_bin")) + 1).as("n_bins"),
+        min_by(col("doc_id"), col("pos")).as("first_doc"),
+        max_by(col("doc_id"), col("pos")).as("last_doc"),
+        expr(s"CAST(sum(CAST(oh AS DECIMAL(38,0))) % $ChecksumMod AS BIGINT)")
+          .as("order_checksum60"),
+        expr(s"CAST(sum(CAST(ch AS DECIMAL(38,0))) % $ChecksumMod AS BIGINT)")
+          .as("content_checksum60"),
+        count(when(col("run") === 0, 1)).as("n_base"),
+        count(when(col("run") === 1, 1)).as("n_added"))
+      .orderBy("shard")
   }
 
   /** q_tokenizer_drift — the STALENESS metric that schedules the full
@@ -2112,14 +2320,15 @@ object Corpus {
     * item 1). */
   private[graft] def substringDedupDelta(
       s: SparkSession, d: String, gen: Int): DataFrame = {
-    val admitted = admittedDelta(s, d, gen)
+    val gens = worldOf(s)
+    val admitted = admittedDelta(s, d, gen, gens)
     val toksD = admitted.select(col("doc_id"), split(col("text"), " ").as("tk"))
     val gramsD = gramRows(toksD)
     val baseDocs = (1 until gen).foldLeft(
-      Tables.documents(s, d).filter(isBaseCol)
+      Tables.documents(s, d).filter(isBaseColOf(gens))
         .select(col("doc_id"), col("text"))) {
       (b, g) => b.unionByName(
-        admittedDelta(s, d, g).select(col("doc_id"), col("text")))
+        admittedDelta(s, d, g, gens).select(col("doc_id"), col("text")))
     }
     val toksB = baseDocs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
@@ -2146,7 +2355,7 @@ object Corpus {
     // r15 explain; exchange reuse does not fire across the differently
     // pruned subtrees). The session pin collapses it to ONE base scan
     // per (corpus, generation), displaced on dirStamp like every pin.
-    val dropped = pinnedVocab(s, d, s"substrDeltaDrops$gen") {
+    val dropped = pinnedVocab(s, d, s"substrDeltaDrops$gen@${splitTagOf(gens)}") {
       dropBase.unionByName(dropDelta).distinct()
     }
     val cov = dropped.select(col("doc_id"),

@@ -507,14 +507,16 @@ object IndexStore {
     * pair and the file-count reduction are spec-pinned, and the gates
     * serve IDENTICAL collision pairs from either (spec). */
   private[graft] def ensureCmpTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val docs = (1 to Corpus.Generations.size).foldLeft(
+    val gens = Corpus.worldOf(s)
+    val docs = (1 to gens.size).foldLeft(
       Tables.documents(s, d)
         .select(col("doc_id"), col("text"))
-        .filter(Corpus.isBaseCol)) { (b, g) =>
-      b.unionByName(Corpus.admittedDelta(s, d, g).select(col("doc_id"), col("text")))
+        .filter(Corpus.isBaseColOf(gens))) { (b, g) =>
+      b.unionByName(
+        Corpus.admittedDelta(s, d, g, gens).select(col("doc_id"), col("text")))
     }
     val nBuckets = nBucketsFor(corpusDocCount(s, d))
-    val splitTag = s":${Corpus.splitTag}:cmp"
+    val splitTag = s":${Corpus.splitTagOf(gens)}:cmp"
     (ensure(s, d, "graft_gram_cmp", GramKeys, nBuckets, splitTag) {
       gramRowsOf(docs)
     },
@@ -561,9 +563,10 @@ object IndexStore {
     * (base ∪ admitted generations 1..maxGen). */
   private def ensureUpdTables(
       s: SparkSession, d: String, maxGen: Int = 1): (DataFrame, DataFrame) = {
+    val gens = Corpus.worldOf(s)
     val baseDocs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
-      .filter(Corpus.isBaseCol)
+      .filter(Corpus.isBaseColOf(gens))
     // the √-law bucket count, computed ONCE per call and shared by the
     // base build and the delta appends — a saveAsTable append with a
     // different bucketBy spec than the table's would fail outright
@@ -590,7 +593,7 @@ object IndexStore {
       // the split tag + per-generation marker scheme ride the table
       // stamp: a protocol change displaces tables built under the old
       // one (their markers would otherwise half-match)
-      val splitTag = s":${Corpus.splitTag}:pergen"
+      val splitTag = s":${Corpus.splitTagOf(gens)}:pergen"
       // ASYMMETRIC staleness check (round-15 review): the applied
       // markers describe the PAIR but live under the gram dir, so if
       // out-of-band damage invalidates exactly ONE table's stamp, a
@@ -629,7 +632,7 @@ object IndexStore {
           warehousePath(s).resolve(gName).resolve(s"_graft_applied_g$gen")
         if (!markers.read(marker).contains(want)) {
           markers.write(pending, want)
-          val admitted = Corpus.admittedDelta(s, d, gen)
+          val admitted = Corpus.admittedDelta(s, d, gen, gens)
             .select(col("doc_id"), col("text"))
           append(gramRowsOf(admitted), gName, GramKeys)
           append(bandRowsOf(admitted), bName, BandKeys)
