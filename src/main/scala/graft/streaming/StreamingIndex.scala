@@ -1427,23 +1427,72 @@ object StreamingIndex {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val k = graft.operators.IndexStore.BandK
-    val bandIdx = Dedup.md5BandIndex(s, d, k)
-    // the hashed gate pin (r15): shared with sSubstringGate's variant,
-    // so the composed ingest's substring leg rides the same shrunken
-    // per-trigger broadcast
-    val gramIdx = pinnedCorpus(s, d, "gram_gate") {
-      graft.operators.Corpus.gramIndex(s, d)
-        .select(col("doc_id"), gramKey.as("ghash"))
+    // REGIME SWITCH (round-15 verdict item 4: the composed production
+    // screen pinned the frozen full-corpus indexes regardless of
+    // `graft.index.durable`, while the standalone gates honored it —
+    // so the one screen a deployment actually runs could not serve
+    // day-2 index state). All content tiers now route through the
+    // same switch: updated/updated2 serve the increment regime's
+    // day-1/day-2 state (base ∪ admitted generations) — gram and band
+    // tiers from the durable updated tables under the standalone
+    // gates' own pins (zero added pin cost), the exact tier's md5
+    // index and the arrival leg's precedence anti-join derived from
+    // the same doc set (there is no durable md5 table; the set is the
+    // regime's definition). innerDir = "" in regime mode — the passed
+    // relation IS the regime state, so the candidate-pair helpers'
+    // own conf diversion must not re-route it (the sSubstringGateUpd
+    // contract); conf-regime agreement with the standalone upd2
+    // replays is spec-pinned (StreamingSpec).
+    val regime = s.conf.getOption("graft.index.durable")
+      .collect { case "updated" => false; case "updated2" => true }
+    val (bandIdx, gramIdx, md5Idx, innerDir) = regime match {
+      case None =>
+        (Dedup.md5BandIndex(s, d, k),
+          // the hashed gate pin (r15): shared with sSubstringGate's
+          // variant, so the composed ingest's substring leg rides the
+          // same shrunken per-trigger broadcast
+          pinnedCorpus(s, d, "gram_gate") {
+            graft.operators.Corpus.gramIndex(s, d)
+              .select(col("doc_id"), gramKey.as("ghash"))
+          },
+          pinnedCorpus(s, d, "md5index") {
+            Tables.documents(s, d)
+              .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+          },
+          d)
+      case Some(g2) =>
+        val tag = if (g2) "upd2" else "upd"
+        val band = pinnedCorpus(s, d, s"band_$tag") {
+          (if (g2) graft.operators.IndexStore.durableBandUpd2(s, d)
+           else graft.operators.IndexStore.durableBandUpd(s, d))
+            .select(col("doc_id"), col("band"), col("band_key"))
+        }
+        val gram = pinnedCorpus(s, d, s"gram_$tag") {
+          (if (g2) graft.operators.IndexStore.durableGramUpd2(s, d)
+           else graft.operators.IndexStore.durableGramUpd(s, d))
+            .select(col("doc_id"), gramKey.as("ghash"))
+        }
+        val gens = graft.operators.Corpus.worldOf(s)
+        val stateDocs = (1 to (if (g2) 2 else 1)).foldLeft(
+          Tables.documents(s, d).select(col("doc_id"), col("text"))
+            .filter(graft.operators.Corpus.isBaseColOf(gens))) { (b, g) =>
+          b.unionByName(graft.operators.Corpus.admittedDelta(s, d, g, gens)
+            .select(col("doc_id"), col("text")))
+        }
+        val md5I = pinnedCorpus(s, d, s"md5index_$tag") {
+          stateDocs.select(col("doc_id"),
+            md5(col("text").cast("binary")).as("h"))
+        }
+        (band, gram, md5I, "")
     }
     val nPostings = gramIdx.count()
-    val md5Idx = pinnedCorpus(s, d, "md5index") {
-      Tables.documents(s, d)
-        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-    }
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
       .as[DocEvent].collect().sortBy(_.doc_id)
-    val nDocs = docs.length.toLong
+    // size gates price the INDEX side (= the corpus in the frozen
+    // regime; the possibly smaller base ∪ admitted set under
+    // updated/updated2)
+    val nDocs = md5Idx.select(col("doc_id")).distinct().count()
     // the novel re-sent burst: same synthetic content under two block
     // ids, arriving after the corpus replay (id order = arrival order)
     val rb = ArrivalDedup.ResentBase
@@ -1475,12 +1524,12 @@ object StreamingIndex {
             arr.select(col("doc_id"), split(col("text"), " ").as("tk")))
             .select(col("doc_id"), col("gtext"), col("h"))
             .withColumn("ghash", gramKey),
-          gramIdx, nPostings, d)
+          gramIdx, nPostings, innerDir)
           .select(col("doc_id"), lit("substring").as("reason"))
         val near = neardupCandidatePairs(s,
           Dedup.md5BandProbes(
             arr.select(col("doc_id"), split(col("text"), " ").as("tk")), k),
-          bandIdx, nDocs, d)
+          bandIdx, nDocs, innerDir)
           .select(col("doc_id"), lit("neardup").as("reason"))
         val fourLegs = quality.unionByName(exact)
           .unionByName(substr).unionByName(near)

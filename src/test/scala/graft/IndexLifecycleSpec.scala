@@ -414,6 +414,51 @@ class IndexLifecycleSpec extends SparkSpec {
       (200000027L, "exact_arrival"), (200000027L, "quality")), got)
   }
 
+  test("s_corpus_ingest honors graft.index.durable=updated2: every tier serves day-2 state, not the frozen corpus") {
+    // The composed production screen must follow the SAME regime
+    // switch as the standalone gates (round-15 verdict item 4). The
+    // discriminator: E2 (bucket 'e' — a day-2 arrival) carries the
+    // exact text of base doc X, so the gen-2 admission REJECTED it
+    // (exact_base) and it is absent from the day-2 index state
+    // (base ∪ a₁ ∪ a₂). Replaying the corpus through the ingest:
+    //  - frozen regime: X and E2 flag each other in all three
+    //    collision tiers (the full-corpus indexes hold both);
+    //  - updated2 regime: E2 still flags against X (X is base state),
+    //    but X flags NOTHING — its only collision partner was never
+    //    admitted, so day-2 serving must not see it.
+    // Admitted day-1/day-2 content serving is pinned by the
+    // standalone upd/upd2 gate specs; this pins the composed ROUTING.
+    def bucket(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 1)
+    val f1 = (0L to 2000L).find(bucket(_) == "f").get
+    val Seq(e1, e2) = (0L to 2000L).filter(bucket(_) == "e").take(2).sorted.toSeq
+    val x = (0L to 2000L).find(id =>
+      !Set("f", "e").contains(bucket(id)) &&
+        graft.streaming.ArrivalDedup.md5Nibble(id) != '0').get
+    assert(Seq(f1, e1, e2).forall(id =>
+      graft.streaming.ArrivalDedup.md5Nibble(id) != '0'))
+    def dist(p: String) = (0 until 30).map(i => s"$p$i").mkString(" ")
+    val tx = dist("w")
+    val docs = Seq((x, tx), (f1, dist("v")), (e1, dist("u")), (e2, tx))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = fixtureDir("documents" -> docs)
+    val frozen = SparkEntry.queries("s_corpus_ingest")(spark, dir)
+      .as[(Long, String)].collect().toSeq
+    assert(frozen == Seq(x, e2).sorted.flatMap(id =>
+      Seq((id, "exact"), (id, "neardup"), (id, "substring"))), frozen)
+    spark.conf.set("graft.index.durable", "updated2")
+    try {
+      val upd2 = SparkEntry.queries("s_corpus_ingest")(spark, dir)
+        .as[(Long, String)].collect().toSeq
+      assert(upd2 == Seq(
+        (e2, "exact"), (e2, "neardup"), (e2, "substring")), upd2)
+    } finally spark.conf.unset("graft.index.durable")
+  }
+
   test("s_arrival_dedup: keep-first across and within batches; re-sent block flags against originals") {
     // organic dup: 12 repeats 10's text → flagged (12, 10). Re-sent
     // block: 27 is in the '0' bucket → arrives again as 1e8+27 and
