@@ -183,6 +183,7 @@ object SparkEntry {
     "q_corpus_apply2" -> (Corpus.corpusApply2 _),
     "q_corpus_compact" -> (Corpus.corpusCompact _),
     "q_corpus_rebase" -> (Corpus.corpusRebase _),
+    "q_store_vacuum" -> (graft.operators.Vacuum.storeVacuum _),
     "q_tokenizer_drift" -> (Corpus.tokenizerDrift _),
     "q_tokenizer_drift2" -> (Corpus.tokenizerDrift2 _),
     "q_domain_stats" -> (TextAnalysis.domainStats _),
@@ -1076,6 +1077,28 @@ object SparkEntry {
       |       CAST(count(CASE WHEN run <= 2 THEN 1 END) AS BIGINT) AS n_base,
       |       CAST(count(CASE WHEN run = 3 THEN 1 END) AS BIGINT) AS n_added
       |FROM allp4 GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
+  /** q_store_vacuum oracle — the vacuum's proof columns are the
+    * LOADED default-world compacted store's totals (the chained-replay
+    * currency, aggregated without the shard split), and its invariant
+    * columns are exact constants: 4 ensured lifecycle roots, and 0
+    * displaced roots remaining in each family after the reclaim (the
+    * post-condition the Spark side computes by re-scanning — a failed
+    * delete breaks the match). */
+  private def storeVacuumSql: String = {
+    val mod = "1152921504606846976"
+    s"""WITH RECURSIVE
+      |$corpusApply2Ctes
+      |SELECT CAST(4 AS BIGINT) AS live_roots,
+      |       CAST(0 AS BIGINT) AS corpus_displaced_left,
+      |       CAST(0 AS BIGINT) AS index_displaced_left,
+      |       CAST(0 AS BIGINT) AS warehouse_displaced_left,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(sum(oh) % $mod AS BIGINT) AS order_checksum60,
+      |       CAST(sum(ch) % $mod AS BIGINT) AS content_checksum60
+      |FROM allp3""".stripMargin
   }
 
   /** q_tokenizer_drift oracle — the base chain + admission + frozen
@@ -2642,6 +2665,7 @@ object SparkEntry {
     "q_corpus_apply2" -> corpusApply2Sql,
     "q_corpus_compact" -> corpusCompactSql,
     "q_corpus_rebase" -> corpusRebaseSql,
+    "q_store_vacuum" -> storeVacuumSql,
     "q_tokenizer_drift" -> tokenizerDriftSql,
     "q_tokenizer_drift2" -> tokenizerDrift2Sql,
     "q_corpus_funnel" ->

@@ -762,6 +762,7 @@ object Corpus {
     val docs0 = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
     val root = corpusStorePath(d)
     val (nInput, nGated, nExact, nUnique) = buildProductOver(s, docs0, root)
+    IndexStore.markSrc(java.nio.file.Paths.get(root), d)
     // the declared row: summarize the LOADED relation
     val loaded = loadProduct(s, root, "corpus")
     productChecksums(loaded)
@@ -1153,6 +1154,7 @@ object Corpus {
           .filter(isBaseColOf(gens))
         buildProductOver(s, baseDocs, root)
         IndexStore.markers.write(fpFile, want)
+        IndexStore.markSrc(java.nio.file.Paths.get(root), d)
       }
     }
     root
@@ -1558,6 +1560,7 @@ object Corpus {
         s.read.parquet(s"$baseRoot/merges.parquet").coalesce(1)
           .write.mode("overwrite").parquet(s"$root/merges.parquet")
         IndexStore.markers.write(fpFile, want)
+        IndexStore.markSrc(java.nio.file.Paths.get(root), d)
       }
     }
     root
@@ -1685,6 +1688,65 @@ object Corpus {
         count(when(col("run") === 0, 1)).as("n_base"),
         count(when(col("run") === 1, 1)).as("n_added"))
       .orderBy("shard")
+  }
+
+  /** The stamped lifecycle store roots of corpus `d` in the session's
+    * world plus the rebase world, ENSURED (all write-once behind
+    * stamps — on a warm corpus version this is four marker reads).
+    * The keep-set of [[Vacuum.storeVacuum]]; the unstamped full-build
+    * root ([[corpusBuild]]'s — rebuilt per call by design) is retained
+    * by the vacuum via [[fullBuildRoot]] but never ensured here. */
+  private[graft] def lifecycleRoots(s: SparkSession, d: String): Seq[String] = {
+    val gens = worldOf(s)
+    val compact = ensureCompactProduct(s, d, gens, gens.size)
+    val rb = rebaseCompactRoot(s, d)
+    ensureRebaseDelta(s, d)
+    Seq(ensureBaseProduct(s, d, gens), compact,
+      ensureBaseProduct(s, d, RebaseGens), rb)
+  }
+
+  private[graft] def fullBuildRoot(d: String): String = corpusStorePath(d)
+
+  /** Reclaim displaced/orphaned corpus-store roots (round-15 verdict
+    * item 3 — the corpus-store half of [[Vacuum.storeVacuum]]; see the
+    * keep rules there). `keep` = [[lifecycleRoots]] ∪ the full-build
+    * root. Deletes ride the store's own [[rootLock]]. Returns
+    * (removedDirs, removedBytes, displacedRemaining). */
+  private[graft] def vacuumStores(
+      s: SparkSession, d: String, keep: Set[String]): (Long, Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val family = java.nio.file.Paths.get(corpusStorePath(d)).getParent
+    def displaced(): Seq[java.nio.file.Path] =
+      if (family == null || !java.nio.file.Files.exists(family)) Seq.empty
+      else {
+        val l = java.nio.file.Files.list(family)
+        try l.iterator().asScala.filter { p =>
+          !keep.contains(p.toString) && {
+            IndexStore.markers.read(p.resolve("_graft_src")) match {
+              case Some(src) if src != d =>
+                // another corpus's store: reclaim only if its source
+                // dir is gone (a retired fixture/corpus) — a LIVE
+                // corpus sharing this JVM keeps its stores
+                !java.nio.file.Files.exists(java.nio.file.Paths.get(src))
+              case _ =>
+                // this corpus's displaced world/version, or an
+                // unmarked legacy root: reclaim
+                true
+            }
+          }
+        }.toSeq
+        finally l.close()
+      }
+    var dirs = 0L
+    var bytes = 0L
+    displaced().foreach { p =>
+      rootLock(p.toString).synchronized {
+        bytes += IndexStore.dirBytes(p)
+        IndexStore.rmrf(p)
+        dirs += 1
+      }
+    }
+    (dirs, bytes, displaced().size.toLong)
   }
 
   /** q_tokenizer_drift — the STALENESS metric that schedules the full

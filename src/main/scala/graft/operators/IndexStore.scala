@@ -134,6 +134,71 @@ object IndexStore {
     finally walk.close()
   }
 
+  private[operators] def dirBytes(p: Path): Long = if (Files.exists(p)) {
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(p)
+    try walk.iterator().asScala.filter(Files.isRegularFile(_))
+      .map(Files.size(_)).sum
+    finally walk.close()
+  } else 0L
+
+  /** Source-attribution marker for a durable store root (round-16
+    * vacuum): records which corpus dir the store serves, so
+    * [[vacuumWarehouse]]/[[Vacuum.storeVacuum]] can tell a displaced or
+    * orphaned store from another LIVE corpus's (which must survive a
+    * vacuum scoped to a different corpus — two corpora sharing one JVM
+    * is the stress harness's normal shape). */
+  private[graft] def markSrc(root: Path, d: String): Unit = {
+    Files.createDirectories(root)
+    markers.write(root.resolve("_graft_src"), d)
+  }
+
+  /** Reclaim displaced/orphaned `graft_*` warehouse tables (round-15
+    * verdict item 3: rewrite-displaces never DELETED anything, so
+    * table dirs accumulate without bound under nightly increments).
+    * Keep rule, per table dir:
+    *  - name tagged with THIS corpus (md5 tag) → keep (its own ensure
+    *    discipline manages staleness);
+    *  - `_graft_src` names another corpus whose dir still exists →
+    *    keep (live corpus, not ours to reclaim);
+    *  - otherwise (unmarked legacy, or source dir gone) → DROP the
+    *    catalog entry if present and delete the dir.
+    * Returns (removedDirs, removedBytes, displacedRemaining) — the
+    * last by re-classification, 0 unless a delete failed. */
+  private[graft] def vacuumWarehouse(s: SparkSession, d: String): (Long, Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val wh = warehousePath(s)
+    val tag = tagOf(d)
+    def displaced(): Seq[Path] =
+      if (!Files.exists(wh)) Seq.empty
+      else {
+        val l = Files.list(wh)
+        try l.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("graft_") && !n.endsWith(s"_$tag") && {
+            markers.read(p.resolve("_graft_src")) match {
+              case Some(src) => !Files.exists(Paths.get(src))
+              case None => true
+            }
+          }
+        }.toSeq
+        finally l.close()
+      }
+    var dirs = 0L
+    var bytes = 0L
+    displaced().foreach { p =>
+      val name = p.getFileName.toString
+      val lock = locks.computeIfAbsent(name, _ => new Object)
+      lock.synchronized {
+        bytes += dirBytes(p)
+        if (s.catalog.tableExists(name)) s.sql(s"DROP TABLE $name")
+        rmrf(p)
+        dirs += 1
+      }
+    }
+    (dirs, bytes, displaced().size.toLong)
+  }
+
   /** One definition of a durable table's name and bucket layout —
     * shared by [[ensure]] and [[dedupIndexUpdate]]'s append writers so
     * the two can never drift (review finding: the first cut re-spelled
@@ -236,6 +301,10 @@ object IndexStore {
           .sortBy(bucketCols.head, bucketCols.tail: _*)
           .saveAsTable(name)
         markers.write(fpFile, want)
+        // source-attribution marker (round-16 vacuum): records WHICH
+        // corpus dir this table serves, so the vacuum verb can tell a
+        // displaced/orphaned table from another live corpus's
+        markers.write(loc.resolve("_graft_src"), d)
         s.table(name)
       }
     }

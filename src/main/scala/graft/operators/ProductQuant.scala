@@ -327,6 +327,7 @@ object ProductQuant {
     val (cb, codes) = pqIndex(s, d)
     val (_, cells) = Similarity.ivfIndex(s, d)
     val root = Similarity.indexStorePath(d)
+    IndexStore.markSrc(java.nio.file.Paths.get(root), d)
     cb.write.mode("overwrite").parquet(s"$root/pq_codebooks.parquet")
     // the durable coded corpus carries its IVF cell and is PARTITIONED
     // by it — this store IS the s_ivfpq_serve serving dataset, and the

@@ -182,6 +182,7 @@ object Similarity {
   private[graft] def saveIndex(s: SparkSession, d: String): String = {
     val (cen, cells) = ivfIndex(s, d)
     val root = indexStorePath(d)
+    IndexStore.markSrc(java.nio.file.Paths.get(root), d)
     cen.write.mode("overwrite").parquet(s"$root/centroids.parquet")
     cells.repartition(col("cell")).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$root/cells.parquet")
@@ -1647,6 +1648,7 @@ object Similarity {
   def bqPersist(s: SparkSession, d: String): DataFrame = {
     val (ts, coded) = bqIndex(s, d)
     val root = indexStorePath(d)
+    IndexStore.markSrc(java.nio.file.Paths.get(root), d)
     coded.select(col("vec_id"), col("w0"), col("w1"))
       .write.mode("overwrite").parquet(s"$root/bq_codes.parquet")
     val sess = s
