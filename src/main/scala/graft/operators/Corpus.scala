@@ -1129,35 +1129,62 @@ object Corpus {
   private def rootLock(root: String): Object =
     rootLocks.computeIfAbsent(root, _ => new Object)
 
+  /** Stamp-keyed VERSION subdirectory of a stamped store root: every
+    * product relation of stamp `want` (corpus/delta/merges parquet)
+    * lives under `v-<md5(want)₁₂>`, and the root-level `_graft_fp`
+    * marker is the resolution point. A rewrite therefore writes a NEW
+    * version dir and the displaced one keeps its bytes — a live lazy
+    * reader of the old merged product stays SERVABLE across the
+    * rewrite instead of failing fast on replaced files (round-15
+    * verdict item 6 / the r14 advice asymmetry: the fixed-path
+    * overwrite could yank files under an open reader; IndexStore's
+    * pending-marker protocol had no such window). Writers never
+    * delete a displaced version; [[Vacuum.storeVacuum]]'s in-root
+    * sweep reclaims them — the maintenance verb, not the hot path.
+    * Spec-pinned: an open reader across a rewrite (CorpusSpec). */
+  private[graft] def versionDir(root: String, want: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    s"$root/v-$tag"
+  }
+
   /** Ensure the BASE-split corpus product (and its frozen tokenizer)
     * exists under a dirStamp-stamped store — [[corpusApply]]'s
     * yesterday's-build stand-in, built once per corpus version (the
     * IndexStore freshness discipline: a rewrite of the data displaces;
     * a matching stamp serves the durable bytes, which is the point —
-    * the apply run must NOT pay a rebuild). */
+    * the apply run must NOT pay a rebuild). Returns the stamped
+    * VERSION directory ([[versionDir]]) — the complete base-product
+    * store every downstream reader and delta writer resolves. */
   private[graft] def ensureBaseProduct(s: SparkSession, d: String): String =
     ensureBaseProduct(s, d, worldOf(s))
 
   private[graft] def ensureBaseProduct(
       s: SparkSession, d: String, gens: Vector[String]): String = {
     val root = corpusStorePath(d + "#base" + worldSuffix(gens))
+    // the split tag rides the stamp: a change to the generation
+    // vector changes the base SPLIT and must displace a store built
+    // under the old one (dirStamp alone cannot see it). Marker I/O
+    // rides the MarkerStore seam (round-15 review).
+    // ":l2" = the versioned-layout tag: a pre-r16 store holds the SAME
+    // dirStamp:splitTag value at the old fixed-path layout, and a
+    // matching stamp there would resolve a version dir that does not
+    // exist — the layout bump displaces those stores once
+    val want = s"${Tables.dirStamp(d)}:${splitTagOf(gens)}:l2"
+    val vdir = versionDir(root, want)
     rootLock(root).synchronized {
       val fpFile = java.nio.file.Paths.get(root, "_graft_fp")
-      // the split tag rides the stamp: a change to the generation
-      // vector changes the base SPLIT and must displace a store built
-      // under the old one (dirStamp alone cannot see it). Marker I/O
-      // rides the MarkerStore seam (round-15 review).
-      val want = s"${Tables.dirStamp(d)}:${splitTagOf(gens)}"
       if (!IndexStore.markers.read(fpFile).contains(want)) {
         val baseDocs = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("text"))
           .filter(isBaseColOf(gens))
-        buildProductOver(s, baseDocs, root)
+        buildProductOver(s, baseDocs, vdir)
         IndexStore.markers.write(fpFile, want)
         IndexStore.markSrc(java.nio.file.Paths.get(root), d)
       }
     }
-    root
+    vdir
   }
 
   /** The screened arriving batch [[corpusApply]] appends and
@@ -1548,22 +1575,23 @@ object Corpus {
   private[graft] def ensureCompactProduct(
       s: SparkSession, d: String, gens: Vector[String], maxGen: Int): String = {
     val root = corpusStorePath(d + "#compact" + worldSuffix(gens))
+    val want = s"${Tables.dirStamp(d)}:${splitTagOf(gens)}:$maxGen:l2"
+    val vdir = versionDir(root, want)
     rootLock(root).synchronized {
       val fpFile = java.nio.file.Paths.get(root, "_graft_fp")
-      val want = s"${Tables.dirStamp(d)}:${splitTagOf(gens)}:$maxGen"
       if (!IndexStore.markers.read(fpFile).contains(want)) {
         val baseRoot = ensureBaseProduct(s, d, gens)
         mergedThrough(s, d, maxGen, gens).drop("run")
           .repartition(col("shard"))
           .write.mode("overwrite").partitionBy("shard")
-          .parquet(s"$root/corpus.parquet")
+          .parquet(s"$vdir/corpus.parquet")
         s.read.parquet(s"$baseRoot/merges.parquet").coalesce(1)
-          .write.mode("overwrite").parquet(s"$root/merges.parquet")
+          .write.mode("overwrite").parquet(s"$vdir/merges.parquet")
         IndexStore.markers.write(fpFile, want)
         IndexStore.markSrc(java.nio.file.Paths.get(root), d)
       }
     }
-    root
+    vdir
   }
 
   /** The REBASE world — the lifecycle-cycle demonstration's generation
@@ -1715,25 +1743,42 @@ object Corpus {
   private[graft] def vacuumStores(
       s: SparkSession, d: String, keep: Set[String]): (Long, Long, Long) = {
     import scala.jdk.CollectionConverters._
+    // keep entries are stamped VERSION dirs (plus the unversioned
+    // full-build root); the family listing is of OUTER roots
+    val keepRoots = keep.map { k =>
+      val p = java.nio.file.Paths.get(k)
+      if (p.getFileName.toString.startsWith("v-")) p.getParent.toString else k
+    }
     val family = java.nio.file.Paths.get(corpusStorePath(d)).getParent
     def displaced(): Seq[java.nio.file.Path] =
       if (family == null || !java.nio.file.Files.exists(family)) Seq.empty
       else {
         val l = java.nio.file.Files.list(family)
-        try l.iterator().asScala.filter { p =>
-          !keep.contains(p.toString) && {
-            IndexStore.markers.read(p.resolve("_graft_src")) match {
-              case Some(src) if src != d =>
-                // another corpus's store: reclaim only if its source
-                // dir is gone (a retired fixture/corpus) — a LIVE
-                // corpus sharing this JVM keeps its stores
-                !java.nio.file.Files.exists(java.nio.file.Paths.get(src))
-              case _ =>
-                // this corpus's displaced world/version, or an
-                // unmarked legacy root: reclaim
-                true
-            }
-          }
+        try l.iterator().asScala.flatMap { p =>
+          if (keepRoots.contains(p.toString)) {
+            // a KEPT root: sweep its DISPLACED version dirs — the
+            // bytes a rewrite left behind for then-live readers
+            // ([[versionDir]]); the current version (the keep entry)
+            // and non-version files (markers, unversioned layouts)
+            // stay
+            val vl = java.nio.file.Files.list(p)
+            try vl.iterator().asScala.filter { v =>
+              v.getFileName.toString.startsWith("v-") &&
+                !keep.contains(v.toString)
+            }.toSeq
+            finally vl.close()
+          } else if (IndexStore.markers.read(p.resolve("_graft_src")) match {
+            case Some(src) if src != d =>
+              // another corpus's store: reclaim only if its source
+              // dir is gone (a retired fixture/corpus) — a LIVE
+              // corpus sharing this JVM keeps its stores
+              !java.nio.file.Files.exists(java.nio.file.Paths.get(src))
+            case _ =>
+              // this corpus's displaced world, or an unmarked legacy
+              // root: reclaim
+              true
+          }) Seq(p)
+          else Seq.empty
         }.toSeq
         finally l.close()
       }

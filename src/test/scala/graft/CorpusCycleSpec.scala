@@ -177,9 +177,11 @@ class CorpusCycleSpec extends SparkSpec {
       val v3 = Corpus.incrementVerdicts(spark, d, 3).collect()
         .map(r => r.getLong(0) -> r.getString(2)).toMap
       assert(v3 == Map(d1 -> "ok", d2 -> "exact_base"), v3)
-      // the chain materializes delta3.parquet under the @fed world root
+      // the chain materializes delta3.parquet under the @fed world's
+      // stamped version dir
       assert(Corpus.ensureDeltaProduct(spark, d, 3))
-      val root = Corpus.corpusStorePath(d + "#base@fed")
+      val root = Corpus.ensureBaseProduct(spark, d)
+      assert(root.startsWith(Corpus.corpusStorePath(d + "#base@fed")))
       assert(java.nio.file.Files.exists(
         java.nio.file.Paths.get(root, "delta3.parquet")))
       // merged through 3: one row per doc that entered, runs 0..3,

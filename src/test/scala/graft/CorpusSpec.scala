@@ -619,8 +619,9 @@ class CorpusSpec extends SparkSpec {
     // layout: one data file per populated shard, no generation dirs,
     // tokenizer shipped, stamp present
     import scala.jdk.CollectionConverters._
+    // the ensured COMPACT store (its stamped version dir, r16 layout)
     val root = java.nio.file.Paths.get(
-      graft.operators.Corpus.corpusStorePath(d + "#compact"))
+      graft.operators.Corpus.ensureCompactProduct(spark, d))
     def dataFiles(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
       val w = java.nio.file.Files.walk(p)
       try w.iterator().asScala.filter(_.toString.endsWith(".parquet"))
@@ -631,12 +632,13 @@ class CorpusSpec extends SparkSpec {
     val nShards = compact.size
     assert(cFiles.size == nShards, cFiles)
     assert(java.nio.file.Files.exists(root.resolve("merges.parquet")))
-    assert(java.nio.file.Files.exists(root.resolve("_graft_fp")))
+    // the resolution marker lives at the OUTER root (version layout)
+    assert(java.nio.file.Files.exists(root.getParent.resolve("_graft_fp")))
     assert(!java.nio.file.Files.exists(root.resolve("delta.parquet")))
     assert(!java.nio.file.Files.exists(root.resolve("delta2.parquet")))
     // read amplification reset: fewer data files than the chain it folds
     val baseRoot = java.nio.file.Paths.get(
-      graft.operators.Corpus.corpusStorePath(d + "#base"))
+      graft.operators.Corpus.ensureBaseProduct(spark, d))
     val chainFiles = dataFiles(baseRoot.resolve("corpus.parquet")).size +
       dataFiles(baseRoot.resolve("delta.parquet")).size +
       dataFiles(baseRoot.resolve("delta2.parquet")).size

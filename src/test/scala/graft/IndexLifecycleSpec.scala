@@ -15,6 +15,20 @@ import graft.operators.Similarity
 class IndexLifecycleSpec extends SparkSpec {
   import spark.implicits._
 
+  /** The durable table a fixture dir owns — resolved DIRECTLY from the
+    * IndexStore naming rule (md5(dir) tag) instead of scanning and
+    * Spark-reading every same-prefix catalog table: a content scan can
+    * match another fixture's identically-shaped table or trip over a
+    * foreign table whose files a later lifecycle phase replaced
+    * (observed once as a FILE_NOT_EXIST flake in a combined-suite
+    * run). */
+  private def ownTable(prefix: String, dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"${prefix}_$tag"
+  }
+
   test("q_index_persist: loaded index is value-identical to the trained one") {
     val d = sf("sf0.001")
     val (cen, cells) = Similarity.ivfIndex(spark, d)
@@ -774,12 +788,9 @@ class IndexLifecycleSpec extends SparkSpec {
     val got = SparkEntry.queries("q_dedup_index_update")(spark, full).collect()
     // the extended gram table holds base ∪ {f2} and nothing else
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val gTbl = spark.catalog.listTables().collect()
-      .map(_.name).filter(_.startsWith("graft_gram_upd")).find { n =>
-        spark.table(n).select("doc_id").distinct().as[Long].collect().toSet ==
-          Set(bIds(0), bIds(1), f2)
-      }
-    assert(gTbl.isDefined)
+    val gTbl = Some(ownTable("graft_gram_upd", full))
+    assert(spark.table(gTbl.get).select("doc_id").distinct()
+      .as[Long].collect().toSet == Set(bIds(0), bIds(1), f2))
     // idempotent: a second call appends nothing (file set stable)
     def files(t: String): Set[String] = {
       import scala.jdk.CollectionConverters._
@@ -843,12 +854,10 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(got.map(_.getString(0)).toSeq == Seq("bands", "grams"))
     // the twice-extended gram table holds base ∪ {f1} ∪ {e2}, nothing else
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val gTbl = spark.catalog.listTables().collect()
-      .map(_.name).filter(_.startsWith("graft_gram_upd2")).find { n =>
-        spark.table(n).select("doc_id").distinct().as[Long].collect().toSet ==
-          Set(bIds(0), bIds(1), f1, e2)
-      }
-    assert(gTbl.isDefined, "upd2 table must hold exactly base ∪ a₁ ∪ a₂")
+    val gTbl = Some(ownTable("graft_gram_upd2", full))
+    assert(spark.table(gTbl.get).select("doc_id").distinct()
+      .as[Long].collect().toSet == Set(bIds(0), bIds(1), f1, e2),
+      "upd2 table must hold exactly base ∪ a₁ ∪ a₂")
     // per-generation stamps, both present
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(wh, gTbl.get, "_graft_applied_g1")))
@@ -908,12 +917,9 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(cmp.map(_.toSeq).toSeq == upd.map(_.toSeq).toSeq,
       "compacted summary must equal the appended pair's")
     // row-set equality of the gram tables themselves
-    def tbl(prefix: String): String = spark.catalog.listTables().collect()
-      .map(_.name).filter(_.startsWith(prefix)).find { n =>
-        spark.table(n).filter(col("gtext").startsWith("ka0 ")).count() > 0
-      }.get
-    val updT = tbl("graft_gram_upd2")
-    val cmpT = tbl("graft_gram_cmp")
+    val updT = ownTable("graft_gram_upd2", dir)
+    val cmpT = ownTable("graft_gram_cmp", dir)
+    assert(spark.table(updT).filter(col("gtext").startsWith("ka0 ")).count() > 0)
     assert(spark.table(updT).exceptAll(spark.table(cmpT)).isEmpty)
     assert(spark.table(cmpT).exceptAll(spark.table(updT)).isEmpty)
     // fewer data files: one write vs base + two appends
@@ -1265,11 +1271,8 @@ class IndexLifecycleSpec extends SparkSpec {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     // disambiguate by gram CONTENT, not just doc ids — other specs
     // build {b1, f2} upd tables for their own fixtures
-    val gTbl = spark.catalog.listTables().collect().map(_.name)
-      .filter(_.startsWith("graft_gram_upd")).find { n =>
-        spark.table(n).filter(col("gtext").startsWith("mk0 ")).count() > 0
-      }
-    assert(gTbl.isDefined)
+    val gTbl = Some(ownTable("graft_gram_upd", dir))
+    assert(spark.table(gTbl.get).filter(col("gtext").startsWith("mk0 ")).count() > 0)
     // simulate the mid-apply crash: pending marker + a partial foreign
     // delta in the gram table only (doc 777 never existed at `dir`)
     java.nio.file.Files.write(
@@ -1284,11 +1287,8 @@ class IndexLifecycleSpec extends SparkSpec {
     val recovered = SparkEntry.queries("q_dedup_index_update")(spark, dir).collect()
     assert(recovered.map(_.toSeq).toSeq == clean.map(_.toSeq).toSeq)
     // the foreign partial delta is gone, not carried
-    val gTbl2 = spark.catalog.listTables().collect().map(_.name)
-      .filter(_.startsWith("graft_gram_upd")).find { n =>
-        spark.table(n).filter(col("gtext").startsWith("mk0 ")).count() > 0
-      }
-    assert(gTbl2.isDefined)
+    val gTbl2 = Some(ownTable("graft_gram_upd", dir))
+    assert(spark.table(gTbl2.get).filter(col("gtext").startsWith("mk0 ")).count() > 0)
     assert(spark.table(gTbl2.get).filter(col("doc_id") === 777L).count() == 0L)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(wh, gTbl2.get, "_graft_pending")))
@@ -1454,14 +1454,11 @@ class IndexLifecycleSpec extends SparkSpec {
     write((b1, g8a))(dir) // v1: base holds the va-gram, no delta docs
     graft.operators.IndexStore.dedupIndexUpdate(spark, dir).collect()
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val gTbl = spark.catalog.listTables().collect().map(_.name)
-      .filter(_.startsWith("graft_gram_upd")).find { n =>
-        java.nio.file.Files.exists(
-          java.nio.file.Paths.get(wh, n, "_graft_applied_g1")) &&
-          spark.table(n).select("doc_id").distinct()
-            .as[Long].collect().toSet == Set(b1)
-      }
-    assert(gTbl.isDefined)
+    val gTbl = Some(ownTable("graft_gram_upd", dir))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(wh, gTbl.get, "_graft_applied_g1")))
+    assert(spark.table(gTbl.get).select("doc_id").distinct()
+      .as[Long].collect().toSet == Set(b1))
     // one MemoryStream per reader: a fresh uncheckpointed query over a
     // shared stream would REPLAY every earlier addData burst
     def startReader(name: String) = {

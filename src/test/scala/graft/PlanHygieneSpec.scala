@@ -575,11 +575,11 @@ class PlanHygieneSpec extends SparkSpec {
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
     val dir = fixtureDir("documents" -> docs)
     graft.operators.IndexStore.durableGramIndex(spark, dir).count()
-    val tbl = spark.catalog.listTables().collect().map(_.name)
-      .filter(_.startsWith("graft_gram_idx")).find { n =>
-        spark.table(n).select("doc_id").distinct().count() == 300L
-      }
-    assert(tbl.isDefined)
+    val tbl = Some("graft_gram_idx_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12))
+    assert(spark.table(tbl.get).select("doc_id").distinct().count() == 300L)
     val ddl = spark.sql(s"SHOW CREATE TABLE ${tbl.get}").collect()(0).getString(0)
     assert(ddl.contains("INTO 17 BUCKETS"), ddl)
   }

