@@ -184,6 +184,7 @@ object SparkEntry {
     "q_corpus_compact" -> (Corpus.corpusCompact _),
     "q_corpus_rebase" -> (Corpus.corpusRebase _),
     "q_store_vacuum" -> (graft.operators.Vacuum.storeVacuum _),
+    "q_dedup_index_rebase" -> (graft.operators.IndexStore.dedupIndexRebase _),
     "q_tokenizer_drift" -> (Corpus.tokenizerDrift _),
     "q_tokenizer_drift2" -> (Corpus.tokenizerDrift2 _),
     "q_domain_stats" -> (TextAnalysis.domainStats _),
@@ -978,14 +979,12 @@ object SparkEntry {
     * totals, by the r15 content-identity proof. Summarized with the
     * cycle-2 run split (n_base = compacted rows, n_added = rebase
     * delta). */
-  private def corpusRebaseSql: String = {
-    val budget = graft.operators.Corpus.BpePackBudget
-    val shards = graft.operators.Corpus.TsShards
-    val mod = "1152921504606846976"
-    val gens = graft.operators.Corpus.RebaseGens
-    s"""WITH RECURSIVE
-      |${corpusApply2Ctes(gens)},
-      |ptx AS MATERIALIZED (SELECT c.doc_id, c.text FROM cbc c JOIN cbap USING (doc_id)
+  /** The rebase world's cycle-2 screen CTEs (shared by the
+    * q_corpus_rebase and q_dedup_index_rebase oracles): ptx = the
+    * loaded compacted product's text column, del3/vg3/adm3 = the
+    * bucket-'d' arrivals' product-text verdicts and admissions. */
+  private def rebaseScreenCtes(gens: Vector[String]): String =
+    s"""ptx AS MATERIALIZED (SELECT c.doc_id, c.text FROM cbc c JOIN cbap USING (doc_id)
       |        UNION ALL SELECT doc_id, text FROM adm
       |        UNION ALL SELECT doc_id, text FROM adm2a),
       |del3 AS MATERIALIZED (SELECT doc_id, lang, text, z_fp FROM cxf
@@ -1029,7 +1028,16 @@ object SparkEntry {
       |               LEFT JOIN nbx3 ON nbx3.doc_id = dh3.doc_id
       |               LEFT JOIN nbd3 ON nbd3.doc_id = dh3.doc_id),
       |adm3 AS MATERIALIZED (SELECT del3.doc_id, del3.text FROM del3 JOIN vg3 USING (doc_id)
-      |        WHERE vg3.reason = 'ok'),
+      |        WHERE vg3.reason = 'ok')""".stripMargin
+
+  private def corpusRebaseSql: String = {
+    val budget = graft.operators.Corpus.BpePackBudget
+    val shards = graft.operators.Corpus.TsShards
+    val mod = "1152921504606846976"
+    val gens = graft.operators.Corpus.RebaseGens
+    s"""WITH RECURSIVE
+      |${corpusApply2Ctes(gens)},
+      |${rebaseScreenCtes(gens)},
       |fv0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
       |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM adm3)
       |        WHERE len(w) >= 1 GROUP BY w),
@@ -1099,6 +1107,23 @@ object SparkEntry {
       |       CAST(sum(oh) % $mod AS BIGINT) AS order_checksum60,
       |       CAST(sum(ch) % $mod AS BIGINT) AS content_checksum60
       |FROM allp3""".stripMargin
+  }
+
+
+  /** q_dedup_index_rebase oracle — the rebase world's chained replay
+    * plus the cycle-2 screen CTEs, then the gram/band summary over
+    * exactly ptx ∪ adm3: the compacted product's texts plus the
+    * admitted day-3 arrivals — the content the cycle-2 gate pair must
+    * hold. */
+  private def dedupIndexRebaseSql: String = {
+    val gens = graft.operators.Corpus.RebaseGens
+    s"""WITH RECURSIVE
+      |${corpusApply2Ctes(gens)},
+      |${rebaseScreenCtes(gens)},
+      |rau AS MATERIALIZED (SELECT doc_id, text FROM ptx
+      |       UNION ALL SELECT doc_id, text FROM adm3),
+      |${md5BandsCteOver("rau", "u")},
+      |${indexSummaryTailSql("rau")}""".stripMargin
   }
 
   /** q_tokenizer_drift oracle — the base chain + admission + frozen
@@ -1574,6 +1599,30 @@ object SparkEntry {
   /** The base ∪ a₁ ∪ a₂ index-summary replay — the shared oracle of
     * q_dedup_index_update2 AND q_dedup_index_compact (the compaction
     * changes layout only, never content). */
+  /** The gram/band index-summary SQL tail over a (doc_id, text) doc
+    * CTE `src` (expects `ubands` from md5BandsCteOver(src, "u") in
+    * scope) — shared by the update/update2 union replays and the
+    * rebase index oracle. */
+  private def indexSummaryTailSql(src: String): String =
+    s"""ut2 AS (SELECT doc_id, string_split(text, ' ') AS ts2 FROM $src),
+      |ug AS (SELECT DISTINCT doc_id,
+      |              array_to_string(ts2[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
+      |       FROM (SELECT doc_id, ts2, unnest([i FOR i IN range(1, len(ts2) - 6)]) AS i
+      |             FROM ut2 WHERE len(ts2) >= 8)),
+      |ugh AS (SELECT doc_id, ${h60Sql("gtext")} AS h FROM ug),
+      |ubh AS (SELECT doc_id, band, band_key, ${h60Sql("band_key")} AS kh FROM ubands),
+      |ugrow AS (SELECT 'grams' AS index_name, CAST(count(*) AS BIGINT) AS n_rows,
+      |                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |                CAST(count(DISTINCT h) AS BIGINT) AS n_keys,
+      |                CAST(bit_xor((h % 1000003) * 1009 + (doc_id % 1009)) AS BIGINT) AS checksum
+      |         FROM ugh),
+      |ubrow AS (SELECT 'bands' AS index_name, CAST(count(*) AS BIGINT) AS n_rows,
+      |                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |                CAST(count(DISTINCT band_key) AS BIGINT) AS n_keys,
+      |                CAST(bit_xor((kh % 1000003) * 1009 + (doc_id % 1009) + band) AS BIGINT) AS checksum
+      |         FROM ubh)
+      |SELECT * FROM ubrow UNION ALL SELECT * FROM ugrow ORDER BY index_name""".stripMargin
+
   private def dedupIndexUnion2Sql: String = (s"WITH $incrementCtes,\n$increment2Ctes,\n" +
       """au AS MATERIALIZED (SELECT doc_id, text FROM bas2
         |       UNION ALL
@@ -1581,24 +1630,7 @@ object SparkEntry {
         |       WHERE vg2.reason = 'ok'),
         |""".stripMargin +
       md5BandsCteOver("au", "u") + ",\n" +
-      s"""ut2 AS (SELECT doc_id, string_split(text, ' ') AS ts2 FROM au),
-        |ug AS (SELECT DISTINCT doc_id,
-        |              array_to_string(ts2[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
-        |       FROM (SELECT doc_id, ts2, unnest([i FOR i IN range(1, len(ts2) - 6)]) AS i
-        |             FROM ut2 WHERE len(ts2) >= 8)),
-        |ugh AS (SELECT doc_id, ${h60Sql("gtext")} AS h FROM ug),
-        |ubh AS (SELECT doc_id, band, band_key, ${h60Sql("band_key")} AS kh FROM ubands),
-        |ugrow AS (SELECT 'grams' AS index_name, CAST(count(*) AS BIGINT) AS n_rows,
-        |                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |                CAST(count(DISTINCT h) AS BIGINT) AS n_keys,
-        |                CAST(bit_xor((h % 1000003) * 1009 + (doc_id % 1009)) AS BIGINT) AS checksum
-        |         FROM ugh),
-        |ubrow AS (SELECT 'bands' AS index_name, CAST(count(*) AS BIGINT) AS n_rows,
-        |                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |                CAST(count(DISTINCT band_key) AS BIGINT) AS n_keys,
-        |                CAST(bit_xor((kh % 1000003) * 1009 + (doc_id % 1009) + band) AS BIGINT) AS checksum
-        |         FROM ubh)
-        |SELECT * FROM ubrow UNION ALL SELECT * FROM ugrow ORDER BY index_name""".stripMargin)
+      indexSummaryTailSql("au"))
 
   def oracleSql: Map[String, String] = Map(
     "q_rekey_project" ->
@@ -2666,6 +2698,7 @@ object SparkEntry {
     "q_corpus_compact" -> corpusCompactSql,
     "q_corpus_rebase" -> corpusRebaseSql,
     "q_store_vacuum" -> storeVacuumSql,
+    "q_dedup_index_rebase" -> dedupIndexRebaseSql,
     "q_tokenizer_drift" -> tokenizerDriftSql,
     "q_tokenizer_drift2" -> tokenizerDrift2Sql,
     "q_corpus_funnel" ->
@@ -3511,24 +3544,7 @@ object SparkEntry {
         |       WHERE v.reason = 'ok'),
         |""".stripMargin +
       md5BandsCteOver("au", "u") + ",\n" +
-      s"""ut2 AS (SELECT doc_id, string_split(text, ' ') AS ts2 FROM au),
-        |ug AS (SELECT DISTINCT doc_id,
-        |              array_to_string(ts2[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ') AS gtext
-        |       FROM (SELECT doc_id, ts2, unnest([i FOR i IN range(1, len(ts2) - 6)]) AS i
-        |             FROM ut2 WHERE len(ts2) >= 8)),
-        |ugh AS (SELECT doc_id, ${h60Sql("gtext")} AS h FROM ug),
-        |ubh AS (SELECT doc_id, band, band_key, ${h60Sql("band_key")} AS kh FROM ubands),
-        |ugrow AS (SELECT 'grams' AS index_name, CAST(count(*) AS BIGINT) AS n_rows,
-        |                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |                CAST(count(DISTINCT h) AS BIGINT) AS n_keys,
-        |                CAST(bit_xor((h % 1000003) * 1009 + (doc_id % 1009)) AS BIGINT) AS checksum
-        |         FROM ugh),
-        |ubrow AS (SELECT 'bands' AS index_name, CAST(count(*) AS BIGINT) AS n_rows,
-        |                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |                CAST(count(DISTINCT band_key) AS BIGINT) AS n_keys,
-        |                CAST(bit_xor((kh % 1000003) * 1009 + (doc_id % 1009) + band) AS BIGINT) AS checksum
-        |         FROM ubh)
-        |SELECT * FROM ubrow UNION ALL SELECT * FROM ugrow ORDER BY index_name""".stripMargin),
+      indexSummaryTailSql("au")),
     // the CHAINED generation-2 tables: one more day of the same
     // lifecycle — the replay is a full rebuild over base ∪ a₁ ∪ a₂
     // (apply∘apply ≡ rebuild-over-union: doc-keyed postings, disjoint

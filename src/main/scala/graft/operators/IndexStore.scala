@@ -609,6 +609,45 @@ object IndexStore {
       indexSummary(g, b))
   }
 
+  /** q_dedup_index_rebase — cycle 2's serving-index BOOTSTRAP: after a
+    * compaction closes cycle 1, a deployment rebuilds the gate pair
+    * once FROM THE STORE (the swap discipline — the raw cycle-1 crawl
+    * is gone; the corpus is the content reference, exactly the
+    * [[Corpus.rebaseVerdicts]] seam for the index half) and then
+    * appends daily like any in-cycle generation ([[dedupIndexUpdate]]'s
+    * proven protocol). This builds the pair from the LOADED compacted
+    * product ∪ the rebase delta (substring-CLEANED base texts, verbatim
+    * admitted arrivals — the postings a cycle-2 gate must probe), one
+    * bucketed write each under the standard ensure/stamp/recovery
+    * discipline. Declared row = the shared [[indexSummary]] over the
+    * loaded tables, summary-cached like its siblings; oracle replays
+    * the rebase world's chained CTEs and builds the gram/band rows
+    * over exactly ptx ∪ adm3. A rejected rebase arrival's postings
+    * never enter (spec-pinned beside the corpus-half cycle specs). */
+  def dedupIndexRebase(s: SparkSession, d: String): DataFrame = {
+    val root = Corpus.rebaseCompactRoot(s, d)
+    val hasDelta = Corpus.ensureRebaseDelta(s, d)
+    val docs0 = Corpus.loadProduct(s, root, "corpus")
+      .select(col("doc_id"), col("text"))
+    val docs =
+      if (hasDelta) docs0.unionByName(
+        Corpus.loadProduct(s, root, "delta").select(col("doc_id"), col("text")))
+      else docs0
+    val nBuckets = nBucketsFor(corpusDocCount(s, d))
+    val tag = s":${Corpus.splitTagOf(Corpus.RebaseGens)}:rb"
+    val g = ensure(s, d, "graft_gram_rb", GramKeys, nBuckets, tag) {
+      gramRowsOf(docs)
+    }
+    val b = ensure(s, d, "graft_band_rb", BandKeys, nBuckets, tag) {
+      bandRowsOf(docs)
+    }
+    cachedSummary(s, tableName("graft_gram_rb", d),
+      s"${Tables.dirStamp(d)}:$nBuckets:rb:" +
+        tableManifest(s, tableName("graft_gram_rb", d),
+          tableName("graft_band_rb", d)))(
+      indexSummary(g, b))
+  }
+
   /** Table basenames for the update chain through `maxGen`. Each max
     * generation is its OWN table pair: a declared summary must be
     * reproducible whatever order the declared queries run in, so the

@@ -157,6 +157,30 @@ class CorpusCycleSpec extends SparkSpec {
     assert(first.toSeq == second.toSeq)
   }
 
+  test("dedup_index_rebase: cycle-2 gate pair built FROM THE STORE — cleaned texts, admitted arrival in, rejects out") {
+    val (d, bA, bB, f1, e1, d1, d2, _, d4, d5) = cycleFixture()
+    val d3 = idsIn("d", 4).sorted.toSeq(2)
+    val rows = SparkEntry.queries("q_dedup_index_rebase")(spark, d).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("bands", "grams"))
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val g = spark.table(s"graft_gram_rb_$tag")
+    val want = Set(bA, bB, f1, e1, d3) // the store ∪ the one admitted arrival
+    assert(g.select("doc_id").distinct().as[Long].collect().toSet == want)
+    // the index holds the STORE's content: bB's postings are its
+    // substring-CLEANED text (the g-run gram belongs to bA alone) —
+    // a raw-crawl index would pair bB with the g-run too
+    assert(g.filter(col("doc_id") === bB &&
+      col("gtext").startsWith("g0 ")).count() == 0)
+    assert(g.filter(col("doc_id") === bA &&
+      col("gtext").startsWith("g0 ")).count() > 0)
+    // rejected day-3 arrivals never enter
+    Seq(d1, d2, d4, d5).foreach(id =>
+      assert(g.filter(col("doc_id") === id).count() == 0))
+    val b = spark.table(s"graft_band_rb_$tag")
+    assert(b.select("doc_id").distinct().as[Long].collect().toSet == want)
+  }
+
   test("generation count is data-driven: a 3-generation chain via spark.graft.corpus.generations alone") {
     val Seq(f1) = idsIn("f", 1)
     val Seq(e1) = idsIn("e", 1)
