@@ -34,6 +34,9 @@ object StressDedup {
     * key as keys and rows grow ×K), the axis no batch query exercises. */
   private def fam: Seq[String] =
     graft.SparkEntry.queries.keys.toSeq.sorted
+  private var famFilter: Set[String] = Set.empty
+  private def famFiltered: Seq[String] =
+    if (famFilter.isEmpty) fam else fam.filter(famFilter)
 
   /** Quadratic BY DESIGN — exact all-pairs baselines (the per-bucket
     * rerank shape; the banded/celled variants own the full-corpus
@@ -50,6 +53,12 @@ object StressDedup {
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 10
     val base = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // dev-only filter (args(2), comma-separated): a SUBSET run never
+    // writes the committed artifact name — it lands at the -filtered
+    // suffix unless SPARK_GRAFT_STRESS_OUT overrides (the Bench
+    // filtered-run guard, applied here)
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(",").toSet else Set.empty
     val out = s"/tmp/graft_stress_x$k"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -187,7 +196,8 @@ object StressDedup {
       ("ivf_index_build", tb, ts, ratio, false)
     }
 
-    val rows = buildRow +: fam.map { q =>
+    famFilter = only
+    val rows = buildRow +: famFiltered.map { q =>
       val tb = time(q, base)
       val ts = time(q, out)
       // per-row cost ratio: >1 = super-linear in corpus size
@@ -203,7 +213,8 @@ object StressDedup {
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"stress_x$k","k":$k,"base":"$base","n_queries":${rows.size},"failed":${rows.count(_._2.isEmpty)},"queries":$json}"""
     println(line)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "BENCH_sf1.json")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT",
+      if (only.isEmpty) "BENCH_sf1.json" else "BENCH_sf1.json-filtered")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
