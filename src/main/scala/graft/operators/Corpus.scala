@@ -985,6 +985,16 @@ object Corpus {
     s.conf.getOption("spark.graft.corpus.generations")
       .map(_.split(",").toVector.map(_.trim).filter(_.nonEmpty))
       .filter(_.nonEmpty)
+      .map { gens =>
+        // misconfiguration fails LOUDLY at the first operator call:
+        // a duplicate bucket would alias two generations' splits and
+        // a non-hex token would silently select an empty delta
+        require(gens.distinct == gens && gens.forall(g =>
+          g.length == 1 && "0123456789abcdef".contains(g(0))),
+          s"spark.graft.corpus.generations must be distinct md5 hex " +
+            s"bucket chars, got: ${gens.mkString(",")}")
+        gens
+      }
       .getOrElse(Generations)
 
   /** Fingerprint tag of the split definition — rides every durable
@@ -1727,10 +1737,17 @@ object Corpus {
   private[graft] def lifecycleRoots(s: SparkSession, d: String): Seq[String] = {
     val gens = worldOf(s)
     val compact = ensureCompactProduct(s, d, gens, gens.size)
-    val rb = rebaseCompactRoot(s, d)
-    ensureRebaseDelta(s, d)
-    Seq(ensureBaseProduct(s, d, gens), compact,
-      ensureBaseProduct(s, d, RebaseGens), rb)
+    val own = Seq(ensureBaseProduct(s, d, gens), compact)
+    // a session world set to the rebase vector itself shares the
+    // rebase world's roots but compacts through gens.size, not
+    // RebaseCycle1 — ensuring both here would ping-pong the compact
+    // stamp; the session world wins and the rebase demo rides it
+    if (gens == RebaseGens) own
+    else {
+      val rb = rebaseCompactRoot(s, d)
+      ensureRebaseDelta(s, d)
+      own ++ Seq(ensureBaseProduct(s, d, RebaseGens), rb)
+    }
   }
 
   private[graft] def fullBuildRoot(d: String): String = corpusStorePath(d)
@@ -1756,15 +1773,24 @@ object Corpus {
         val l = java.nio.file.Files.list(family)
         try l.iterator().asScala.flatMap { p =>
           if (keepRoots.contains(p.toString)) {
-            // a KEPT root: sweep its DISPLACED version dirs — the
-            // bytes a rewrite left behind for then-live readers
-            // ([[versionDir]]); the current version (the keep entry)
-            // and non-version files (markers, unversioned layouts)
-            // stay
+            // a KEPT root: sweep its DISPLACED content — version dirs
+            // a rewrite left behind for then-live readers
+            // ([[versionDir]]) and, for VERSIONED roots (ones whose
+            // keep entry is a v-dir), the pre-versioning top-level
+            // layout (corpus/delta*/merges parquet dirs and the
+            // root-level legacy delta markers; current delta markers
+            // live inside the version dir). The resolution markers
+            // (`_graft_fp`/`_graft_src`) and the current version stay.
+            // The UNVERSIONED full-build root's top-level layout IS
+            // current and is never swept.
+            val versioned = keep.exists(k =>
+              java.nio.file.Paths.get(k).getParent == p)
             val vl = java.nio.file.Files.list(p)
             try vl.iterator().asScala.filter { v =>
-              v.getFileName.toString.startsWith("v-") &&
-                !keep.contains(v.toString)
+              val n = v.getFileName.toString
+              (n.startsWith("v-") && !keep.contains(v.toString)) ||
+                (versioned &&
+                  (n.endsWith(".parquet") || n.startsWith("_graft_delta")))
             }.toSeq
             finally vl.close()
           } else if (IndexStore.markers.read(p.resolve("_graft_src")) match {
