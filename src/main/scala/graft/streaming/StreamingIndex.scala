@@ -198,12 +198,22 @@ object StreamingIndex {
     * pin is exactly what must NOT be probed). */
   private[graft] def neardupCandidatePairs(
       s: SparkSession, probes: DataFrame, corpus: DataFrame, nDocs: Long,
-      dir: String = ""): DataFrame = {
+      dir: String = "",
+      bandMap: Option[() => org.apache.spark.broadcast.Broadcast[KeyedDocsMap]] = None): DataFrame = {
     val limit = s.conf.getOption("graft.neardup.broadcastMaxDocs")
       .map(_.toLong).getOrElse(NeardupBroadcastMaxDocs)
     val cond = col("s.band") === col("c.band") &&
       col("s.band_key") === col("c.band_key") &&
       col("s.doc_id") =!= col("c.doc_id")
+    // under the ceiling with a caller-supplied band map: probe the
+    // once-per-pin broadcast map-side instead of re-broadcasting the
+    // sketch every trigger (see [[pinnedKeyedMap]]; rows identical)
+    if (nDocs <= limit && bandMap.isDefined) {
+      val bc = bandMap.get.apply()
+      val probe = udf((k: String, self: Long) => bc.value.lookup(k, self))
+      return probes
+        .select(col("doc_id"), explode(probe(bandMapKey, col("doc_id"))).as("dup_id"))
+    }
     val joined = if (nDocs <= limit) {
       probes.as("s").join(broadcast(corpus).as("c"), cond)
     } else {
@@ -290,6 +300,143 @@ object StreamingIndex {
         (fp, build.localCheckpoint())
       })._2
   }
+
+  /** Flat posting map for the under-ceiling hashed-key gate regime:
+    * (hi, lo) = the 16-byte md5 gram key as two longs, sorted
+    * lexicographically with doc ids aligned (ties by doc id, so probe
+    * output order is deterministic). ~24 B/posting — the same bytes
+    * the per-trigger BroadcastExchange used to collect EVERY batch. */
+  private[graft] final class PostingMap(
+      val hi: Array[Long], val lo: Array[Long], val doc: Array[Long])
+    extends Serializable {
+    /** All posting doc ids matching `key`, excluding `self` —
+      * multiplicity preserved, exactly the broadcast join's rows. */
+    def lookup(key: Array[Byte], self: Long): Array[Long] = {
+      if (key == null || key.length != 16) return Array.emptyLongArray
+      val bb = java.nio.ByteBuffer.wrap(key)
+      val kh = bb.getLong(); val kl = bb.getLong()
+      var a = 0; var b = hi.length
+      while (a < b) {
+        val m = (a + b) >>> 1
+        if (hi(m) < kh || (hi(m) == kh && lo(m) < kl)) a = m + 1 else b = m
+      }
+      var i = a
+      val out = scala.collection.mutable.ArrayBuilder.make[Long]
+      while (i < hi.length && hi(i) == kh && lo(i) == kl) {
+        if (doc(i) != self) out += doc(i)
+        i += 1
+      }
+      out.result()
+    }
+  }
+
+  /** Once-per-pin broadcast of the under-ceiling hashed gram postings
+    * (guide §2.4/§8: move the heavy bytes once, decide with small
+    * rows). A stream-static BROADCAST join re-executes its
+    * BroadcastExchange every micro-batch — collect + hash-relation
+    * build of the full posting pin per trigger, paid by the no-data
+    * watermark batches too (ProfileRigs: ~60-70 % of the substring
+    * gates' per-batch addBatch at sf0.1 was this rebuild). A serving
+    * tier holds the posting map in RAM next to the index ONCE — the
+    * literal-centroids discipline at posting scale — so the map is
+    * collected and broadcast once per (session, corpus stamp) and each
+    * batch probes it map-side; the probe side is the per-batch arrival
+    * grams (bounded), the probe a binary search. Same lifecycle as
+    * [[pinnedCorpus]]: the dirStamp fingerprint displaces a stale map;
+    * the displaced broadcast is unpersisted non-blocking (executors
+    * share the local JVM, so an in-flight batch holding the value
+    * object is unaffected). Only built UNDER the posting ceiling —
+    * above it the durable/sharded join shapes own the plan and no
+    * driver-sized collect may happen. */
+  private val postingMapCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String),
+    (String, org.apache.spark.broadcast.Broadcast[PostingMap])]
+
+  private[streaming] def pinnedPostingMap(
+      s: SparkSession, d: String, variant: String,
+      corpus: DataFrame): org.apache.spark.broadcast.Broadcast[PostingMap] = {
+    postingMapCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (s, d, variant)
+    val fp = s"@${dirStamp(d)}"
+    postingMapCache.compute(key, (_, cur) =>
+      if (cur != null && cur._1 == fp) cur
+      else {
+        if (cur != null) cur._2.unpersist(false)
+        val rows = corpus.select(col("ghash"), col("doc_id")).collect()
+        val n = rows.length
+        val hi = new Array[Long](n); val lo = new Array[Long](n)
+        val dc = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          val bb = java.nio.ByteBuffer.wrap(rows(i).getAs[Array[Byte]](0))
+          hi(i) = bb.getLong(); lo(i) = bb.getLong()
+          dc(i) = rows(i).getLong(1)
+          i += 1
+        }
+        val perm = Array.range(0, n).sortBy(j => (hi(j), lo(j), dc(j)))
+        val h2 = perm.map(hi); val l2 = perm.map(lo); val d2 = perm.map(dc)
+        (fp, s.sparkContext.broadcast(new PostingMap(h2, l2, d2)))
+      })._2
+  }
+
+  /** String-keyed twin of [[PostingMap]] for the band and md5 tiers:
+    * key → posting doc ids (sorted, multiplicity preserved). Lookup
+    * excludes `self`, exactly the broadcast join's rows. */
+  private[graft] final class KeyedDocsMap(
+      val m: java.util.HashMap[String, Array[Long]]) extends Serializable {
+    def lookup(key: String, self: Long): Array[Long] = {
+      val ds = if (key == null) null else m.get(key)
+      if (ds == null) Array.emptyLongArray
+      else {
+        val out = scala.collection.mutable.ArrayBuilder.make[Long]
+        var i = 0
+        while (i < ds.length) { if (ds(i) != self) out += ds(i); i += 1 }
+        out.result()
+      }
+    }
+    def contains(key: String): Boolean = key != null && m.containsKey(key)
+  }
+
+  /** Once-per-pin broadcast of a string-keyed doc index (band sketch /
+    * md5 content hashes) — same rationale and lifecycle as
+    * [[pinnedPostingMap]]: the per-trigger BroadcastExchange of the
+    * static side is replaced by one collect per (session, corpus
+    * stamp) and a map-side probe per batch. `keyOf`/`corpus` must be
+    * the same (key, doc_id) relation the join's build side carried. */
+  private val keyedMapCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String),
+    (String, org.apache.spark.broadcast.Broadcast[KeyedDocsMap])]
+
+  private[streaming] def pinnedKeyedMap(
+      s: SparkSession, d: String, variant: String,
+      keyed: => DataFrame): org.apache.spark.broadcast.Broadcast[KeyedDocsMap] = {
+    keyedMapCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (s, d, variant)
+    val fp = s"@${dirStamp(d)}"
+    keyedMapCache.compute(key, (_, cur) =>
+      if (cur != null && cur._1 == fp) cur
+      else {
+        if (cur != null) cur._2.unpersist(false)
+        val rows = keyed.collect()
+        val tmp = new java.util.HashMap[String, scala.collection.mutable.ArrayBuilder.ofLong]()
+        var i = 0
+        while (i < rows.length) {
+          val k0 = rows(i).getString(0)
+          var b = tmp.get(k0)
+          if (b == null) { b = new scala.collection.mutable.ArrayBuilder.ofLong; tmp.put(k0, b) }
+          b += rows(i).getLong(1)
+          i += 1
+        }
+        val m = new java.util.HashMap[String, Array[Long]](tmp.size() * 2)
+        tmp.forEach((k0, b) => m.put(k0, b.result().sorted))
+        (fp, s.sparkContext.broadcast(new KeyedDocsMap(m)))
+      })._2
+  }
+
+  /** The composite band lookup key — ONE definition for build and
+    * probe sides (band is an int, so the ':' split is unambiguous). */
+  private def bandMapKey: org.apache.spark.sql.Column =
+    concat(col("band").cast("string"), lit(":"), col("band_key"))
 
   /** The pinned (vec_id, embedding, cell) serving relation for a cell
     * assignment — the ONE definition behind the "serve"/"serve_pre"
@@ -964,7 +1111,9 @@ object StreamingIndex {
       val input = MemoryStream[DocEvent]
       val probes = Dedup.md5BandProbes(
         input.toDF().select(col("doc_id"), split(col("text"), " ").as("tk")), k)
-      val gated = neardupCandidatePairs(s, probes, corpus, docs.length.toLong, d)
+      val gated = neardupCandidatePairs(s, probes, corpus, docs.length.toLong, d,
+        Some(() => pinnedKeyedMap(s, d, "band_gate",
+          corpus.select(bandMapKey, col("doc_id")))))
         // +1 day: the initial watermark is epoch 0 and the late-row
         // filter drops rows AT the watermark, so a doc_id-0 arrival
         // stamped exactly at epoch 0 would silently vanish
@@ -1008,7 +1157,8 @@ object StreamingIndex {
     * base ∪ admitted instead of the full corpus. */
   private[graft] def substringCandidatePairs(
       s: SparkSession, probes: DataFrame, corpus: DataFrame, nPostings: Long,
-      dir: String = ""): DataFrame = {
+      dir: String = "",
+      postingMap: Option[() => org.apache.spark.broadcast.Broadcast[PostingMap]] = None): DataFrame = {
     val limit = s.conf.getOption("graft.substring.broadcastMaxPostings")
       .map(_.toLong).getOrElse(SubstringBroadcastMaxPostings)
     val cond = col("s.h") === col("c.h") &&
@@ -1058,6 +1208,21 @@ object StreamingIndex {
     // batch — the round-12 carried perf item. "updated" probes
     // base ∪ admitted (the increment regime); "true" the full corpus.
     val durable = s.conf.getOption("graft.index.durable")
+    // Under the ceiling with a caller-supplied posting map: probe the
+    // once-per-pin broadcast MAP-SIDE instead of re-broadcasting the
+    // posting relation every trigger (see [[pinnedPostingMap]]). The
+    // UDF returns every matching posting doc id ≠ the probe doc —
+    // multiplicity preserved — so the emitted (doc_id, dup_id) rows
+    // are definitionally the broadcast join's; the probe volume is the
+    // per-batch arrival grams, so the non-codegen boundary costs
+    // microseconds where the per-trigger broadcast build cost
+    // hundreds of ms (guide §8's manual-broadcast pattern).
+    if (nPostings <= limit && hashed && postingMap.isDefined) {
+      val bc = postingMap.get.apply()
+      val probe = udf((k: Array[Byte], self: Long) => bc.value.lookup(k, self))
+      return probes
+        .select(col("doc_id"), explode(probe(col("ghash"), col("doc_id"))).as("dup_id"))
+    }
     val joined =
       if (nPostings <= limit)
         if (hashed)
@@ -1129,7 +1294,8 @@ object StreamingIndex {
         input.toDF().select(col("doc_id"), split(col("text"), " ").as("tk")))
         .select(col("doc_id"), col("gtext"), col("h"))
         .withColumn("ghash", gramKey)
-      val gated = substringCandidatePairs(s, probes, corpus, nPostings, d)
+      val gated = substringCandidatePairs(s, probes, corpus, nPostings, d,
+        Some(() => pinnedPostingMap(s, d, "gram_gate", corpus)))
         // +1 day: the initial watermark is epoch 0 and the late-row
         // filter drops rows AT the watermark (see sNeardupGate)
         .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
@@ -1199,7 +1365,8 @@ object StreamingIndex {
       // dir = "" on purpose: the corpus relation IS the updated table;
       // a conf-selected diversion to the full-corpus table would
       // silently change this row's declared content
-      val gated = substringCandidatePairs(s, probes, corpus, nPostings, "")
+      val gated = substringCandidatePairs(s, probes, corpus, nPostings, "",
+        Some(() => pinnedPostingMap(s, d, "gram_upd", corpus)))
         .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("doc_id", "dup_id")
@@ -1246,7 +1413,8 @@ object StreamingIndex {
         .withColumn("ghash", gramKey)
       // dir = "" on purpose: the corpus relation IS the updated2 table
       // (the sSubstringGateUpd contract)
-      val gated = substringCandidatePairs(s, probes, corpus, nPostings, "")
+      val gated = substringCandidatePairs(s, probes, corpus, nPostings, "",
+        Some(() => pinnedPostingMap(s, d, "gram_upd2", corpus)))
         .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("doc_id", "dup_id")
@@ -1291,7 +1459,9 @@ object StreamingIndex {
         input.toDF().select(col("doc_id"), split(col("text"), " ").as("tk")), k)
       // dir = "" on purpose: the corpus relation IS the updated table
       // (see sSubstringGateUpd)
-      val gated = neardupCandidatePairs(s, probes, corpus, nDocs, "")
+      val gated = neardupCandidatePairs(s, probes, corpus, nDocs, "",
+        Some(() => pinnedKeyedMap(s, d, "band_upd",
+          corpus.select(bandMapKey, col("doc_id")))))
         .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("doc_id", "dup_id")
@@ -1330,7 +1500,9 @@ object StreamingIndex {
       val probes = Dedup.md5BandProbes(
         input.toDF().select(col("doc_id"), split(col("text"), " ").as("tk")), k)
       // dir = "" on purpose: the corpus relation IS the updated2 table
-      val gated = neardupCandidatePairs(s, probes, corpus, nDocs, "")
+      val gated = neardupCandidatePairs(s, probes, corpus, nDocs, "",
+        Some(() => pinnedKeyedMap(s, d, "band_upd2",
+          corpus.select(bandMapKey, col("doc_id")))))
         .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("doc_id", "dup_id")
@@ -1363,10 +1535,19 @@ object StreamingIndex {
     * configurations keep their behavior. All shapes emit identical
     * rows. */
   private[graft] def exactCandidatePairs(
-      s: SparkSession, probes: DataFrame, corpus: DataFrame, nDocs: Long): DataFrame = {
+      s: SparkSession, probes: DataFrame, corpus: DataFrame, nDocs: Long,
+      md5Map: Option[() => org.apache.spark.broadcast.Broadcast[KeyedDocsMap]] = None): DataFrame = {
     val limit = s.conf.getOption("graft.exact.broadcastMaxDocs")
       .orElse(s.conf.getOption("graft.neardup.broadcastMaxDocs"))
       .map(_.toLong).getOrElse(NeardupBroadcastMaxDocs)
+    // under the ceiling with a caller-supplied md5 map: the
+    // once-per-pin broadcast probe (see [[pinnedKeyedMap]])
+    if (nDocs <= limit && md5Map.isDefined) {
+      val bc = md5Map.get.apply()
+      val probe = udf((k: String, self: Long) => bc.value.lookup(k, self))
+      return probes
+        .select(col("doc_id"), explode(probe(col("h"), col("doc_id"))).as("dup_id"))
+    }
     val cond = col("s.h") === col("c.h") && col("s.doc_id") =!= col("c.doc_id")
     val joined =
       if (nDocs <= limit) probes.as("s").join(broadcast(corpus).as("c"), cond)
@@ -1445,12 +1626,12 @@ object StreamingIndex {
     // replays is spec-pinned (StreamingSpec).
     val regime = s.conf.getOption("graft.index.durable")
       .collect { case "updated" => false; case "updated2" => true }
-    val (bandIdx, gramIdx, md5Idx, innerDir) = regime match {
+    val (bandIdx, gramIdx, md5Idx, innerDir, gramVariant, tierTag) = regime match {
       case None =>
         (Dedup.md5BandIndex(s, d, k),
           // the hashed gate pin (r15): shared with sSubstringGate's
           // variant, so the composed ingest's substring leg rides the
-          // same shrunken per-trigger broadcast
+          // same once-per-pin posting map (zero added build cost)
           pinnedCorpus(s, d, "gram_gate") {
             graft.operators.Corpus.gramIndex(s, d)
               .select(col("doc_id"), gramKey.as("ghash"))
@@ -1459,7 +1640,7 @@ object StreamingIndex {
             Tables.documents(s, d)
               .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
           },
-          d)
+          d, "gram_gate", "gate")
       case Some(g2) =>
         val tag = if (g2) "upd2" else "upd"
         val band = pinnedCorpus(s, d, s"band_$tag") {
@@ -1483,7 +1664,7 @@ object StreamingIndex {
           stateDocs.select(col("doc_id"),
             md5(col("text").cast("binary")).as("h"))
         }
-        (band, gram, md5I, "")
+        (band, gram, md5I, "", s"gram_$tag", tag)
     }
     val nPostings = gramIdx.count()
     val docs = Tables.documents(s, d)
@@ -1517,19 +1698,24 @@ object StreamingIndex {
           .select(col("doc_id"), lit("quality").as("reason"))
         val exact = exactCandidatePairs(s,
           arr.select(col("doc_id"), md5(col("text").cast("binary")).as("h")),
-          md5Idx, nDocs)
+          md5Idx, nDocs,
+          Some(() => pinnedKeyedMap(s, d, s"md5_$tierTag",
+            md5Idx.select(col("h"), col("doc_id")))))
           .select(col("doc_id"), lit("exact").as("reason"))
         val substr = substringCandidatePairs(s,
           graft.operators.Corpus.gramRows(
             arr.select(col("doc_id"), split(col("text"), " ").as("tk")))
             .select(col("doc_id"), col("gtext"), col("h"))
             .withColumn("ghash", gramKey),
-          gramIdx, nPostings, innerDir)
+          gramIdx, nPostings, innerDir,
+          Some(() => pinnedPostingMap(s, d, gramVariant, gramIdx)))
           .select(col("doc_id"), lit("substring").as("reason"))
         val near = neardupCandidatePairs(s,
           Dedup.md5BandProbes(
             arr.select(col("doc_id"), split(col("text"), " ").as("tk")), k),
-          bandIdx, nDocs, innerDir)
+          bandIdx, nDocs, innerDir,
+          Some(() => pinnedKeyedMap(s, d, s"band_$tierTag",
+            bandIdx.select(bandMapKey, col("doc_id")))))
           .select(col("doc_id"), lit("neardup").as("reason"))
         val fourLegs = quality.unionByName(exact)
           .unionByName(substr).unionByName(near)
@@ -1537,13 +1723,29 @@ object StreamingIndex {
           .withWatermark("ts", "10 minutes")
           .dropDuplicatesWithinWatermark("doc_id", "reason")
           .select(col("doc_id"), col("reason"))
-        val arrivalLeg = arr
-          .select(col("doc_id"), md5(col("text").cast("binary")).as("key"),
-            tsCol.as("ts"))
-          .withWatermark("ts", "10 minutes")
-          // corpus-tier precedence: content the corpus holds never
-          // enters arrival state (the 'exact' screen owns it)
-          .join(md5Idx.select(col("h").as("key")).distinct(), Seq("key"), "left_anti")
+        // corpus-tier precedence: content the corpus holds never
+        // enters arrival state (the 'exact' screen owns it). Under the
+        // exact tier's ceiling the anti-join rides the SAME once-per-pin
+        // md5 map as the exact tier (a left_anti semi-probe is a set
+        // membership test — the third per-trigger broadcast this rig
+        // used to rebuild); above it the join stays for the planner.
+        val exactLimit = s.conf.getOption("graft.exact.broadcastMaxDocs")
+          .orElse(s.conf.getOption("graft.neardup.broadcastMaxDocs"))
+          .map(_.toLong).getOrElse(NeardupBroadcastMaxDocs)
+        val preceded = {
+          val base = arr.select(col("doc_id"),
+            md5(col("text").cast("binary")).as("key"), tsCol.as("ts"))
+            .withWatermark("ts", "10 minutes")
+          if (nDocs <= exactLimit) {
+            val bc = pinnedKeyedMap(s, d, s"md5_$tierTag",
+              md5Idx.select(col("h"), col("doc_id")))
+            val known = udf((k: String) => bc.value.contains(k))
+            base.filter(!known(col("key")))
+          } else
+            base.join(md5Idx.select(col("h").as("key")).distinct(),
+              Seq("key"), "left_anti")
+        }
+        val arrivalLeg = preceded
           .as[ArrivalEvent]
           .groupByKey(_.key)
           .transformWithState(new ArrivalDedupProcessor(3 * span),

@@ -576,7 +576,7 @@ class IndexLifecycleSpec extends SparkSpec {
     }
   }
 
-  test("s_neardup_gate: band-index broadcast is SIZE-GATED — above threshold the corpus is never the build side") {
+  test("s_neardup_gate: the band index side is SIZE-GATED — map probe under the ceiling, corpus never the build side above it") {
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
     import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
@@ -592,12 +592,19 @@ class IndexLifecycleSpec extends SparkSpec {
         build.collectFirst { case r: RDDScanExec => r }.isDefined
     }.exists(identity)
     val d = sf("sf0.001")
-    // test scale sits under the 1M-doc ceiling: the sketch broadcasts
-    // and every executor screens arrivals with zero per-batch shuffle
+    // test scale sits under the 1M-doc ceiling: the sketch is probed
+    // through the once-per-pin broadcast MAP (r16 — the per-trigger
+    // BroadcastExchange rebuild was ~40 % of the gate's p50), so the
+    // per-batch plan carries NO corpus relation at all: no RDD scan of
+    // the pin, no join — just the map-side explode of the probe UDF
     val small = SparkEntry.queries("s_neardup_gate")(spark, d)
       .select("doc_id", "dup_id").as[(Long, Long)].collect().toSeq
     val smallPlan = graft.streaming.StreamingIndex.lastExec.get("s_neardup_gate")
-    assert(corpusIsBuildSide(smallPlan), smallPlan.toString)
+    assert(smallPlan.collectFirst { case r: RDDScanExec => r }.isEmpty,
+      smallPlan.toString)
+    assert(!corpusIsBuildSide(smallPlan), smallPlan.toString)
+    assert(smallPlan.toString.contains("Generate explode(UDF("),
+      smallPlan.toString)
     // force the 100 TB branch: above the ceiling the hint must be
     // WITHHELD — an unconditional broadcast ships the whole corpus
     // sketch to every executor (an OOM, not a plan choice). The
