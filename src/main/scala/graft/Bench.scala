@@ -125,7 +125,7 @@ object Bench {
     // (round-15 advice: the ','-split silently misparsed such values);
     // a ','-separated list with no ';' still parses for compatibility.
     sys.env.get("SPARK_GRAFT_CONF").foreach { raw =>
-      raw.split(if (raw.contains(';')) ';' else ',').foreach { kv =>
+      raw.split(if (raw.contains(";")) ";" else ",").foreach { kv =>
         val i = kv.indexOf('=')
         if (i > 0) spark.conf.set(kv.take(i), kv.drop(i + 1))
       }

@@ -122,6 +122,30 @@ object StreamingIndex {
     }
   }
 
+  /** Run `body` (a whole rig: start, feed, stop) with NO-DATA
+    * micro-batches disabled — the UPDATE-mode serve rigs' trigger
+    * regime. The staggered drive drains the source between chunks, so
+    * with the default conf every data batch is chased by a no-data
+    * batch whose only work is eager watermark eviction: measured
+    * (tools/ProfileStartStop) 21 triggers for 10 chunks with the
+    * no-data half costing ~45% of trigger wall time for zero emitted
+    * rows. A production serving tier under continuous traffic almost
+    * never runs them (the source is never drained), and in update mode
+    * the emitted rows are watermark-INDEPENDENT — each data batch emits
+    * its own group updates; eviction just folds into the next data
+    * batch, where it remains observed (stateRowsRemoved > 0, store
+    * still watermark-bounded — the expiry spec's assertions hold on the
+    * lazy schedule). APPEND-mode rigs must NOT use this: their final
+    * windows flush on the trailing no-data batch, so disabling it
+    * drops rows. The conf is read per-query at start(), so the
+    * save/restore cannot leak into a concurrently started rig. */
+  private def withLazyEviction[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try body finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+  }
+
   /** Corpus-size ceiling (in documents) under which [[sNeardupGate]]
     * broadcasts the band sketch. Arithmetic: each doc contributes
     * k/4 = 4 band rows of ~90 B (doc_id + band + the 4-minhash decimal
@@ -576,8 +600,10 @@ object StreamingIndex {
         .select(col("qid"), (lit(Long.MaxValue) - col("top.nid")).as("vec_id"),
           col("top.cos").as("cos_sim"))
       val name = s"s_ann_serve_${nameCounter.incrementAndGet()}"
-      val q = served.writeStream.format("memory").queryName(name)
-        .outputMode("update").start()
+      val q = withLazyEviction(s) {
+        served.writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+      }
       try {
         feedStaggered(input, panel.toSeq.sortBy(_.vec_id), q)
         record("s_ann_serve", q)
@@ -655,8 +681,10 @@ object StreamingIndex {
         .select(col("qid"), (lit(Long.MaxValue) - col("top.nid")).as("vec_id"),
           col("top.cos").as("cos_sim"))
       val name = s"s_filtered_serve_${nameCounter.incrementAndGet()}"
-      val q = served.writeStream.format("memory").queryName(name)
-        .outputMode("update").start()
+      val q = withLazyEviction(s) {
+        served.writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+      }
       try {
         feedStaggered(input, panel.toSeq.sortBy(_.vec_id), q)
         record("s_filtered_serve", q)
@@ -710,8 +738,10 @@ object StreamingIndex {
         val input = MemoryStream[VecEvent]
         val served = serveTop1Plan(s, input.toDF(), cen, corpus)
         val name = s"s_index_swap_${nameCounter.incrementAndGet()}"
-        val q = served.writeStream.format("memory").queryName(name)
-          .outputMode("update").start()
+        val q = withLazyEviction(s) {
+          served.writeStream.format("memory").queryName(name)
+            .outputMode("update").start()
+        }
         try {
           feedStaggered(input, queries.sortBy(_.vec_id), q)
           record("s_index_swap", q)
@@ -824,13 +854,15 @@ object StreamingIndex {
       val out2 = java.nio.file.Files
         .createTempDirectory("graft_swap_inflight_v2").toString
       def startPhase(cen: DataFrame, corpus: DataFrame, outDir: String) =
-        serveTop1Plan(s, input.toDF(), cen, corpus)
-          .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(outDir)
-          }
-          .option("checkpointLocation", ckpt)
-          .outputMode("update").start()
+        withLazyEviction(s) {
+          serveTop1Plan(s, input.toDF(), cen, corpus)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(outDir)
+            }
+            .option("checkpointLocation", ckpt)
+            .outputMode("update").start()
+        }
       def readPhase(version: Int, outDir: String): DataFrame = {
         val parts = Option(new java.io.File(outDir)
           .listFiles((_, nm) => nm.endsWith(".parquet"))).fold(0)(_.length)
@@ -1059,8 +1091,10 @@ object StreamingIndex {
         .select(col("qid"), col("top.vec_id").as("vec_id"),
           col("top.dist").as("dist"))
       val name = s"s_ivfpq_serve_${nameCounter.incrementAndGet()}"
-      val q = served.writeStream.format("memory").queryName(name)
-        .outputMode("update").start()
+      val q = withLazyEviction(s) {
+        served.writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+      }
       try {
         feedStaggered(input, panel.toSeq.sortBy(_.vec_id), q)
         record("s_ivfpq_serve", q)

@@ -31,7 +31,7 @@ object ProfileRigs {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     sys.env.get("SPARK_GRAFT_CONF").foreach { raw =>
-      raw.split(if (raw.contains(';')) ';' else ',').foreach { kv =>
+      raw.split(if (raw.contains(";")) ";" else ",").foreach { kv =>
         val i = kv.indexOf('=')
         if (i > 0) spark.conf.set(kv.take(i), kv.drop(i + 1))
       }

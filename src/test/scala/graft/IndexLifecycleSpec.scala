@@ -280,26 +280,31 @@ class IndexLifecycleSpec extends SparkSpec {
       == Set("dedupeWithinWatermark"))
   }
 
-  test("serve state EXPIRES under the staggered feed: eviction observed, store bounded, peak decays") {
+  test("serve state EXPIRES under the staggered feed: eviction observed, store bounded") {
     // the staggered feed advances the watermark between micro-batches,
     // so the windowed per-qid top-1 state must actually LEAVE the store
     // as the watermark overtakes old windows — measured, not inferred
     // from the operator name (the O12/O16 discipline,
-    // OrderProcessor.java:161-206)
+    // OrderProcessor.java:161-206). The serve rigs run with no-data
+    // micro-batches disabled (StreamingIndex.withLazyEviction — a
+    // production serving tier under continuous traffic never drains its
+    // source, so eviction rides the next DATA batch), which means the
+    // series has no trailing eviction-only batch: the watermark-bounded
+    // property is the PEAK bound plus eviction actually firing, not an
+    // end-of-run decay to empty.
     for (q <- Seq("s_ann_serve", "s_ivfpq_serve", "s_filtered_serve"))
       SparkEntry.queries(q)(spark, sf("sf0.001"))
         .write.format("noop").mode("overwrite").save()
     for (q <- Seq("s_ann_serve", "s_ivfpq_serve", "s_filtered_serve")) {
       val removed = graft.streaming.StreamingIndex.stateRowsRemoved.get(q)
       val series = graft.streaming.StreamingIndex.stateRowsSeries.get(q)
-      // eviction fired at least once
+      // eviction fired at least once (now inside a later data batch)
       assert(removed > 0, s"$q: no state rows were ever evicted ($series)")
       // the store never accumulates the run's full group count: its
       // peak stays below the served-query total (panel has 10 windows
-      // at sf0.001), bounded by the watermark lag instead
+      // at sf0.001), bounded by the watermark lag instead — a
+      // lifetime-growing store would show a monotone series up to 10
       assert(series.max < 10, s"$q: state accumulated to ${series.max} ($series)")
-      // and the final batches hold LESS than the peak — rows left
-      assert(series.last < series.max, s"$q: no decay from peak ($series)")
     }
   }
 
