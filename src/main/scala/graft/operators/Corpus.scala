@@ -815,18 +815,41 @@ object Corpus {
     * tokenizer with the corpus). Returns the funnel scalars. */
   private[graft] def buildProductOver(
       s: SparkSession, docs0: DataFrame, root: String): (Long, Long, Long, Long) = {
-    // 1. gate
+    // 1. gate — with the input/gated funnel counters OBSERVED on the
+    // very scan that stage 2 executes (CollectMetrics rides the
+    // localCheckpoint job below), so the funnel row costs no second
+    // raw-corpus scan + gate evaluation (guide §1.2: don't compute
+    // things twice)
     val (_, zFp) = TextAnalysis.logitZ
-    val gated = docs0.filter(zFp >= 0)
+    val obs = new org.apache.spark.sql.Observation(
+      s"corpus_build_funnel_${java.util.UUID.randomUUID()}")
+    val gated = docs0
+      .observe(obs, count(lit(1)).as("n_input"),
+        count(when(zFp >= 0, 1)).as("n_gated"))
+      .filter(zFp >= 0)
     // 2. exact keep-first
     val wExact = Window.partitionBy(md5(col("text").cast("binary")))
     val e0 = gated
       .withColumn("mn", min(col("doc_id")).over(wExact))
       .filter(col("doc_id") === col("mn")).drop("mn")
       .localCheckpoint()
-    // 3. near-dup purge among survivors
-    val survivors = Dedup.neardupPurgeOver(e0)
+    // the checkpoint above executed the observed scan — read the
+    // funnel scalars now (blocks only on the already-finished job)
+    val obsRow = obs.get
+    val (nInput, nGated) =
+      (obsRow("n_input").asInstanceOf[Long], obsRow("n_gated").asInstanceOf[Long])
+    // 3. near-dup purge among survivors. The survivor ID set is
+    // doc-count-sized METADATA next to e0's text payload — joining it
+    // unhinted shuffles the payload by doc_id (guide §8: decide with
+    // small rows, move big rows once). Under the standard 1M-doc
+    // ceiling the ID set broadcasts (a long per doc ⇒ ≤ ~8 MB framed);
+    // above it the keyed join is the honest shape and the payload
+    // shuffle is unavoidable without a pre-bucketed store.
+    val survivors0 = Dedup.neardupPurgeOver(e0)
       .filter(!col("purged")).select(col("doc_id"))
+    val survivors =
+      if (nGated <= buildBroadcastMaxDocs(s)) broadcast(survivors0)
+      else survivors0
     val u0 = e0.join(survivors, Seq("doc_id")).localCheckpoint()
     // 4. substring clean (text rewrite)
     val c0 = substringCleanOver(u0).localCheckpoint()
@@ -881,9 +904,18 @@ object Corpus {
       .withColumn("first_bin", floor(col("start_off") / BpePackBudget))
       .withColumn("last_bin",
         floor((col("start_off") + col("n_tokens") - 1) / BpePackBudget))
-    // 7. persist the product, partitioned by shard, one file per shard
+    // 7. persist the product, partitioned by shard. The layout table
+    // `laid` is doc-count-sized metadata; attaching it to the
+    // text-carrying survivors through an unhinted doc_id join would
+    // shuffle the payload TWICE (once by doc_id for the join, once by
+    // shard for the write) — the guide-§8 anti-pattern. Under the
+    // ceiling the layout broadcasts and the payload moves exactly once
+    // (the shard repartition); above it the keyed join is the honest
+    // fallback.
+    val laidJ =
+      if (nGated <= buildBroadcastMaxDocs(s)) broadcast(laid) else laid
     val product = c0.select(col("doc_id"), col("lang"), col("text"))
-      .join(laid, Seq("doc_id"))
+      .join(laidJ, Seq("doc_id"))
     product.repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$root/corpus.parquet")
@@ -891,23 +923,29 @@ object Corpus {
     // round order are what an incremental run applies to arrivals
     mergeRows.reduce(_.unionAll(_)).coalesce(1)
       .write.mode("overwrite").parquet(s"$root/merges.parquet")
-    // Funnel scalars NOW (the write above already executed every
-    // stage): one raw-corpus scan prices n_input + n_gated together;
-    // n_exact/n_unique read the stage pins. Computing them eagerly
-    // lets the pins be FREED before returning — the declared row reads
-    // only the loaded parquet, so holding four corpus-sized
-    // localCheckpoints per invocation just stacked block-manager
-    // entries across bench reps until ContextCleaner GC (round-11
-    // advice; the failure mode the pinnedVocab cache fixed for the
-    // tokenizer family).
-    val inRow = docs0.agg(count(lit(1)).as("n_input"),
-      count(when(zFp >= 0, 1)).as("n_gated")).first()
-    val (nInput, nGated) = (inRow.getLong(0), inRow.getLong(1))
+    // Remaining funnel scalars (n_input/n_gated were observed on stage
+    // 2's own scan): n_exact/n_unique read the stage pins. Computing
+    // them eagerly lets the pins be FREED before returning — the
+    // declared row reads only the loaded parquet, so holding four
+    // corpus-sized localCheckpoints per invocation just stacked
+    // block-manager entries across bench reps until ContextCleaner GC
+    // (round-11 advice; the failure mode the pinnedVocab cache fixed
+    // for the tokenizer family).
     val nExact = e0.count()
     val nUnique = u0.count()
     Seq(e0, u0, c0, cv, ranged).foreach(graft.Pins.free)
     (nInput, nGated, nExact, nUnique)
   }
+
+  /** Doc-count ceiling under which [[buildProductOver]] broadcasts its
+    * doc-keyed METADATA relations (survivor IDs, layout rows) instead
+    * of keyed-joining them against the text payload — the
+    * [[graft.streaming.StreamingIndex.NeardupBroadcastMaxDocs]]
+    * arithmetic applied to the build: ≤ ~50 B/doc ⇒ ≤ ~50 MB at the
+    * 1M-doc ceiling. Conf `graft.corpus.buildBroadcastMaxDocs`. */
+  private def buildBroadcastMaxDocs(s: SparkSession): Long =
+    s.conf.getOption("graft.corpus.buildBroadcastMaxDocs")
+      .map(_.toLong).getOrElse(1L << 20)
 
   /** q_corpus_increment — INCREMENTAL corpus admission: the delta run a
     * real pipeline executes between full [[corpusBuild]]s, screening an

@@ -123,9 +123,7 @@ object ArrivalDedup {
   def sArrivalDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)].collect().sortBy(_._1)
+    val docs = StreamingIndex.docEvents(s, d).map(e => (e.doc_id, e.text))
     val span = docs.lastOption.fold(1L)(_._1 + 1)
     val resent = docs.filter { case (id, _) => md5Nibble(id) == '0' }
       .map { case (id, t) => (id + ResentBase, t) }
@@ -148,8 +146,12 @@ object ArrivalDedup {
             "ts", OutputMode.Append())
           .select(col("doc_id"), col("first_doc"))
         val name = s"s_arrival_dedup_${StreamingIndex.nameCounter.incrementAndGet()}"
-        val q = flags.writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
+        // per-arrival emission + event-time-owned re-admission: safe to
+        // skip the eviction-only no-data batches (see withLazyEviction)
+        val q = StreamingIndex.withLazyEviction(s) {
+          flags.writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        }
         try {
           StreamingIndex.feedStaggered(input, arrivals, q)
           StreamingIndex.record("s_arrival_dedup", q)

@@ -51,9 +51,11 @@ object DomainHealth {
   def sDomainStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("text"))
-      .as[SourceDoc].collect().toSeq.sortBy(_.doc_id)
+    val docs = StreamingIndex.pinnedFeed(s, d, "feed_source_docs") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[SourceDoc].collect().toSeq.sortBy(_.doc_id)
+    }
     val maxId = docs.lastOption.fold(0L)(_.doc_id)
     EventPairing.withStreamingPartitions(s) {
       val input = MemoryStream[SourceDoc]

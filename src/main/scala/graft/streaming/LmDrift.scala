@@ -55,9 +55,7 @@ object LmDrift {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val lm = graft.operators.Corpus.bigramLmIndex(s, d)
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .as[StreamingIndex.DocEvent].collect().toSeq.sortBy(_.doc_id)
+    val docs = StreamingIndex.docEvents(s, d)
     val maxId = docs.lastOption.fold(0L)(_.doc_id)
     EventPairing.withStreamingPartitions(s) {
       val input = MemoryStream[StreamingIndex.DocEvent]

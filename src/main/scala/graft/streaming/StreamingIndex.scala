@@ -138,8 +138,18 @@ object StreamingIndex {
     * lazy schedule). APPEND-mode rigs must NOT use this: their final
     * windows flush on the trailing no-data batch, so disabling it
     * drops rows. The conf is read per-query at start(), so the
-    * save/restore cannot leak into a concurrently started rig. */
-  private def withLazyEviction[T](s: SparkSession)(body: => T): T = {
+    * save/restore cannot leak into a concurrently started rig.
+    *
+    * ALSO safe for the append-mode GATES and the cross-arrival tier,
+    * whose emission is per-arrival, not per-window-close: a gate's
+    * dropDuplicatesWithinWatermark emits first-seen rows in the batch
+    * they arrive, and its (doc_id, dup_id) keys are generated inside
+    * exactly ONE batch (an arrival's grams/bands land together), so
+    * eviction timing cannot flip a suppression; the cross-arrival
+    * processor's re-admission is decided by its own event-time check
+    * (`ts <= lastTouch + horizon`), with timers being pure state GC —
+    * keeping state longer cannot change a verdict. */
+  private[streaming] def withLazyEviction[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "false")
@@ -296,7 +306,74 @@ object StreamingIndex {
     (SparkSession, String, String), (String, DataFrame)]
 
   /** Test hook: drop pinned serving relations (cold-path measurement). */
-  private[graft] def clearPinnedCache(): Unit = pinnedCache.clear()
+  private[graft] def clearPinnedCache(): Unit = {
+    pinnedCache.clear()
+    feedCache.clear()
+  }
+
+  /** Once-per-(session, corpus stamp) COLLECTED rig feeds and
+    * feed-sizing scalars. Every rig's MemoryStream drive replays the
+    * same deterministic event sequence, yet each invocation re-ran the
+    * count + filtered-collect jobs that CONSTRUCT it — pure rig
+    * scaffolding (visible as rig_setup_sec), ~0.3–0.5 s per rep per
+    * rig at sf0.1, never part of the serving path a deployment pays
+    * per trigger (its feed is a live topic that exists once). Same
+    * displacement discipline as [[pinnedCorpus]]: a dirStamp change at
+    * `d` rebuilds the entry. Values are immutable collected
+    * arrays/seqs shared read-only across reps and consumers; the
+    * handful of panels and literal codebooks total a few MB — the doc
+    * feeds are the same rows the rigs already collected per rep. */
+  private val feedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), (String, AnyRef)]
+
+  private[streaming] def pinnedFeed[A <: AnyRef](
+      s: SparkSession, d: String, variant: String)(build: => A): A = {
+    feedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val fp = s"@${dirStamp(d)}"
+    feedCache.compute((s, d, variant), (_, cur) =>
+      if (cur != null && cur._1 == fp) cur else (fp, build)
+    )._2.asInstanceOf[A]
+  }
+
+  /** The shared recall panel as collected [[VecEvent]]s, vec_id
+    * ascending — the query feed of every vector serve rig. */
+  private[streaming] def vecPanel(s: SparkSession, d: String): Seq[VecEvent] =
+    pinnedFeed(s, d, "feed_vec_panel") {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val n = e.count()
+      e.filter(Similarity.panelFilter(n))
+        .select(col("vec_id"), col("embedding"))
+        .as[VecEvent].collect().toSeq.sortBy(_.vec_id)
+    }
+
+  /** The full corpus as collected [[DocEvent]]s, doc_id ascending —
+    * the arrival feed of every document gate rig. */
+  private[streaming] def docEvents(s: SparkSession, d: String): Seq[DocEvent] =
+    pinnedFeed(s, d, "feed_doc_events") {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[DocEvent].collect().toSeq.sortBy(_.doc_id)
+    }
+
+  /** Size-gate scalar cached per (session, corpus stamp, variant) —
+    * the count job over a pinned index relation re-ran per rep for a
+    * value that only changes when the pin itself is displaced. */
+  private[streaming] def pinnedCount(s: SparkSession, d: String,
+      variant: String)(build: => Long): Long =
+    pinnedFeed(s, d, variant) { java.lang.Long.valueOf(build) }.longValue
+
+  /** Collected literal centroid rows for a serve plan, keyed by the
+    * index variant — the per-rep collect job was scaffolding; the
+    * literal set is what gets compiled into the plan either way. */
+  private[streaming] def cenLiterals(s: SparkSession, d: String,
+      variant: String, cen: => DataFrame): Seq[(Long, Seq[Double])] =
+    pinnedFeed(s, d, s"feed_cen_$variant") {
+      import s.implicits._
+      cen.select(col("centroid_id"), col("cvec"))
+        .as[(Long, Seq[Double])].collect().toSeq
+    }
 
   /** See [[graft.Tables.dirStamp]] — shared with Corpus.pinnedVocab. */
   private def dirStamp(d: String): Long = graft.Tables.dirStamp(d)
@@ -502,13 +579,13 @@ object StreamingIndex {
   def sVectorIngest(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val (cen, _) = Similarity.ivfIndex(s, d)
-    val cenRows: Seq[(Long, Seq[Double])] = cen
-      .select(col("centroid_id"), col("cvec"))
-      .as[(Long, Seq[Double])].collect().toSeq
-    val vecs = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
-      .as[VecEvent].collect()
+    val cenRows: Seq[(Long, Seq[Double])] =
+      cenLiterals(s, d, "ivf", Similarity.ivfIndex(s, d)._1)
+    val vecs = pinnedFeed(s, d, "feed_vec_all") {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .as[VecEvent].collect().toSeq
+    }
     EventPairing.withStreamingPartitions(s) {
       val input = MemoryStream[VecEvent]
       val assigned = input.toDF()
@@ -555,12 +632,8 @@ object StreamingIndex {
   def sAnnServe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val e = Tables.embeddings(s, d)
-    val n = e.count()
     val (cen, cells) = Similarity.ivfIndex(s, d)
-    val cenRows: Seq[(Long, Seq[Double])] = cen
-      .select(col("centroid_id"), col("cvec"))
-      .as[(Long, Seq[Double])].collect().toSeq
+    val cenRows: Seq[(Long, Seq[Double])] = cenLiterals(s, d, "ivf", cen)
     // PIN the static serving relation: a stream-static join re-executes
     // its static side EVERY micro-batch, so an unpinned corpus⋈cells
     // join would re-scan and re-join per batch — ×10 under the
@@ -573,9 +646,7 @@ object StreamingIndex {
     // variant: identical assignment ⇒ shared pin, different ⇒ honest
     // displacement (not the round-9 silent stale hit).
     val corpus = servingCorpus(s, d, cells, "serve")
-    val panel = e.filter(Similarity.panelFilter(n))
-      .select(col("vec_id"), col("embedding"))
-      .as[VecEvent].collect()
+    val panel = vecPanel(s, d)
     EventPairing.withStreamingPartitions(s) {
       val input = MemoryStream[VecEvent]
       val probed = input.toDF()
@@ -639,11 +710,8 @@ object StreamingIndex {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val e = Tables.embeddings(s, d)
-    val n = e.count()
     val (cen, cells) = Similarity.ivfIndex(s, d)
-    val cenRows: Seq[(Long, Seq[Double])] = cen
-      .select(col("centroid_id"), col("cvec"))
-      .as[(Long, Seq[Double])].collect().toSeq
+    val cenRows: Seq[(Long, Seq[Double])] = cenLiterals(s, d, "ivf", cen)
     // label filter applied ONCE at pin time (the predicate pushes into
     // the corpus scan of the materialization job); the serving loop
     // then reads the pinned label-pruned relation every batch instead
@@ -654,9 +722,7 @@ object StreamingIndex {
         .join(cells, "vec_id")
         .select(col("vec_id"), col("embedding"), col("cell"))
     }
-    val panel = e.filter(Similarity.panelFilter(n))
-      .select(col("vec_id"), col("embedding"))
-      .as[VecEvent].collect()
+    val panel = vecPanel(s, d)
     EventPairing.withStreamingPartitions(s) {
       val input = MemoryStream[VecEvent]
       val probed = input.toDF()
@@ -720,23 +786,20 @@ object StreamingIndex {
     * A query alone in its probed cell emits nothing, per the oracle. */
   def sIndexSwap(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, d)
-    val n = e.count()
-    val panel = e.filter(Similarity.panelFilter(n))
-      .select(col("vec_id"), col("embedding"))
-      .as[VecEvent].collect()
+    val panel = vecPanel(s, d)
     val (cenA, cellsA) = Similarity.preArrivalIndex(s, d)
     val (cenB, cellsB) = Similarity.ivfIndex(s, d)
     // cellsA only holds pre-arrival ids, so the v1 candidate relation
     // is the pre-arrival corpus by construction; both versions pin
     // once per (session, corpus) and are SHARED with sSwapInflight
     // ([[servingCorpus]] — one definition per cache key)
-    def servePhase(version: Int, cen: DataFrame, corpus: DataFrame,
+    def servePhase(version: Int, cenTag: String, cen: => DataFrame,
+        corpus: DataFrame,
         queries: Seq[VecEvent]): DataFrame = {
       implicit val sqlCtx = s.sqlContext
       EventPairing.withStreamingPartitions(s) {
         val input = MemoryStream[VecEvent]
-        val served = serveTop1Plan(s, input.toDF(), cen, corpus)
+        val served = serveTop1Plan(s, input.toDF(), d, cenTag, cen, corpus)
         val name = s"s_index_swap_${nameCounter.incrementAndGet()}"
         val q = withLazyEviction(s) {
           served.writeStream.format("memory").queryName(name)
@@ -754,9 +817,9 @@ object StreamingIndex {
     // land before/after the swap — qid PARITY would not do (the panel
     // grid is stride-spaced, so its ids can share one parity)
     val ordered = panel.toSeq.sortBy(_.vec_id).zipWithIndex
-    val v1 = servePhase(1, cenA, servingCorpus(s, d, cellsA, "serve_pre"),
+    val v1 = servePhase(1, "ivf_pre", cenA, servingCorpus(s, d, cellsA, "serve_pre"),
       ordered.filter(_._2 % 2 == 0).map(_._1))
-    val v2 = servePhase(2, cenB, servingCorpus(s, d, cellsB, "serve"),
+    val v2 = servePhase(2, "ivf", cenB, servingCorpus(s, d, cellsB, "serve"),
       ordered.filter(_._2 % 2 == 1).map(_._1))
     v1.unionByName(v2).orderBy("version", "qid")
   }
@@ -768,11 +831,9 @@ object StreamingIndex {
     * INTO the plan (the serving-RAM move of [[sAnnServe]]), so a new
     * index is literally a new plan. */
   private def serveTop1Plan(s: SparkSession, stream: DataFrame,
-      cen: DataFrame, corpus: DataFrame): DataFrame = {
-    import s.implicits._
-    val cenRows: Seq[(Long, Seq[Double])] = cen
-      .select(col("centroid_id"), col("cvec"))
-      .as[(Long, Seq[Double])].collect().toSeq
+      d: String, cenTag: String, cen: => DataFrame,
+      corpus: DataFrame): DataFrame = {
+    val cenRows: Seq[(Long, Seq[Double])] = cenLiterals(s, d, cenTag, cen)
     val probed = stream
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         // +1 day: keep every stamp strictly above the epoch-0
@@ -826,11 +887,7 @@ object StreamingIndex {
   def sSwapInflight(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val e = Tables.embeddings(s, d)
-    val n = e.count()
-    val panel = e.filter(Similarity.panelFilter(n))
-      .select(col("vec_id"), col("embedding"))
-      .as[VecEvent].collect()
+    val panel = vecPanel(s, d)
     val (cenA, cellsA) = Similarity.preArrivalIndex(s, d)
     val (cenB, cellsB) = Similarity.ivfIndex(s, d)
     val ordered = panel.toSeq.sortBy(_.vec_id).zipWithIndex
@@ -853,9 +910,10 @@ object StreamingIndex {
         .createTempDirectory("graft_swap_inflight_v1").toString
       val out2 = java.nio.file.Files
         .createTempDirectory("graft_swap_inflight_v2").toString
-      def startPhase(cen: DataFrame, corpus: DataFrame, outDir: String) =
+      def startPhase(cenTag: String, cen: => DataFrame, corpus: DataFrame,
+          outDir: String) =
         withLazyEviction(s) {
-          serveTop1Plan(s, input.toDF(), cen, corpus)
+          serveTop1Plan(s, input.toDF(), d, cenTag, cen, corpus)
             .writeStream
             .foreachBatch { (batch: DataFrame, _: Long) =>
               batch.write.mode("append").parquet(outDir)
@@ -874,7 +932,8 @@ object StreamingIndex {
           col("qid"), col("vec_id"), col("cos_sim"))
       }
       try {
-        val q1 = startPhase(cenA, servingCorpus(s, d, cellsA, "serve_pre"), out1)
+        val q1 = startPhase("ivf_pre", cenA,
+          servingCorpus(s, d, cellsA, "serve_pre"), out1)
         // v1's data-carrying batches enter the serving telemetry too —
         // the rig_setup/serving split in Bench reads batchDurationsMs,
         // and without this record the v1 phase's per-batch serving time
@@ -887,7 +946,8 @@ object StreamingIndex {
         // the swap window: no serving query is up; these queries sit in
         // the source past v1's last committed offset
         input.addData(t1)
-        val q2 = startPhase(cenB, servingCorpus(s, d, cellsB, "serve"), out2)
+        val q2 = startPhase("ivf", cenB,
+          servingCorpus(s, d, cellsB, "serve"), out2)
         try {
           q2.processAllAvailable() // v2's first batches drain the in-flight block
           feedStaggered(input, t2, q2)
@@ -970,13 +1030,17 @@ object StreamingIndex {
   def sPqIngest(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val (cb, _) = ProductQuant.pqIndex(s, d)
-    val cbRows: Seq[(Int, Long, Seq[Long])] = cb
-      .select(col("sub").cast("int"), col("code"), col("c"))
-      .as[(Int, Long, Seq[Long])].collect().toSeq
-    val vecs = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
-      .as[VecEvent].collect()
+    val cbRows: Seq[(Int, Long, Seq[Long])] =
+      pinnedFeed(s, d, "feed_cb_pq") {
+        ProductQuant.pqIndex(s, d)._1
+          .select(col("sub").cast("int"), col("code"), col("c"))
+          .as[(Int, Long, Seq[Long])].collect().toSeq
+      }
+    val vecs = pinnedFeed(s, d, "feed_vec_all") {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .as[VecEvent].collect().toSeq
+    }
     EventPairing.withStreamingPartitions(s) {
       val input = MemoryStream[VecEvent]
       val coded = input.toDF()
@@ -1020,16 +1084,14 @@ object StreamingIndex {
   def sIvfPqServe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val e = Tables.embeddings(s, d)
-    val n = e.count()
     val (cen, cells) = Similarity.ivfIndex(s, d)
     val (cb, codes) = ProductQuant.pqIndex(s, d)
-    val cenRows: Seq[(Long, Seq[Double])] = cen
-      .select(col("centroid_id"), col("cvec"))
-      .as[(Long, Seq[Double])].collect().toSeq
-    val cbRows: Seq[(Int, Long, Seq[Long])] = cb
-      .select(col("sub").cast("int"), col("code"), col("c"))
-      .as[(Int, Long, Seq[Long])].collect().toSeq
+    val cenRows: Seq[(Long, Seq[Double])] = cenLiterals(s, d, "ivf", cen)
+    val cbRows: Seq[(Int, Long, Seq[Long])] =
+      pinnedFeed(s, d, "feed_cb_pq") {
+        cb.select(col("sub").cast("int"), col("code"), col("c"))
+          .as[(Int, Long, Seq[Long])].collect().toSeq
+      }
     val bySub: Map[Int, Seq[(Long, Seq[Long])]] =
       cbRows.groupBy(_._1).map { case (sb, rs) =>
         sb -> rs.map(r => (r._2, r._3))
@@ -1049,9 +1111,7 @@ object StreamingIndex {
         .select(col("vec_id"), col("cell"),
           transform(array_sort(col("pv")), p => p.getField("code")).as("codes_arr"))
     }
-    val panel = e.filter(Similarity.panelFilter(n))
-      .select(col("vec_id"), col("embedding"))
-      .as[VecEvent].collect()
+    val panel = vecPanel(s, d)
     EventPairing.withStreamingPartitions(s) {
       val input = MemoryStream[VecEvent]
       // per-event ADC table: array over subs of map(code -> integer d2).
@@ -1138,9 +1198,7 @@ object StreamingIndex {
     implicit val sqlCtx = s.sqlContext
     val k = graft.operators.IndexStore.BandK
     val corpus = Dedup.md5BandIndex(s, d, k)
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .as[DocEvent].collect()
+    val docs = docEvents(s, d)
     EventPairing.withStreamingPartitions(s) {
       val input = MemoryStream[DocEvent]
       val probes = Dedup.md5BandProbes(
@@ -1156,8 +1214,10 @@ object StreamingIndex {
         .dropDuplicatesWithinWatermark("doc_id", "dup_id")
         .select(col("doc_id"), col("dup_id"))
       val name = s"s_neardup_gate_${nameCounter.incrementAndGet()}"
-      val q = gated.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+      val q = withLazyEviction(s) {
+        gated.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+      }
       try {
         feedStaggered(input, docs.toSeq.sortBy(_.doc_id), q)
         record("s_neardup_gate", q)
@@ -1316,10 +1376,8 @@ object StreamingIndex {
       graft.operators.Corpus.gramIndex(s, d)
         .select(col("doc_id"), gramKey.as("ghash"))
     }
-    val nPostings = corpus.count()
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .as[DocEvent].collect()
+    val nPostings = pinnedCount(s, d, "n_gram_gate")(corpus.count())
+    val docs = docEvents(s, d)
     EventPairing.withStreamingPartitions(s) {
       val input = MemoryStream[DocEvent]
       // probes carry BOTH key shapes: ghash for the pin regime, the
@@ -1337,8 +1395,10 @@ object StreamingIndex {
         .dropDuplicatesWithinWatermark("doc_id", "dup_id")
         .select(col("doc_id"), col("dup_id"))
       val name = s"s_substring_gate_${nameCounter.incrementAndGet()}"
-      val q = gated.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+      val q = withLazyEviction(s) {
+        gated.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+      }
       try {
         feedStaggered(input, docs.toSeq.sortBy(_.doc_id), q)
         record("s_substring_gate", q)
@@ -1386,10 +1446,8 @@ object StreamingIndex {
       graft.operators.IndexStore.durableGramUpd(s, d)
         .select(col("doc_id"), gramKey.as("ghash"))
     }
-    val nPostings = corpus.count()
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .as[DocEvent].collect()
+    val nPostings = pinnedCount(s, d, "n_gram_upd")(corpus.count())
+    val docs = docEvents(s, d)
     EventPairing.withStreamingPartitions(s) {
       val input = MemoryStream[DocEvent]
       val probes = graft.operators.Corpus.gramRows(
@@ -1406,8 +1464,10 @@ object StreamingIndex {
         .dropDuplicatesWithinWatermark("doc_id", "dup_id")
         .select(col("doc_id"), col("dup_id"))
       val name = s"s_substring_gate_upd_${nameCounter.incrementAndGet()}"
-      val q = gated.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+      val q = withLazyEviction(s) {
+        gated.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+      }
       try {
         feedStaggered(input, docs.toSeq.sortBy(_.doc_id), q)
         record("s_substring_gate_upd", q)
@@ -1435,10 +1495,8 @@ object StreamingIndex {
       graft.operators.IndexStore.durableGramUpd2(s, d)
         .select(col("doc_id"), gramKey.as("ghash"))
     }
-    val nPostings = corpus.count()
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .as[DocEvent].collect()
+    val nPostings = pinnedCount(s, d, "n_gram_upd2")(corpus.count())
+    val docs = docEvents(s, d)
     EventPairing.withStreamingPartitions(s) {
       val input = MemoryStream[DocEvent]
       val probes = graft.operators.Corpus.gramRows(
@@ -1454,8 +1512,10 @@ object StreamingIndex {
         .dropDuplicatesWithinWatermark("doc_id", "dup_id")
         .select(col("doc_id"), col("dup_id"))
       val name = s"s_substring_gate_upd2_${nameCounter.incrementAndGet()}"
-      val q = gated.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+      val q = withLazyEviction(s) {
+        gated.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+      }
       try {
         feedStaggered(input, docs.toSeq.sortBy(_.doc_id), q)
         record("s_substring_gate_upd2", q)
@@ -1483,10 +1543,9 @@ object StreamingIndex {
       graft.operators.IndexStore.durableBandUpd(s, d)
         .select(col("doc_id"), col("band"), col("band_key"))
     }
-    val nDocs = corpus.select(col("doc_id")).distinct().count()
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .as[DocEvent].collect()
+    val nDocs = pinnedCount(s, d, "n_band_upd")(
+      corpus.select(col("doc_id")).distinct().count())
+    val docs = docEvents(s, d)
     EventPairing.withStreamingPartitions(s) {
       val input = MemoryStream[DocEvent]
       val probes = Dedup.md5BandProbes(
@@ -1501,8 +1560,10 @@ object StreamingIndex {
         .dropDuplicatesWithinWatermark("doc_id", "dup_id")
         .select(col("doc_id"), col("dup_id"))
       val name = s"s_neardup_gate_upd_${nameCounter.incrementAndGet()}"
-      val q = gated.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+      val q = withLazyEviction(s) {
+        gated.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+      }
       try {
         feedStaggered(input, docs.toSeq.sortBy(_.doc_id), q)
         record("s_neardup_gate_upd", q)
@@ -1525,10 +1586,9 @@ object StreamingIndex {
       graft.operators.IndexStore.durableBandUpd2(s, d)
         .select(col("doc_id"), col("band"), col("band_key"))
     }
-    val nDocs = corpus.select(col("doc_id")).distinct().count()
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .as[DocEvent].collect()
+    val nDocs = pinnedCount(s, d, "n_band_upd2")(
+      corpus.select(col("doc_id")).distinct().count())
+    val docs = docEvents(s, d)
     EventPairing.withStreamingPartitions(s) {
       val input = MemoryStream[DocEvent]
       val probes = Dedup.md5BandProbes(
@@ -1542,8 +1602,10 @@ object StreamingIndex {
         .dropDuplicatesWithinWatermark("doc_id", "dup_id")
         .select(col("doc_id"), col("dup_id"))
       val name = s"s_neardup_gate_upd2_${nameCounter.incrementAndGet()}"
-      val q = gated.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+      val q = withLazyEviction(s) {
+        gated.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+      }
       try {
         feedStaggered(input, docs.toSeq.sortBy(_.doc_id), q)
         record("s_neardup_gate_upd2", q)
@@ -1700,14 +1762,13 @@ object StreamingIndex {
         }
         (band, gram, md5I, "", s"gram_$tag", tag)
     }
-    val nPostings = gramIdx.count()
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .as[DocEvent].collect().sortBy(_.doc_id)
+    val nPostings = pinnedCount(s, d, s"n_gram_ingest_$tierTag")(gramIdx.count())
+    val docs = docEvents(s, d).sortBy(_.doc_id)
     // size gates price the INDEX side (= the corpus in the frozen
     // regime; the possibly smaller base ∪ admitted set under
     // updated/updated2)
-    val nDocs = md5Idx.select(col("doc_id")).distinct().count()
+    val nDocs = pinnedCount(s, d, s"n_md5_ingest_$tierTag")(
+      md5Idx.select(col("doc_id")).distinct().count())
     // the novel re-sent burst: same synthetic content under two block
     // ids, arriving after the corpus replay (id order = arrival order)
     val rb = ArrivalDedup.ResentBase
@@ -1787,8 +1848,10 @@ object StreamingIndex {
           .select(col("doc_id"), lit("exact_arrival").as("reason"))
         val flags = fourLegs.unionByName(arrivalLeg)
         val name = s"s_corpus_ingest_${nameCounter.incrementAndGet()}"
-        val q = flags.writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
+        val q = withLazyEviction(s) {
+          flags.writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        }
         try {
           feedStaggered(input, arrivals, q)
           record("s_corpus_ingest", q)
@@ -1820,12 +1883,8 @@ object StreamingIndex {
   def sBqServe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val e = Tables.embeddings(s, d)
-    val n = e.count()
     val (ts, coded) = Similarity.bqIndex(s, d)
-    val panel = e.filter(Similarity.panelFilter(n))
-      .select(col("vec_id"), col("embedding"))
-      .as[VecEvent].collect()
+    val panel = vecPanel(s, d)
     val dir = java.nio.file.Files
       .createTempDirectory("graft_bq_serve").toString
     EventPairing.withStreamingPartitions(s) {

@@ -617,6 +617,17 @@ class IndexLifecycleSpec extends SparkSpec {
     // (scale-correct: arrivals travel, the sharded corpus stays put);
     // what must never happen above threshold is the corpus being built
     spark.conf.set("graft.neardup.broadcastMaxDocs", "0")
+    // at spec scale the corpus sketch is a few hundred KB, so on a DATA
+    // batch the planner may legitimately pick it as the broadcast build
+    // (it really is the smaller side here). At the corpus sizes the
+    // ceiling models, its estimate forbids that choice — reproduce that
+    // plan class by disabling auto-broadcast for the above-ceiling legs
+    // (the realistic-size BuildLeft probe-broadcast shape is
+    // PlanHygieneSpec's guard). Before lazy eviction this test happened
+    // to capture the trailing NO-DATA batch's plan, whose empty probe
+    // side always broadcast — a data batch is the stronger observable.
+    val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val big = SparkEntry.queries("s_neardup_gate")(spark, d)
         .select("doc_id", "dup_id").as[(Long, Long)].collect().toSeq
@@ -639,6 +650,7 @@ class IndexLifecycleSpec extends SparkSpec {
       assert(saltedPlan.toString.contains("salt"), saltedPlan.toString)
       assert(salted == small)
     } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
       spark.conf.unset("graft.neardup.broadcastMaxDocs")
       spark.conf.unset("graft.neardup.saltBuckets")
     }
