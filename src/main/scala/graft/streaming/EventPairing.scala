@@ -147,12 +147,14 @@ object EventPairing {
     * production run swaps MemoryStream for the Kafka source wrapper.) */
   def sPairMatch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val events = Tables.events(s, d)
-      .filter(col("event_type").isin(PlacedType, FulfilledType))
-      .select(col("user_id"), col("event_type"),
-        unix_millis(col("ts")).as("ts_ms"))
-      .as[PairEvent]
-      .collect()
+    val events = StreamingIndex.pinnedFeed(s, d, "feed_pair_filtered") {
+      Tables.events(s, d)
+        .filter(col("event_type").isin(PlacedType, FulfilledType))
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .as[PairEvent]
+        .collect().toSeq
+    }
 
     implicit val sqlCtx = s.sqlContext
     withStreamingPartitions(s) {

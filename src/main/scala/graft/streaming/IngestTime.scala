@@ -49,13 +49,15 @@ object IngestTime {
     * as a real append-mode streaming query (emit on window close). */
   def sIngestTime(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val events = Tables.events(s, d)
-      .select(col("event_type"), unix_millis(col("ts")).as("ts_ms"),
-        col("value"),
-        // the rig's deterministic "wall clock": wave = event_id mod 3
-        (lit(IngestEpochMs) + (col("event_id") % 3) * WaveMs).as("ingest_ms"))
-      .as[IngestEvent]
-      .collect()
+    val events = StreamingIndex.pinnedFeed(s, d, "feed_ingest_time") {
+      Tables.events(s, d)
+        .select(col("event_type"), unix_millis(col("ts")).as("ts_ms"),
+          col("value"),
+          // the rig's deterministic "wall clock": wave = event_id mod 3
+          (lit(IngestEpochMs) + (col("event_id") % 3) * WaveMs).as("ingest_ms"))
+        .as[IngestEvent]
+        .collect().toSeq
+    }
 
     implicit val sqlCtx = s.sqlContext
     EventPairing.withStreamingPartitions(s) {

@@ -35,11 +35,13 @@ object JoinedPipeline {
     * combination counts), so the SQL oracle is a plain join + window. */
   def sPipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val events = Tables.events(s, d)
-      .filter(col("event_type").isin(EventPairing.PlacedType, EventPairing.FulfilledType))
-      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
-      .as[RawEvent]
-      .collect()
+    val events = StreamingIndex.pinnedFeed(s, d, "feed_raw_filtered") {
+      Tables.events(s, d)
+        .filter(col("event_type").isin(EventPairing.PlacedType, EventPairing.FulfilledType))
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+        .as[RawEvent]
+        .collect().toSeq
+    }
     val maxTs = if (events.isEmpty) 0L else events.map(_.ts_ms).max
 
     implicit val sqlCtx = s.sqlContext
@@ -123,11 +125,13 @@ object JoinedPipeline {
     * rows. */
   def sJoinOuter(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val events = Tables.events(s, d)
-      .filter(col("event_type").isin(EventPairing.PlacedType, EventPairing.FulfilledType))
-      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
-      .as[RawEvent]
-      .collect()
+    val events = StreamingIndex.pinnedFeed(s, d, "feed_raw_filtered") {
+      Tables.events(s, d)
+        .filter(col("event_type").isin(EventPairing.PlacedType, EventPairing.FulfilledType))
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+        .as[RawEvent]
+        .collect().toSeq
+    }
     val maxTs = if (events.isEmpty) 0L else events.map(_.ts_ms).max
 
     implicit val sqlCtx = s.sqlContext

@@ -46,11 +46,13 @@ object MoreStreaming {
 
   private def keyedEvents(s: SparkSession, d: String): (Seq[KeyedEvent], Long) = {
     import s.implicits._
-    val events = Tables.events(s, d)
-      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
-      .as[KeyedEvent]
-      .collect()
-    (events.toSeq, if (events.isEmpty) 0L else events.map(_.ts_ms).max)
+    val events = StreamingIndex.pinnedFeed(s, d, "feed_keyed_events") {
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+        .as[KeyedEvent]
+        .collect().toSeq
+    }
+    (events, if (events.isEmpty) 0L else events.map(_.ts_ms).max)
   }
 
   /** s_sliding_agg — 2-min/1-min sliding windows as an append-mode
@@ -59,9 +61,11 @@ object MoreStreaming {
   def sSlidingAgg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val events = Tables.events(s, d)
-      .select(col("event_type"), unix_millis(col("ts")).as("ts_ms"), col("value"))
-      .as[StreamEvent].collect()
+    val events = StreamingIndex.pinnedFeed(s, d, "feed_stream_events") {
+      Tables.events(s, d)
+        .select(col("event_type"), unix_millis(col("ts")).as("ts_ms"), col("value"))
+        .as[StreamEvent].collect().toSeq
+    }
     val maxTs = if (events.isEmpty) 0L else events.map(_.ts_ms).max
     EventPairing.withStreamingPartitions(s) {
       val input = MemoryStream[StreamEvent]
@@ -181,9 +185,11 @@ object MoreStreaming {
   def sForeachSink(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val events = Tables.events(s, d)
-      .select(col("event_id"), col("value"))
-      .as[ValuedEvent].collect()
+    val events = StreamingIndex.pinnedFeed(s, d, "feed_valued_events") {
+      Tables.events(s, d)
+        .select(col("event_id"), col("value"))
+        .as[ValuedEvent].collect().toSeq
+    }
     val dir = java.nio.file.Files
       .createTempDirectory("graft_foreach_sink").toString
     EventPairing.withStreamingPartitions(s) {
@@ -302,14 +308,16 @@ object MoreStreaming {
       .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
       .write.mode("overwrite").parquet(s"$root/v0")
     @volatile var latest = s"$root/v0"
-    val changes = Tables.orders(s, d)
-      .filter(col("o_orderkey") % 10 <= 2)
-      .select(
-        when(col("o_orderkey") % 10 === 2,
-          col("o_orderkey") + lit(100000000L)).otherwise(col("o_orderkey")).as("k"),
-        when(col("o_orderkey") % 10 === 1, lit("D")).otherwise(lit("U")).as("op"),
-        (col("o_totalprice") + lit(100.0)).as("new_price"))
-      .as[ChangeRow].collect().sortBy(_.k)
+    val changes = StreamingIndex.pinnedFeed(s, d, "feed_change_rows") {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 10 <= 2)
+        .select(
+          when(col("o_orderkey") % 10 === 2,
+            col("o_orderkey") + lit(100000000L)).otherwise(col("o_orderkey")).as("k"),
+          when(col("o_orderkey") % 10 === 1, lit("D")).otherwise(lit("U")).as("op"),
+          (col("o_totalprice") + lit(100.0)).as("new_price"))
+        .as[ChangeRow].collect().sortBy(_.k).toSeq
+    }
     EventPairing.withStreamingPartitions(s) {
       val input = MemoryStream[ChangeRow]
       val q = input.toDF().writeStream
@@ -343,9 +351,11 @@ object MoreStreaming {
   def sStreamStatic(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val events = Tables.events(s, d)
-      .select(col("event_id"), col("value"))
-      .as[ValuedEvent].collect()
+    val events = StreamingIndex.pinnedFeed(s, d, "feed_valued_events") {
+      Tables.events(s, d)
+        .select(col("event_id"), col("value"))
+        .as[ValuedEvent].collect().toSeq
+    }
     val bands = Seq(
       ("p00_small", 0.0, 100.0),
       ("p01_mid", 100.0, 250.0),

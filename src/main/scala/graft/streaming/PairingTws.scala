@@ -160,11 +160,13 @@ object PairingTws {
     * GROUP BY oracle applies. */
   def sUserStatsTws(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val events = Tables.events(s, d)
-      .select(col("user_id"), col("event_type"),
-        unix_millis(col("ts")).as("ts_ms"))
-      .as[PairEvent]
-      .collect()
+    val events = StreamingIndex.pinnedFeed(s, d, "feed_pair_all") {
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .as[PairEvent]
+        .collect().toSeq
+    }
 
     implicit val sqlCtx = s.sqlContext
     withRocksDb(s) {
@@ -186,13 +188,15 @@ object PairingTws {
 
   def sPairMatchTws(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val events = Tables.events(s, d)
-      .filter(col("event_type").isin(
-        EventPairing.PlacedType, EventPairing.FulfilledType))
-      .select(col("user_id"), col("event_type"),
-        unix_millis(col("ts")).as("ts_ms"))
-      .as[PairEvent]
-      .collect()
+    val events = StreamingIndex.pinnedFeed(s, d, "feed_pair_filtered") {
+      Tables.events(s, d)
+        .filter(col("event_type").isin(
+          EventPairing.PlacedType, EventPairing.FulfilledType))
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .as[PairEvent]
+        .collect().toSeq
+    }
 
     implicit val sqlCtx = s.sqlContext
     withRocksDb(s) {

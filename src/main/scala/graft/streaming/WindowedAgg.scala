@@ -37,11 +37,13 @@ object WindowedAgg {
     * result; same SQL oracle as the batch q_tumbling_agg. */
   def sTumblingAgg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val events = Tables.events(s, d)
-      .select(col("event_type"), unix_millis(col("ts")).as("ts_ms"),
-        col("value"))
-      .as[StreamEvent]
-      .collect()
+    val events = StreamingIndex.pinnedFeed(s, d, "feed_stream_events") {
+      Tables.events(s, d)
+        .select(col("event_type"), unix_millis(col("ts")).as("ts_ms"),
+          col("value"))
+        .as[StreamEvent]
+        .collect().toSeq
+    }
     val maxTs = events.map(_.ts_ms).max
 
     implicit val sqlCtx = s.sqlContext
