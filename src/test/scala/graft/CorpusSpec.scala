@@ -1192,6 +1192,49 @@ class CorpusSpec extends SparkSpec {
     assert(gotOrder == wantOrder)
   }
 
+  test("corpus_build plan: under the ceiling the metadata joins broadcast — the text payload is never SMJ-shuffled by doc_id") {
+    // guide-§8 guard for the build's persist stage: the survivor-ID and
+    // layout relations are doc-count-sized metadata; if either falls
+    // back to a SortMergeJoin, the text payload is shuffled by doc_id
+    // on top of the one unavoidable shard repartition. The executed
+    // plan of the corpus.parquet write is captured via a
+    // QueryExecutionListener (the write runs inside corpusBuild; its
+    // returned row only reads the loaded store).
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      def tkn(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+      val d = docsDir(
+        (1L, tkn("a", 30), "en", "s", 1L),
+        (2L, tkn("b", 30), "en", "s", 1L),
+        (3L, tkn("c", 30), "en", "s", 1L))
+      Corpus.corpusBuild(spark, d).collect()
+      // listener delivery is async — poll for the product write's plan
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def productPlan(): Option[String] = {
+        import scala.jdk.CollectionConverters._
+        captured.asScala.find(p =>
+          p.contains("corpus.parquet") && p.contains("text"))
+      }
+      var plan = productPlan()
+      while (plan.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100); plan = productPlan()
+      }
+      assert(plan.isDefined, "corpus.parquet write plan not captured")
+      assert(plan.get.contains("BroadcastHashJoin"), plan.get)
+      assert(!plan.get.contains("SortMergeJoin"), plan.get)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("corpus_apply: base bytes untouched, admitted row appended with continued offsets, frozen rules tokenize NOVEL words") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
