@@ -67,8 +67,11 @@ object DomainHealth {
         .withWatermark("ts", "60 seconds")
       val stats = statsOver(arrivals)
       val name = s"s_domain_stats_${StreamingIndex.nameCounter.incrementAndGet()}"
-      val q = stats.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+      // emission rides the two-sentinel flush below (data batches)
+      val q = StreamingIndex.withLazyEviction(s) {
+        stats.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+      }
       try {
         // the WindowedAgg two-sentinel flush: push the watermark past
         // every real window; sentinel windows are sliced off below

@@ -74,8 +74,11 @@ object IngestTime {
           col("n"), col("sum_value"))
 
       val name = s"s_ingest_time_${nameCounter.incrementAndGet()}"
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+      // emission rides the two sentinel DATA batches
+      val q = StreamingIndex.withLazyEviction(s) {
+        agg.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+      }
       try {
         // sentinel 1 rides with the data: its arrival time pushes the
         // watermark past every real arrival window at batch 1's end

@@ -84,6 +84,13 @@ object JoinedPipeline {
         col("n_pairs"), col("total_gap_ms"))
 
     val name = s"s_pipeline_${nameCounter.incrementAndGet()}"
+    // NO lazy eviction here: this is a TWO-stateful-operator chain
+    // (stream-stream join → windowed agg), and the agg's input
+    // watermark is the join's OUTPUT watermark — one batch behind the
+    // source watermark. The final window therefore emits only on the
+    // batch AFTER the second sentinel's, which with no-data batches
+    // disabled never runs (measured: the sf0.001 oracle lost the last
+    // window's row). Single-stateful-operator rigs don't have this lag.
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
@@ -157,6 +164,13 @@ object JoinedPipeline {
           unix_millis(col("f_ts")).as("fulfilled_ms"))
 
       val name = s"s_join_outer_${nameCounter.incrementAndGet()}"
+      // NO lazy eviction: the outer join's null-row emission is an
+      // EVICTION, and batch k evicts with the watermark computed at
+      // batch k-1's end. After the sentinel-1 batch the watermark is
+      // maxTs + 24h - 60s, which is BELOW the window end of any
+      // unmatched signup placed in the last 60 s before maxTs — those
+      // rows flush only in the eviction batch AFTER sentinel 2, i.e. a
+      // no-data batch (measured: sf0.01 lost exactly one such row).
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try {

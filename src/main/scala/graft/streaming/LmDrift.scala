@@ -67,8 +67,11 @@ object LmDrift {
         .withWatermark("ts", "60 seconds")
       val drift = driftOver(lm, arrivals)
       val name = s"s_lm_drift_${StreamingIndex.nameCounter.incrementAndGet()}"
-      val q = drift.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+      // emission rides the two-sentinel flush below (data batches)
+      val q = StreamingIndex.withLazyEviction(s) {
+        drift.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+      }
       try {
         // TWO-token sentinels push the watermark past every real window
         // (the WindowedAgg two-sentinel flush). They must survive the

@@ -37,8 +37,12 @@ object MoreStreaming {
       val input = MemoryStream[KeyedEvent]
       val out = build(input.toDF())
       val name = s"${prefix}_${nameCounter.incrementAndGet()}"
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode(mode).start()
+      // every caller flushes via the two-sentinel DATA batches, so the
+      // eviction-only no-data batches buy nothing (see withLazyEviction)
+      val q = StreamingIndex.withLazyEviction(s) {
+        out.writeStream.format("memory").queryName(name)
+          .outputMode(mode).start()
+      }
       try feed(input, () => q.processAllAvailable()) finally q.stop()
       s.table(name)
     }

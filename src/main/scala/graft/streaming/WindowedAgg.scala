@@ -59,8 +59,12 @@ object WindowedAgg {
         col("n"), col("sum_value"))
 
     val name = s"s_tumbling_agg_${nameCounter.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
+    // emission rides the two sentinel DATA batches below — the
+    // eviction-only no-data batches buy nothing (see withLazyEviction)
+    val q = StreamingIndex.withLazyEviction(s) {
+      agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    }
     try {
       // sentinel 1 rides with the data: the watermark computed at this
       // batch's end already clears every real window
