@@ -81,8 +81,13 @@ object MoreStreaming {
         .select(col("event_type"), millis(col("window.start")).as("window_start_ms"),
           col("n"), col("sum_value"))
       val name = s"s_sliding_agg_${nameCounter.incrementAndGet()}"
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+      // same two-sentinel flush as s_tumbling_agg: sentinel 1 puts the
+      // watermark a day past every real window, sentinel 2's data batch
+      // emits them — the trailing no-data batch buys nothing
+      val q = StreamingIndex.withLazyEviction(s) {
+        agg.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+      }
       try {
         input.addData(events.toSeq :+ StreamEvent(Sentinel, maxTs + 86400000L, 0.0))
         q.processAllAvailable()
