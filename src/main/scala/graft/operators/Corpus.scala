@@ -813,6 +813,14 @@ object Corpus {
     * (the learned merge rules — `merges.parquet`: the artifact an
     * incremental run applies to arrivals; a real pipeline ships the
     * tokenizer with the corpus). Returns the funnel scalars. */
+  /** Labels the Spark jobs `body` submits (guide §1.5) so the build's
+    * ~80 jobs decompose by stage in listeners/the UI; thread-local, and
+    * cleared after so later queries on the thread aren't mislabeled. */
+  private def stage[T](s: SparkSession, label: String)(body: => T): T = {
+    s.sparkContext.setJobDescription(s"corpus_build: $label")
+    try body finally s.sparkContext.setJobDescription(null)
+  }
+
   private[graft] def buildProductOver(
       s: SparkSession, docs0: DataFrame, root: String): (Long, Long, Long, Long) = {
     // 1. gate — with the input/gated funnel counters OBSERVED on the
@@ -829,10 +837,12 @@ object Corpus {
       .filter(zFp >= 0)
     // 2. exact keep-first
     val wExact = Window.partitionBy(md5(col("text").cast("binary")))
-    val e0 = gated
-      .withColumn("mn", min(col("doc_id")).over(wExact))
-      .filter(col("doc_id") === col("mn")).drop("mn")
-      .localCheckpoint()
+    val e0 = stage(s, "1-2 gate + exact keep-first") {
+      gated
+        .withColumn("mn", min(col("doc_id")).over(wExact))
+        .filter(col("doc_id") === col("mn")).drop("mn")
+        .localCheckpoint()
+    }
     // the checkpoint above executed the observed scan — read the
     // funnel scalars now (blocks only on the already-finished job)
     val obsRow = obs.get
@@ -845,17 +855,24 @@ object Corpus {
     // ceiling the ID set broadcasts (a long per doc ⇒ ≤ ~8 MB framed);
     // above it the keyed join is the honest shape and the payload
     // shuffle is unavoidable without a pre-bucketed store.
-    val survivors0 = Dedup.neardupPurgeOver(e0)
-      .filter(!col("purged")).select(col("doc_id"))
-    val survivors =
-      if (nGated <= buildBroadcastMaxDocs(s)) broadcast(survivors0)
-      else survivors0
-    val u0 = e0.join(survivors, Seq("doc_id")).localCheckpoint()
+    val u0 = stage(s, "3 neardup purge") {
+      val survivors0 = Dedup.neardupPurgeOver(e0)
+        .filter(!col("purged")).select(col("doc_id"))
+      val survivors =
+        if (nGated <= buildBroadcastMaxDocs(s)) broadcast(survivors0)
+        else survivors0
+      e0.join(survivors, Seq("doc_id")).localCheckpoint()
+    }
     // 4. substring clean (text rewrite)
-    val c0 = substringCleanOver(u0).localCheckpoint()
+    val c0 = stage(s, "4 substring clean") {
+      substringCleanOver(u0).localCheckpoint()
+    }
     // 5. tokenizer learned on the cleaned survivors, then applied
-    val cv = charVocabOver(c0).localCheckpoint()
-    val (mergeRows, vocabN) = bpeChainOverVocab(cv)
+    val (mergeRows, vocabN, cv) = stage(s, "5a bpe chain") {
+      val cv = charVocabOver(c0).localCheckpoint()
+      val (m, v) = bpeChainOverVocab(cv)
+      (m, v, cv)
+    }
     val wmap = vocabN.select(col("w"), col("syms"))
     val tok = bpeTokensOver(c0, wmap)
       .select(col("doc_id"), col("n_words"),
@@ -865,12 +882,12 @@ object Corpus {
       .withColumn("h", md5(concat(lit("sh#"), col("doc_id").cast("string")).cast("binary")))
       .withColumn("shard",
         (expr("CAST(conv(substring(h, 1, 1), 16, 10) AS INT)") % TsShards).cast("int"))
-    val (ranged, prefixArr) = PrefixStitch.rangePrefix[(Long, Long)](
+    val (ranged, prefixArr) = stage(s, "6 prefix stitch")(PrefixStitch.rangePrefix[(Long, Long)](
       hashed, Seq(col("shard"), col("h"), col("doc_id")),
       Seq(count(lit(1)).as("c"), sum(col("n_tokens")).as("t")),
       (0L, 0L), (a, b) => (a._1 + b._1, a._2 + b._2),
       r => (r.getLong(1), r.getLong(2)),
-      sortWithin = false)
+      sortWithin = false))
     val sSpark = ranged.sparkSession
     import sSpark.implicits._
     val prefix = broadcast(prefixArr.zipWithIndex
@@ -916,13 +933,17 @@ object Corpus {
       if (nGated <= buildBroadcastMaxDocs(s)) broadcast(laid) else laid
     val product = c0.select(col("doc_id"), col("lang"), col("text"))
       .join(laidJ, Seq("doc_id"))
-    product.repartition(col("shard"))
-      .write.mode("overwrite").partitionBy("shard")
-      .parquet(s"$root/corpus.parquet")
+    stage(s, "7 persist product") {
+      product.repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$root/corpus.parquet")
+    }
     // the frozen tokenizer rides with the product: the merge rules in
     // round order are what an incremental run applies to arrivals
-    mergeRows.reduce(_.unionAll(_)).coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/merges.parquet")
+    stage(s, "7 persist merges") {
+      mergeRows.reduce(_.unionAll(_)).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/merges.parquet")
+    }
     // Remaining funnel scalars (n_input/n_gated were observed on stage
     // 2's own scan): n_exact/n_unique read the stage pins. Computing
     // them eagerly lets the pins be FREED before returning — the
@@ -2350,25 +2371,36 @@ object Corpus {
       })._2
   }
 
-  private def substringDrops(toks: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  private def substringDrops(toks: DataFrame): (DataFrame, DataFrame) = {
     val grams = gramRows(toks)
     // tier 1: hash postings — the only corpus-wide shuffle is 8-byte keyed
     val hot = grams.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("hdf"))
       .filter(col("hdf") >= 2).select(col("h"))
-    val cand = grams.join(hot, Seq("h"))
+    // the collision tier is SMALL (gram occurrences whose hash spans
+    // ≥ 2 docs — rare by construction), but its DERIVATION is the two
+    // corpus-wide gram passes. Unpinned, the planner re-derived it once
+    // per downstream stat branch: the executed q_substring_dedup plan
+    // held 30 scans of the documents parquet / 78 exchanges. The
+    // localCheckpoint runs fresh on every invocation (nothing carries
+    // across runs) and collapses the plan to one derivation.
+    val cand = grams.join(hot, Seq("h")).localCheckpoint()
     // tier 2: exact-text verify within the candidate tier only
     val dup = cand.groupBy(col("gtext"))
       .agg(countDistinct(col("doc_id")).as("gdf"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("gdf") >= 2)
+    // dropped is smaller still (positions actually losing ownership);
+    // pinned for the same reason — coverage, span stats and the kept
+    // rewrite all branch off it
     val dropped = cand.join(dup, Seq("gtext"))
       .filter(col("doc_id") =!= col("first_doc"))
       .select(col("doc_id"), col("pos"))
+      .localCheckpoint()
     val cov = dropped.select(col("doc_id"),
       explode(sequence(col("pos"), col("pos") + SubstrL - 1)).as("tpos"))
       .distinct()
-    (grams, dropped, cov)
+    (dropped, cov)
   }
 
   /** The corpus-build form of the exact-substring tier: REWRITE each
@@ -2381,7 +2413,7 @@ object Corpus {
     * pipeline discards empty survivors). */
   private[operators] def substringCleanOver(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
-    val (_, _, cov) = substringDrops(toks)
+    val (_, cov) = substringDrops(toks)
     val kept = toks
       .select(col("doc_id"), posexplode(col("tk")).as(Seq("tpos", "tok")))
       .join(cov, Seq("doc_id", "tpos"), "left_anti")
@@ -2424,7 +2456,7 @@ object Corpus {
   def substringDedup(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-    val (grams, dropped, cov) = substringDrops(toks)
+    val (dropped, cov) = substringDrops(toks)
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("tpos"))
     val spans = cov.withColumn("prev", lag(col("tpos"), 1).over(wd))
       .select(col("doc_id"),
@@ -2435,8 +2467,13 @@ object Corpus {
         count(lit(1)).as("n_dropped_tokens"))
     val nDup = dropped.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup"))
-    val nGrams = grams.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"))
+    // per-doc gram count is pure arithmetic on the token count — the
+    // stride-1 gram relation holds size(tk) - SubstrL + 1 rows per doc
+    // (zero under SubstrL tokens), so aggregating the exploded grams
+    // for it was one whole extra corpus pass
+    val nGrams = toks.select(col("doc_id"),
+      greatest(size(col("tk")) - lit(SubstrL - 1), lit(0))
+        .cast("long").as("n_grams"))
     val kept = toks
       .select(col("doc_id"), posexplode(col("tk")).as(Seq("tpos", "tok")))
       .join(cov, Seq("doc_id", "tpos"), "left_anti")

@@ -81,7 +81,7 @@ object Dedup {
     * rows; at 100 TB with real hot shingles the prefix plan wins and
     * drops in without changing the output contract. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
-    ngramJaccardOver(Tables.documents(s, d))
+    ngramJaccardOver(Tables.documents(s, d)).orderBy("doc_a", "doc_b")
 
   /** [[ngramJaccard]] over an arbitrary (doc_id, text) relation — the
     * composable core behind the standalone query and
@@ -101,7 +101,10 @@ object Dedup {
       .join(broadcast(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
       .filter(jaccard >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(jaccard, 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    // no orderBy here: the declared query sorts at the edge; the CC /
+    // purge / corpus-build consumers feed a union + localCheckpoint,
+    // where a sort would EXECUTE (range exchange + sort of the pair
+    // relation) and then be discarded
   }
 
   /** MinHash signature: k independent permutations approximated by
@@ -413,7 +416,8 @@ object Dedup {
     * lineage growth (a real deployment points checkpoint at durable
     * storage). Oracle: the same components via a recursive CTE. */
   def dedupCluster(s: SparkSession, d: String): DataFrame =
-    connectedComponents(ngramJaccard(s, d).select(col("doc_a"), col("doc_b")))
+    connectedComponents(
+      ngramJaccardOver(Tables.documents(s, d)).select(col("doc_a"), col("doc_b")))
       .orderBy("doc_id")
 
   /** q_neardup_purge — the dedup pipeline's FINAL step: a full-corpus
@@ -451,14 +455,24 @@ object Dedup {
     * (doc_id, cluster_rep = min doc in its component) for every doc
     * appearing in a pair. Min-label propagation; see [[dedupCluster]]. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
-    var labels = edges.select(col("doc_a").as("doc")).distinct()
-      .withColumn("lbl", col("doc"))
-      .localCheckpoint()
+    val sc = pairs.sparkSession.sparkContext
+    def labeled[T](l: String)(body: => T): T = {
+      sc.setJobDescription(s"cc: $l"); try body finally sc.setJobDescription(null)
+    }
+    val edges = labeled("edges") {
+      pairs
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .localCheckpoint()
+    }
+    var labels = labeled("init") {
+      edges.select(col("doc_a").as("doc")).distinct()
+        .withColumn("lbl", col("doc"))
+        .localCheckpoint()
+    }
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
       // one join + one agg per round: the convergence check rides the
       // same aggregation (own-label vs min-over-neighborhood) instead
       // of a separate join against the previous labels
@@ -466,12 +480,21 @@ object Dedup {
       val viaNbr = edges
         .join(labels, edges("doc_b") === labels("doc"))
         .select(col("doc_a").as("doc"), col("lbl"), lit(false).as("own"))
-      val agg = self.union(viaNbr)
-        .groupBy(col("doc"))
-        .agg(min(col("lbl")).as("lbl"),
-          min(when(col("own"), col("lbl"))).as("old"))
-        .localCheckpoint()
-      changed = agg.filter(col("lbl") < col("old")).count()
+      // the convergence count rides the SAME checkpoint job as an
+      // observed metric (CollectMetrics) — a separate count() job per
+      // round only re-read the checkpointed blocks but still paid the
+      // per-job planning/scheduling floor, ~2 jobs per round
+      val obs = new org.apache.spark.sql.Observation(
+        s"cc_conv_${java.util.UUID.randomUUID()}")
+      val agg = labeled(s"round $round agg") {
+        self.union(viaNbr)
+          .groupBy(col("doc"))
+          .agg(min(col("lbl")).as("lbl"),
+            min(when(col("own"), col("lbl"))).as("old"))
+          .observe(obs, count(when(col("lbl") < col("old"), 1)).as("chg"))
+          .localCheckpoint()
+      }
+      changed = obs.get("chg").asInstanceOf[Long]
       labels = agg.select(col("doc"), col("lbl"))
     }
     labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_rep"))
