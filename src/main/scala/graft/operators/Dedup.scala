@@ -87,6 +87,11 @@ object Dedup {
     * composable core behind the standalone query and
     * [[neardupPurgeOver]]'s use inside the corpus-build chain. */
   private[operators] def ngramJaccardOver(docs: DataFrame): DataFrame = {
+    // NOT checkpointed, deliberately: a localCheckpoint of the distinct
+    // shingle set measured 20% SLOWER here (2.07 vs 1.72 s min-of-3
+    // same-window A/B at sf0.1) — the eager materialization + extra
+    // job boundaries cost more than the re-derivations it saves, the
+    // opposite of the 30-scan substring case (substringDrops).
     val sh = shingleRowsOver(docs).distinct()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
@@ -317,16 +322,26 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // cand is NOT checkpointed although two branches consume it: a
+    // checkpointed relation loses its size estimate, so the four
+    // downstream attach joins planned sort-merge instead of broadcast
+    // (measured 3.45 vs 2.00 s min-of-3 at sf0.1)
     val sa = sig.toDF("doc_a" +: (0 until k).map(j => s"a$j"): _*)
     val sb = sig.toDF("doc_b" +: (0 until k).map(j => s"b$j"): _*)
     val kEq = (0 until k)
       .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
     val ds = sh.distinct()
     val cnt = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = ds.as("x")
-      .join(ds.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // exact-Jaccard intersection counts ONLY for the LSH candidate
+    // pairs: the previous all-co-shingled-pairs self-join computed
+    // n_common for every pair sharing any shingle and then discarded
+    // all but the candidates via the left join — the eval's contract
+    // (true Jaccard per CANDIDATE) never needed them. A band-collision
+    // pair with zero common shingles still coalesces to 0 below.
+    val inter = cand
+      .join(ds.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(ds.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     val common = coalesce(col("n_common"), lit(0L))
     val trueJ = common.cast("double") / (col("na") + col("nb") - common)

@@ -1248,12 +1248,17 @@ object Similarity {
     val n = e.count()
     val panel = recallPanel(e, n)
     val docs = Tables.documents(s, d)
-    // (doc, token) frequency with doc length along for the ride
+    // (doc, token) frequency with doc length along for the ride —
+    // pinned once per invocation (fresh every run): tf feeds the
+    // document-frequency table, the corpus scalars, the query-token
+    // probe AND the scoring join, four differently-pruned subtrees
+    // that each re-derived the tokenize+count pass unpinned
     val tf = docs
       .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
         explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // corpus scalars OFF the tf relation (exchange-reusable) — a
     // separate docs aggregate would tokenize the corpus a second time.
