@@ -469,14 +469,26 @@ object Dedup {
   /** Connected components over an undirected pair list (doc_a, doc_b):
     * (doc_id, cluster_rep = min doc in its component) for every doc
     * appearing in a pair. Min-label propagation; see [[dedupCluster]]. */
+  /** Per-round label-broadcast ceiling for [[connectedComponents]] (conf
+    * `graft.dedup.ccBroadcastMaxDocs`): a label row is 16 bytes, so the
+    * default 1M-doc gate bounds the broadcast at ~16 MB. */
+  private val CcBroadcastMaxDocs = 1L << 20
+
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     def labeled[T](l: String)(body: => T): T = {
       sc.setJobDescription(s"cc: $l"); try body finally sc.setJobDescription(null)
     }
+    // symmetrize with ONE pass over the pair relation: a union of pairs
+    // with its flip evaluates the (possibly expensive) pair-derivation
+    // subtree twice per branch past the last reusable exchange; the
+    // explode duplicates rows map-side instead
     val edges = labeled("edges") {
       pairs
-        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .select(explode(array(
+          struct(col("doc_a"), col("doc_b")),
+          struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
+        .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
         .localCheckpoint()
     }
     var labels = labeled("init") {
@@ -484,6 +496,14 @@ object Dedup {
         .withColumn("lbl", col("doc"))
         .localCheckpoint()
     }
+    // the label relation is one row per doc in the pair graph — orders
+    // smaller than the edge list. Under the gate it broadcasts into the
+    // per-round join so the checkpointed edges never shuffle again;
+    // above it the keyed join is the honest at-scale shape. The count is
+    // a bounded scalar off the just-checkpointed labels.
+    val useBc = labeled("init") { labels.count() } <=
+      pairs.sparkSession.conf.getOption("graft.dedup.ccBroadcastMaxDocs")
+        .map(_.toLong).getOrElse(CcBroadcastMaxDocs)
     var changed = 1L
     var round = 0
     while (changed > 0) {
@@ -493,7 +513,8 @@ object Dedup {
       // of a separate join against the previous labels
       val self = labels.select(col("doc"), col("lbl"), lit(true).as("own"))
       val viaNbr = edges
-        .join(labels, edges("doc_b") === labels("doc"))
+        .join(if (useBc) broadcast(labels) else labels,
+          edges("doc_b") === labels("doc"))
         .select(col("doc_a").as("doc"), col("lbl"), lit(false).as("own"))
       // the convergence count rides the SAME checkpoint job as an
       // observed metric (CollectMetrics) — a separate count() job per

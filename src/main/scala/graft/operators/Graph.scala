@@ -37,37 +37,57 @@ object Graph {
     * Reference analogy: iterative keyed state refinement is the same
     * shape as the reference's pairing store sweep (OrderProcessor.java:
     * 161-206) generalized to a converging relation. */
+  /** Broadcast the n-row rank relation into the edge join when the node
+    * count is under this ceiling (conf `graft.graph.broadcastMaxNodes`) —
+    * a rank row is 16 bytes, so the default 1M-node gate bounds the
+    * broadcast at ~16 MB while keeping the loop-invariant edge list
+    * entirely un-shuffled across iterations. Above the gate the keyed
+    * join is the honest at-scale shape. */
+  private val BroadcastMaxNodes = 1L << 20
+
   def pagerank(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
       .distinct()
-    // edges/degrees are loop-invariant: materialize once (localCheckpoint
-    // → durable checkpoint on a cluster, as in Dedup.connectedComponents)
-    // or every iteration re-derives the distinct pair join from scratch
-    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-      .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+    // edges (with out-degree attached) are loop-invariant: materialize
+    // once (localCheckpoint → durable checkpoint on a cluster, as in
+    // Dedup.connectedComponents) or every iteration re-derives the
+    // distinct pair join from scratch. Carrying `d` on the edge row
+    // removes a second E-sized join from EVERY iteration, and the
+    // window count costs one shuffle where groupBy+join cost two.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val edges = pairs
+      .select(explode(array(
+        struct(col("c").as("src"), col("p").as("dst")),
+        struct(col("p").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .withColumn("d", count(lit(1)).over(w))
       .localCheckpoint()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .localCheckpoint()
-    val nDf = deg.agg(count(lit(1)).as("n"))
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    // n is a bounded scalar (one Long off an already-checkpointed n-row
+    // relation): resolving it once replaces a broadcast crossJoin in the
+    // init AND in every iteration
+    val n = nodes.count()
+    val useBc = n <= s.conf.getOption("graft.graph.broadcastMaxNodes")
+      .map(_.toLong).getOrElse(BroadcastMaxNodes)
     // init: every node starts with SCALE/n (floor) micro-units
-    var ranks = deg.select(col("src").as("node"))
-      .crossJoin(broadcast(nDf))
-      .select(col("node"), expr(s"$Scale div n").as("rank"))
-    for (_ <- 1 to Iterations) {
+    var ranks = nodes.select(col("node"), lit(Scale / n).as("rank"))
+    val teleport = (Scale * 15 / 100) / n
+    for (it <- 1 to Iterations) {
       // checkpoint per round: iteration i's plan must not replay 1..i-1
+      // (the last round's plan is consumed exactly once by the edge sort
+      // below, so it skips the checkpoint write). Under the node gate the
+      // n-row ranks broadcast into the E-row checkpointed edges — the
+      // edge list never shuffles again after its one materialization.
       ranks = edges
-        .join(ranks, col("src") === col("node"))
-        .join(deg, Seq("src"))
+        .join(if (useBc) broadcast(ranks) else ranks, col("src") === col("node"))
         .select(col("dst"), expr("rank div d").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_mass"))
-        .crossJoin(broadcast(nDf))
         .select(col("dst").as("node"),
-          expr(s"($Scale * 15 div 100) div n + (85 * in_mass) div 100")
-            .as("rank"))
-        .localCheckpoint()
+          (lit(teleport) + expr("(85 * in_mass) div 100")).as("rank"))
+      if (it < Iterations) ranks = ranks.localCheckpoint()
     }
     ranks
       .select(col("node"), col("rank"),

@@ -1041,6 +1041,11 @@ object Similarity {
     val n = e.count()
     val (cen, cells) = ivfIndex(s, d)
     val panel = recallPanel(e, n)
+    // NOT pinned, deliberately: localCheckpointing this exploded
+    // pre-aggregation token relation measured SLOWER (q_hybrid_search
+    // 1.9 → 2.1 s warm) — raw-token materialization costs more than the
+    // one extra tokenize pass it saves (the opposite of bm25TopK's
+    // post-aggregation tf pin)
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
@@ -1122,33 +1127,28 @@ object Similarity {
     val n = e.count()
     val (cen, cells) = ivfIndex(s, d)
     val panel = recallPanel(e, n)
-    val docs = Tables.documents(s, d)
-    val toks = docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val qtok = toks.join(panel.select(col("qid")), col("doc_id") === col("qid"))
-      .select(col("qid"), col("tok"))
-    // count leg (q_hybrid_search's lexical leg, unchanged)
+    // BOTH lexical legs in ONE posting join + ONE aggregation
+    // ([[hybridLexCand]]): they group by the same (qid, doc) key over
+    // the same candidate set, so count(overlap) and sum(idf_fp) ride
+    // one pass where two separate legs each re-joined the corpus token
+    // relation. The panel-bounded post-agg result is pinned once per
+    // invocation (the bm25TopK tf-pin precedent) for its two rank
+    // consumers — WITHOUT the pin the two consumers re-derived the
+    // whole posting join + df agg (ReuseExchange does NOT consolidate
+    // them across the fused plan's branches: measured 35 jobs /
+    // 5.4-7.2 s job-wall vs 30 / 2.8 s pinned). PlanHygieneSpec asserts
+    // the posting-join shape on hybridLexCand directly (the checkpoint
+    // hides it from the declared plan) plus the unchanged cell leg on
+    // the declared plan.
+    val cand = hybridLexCand(s, d, panel).localCheckpoint()
     val wl = Window.partitionBy(col("qid"))
       .orderBy(col("overlap").desc, col("doc_id").asc)
-    val lex = toks.join(broadcast(qtok), "tok")
-      .filter(col("doc_id") =!= col("qid"))
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(count(lit(1)).as("overlap"))
+    val lex = cand
       .withColumn("lrank", row_number().over(wl)).filter(col("lrank") <= 10)
       .select(col("qid"), col("doc_id"), col("lrank"))
-    // weighted leg: idf_fp per query token (fixed-point long), summed
-    val dfT = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val qtokIdf = qtok.join(dfT, "tok").crossJoin(broadcast(nDocs))
-      .select(col("qid"), col("tok"),
-        floor(log(col("n_docs").cast("double") / col("df")) * 1e6 + 0.5)
-          .cast("long").as("idf_fp"))
     val ww = Window.partitionBy(col("qid"))
       .orderBy(col("w_fp").desc, col("doc_id").asc)
-    val wlex = toks.join(broadcast(qtokIdf), "tok")
-      .filter(col("doc_id") =!= col("qid"))
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(sum(col("idf_fp")).as("w_fp"))
+    val wlex = cand
       .withColumn("wrank", row_number().over(ww)).filter(col("wrank") <= 10)
       .select(col("qid"), col("doc_id"), col("wrank"))
     // vector leg (the shared-index probe shape, unchanged)
@@ -1186,6 +1186,44 @@ object Similarity {
       .select(col("qid"), col("doc_id"),
         round(col("rrf"), 6).as("rrf"), col("rk"))
       .orderBy("qid", "rk")
+  }
+
+  /** The shared lexical-leg candidate generator of [[hybridWeightedAt]]:
+    * one posting join (corpus tokens ⋈ broadcast panel-token/idf table)
+    * + one (qid, doc)-keyed aggregation carrying BOTH legs' scores
+    * (overlap count and idf_fp sum). Factored out so PlanHygieneSpec
+    * can assert the posting-join shape (token equi-join, no cartesian)
+    * on the relation the checkpoint in [[hybridWeightedAt]] hides from
+    * the declared plan. */
+  /** [[hybridLexCand]] with the panel derived internally — the spec's
+    * entry point for planning the candidate relation standalone. */
+  private[graft] def hybridLexCandPlan(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    hybridLexCand(s, d, recallPanel(e, e.count()))
+  }
+
+  private[graft] def hybridLexCand(s: SparkSession, d: String,
+      panel: DataFrame): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // NOT pinned (see hybridSearch: raw-token checkpoint measured slower)
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val qtok = toks.join(panel.select(col("qid")), col("doc_id") === col("qid"))
+      .select(col("qid"), col("tok"))
+    // weighted leg's idf_fp per query token (fixed-point long). Every
+    // query token has df ≥ 1 (the query doc itself carries it), so the
+    // inner join against the df table keeps qtok's full key set — which
+    // is what lets the count leg ride the SAME posting join below.
+    val dfT = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val qtokIdf = qtok.join(dfT, "tok").crossJoin(broadcast(nDocs))
+      .select(col("qid"), col("tok"),
+        floor(log(col("n_docs").cast("double") / col("df")) * 1e6 + 0.5)
+          .cast("long").as("idf_fp"))
+    toks.join(broadcast(qtokIdf), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("overlap"), sum(col("idf_fp")).as("w_fp"))
   }
 
   /** Vector-leg vote weight for [[hybridParity]]: the MEASURED parity
