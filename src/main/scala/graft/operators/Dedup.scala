@@ -466,14 +466,14 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Connected components over an undirected pair list (doc_a, doc_b):
-    * (doc_id, cluster_rep = min doc in its component) for every doc
-    * appearing in a pair. Min-label propagation; see [[dedupCluster]]. */
   /** Per-round label-broadcast ceiling for [[connectedComponents]] (conf
     * `graft.dedup.ccBroadcastMaxDocs`): a label row is 16 bytes, so the
     * default 1M-doc gate bounds the broadcast at ~16 MB. */
   private val CcBroadcastMaxDocs = 1L << 20
 
+  /** Connected components over an undirected pair list (doc_a, doc_b):
+    * (doc_id, cluster_rep = min doc in its component) for every doc
+    * appearing in a pair. Min-label propagation; see [[dedupCluster]]. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     def labeled[T](l: String)(body: => T): T = {

@@ -1188,13 +1188,6 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
-  /** The shared lexical-leg candidate generator of [[hybridWeightedAt]]:
-    * one posting join (corpus tokens ⋈ broadcast panel-token/idf table)
-    * + one (qid, doc)-keyed aggregation carrying BOTH legs' scores
-    * (overlap count and idf_fp sum). Factored out so PlanHygieneSpec
-    * can assert the posting-join shape (token equi-join, no cartesian)
-    * on the relation the checkpoint in [[hybridWeightedAt]] hides from
-    * the declared plan. */
   /** [[hybridLexCand]] with the panel derived internally — the spec's
     * entry point for planning the candidate relation standalone. */
   private[graft] def hybridLexCandPlan(s: SparkSession, d: String): DataFrame = {
@@ -1202,6 +1195,13 @@ object Similarity {
     hybridLexCand(s, d, recallPanel(e, e.count()))
   }
 
+  /** The shared lexical-leg candidate generator of [[hybridWeightedAt]]:
+    * one posting join (corpus tokens ⋈ broadcast panel-token/idf table)
+    * + one (qid, doc)-keyed aggregation carrying BOTH legs' scores
+    * (overlap count and idf_fp sum). Factored out so PlanHygieneSpec
+    * can assert the posting-join shape (token equi-join, no cartesian)
+    * on the relation the checkpoint in [[hybridWeightedAt]] hides from
+    * the declared plan. */
   private[graft] def hybridLexCand(s: SparkSession, d: String,
       panel: DataFrame): DataFrame = {
     val docs = Tables.documents(s, d)
