@@ -29,11 +29,8 @@ import graft.operators.Det.millis
   * batch's grams. */
 object LmDrift {
 
-  /** The drift chain over explicit LM and arrival relations — the spec
-    * hook (a crafted LM vs novel-bigram arrivals pins the unseen-count
-    * and empty-seen-window semantics the organic rig cannot reach).
-    * `arrivals` must carry (doc_id, text, ts) with a watermark on ts. */
-  private[graft] def driftOver(lm: DataFrame, arrivals: DataFrame): DataFrame =
+  /** The arrival bigram stream: (ts, w1, w2) per adjacent token pair. */
+  private def gramsOf(arrivals: DataFrame): DataFrame =
     arrivals
       .select(col("ts"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 2)
@@ -41,7 +38,11 @@ object LmDrift {
         "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
         .as("g"))
       .select(col("ts"), col("g.w1").as("w1"), col("g.w2").as("w2"))
-      .join(broadcast(lm), Seq("w1", "w2"), "left")
+
+  /** The windowed drift rollup over a scored gram stream — `scored`
+    * carries (ts, w1, w2, p) with p null on unseen grams. */
+  private def rollup(scored: DataFrame): DataFrame =
+    scored
       .groupBy(window(col("ts"), "60 seconds"))
       .agg(count(lit(1)).as("n_grams"),
         count(when(col("p").isNull, 1)).as("n_unseen"),
@@ -50,6 +51,13 @@ object LmDrift {
           / count(when(col("p").isNotNull, 1))).as("avg_neg_logp"))
       .select(millis(col("window.start")).as("window_start_ms"),
         col("n_grams"), col("n_unseen"), col("avg_neg_logp"))
+
+  /** The drift chain over explicit LM and arrival relations — the spec
+    * hook (a crafted LM vs novel-bigram arrivals pins the unseen-count
+    * and empty-seen-window semantics the organic rig cannot reach).
+    * `arrivals` must carry (doc_id, text, ts) with a watermark on ts. */
+  private[graft] def driftOver(lm: DataFrame, arrivals: DataFrame): DataFrame =
+    rollup(gramsOf(arrivals).join(broadcast(lm), Seq("w1", "w2"), "left"))
 
   def sLmDrift(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -65,6 +73,16 @@ object LmDrift {
         .select(col("doc_id"), col("text"),
           timestamp_seconds(col("doc_id") + lit(86400L)).as("ts"))
         .withWatermark("ts", "60 seconds")
+      // MEASURED NON-WIN (kept as the join, deliberately): replacing
+      // this per-trigger LM BroadcastExchange with a once-per-pin map
+      // probe (the gate-map move, via an interpreted (w1, w2) → p udf)
+      // made the rig SLOWER — addBatch 2.6 → 3.4-4.3 s over 11 batches
+      // — because the ratio is inverted vs the gates: the LM rebuild is
+      // small (vocab²-bounded) while the probe side is EVERY arrival
+      // bigram (~600k interpreted udf calls with string-concat keys vs
+      // codegen'd hash-join probes). The gates win the trade because
+      // their build side is the multi-MB posting pin and their probe
+      // side a few hundred gram rows per trigger.
       val drift = driftOver(lm, arrivals)
       val name = s"s_lm_drift_${StreamingIndex.nameCounter.incrementAndGet()}"
       // emission rides the two-sentinel flush below (data batches)

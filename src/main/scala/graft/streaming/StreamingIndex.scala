@@ -539,6 +539,31 @@ object StreamingIndex {
   private def bandMapKey: org.apache.spark.sql.Column =
     concat(col("band").cast("string"), lit(":"), col("band_key"))
 
+  /** Broadcast ceiling for the serve joins' STATIC side (conf
+    * `graft.serve.broadcastMaxVectors`): a serving row is ~300 B
+    * (vec_id + 64-float embedding + cell, or the 8-code PQ row), so the
+    * default 256k-vector gate bounds the broadcast at ~80 MB. */
+  private val ServeBroadcastMaxVectors = 1L << 18
+
+  /** The serve rigs' static candidate relation, size-gated for the
+    * per-trigger join (guide §3: pick the join strategy deliberately).
+    * A localCheckpoint pin carries NO size stats, so the planner fell
+    * to SortMergeJoin and re-shuffled + re-sorted the ENTIRE static
+    * corpus on every micro-batch (executed-plan dumps in plans/r16 —
+    * two Exchanges per trigger). Under the ceiling the static side now
+    * broadcasts (one BroadcastExchange rebuild per trigger — the
+    * documented safe side to force: the PROBE side stays
+    * estimate-driven, round 12's OOM rule); above it the keyed join is
+    * the honest at-scale shape (the corpus is cell-partitioned durable
+    * storage at 100 TB, and a probe reads one partition). */
+  private def gatedServeCorpus(s: SparkSession, d: String,
+      variant: String, corpus: DataFrame): DataFrame = {
+    val n = pinnedCount(s, d, s"n_serve_$variant")(corpus.count())
+    val limit = s.conf.getOption("graft.serve.broadcastMaxVectors")
+      .map(_.toLong).getOrElse(ServeBroadcastMaxVectors)
+    if (n <= limit) broadcast(corpus) else corpus
+  }
+
   /** The pinned (vec_id, embedding, cell) serving relation for a cell
     * assignment — the ONE definition behind the "serve"/"serve_pre"
     * cache keys shared by [[sIndexSwap]] and [[sSwapInflight]] (two
@@ -662,7 +687,7 @@ object StreamingIndex {
         .select(col("qid"), col("qvec"), col("ts"),
           (lit(Long.MaxValue) - col("best.nid")).as("cell"))
       val served = probed
-        .join(corpus, Seq("cell"))
+        .join(gatedServeCorpus(s, d, "serve", corpus), Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
         .groupBy(window(col("ts"), "1 minute"), col("qid"))
         .agg(max(struct(
@@ -738,7 +763,7 @@ object StreamingIndex {
         .select(col("qid"), col("qvec"), col("ts"),
           explode(transform(col("pcells"), p => p.getField("cid"))).as("cell"))
       val served = probed
-        .join(corpus, Seq("cell"))
+        .join(gatedServeCorpus(s, d, "filtered", corpus), Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
         .groupBy(window(col("ts"), "1 minute"), col("qid"))
         .agg(max(struct(
@@ -847,7 +872,7 @@ object StreamingIndex {
       .select(col("qid"), col("qvec"), col("ts"),
         (lit(Long.MaxValue) - col("best.nid")).as("cell"))
     probed
-      .join(corpus, Seq("cell"))
+      .join(gatedServeCorpus(s, d, cenTag, corpus), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(window(col("ts"), "1 minute"), col("qid"))
       .agg(max(struct(
@@ -1140,7 +1165,7 @@ object StreamingIndex {
         .select(col("qid"), col("xs"), col("ts"), dtable.as("dt"),
           explode(transform(col("pcells"), p => p.getField("cid"))).as("cell"))
       val served = probed
-        .join(corpus, Seq("cell"))
+        .join(gatedServeCorpus(s, d, "pq_coded", corpus), Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("dist",
           (0 until ProductQuant.Subs).map { sb =>

@@ -656,6 +656,47 @@ class IndexLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("s_ann_serve: the static serving corpus is SIZE-GATED into the per-trigger join — broadcast build side under the ceiling, hint withheld above it") {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    // the pinned serving corpus is the plan's one RDD scan; "corpus
+    // broadcasts" ≡ that scan sits under a broadcast join's BUILD side
+    def corpusIsBuildSide(p: SparkPlan): Boolean = p.collect {
+      case b: BroadcastHashJoinExec =>
+        val build = b.buildSide match {
+          case BuildLeft => b.left
+          case BuildRight => b.right
+        }
+        build.collectFirst { case r: RDDScanExec => r }.isDefined
+    }.exists(identity)
+    val d = sf("sf0.001")
+    // UNDER the gate (spec scale): the static side must be the broadcast
+    // build — before r16 the stats-free localCheckpoint pin fell to a
+    // SortMergeJoin that re-shuffled + re-sorted the whole corpus every
+    // micro-batch (plans/r16/s_ann_serve_join_before.txt)
+    val small = SparkEntry.queries("s_ann_serve")(spark, d)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSeq
+    val smallPlan = graft.streaming.StreamingIndex.lastExec.get("s_ann_serve")
+    assert(corpusIsBuildSide(smallPlan), smallPlan.toString)
+    assert(smallPlan.collectFirst { case j: SortMergeJoinExec => j }.isEmpty,
+      smallPlan.toString)
+    // ABOVE the gate the hint must be WITHHELD — an unconditional
+    // broadcast ships the full serving corpus to every executor at
+    // 100 TB. The planner may still broadcast the tiny per-batch STREAM
+    // side; what must never happen above threshold is the corpus being
+    // built. Emitted rows are identical either way.
+    spark.conf.set("graft.serve.broadcastMaxVectors", "0")
+    try {
+      val big = SparkEntry.queries("s_ann_serve")(spark, d)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSeq
+      val bigPlan = graft.streaming.StreamingIndex.lastExec.get("s_ann_serve")
+      assert(!corpusIsBuildSide(bigPlan), bigPlan.toString)
+      assert(big == small)
+      assert(big.nonEmpty)
+    } finally spark.conf.unset("graft.serve.broadcastMaxVectors")
+  }
+
   test("s_neardup_gate: salting is LOSSLESS on the population it exists for — a boilerplate-hot corpus") {
     // 9 of 12 docs share one boilerplate text (identical signatures →
     // every band key collides: the gate's target pathology); 3 are
